@@ -1,0 +1,20 @@
+"""linkgraph — a from-scratch PySpark-native link-graph analytics engine.
+
+Semantics reference: jamestiotio/Raphtory (read-only at /root/reference).
+This package re-expresses Raphtory's temporal-graph query/algorithm surface
+as idiomatic distributed Spark DataFrame programs: an event-level edge table
+(``edges_t``) stands in for Raphtory's ``EdgeStore`` temporal histories, a
+deduplicated ``edges`` table for its sorted ``AdjSet`` adjacency, and
+iterated DataFrame supersteps for its BSP ``TaskRunner``.
+
+Nothing here is a port: the reference is a single-node shared-memory Rust
+engine; every operator below is a Catalyst logical plan designed for a
+multi-executor cluster (broadcast vs shuffle joins, explicit repartitioning,
+salted aggregation, checkpointed iteration).
+"""
+
+from linkgraph.graph import LinkGraph
+from linkgraph.session import get_spark
+
+__all__ = ["LinkGraph", "get_spark"]
+__version__ = "0.1.0"

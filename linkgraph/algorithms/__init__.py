@@ -1,0 +1,5 @@
+"""Packaged graph algorithms (SURVEY.md §2.6)."""
+
+from linkgraph.algorithms.pagerank import pagerank
+
+__all__ = ["pagerank"]

@@ -1,0 +1,272 @@
+"""LinkGraph — the engine's graph facade and lazy view algebra.
+
+A ``LinkGraph`` wraps two DataFrames:
+
+- ``edges_t(src, dst, time, layer, ...)`` — event-level temporal edges, the
+  analogue of Raphtory's per-edge ``TimeIndex`` histories
+  (reference: core/entities/edges/edge_store.rs:26-34);
+- ``nodes_t(name, time)`` — node presence events (add_node upserts).
+
+All derived views — window / layer / subgraph — return new ``LinkGraph``
+instances with filters pushed onto those DataFrames, mirroring Raphtory's
+lazily-composed view stack (db/graph/views/window_graph.rs:73-78,
+layer_graph.rs:22, node_subgraph.rs:27). Catalyst fuses and pushes the
+predicates down to the scan, so composition is free.
+
+Algorithm-facing accessors expose the **simple (deduplicated) directed
+graph** — Raphtory's sorted, dedup'd ``AdjSet`` semantics
+(core/entities/nodes/structure/adjset.rs:16-28): parallel temporal events on
+one (src, dst) collapse to one logical edge, and BOTH-direction neighbour
+sets dedup reciprocal pairs (node_store.rs:245-257).
+
+Node identity: names are strings (repo names). Numeric names parse to their
+integer value so component labels match the reference's min-external-id
+semantics exactly; other names get a stable non-negative 64-bit hash
+(reference hashes strings with xxhash too: core/utils/hashing.rs:8-12 —
+values differ across hash seeds, so results are always keyed by *name* for
+comparison, as Raphtory's AlgorithmResult is, algorithm_result.rs:114-124).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_MAX_I64 = (1 << 63) - 1
+
+
+def name_to_id(col: Column) -> Column:
+    """Stable 64-bit non-negative node id for a name column (see module doc)."""
+    as_num = col.cast("long")
+    hashed = F.xxhash64(col).bitwiseAND(F.lit(_MAX_I64))
+    return F.when(col.rlike(r"^\d{1,18}$"), as_num).otherwise(hashed)
+
+
+class LinkGraph:
+    """Immutable graph view over an event-level edge table."""
+
+    def __init__(self, edges_t: DataFrame, nodes_t: DataFrame | None = None):
+        self.spark = edges_t.sparkSession
+        if "layer" not in edges_t.columns:
+            edges_t = edges_t.withColumn("layer", F.lit("_default"))
+        if "time" not in edges_t.columns:
+            edges_t = edges_t.withColumn("time", F.lit(0).cast("long"))
+        self.edges_t = edges_t
+        if nodes_t is None:
+            nodes_t = (
+                edges_t.select(F.col("src").alias("name"), "time")
+                .unionByName(edges_t.select(F.col("dst").alias("name"), "time"))
+            )
+        self.nodes_t = nodes_t
+        self._cache: dict[str, DataFrame] = {}
+
+    # ---------------------------------------------------------------- build
+    @classmethod
+    def from_source_table(cls, source: DataFrame, verify_sha: bool = True) -> "LinkGraph":
+        """Derive the repo link graph from a source-code table (see extract)."""
+        from linkgraph.extract import mine_edges, node_events
+
+        edges_t = mine_edges(source, verify_sha=verify_sha)
+        nodes_t = node_events(source).unionByName(
+            edges_t.select(F.col("dst").alias("name"), "time")
+        )
+        return cls(edges_t, nodes_t)
+
+    @classmethod
+    def from_edge_list(cls, spark, edges: list[tuple[int, str, str]]) -> "LinkGraph":
+        """Tiny test constructor from ``(time, src, dst)`` tuples."""
+        df = spark.createDataFrame(
+            [(str(s), str(d), int(t), "_default") for t, s, d in edges],
+            schema="src string, dst string, time long, layer string",
+        )
+        return cls(df)
+
+    # ---------------------------------------------------------------- views
+    def window(self, start: int | None, end: int | None) -> "LinkGraph":
+        """Half-open temporal window [start, end) — window_graph.rs:73-78.
+
+        The node set is re-derived: a node is in the window iff it has any
+        event inside it (window_graph.rs:217-233).
+        """
+        cond = F.lit(True)
+        if start is not None:
+            cond = cond & (F.col("time") >= F.lit(start))
+        if end is not None:
+            cond = cond & (F.col("time") < F.lit(end))
+        return LinkGraph(self.edges_t.filter(cond), self.nodes_t.filter(cond))
+
+    def at(self, t: int) -> "LinkGraph":
+        return self.window(t, t + 1)
+
+    def before(self, t: int) -> "LinkGraph":
+        return self.window(None, t)
+
+    def after(self, t: int) -> "LinkGraph":
+        return self.window(t + 1, None)
+
+    def layer(self, *layers: str) -> "LinkGraph":
+        """Restrict to edge layers — layer_graph.rs:22."""
+        return LinkGraph(
+            self.edges_t.filter(F.col("layer").isin(list(layers))), self.nodes_t
+        )
+
+    def subgraph(self, nodes: DataFrame | list[str]) -> "LinkGraph":
+        """Induced subgraph on a node set — node_subgraph.rs:27.
+
+        Implemented as two broadcast/shuffle semi-joins (Catalyst picks);
+        the node list is usually small enough to broadcast.
+        """
+        if isinstance(nodes, list):
+            node_df = self.spark.createDataFrame([(n,) for n in nodes], "name string")
+        else:
+            node_df = nodes.select(F.col(nodes.columns[0]).alias("name"))
+        node_df = node_df.distinct()
+        e = (
+            self.edges_t.join(
+                F.broadcast(node_df.withColumnRenamed("name", "src")), "src", "left_semi"
+            ).join(
+                F.broadcast(node_df.withColumnRenamed("name", "dst")), "dst", "left_semi"
+            )
+        )
+        n = self.nodes_t.join(F.broadcast(node_df), "name", "left_semi")
+        return LinkGraph(e, n)
+
+    # ------------------------------------------------------------ accessors
+    def _memo(self, key: str, build) -> DataFrame:
+        if key not in self._cache:
+            self._cache[key] = build()
+        return self._cache[key]
+
+    def names(self) -> DataFrame:
+        """All node names — (name)."""
+        return self._memo("names", lambda: self.nodes_t.select("name").distinct())
+
+    def ids(self) -> DataFrame:
+        """Node dictionary — (id, name), one row per node."""
+        return self._memo(
+            "ids",
+            lambda: self.names().select(name_to_id(F.col("name")).alias("id"), "name"),
+        )
+
+    def edges(self) -> DataFrame:
+        """Simple directed edges — (src, dst) distinct (AdjSet dedup)."""
+        return self._memo("edges", lambda: self.edges_t.select("src", "dst").distinct())
+
+    def edge_ids(self) -> DataFrame:
+        """Simple directed edges as ids — (src_id, dst_id) distinct."""
+        return self._memo(
+            "edge_ids",
+            lambda: self.edges().select(
+                name_to_id(F.col("src")).alias("src_id"),
+                name_to_id(F.col("dst")).alias("dst_id"),
+            ),
+        )
+
+    def undirected_edge_ids(self) -> DataFrame:
+        """BOTH-direction neighbour pairs — (id, nbr_id) distinct.
+
+        Dedups reciprocal edges and keeps self-loops once, matching
+        ``NodeStore::degree`` BOTH semantics (node_store.rs:245-257).
+        """
+        def build():
+            e = self.edge_ids()
+            return (
+                e.select(F.col("src_id").alias("id"), F.col("dst_id").alias("nbr_id"))
+                .unionByName(
+                    e.select(F.col("dst_id").alias("id"), F.col("src_id").alias("nbr_id"))
+                )
+                .distinct()
+            )
+
+        return self._memo("undirected", build)
+
+    def canonical_edge_ids(self) -> DataFrame:
+        """Undirected simple edges oriented lo<hi, self-loops dropped — (lo, hi).
+
+        The triangle-counting orientation (triangle_count.rs:75,84).
+        """
+        def build():
+            e = self.edge_ids().filter(F.col("src_id") != F.col("dst_id"))
+            return e.select(
+                F.least("src_id", "dst_id").alias("lo"),
+                F.greatest("src_id", "dst_id").alias("hi"),
+            ).distinct()
+
+        return self._memo("canonical", build)
+
+    def degrees(self) -> DataFrame:
+        """Distinct-neighbour degrees — (id, out_degree, in_degree, degree).
+
+        ``degree`` is BOTH-direction (in ∪ out, dedup'd); every count
+        includes self-loops once, as the reference's AdjSet does.
+        """
+        def build():
+            e = self.edge_ids()
+            out_d = e.groupBy(F.col("src_id").alias("id")).agg(
+                F.count("*").alias("out_degree")
+            )
+            in_d = e.groupBy(F.col("dst_id").alias("id")).agg(
+                F.count("*").alias("in_degree")
+            )
+            both = self.undirected_edge_ids().groupBy("id").agg(
+                F.count("*").alias("degree")
+            )
+            return (
+                self.ids()
+                .select("id")
+                .join(out_d, "id", "left")
+                .join(in_d, "id", "left")
+                .join(both, "id", "left")
+                .fillna(0, subset=["out_degree", "in_degree", "degree"])
+            )
+
+        return self._memo("degrees", build)
+
+    # ------------------------------------------------------------- scalars
+    def count_nodes(self) -> int:
+        return self.names().count()
+
+    def count_edges(self) -> int:
+        """Logical (deduplicated) edge count — graph.rs:47-58."""
+        return self.edges().count()
+
+    def count_temporal_edges(self) -> int:
+        return self.edges_t.count()
+
+    def earliest_time(self) -> int | None:
+        row = self.edges_t.agg(F.min("time")).first()
+        return row[0]
+
+    def latest_time(self) -> int | None:
+        row = self.edges_t.agg(F.max("time")).first()
+        return row[0]
+
+    def has_node(self, name: str) -> bool:
+        return self.names().filter(F.col("name") == name).limit(1).count() > 0
+
+    def has_edge(self, src: str, dst: str) -> bool:
+        return (
+            self.edges()
+            .filter((F.col("src") == src) & (F.col("dst") == dst))
+            .limit(1)
+            .count()
+            > 0
+        )
+
+    # ------------------------------------------------------------ neighbours
+    def neighbours(self, direction: str = "both") -> DataFrame:
+        """Adjacency as a DataFrame — (id, nbr_id); the hash-join primitive
+        every algorithm composes with (SURVEY §2.3)."""
+        e = self.edge_ids()
+        if direction == "out":
+            return e.select(F.col("src_id").alias("id"), F.col("dst_id").alias("nbr_id"))
+        if direction == "in":
+            return e.select(F.col("dst_id").alias("id"), F.col("src_id").alias("nbr_id"))
+        return self.undirected_edge_ids()
+
+    def materialize(self) -> "LinkGraph":
+        """Cache + force the hot derived tables (ids, simple edges, degrees)."""
+        for df in (self.ids(), self.edge_ids(), self.undirected_edge_ids()):
+            df.persist()
+        self.edge_ids().count()
+        return self

