@@ -1,5 +1,30 @@
 """Packaged graph algorithms (SURVEY.md §2.6)."""
 
+from linkgraph.algorithms.components import weakly_connected_components
+from linkgraph.algorithms.kcore import k_core_ids, k_core_subgraph
+from linkgraph.algorithms.lpa import label_propagation
 from linkgraph.algorithms.pagerank import pagerank
+from linkgraph.algorithms.triangles import (
+    clustering_coefficient,
+    global_triangle_count,
+    local_clustering_coefficient,
+    local_triangle_count,
+    per_edge_triangles,
+    triangles_df,
+    triplet_count,
+)
 
-__all__ = ["pagerank"]
+__all__ = [
+    "clustering_coefficient",
+    "global_triangle_count",
+    "k_core_ids",
+    "k_core_subgraph",
+    "label_propagation",
+    "local_clustering_coefficient",
+    "local_triangle_count",
+    "pagerank",
+    "per_edge_triangles",
+    "triangles_df",
+    "triplet_count",
+    "weakly_connected_components",
+]

@@ -1,0 +1,106 @@
+"""Weakly connected components — iterative min-label hash-join propagation.
+
+Semantics match the reference exactly
+(raphtory/src/algorithms/components/connected_components.rs:36-97):
+
+- labels are external node ids (numeric names parse to their value);
+- init: ``label(v) = min(id(v), min id over BOTH-direction neighbours)``
+  (connected_components.rs:45-51);
+- each superstep: ``label(v) = min(prev label over BOTH-neighbours)`` taken
+  only if smaller than v's own previous label (:53-68); fixpoint when no
+  node changes. The component id is therefore the minimum external id in
+  the component.
+
+Spark-first execution: the undirected adjacency is hash-partitioned once
+and cached; each superstep is one join + min-aggregate, with the "changed"
+count folded into a single one-row action. Convergence takes O(diameter)
+supersteps — fine for web-scale link graphs (small diameter); a
+large-star/small-star contraction variant is a possible follow-up that
+must preserve min-id labels.
+"""
+
+from __future__ import annotations
+
+import sys
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from linkgraph.graph import LinkGraph
+from linkgraph.superstep import CheckpointStore, SuperstepLoop
+
+
+def weakly_connected_components(
+    graph: LinkGraph,
+    max_iter: int = sys.maxsize,
+    partitions: int | None = None,
+    broadcast_threshold: int = 10_000_000,
+    checkpoint_dir: str | None = None,
+    resume: bool = False,
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """Run WCC; returns ``(name, id, component)``."""
+    spark = graph.spark
+    P = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    ids = graph.ids().persist()
+    # adjacency + a self-message edge per node: folding the node's own label
+    # into the min as a message keeps each superstep's plan referencing the
+    # state exactly ONCE (linear lineage — a state referenced twice doubles
+    # the logical plan per iteration and OOMs the driver on long runs)
+    und = (
+        graph.undirected_edge_ids()
+        .unionByName(ids.select("id", F.col("id").alias("nbr_id")))
+        .repartition(P, "nbr_id")
+        .persist()
+    )
+
+    # init: own id; the first superstep then computes min(own, neighbours),
+    # matching the reference's init step (connected_components.rs:45-51)
+    init = ids.select("id", F.col("id").alias("component")).repartition(P, "id")
+
+    store = CheckpointStore(spark, checkpoint_dir) if checkpoint_dir else None
+    if store is not None:
+        edge_sum = und.agg(
+            F.sum(F.xxhash64("id", "nbr_id").bitwiseAND(F.lit(0xFFFFFFFF)))
+        ).first()[0]
+        meta = {"algorithm": "wcc", "edge_checksum": int(edge_sum or 0)}
+        store.validate_meta(meta)
+        store.write_meta(meta)
+
+    loop = SuperstepLoop(
+        spark, store=store, resume=resume, checkpoint_every=checkpoint_every
+    )
+    state, start_it = loop.begin(init)
+    n = ids.count()
+    use_broadcast = n <= broadcast_threshold
+
+    it = start_it
+    while it <= max_iter:
+        # messages INTO v: neighbours' previous labels (incl. the self-message
+        # carrying v's own previous label) → min is the new label
+        labels = state.select(
+            F.col("id").alias("nbr_id"), F.col("component").alias("nbr_label")
+        )
+        if use_broadcast:
+            labels = F.broadcast(labels)
+        new_state = (
+            und.join(labels, "nbr_id")
+            .groupBy("id")
+            .agg(F.min("nbr_label").alias("component"))
+        )
+        new_state = loop.stage(new_state, it, materialize=False)
+        changed = (
+            new_state.alias("n")
+            .join(state.alias("p"), "id")
+            .filter(F.col("n.component") < F.col("p.component"))
+            .count()
+        )
+        state = loop.commit(
+            it, metrics={"algorithm": "wcc", "changed": changed}
+        )
+        it += 1
+        if changed == 0:
+            break
+
+    return state.join(ids, "id").select("name", "id", "component")

@@ -1,0 +1,51 @@
+"""k-core — iterative peeling on the undirected simple graph.
+
+Matches raphtory/src/algorithms/cores/k_core.rs:43-118: a node is alive
+iff it has ≥ k alive BOTH-direction distinct neighbours; start from
+degree ≥ k and peel until stable. ``k_core_subgraph`` returns the induced
+subgraph view (k_core.rs:104-118).
+"""
+
+from __future__ import annotations
+
+import sys
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from linkgraph.graph import LinkGraph
+
+
+def k_core_ids(graph: LinkGraph, k: int, max_iter: int = sys.maxsize) -> DataFrame:
+    """Ids of nodes in the k-core — ``(id)``."""
+    und = graph.undirected_edge_ids().persist()
+    alive = (
+        und.groupBy("id").agg(F.count("*").alias("d")).filter(F.col("d") >= k).select("id")
+    ).persist()
+    n_alive = alive.count()
+    it = 0
+    while it < max_iter:
+        it += 1
+        survivors = (
+            und.join(alive, "id", "left_semi")
+            .join(alive.withColumnRenamed("id", "nbr_id"), "nbr_id", "left_semi")
+            .groupBy("id")
+            .agg(F.count("*").alias("d"))
+            .filter(F.col("d") >= k)
+            .select("id")
+        ).persist()
+        n_new = survivors.count()
+        alive.unpersist()
+        alive = survivors
+        if n_new == n_alive:
+            break
+        n_alive = n_new
+    und.unpersist()
+    return alive
+
+
+def k_core_subgraph(graph: LinkGraph, k: int) -> LinkGraph:
+    """Induced subgraph on the k-core node set."""
+    ids = k_core_ids(graph, k)
+    names = ids.join(graph.ids(), "id").select("name")
+    return graph.subgraph(names)

@@ -1,0 +1,171 @@
+"""Label propagation (LPA) community detection.
+
+Reference semantics (raphtory/src/algorithms/community_detection/
+label_propagation.rs:20-78): labels init to node id; nodes are visited in a
+seeded shuffled order **asynchronously** (reads see earlier updates in the
+same sweep); each node takes the most frequent label among its
+BOTH-direction distinct neighbours, ties broken by the LARGEST label
+(BTreeMap + max_by keeps the last maximum, :73-78); sweeps repeat until no
+label changes. Communities are the label groups.
+
+Asynchronous LPA is order-dependent, so exact reproduction requires a fixed
+schedule. The reference shuffles with rust StdRng (ChaCha) — not
+reproducible from Python — so this engine FIXES ITS OWN deterministic
+schedule (documented invariant): nodes sorted by id, permuted by
+``numpy.random.RandomState(seed).permutation``. Identical at any
+parallelism.
+
+Two execution modes:
+
+- ``mode="exact"`` — the reference-parity path. The adjacency is gathered
+  into a single ``applyInPandas`` group and the seeded asynchronous sweep
+  runs vectorised inside one executor task. Exact, deterministic, but
+  single-task: use for graphs that fit one executor (the reference itself
+  is driver-side sequential here — label_propagation.rs:42-59 — so parity
+  beyond one machine is impossible by construction).
+- ``mode="sync"`` — the scale path: semi-synchronous DataFrame supersteps.
+  Each superstep updates HALF the nodes (by id-hash parity, alternating)
+  — the standard bipartite-oscillation guard — picking
+  ``max(struct(count, label))`` per node, which reproduces the
+  ties→largest-label rule. Deterministic at any parallelism; community
+  quality matches LPA literature but per-node labels may differ from the
+  asynchronous schedule (documented divergence).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from linkgraph.graph import LinkGraph
+
+
+def label_propagation(
+    graph: LinkGraph,
+    seed: int = 42,
+    mode: str = "exact",
+    max_sweeps: int = 100,
+) -> DataFrame:
+    """Run LPA; returns ``(name, id, label)`` (label = a member node's id)."""
+    if mode == "exact":
+        return _lpa_exact(graph, seed, max_sweeps)
+    if mode == "sync":
+        return _lpa_sync(graph, seed, max_sweeps)
+    raise ValueError(f"unknown LPA mode {mode!r}")
+
+
+def _lpa_exact(graph: LinkGraph, seed: int, max_sweeps: int) -> DataFrame:
+    import pandas as pd
+
+    und = graph.undirected_edge_ids().filter(F.col("id") != F.col("nbr_id"))
+
+    def sweep(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        nodes = np.unique(np.concatenate([pdf["id"].values, pdf["nbr_id"].values]))
+        adj: dict[int, list[int]] = {}
+        for a, b in zip(pdf["id"].values, pdf["nbr_id"].values):
+            adj.setdefault(int(a), []).append(int(b))
+        labels = {int(v): int(v) for v in nodes}
+        order = [int(v) for v in np.sort(nodes)]
+        rng = np.random.RandomState(seed)
+        order = [order[i] for i in rng.permutation(len(order))]
+        for _ in range(max_sweeps):
+            changed = False
+            for v in order:
+                nbrs = adj.get(v)
+                if not nbrs:
+                    continue
+                counts: dict[int, int] = {}
+                for u in nbrs:
+                    lu = labels[u]
+                    counts[lu] = counts.get(lu, 0) + 1
+                # most frequent; ties → largest label
+                best = max(counts.items(), key=lambda kv: (kv[1], kv[0]))[0]
+                if best != labels[v]:
+                    labels[v] = best
+                    changed = True
+            if not changed:
+                break
+        return pd.DataFrame(
+            {"id": list(labels.keys()), "label": list(labels.values())}
+        )
+
+    labelled = (
+        und.withColumn("_g", F.lit(0))
+        .groupBy("_g")
+        .applyInPandas(lambda _, pdf: sweep(pdf), schema="id long, label long")
+    )
+    return (
+        graph.ids()
+        .join(labelled, "id", "left")
+        .select("name", "id", F.coalesce("label", F.col("id")).alias("label"))
+    )
+
+
+def _lpa_sync(graph: LinkGraph, seed: int, max_sweeps: int) -> DataFrame:
+    spark = graph.spark
+    P = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ids = graph.ids().persist()
+    und = (
+        graph.undirected_edge_ids()
+        .filter(F.col("id") != F.col("nbr_id"))
+        .repartition(P, "nbr_id")
+        .persist()
+    )
+    state = ids.select("id", F.col("id").alias("label")).repartition(P, "id").persist()
+    state.count()
+    stable_rounds = 0
+    fingerprints: list[int] = []  # per-sweep state hashes: period-2 cycle guard
+    for sweep_i in range(max_sweeps):
+        half = F.pmod(F.xxhash64("id", F.lit(seed)), F.lit(2)) == F.lit(sweep_i % 2)
+        msgs = (
+            und.join(
+                state.select(F.col("id").alias("nbr_id"), F.col("label").alias("nl")),
+                "nbr_id",
+            )
+            .groupBy("id", "nl")
+            .agg(F.count("*").alias("c"))
+            .groupBy("id")
+            .agg(F.max(F.struct("c", "nl")).alias("best"))
+            .select("id", F.col("best.nl").alias("cand"))
+        )
+        new_state = (
+            state.join(msgs, "id", "left")
+            .select(
+                "id",
+                F.when(half & F.col("cand").isNotNull(), F.col("cand"))
+                .otherwise(F.col("label"))
+                .alias("label"),
+            )
+        )
+        # this plan references state twice (messages + fallback), so the
+        # lineage doubles per sweep — cut it every other sweep
+        if sweep_i % 2 == 1:
+            new_state = new_state.localCheckpoint(eager=True)
+        else:
+            new_state = new_state.persist()
+        stats = (
+            new_state.alias("n")
+            .join(state.alias("p"), "id")
+            .agg(
+                F.count(F.when(F.col("n.label") != F.col("p.label"), 1)).alias("chg"),
+                F.sum(
+                    F.xxhash64("n.id", "n.label").bitwiseAND(F.lit(0xFFFFFFFF))
+                ).alias("fp"),
+            )
+            .first()
+        )
+        changed, fp = stats["chg"], int(stats["fp"] or 0)
+        state.unpersist()
+        state = new_state
+        stable_rounds = stable_rounds + 1 if changed == 0 else 0
+        if stable_rounds >= 2:  # a full even+odd pair with no movement
+            break
+        if len(fingerprints) >= 2 and fp == fingerprints[-2]:
+            # period-2 oscillation (e.g. a reciprocal pair whose endpoints
+            # share hash parity swapping labels forever): the label partition
+            # is stable even though labels keep moving — stop
+            break
+        fingerprints.append(fp)
+    return state.join(ids, "id").select("name", "id", "label")

@@ -1,0 +1,71 @@
+import random
+
+from linkgraph.algorithms import weakly_connected_components
+from linkgraph.graph import LinkGraph
+
+from tests import fixtures as FX
+from tests.oracles import wcc_oracle
+
+
+def run_wcc(spark, edges, **kw):
+    g = LinkGraph.from_edge_list(spark, edges)
+    return {r.name: r.component for r in weakly_connected_components(g, **kw).collect()}
+
+
+def test_two_components(spark):
+    got = run_wcc(spark, FX.WCC_TWO_COMPONENTS)
+    assert got == FX.WCC_TWO_COMPONENTS_EXPECTED
+
+
+def test_motif_graph_single_component(spark):
+    got = run_wcc(spark, FX.MOTIF_GRAPH)
+    assert set(got) == {str(i) for i in range(1, 12)}
+    assert set(got.values()) == {1}
+
+
+def test_self_loop(spark):
+    got = run_wcc(spark, FX.WCC_SELF_LOOP)
+    assert got == {"1": 1}
+
+
+def test_windowed_components(spark):
+    """connected_components.rs:221-250 — window re-derives the node set."""
+    g = LinkGraph.from_edge_list(spark, FX.WCC_WINDOWED)
+    full = {r.name: r.component for r in weakly_connected_components(g).collect()}
+    assert full == {"1": 1, "2": 1, "3": 3, "4": 3}
+    w = g.window(0, 2)
+    got = {r.name: r.component for r in weakly_connected_components(w).collect()}
+    assert got == {"1": 1, "2": 1}
+
+
+def test_circle_graph_property(spark):
+    """Reference quickcheck (connected_components.rs:252-308): a circle of
+    unique random ids is one component labelled by the min id."""
+    rng = random.Random(123)
+    ids = rng.sample(range(10, 10_000_000), 40)
+    edges = [(t, str(ids[t]), str(ids[(t + 1) % len(ids)])) for t in range(len(ids))]
+    got = run_wcc(spark, edges)
+    assert len(got) == 40
+    assert set(got.values()) == {min(ids)}
+
+
+def test_randomized_vs_oracle(spark):
+    rng = random.Random(7)
+    edges = [(t, str(rng.randrange(60)), str(rng.randrange(60))) for t in range(70)]
+    got = run_wcc(spark, edges)
+    want = wcc_oracle([(s, d) for _, s, d in edges])
+    assert got == want
+
+
+def test_wcc_checkpoint_resume(spark, tmp_path):
+    ck = str(tmp_path / "wcc_ckpt")
+    g = LinkGraph.from_edge_list(spark, FX.WCC_TWO_COMPONENTS)
+    weakly_connected_components(g, max_iter=1, checkpoint_dir=ck)
+    g2 = LinkGraph.from_edge_list(spark, FX.WCC_TWO_COMPONENTS)
+    got = {
+        r.name: r.component
+        for r in weakly_connected_components(
+            g2, checkpoint_dir=ck, resume=True
+        ).collect()
+    }
+    assert got == FX.WCC_TWO_COMPONENTS_EXPECTED

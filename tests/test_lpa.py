@@ -1,0 +1,48 @@
+from linkgraph.algorithms import label_propagation
+from linkgraph.graph import LinkGraph
+
+from tests import fixtures as FX
+
+
+def communities(df):
+    rows = df.collect()
+    by_label = {}
+    for r in rows:
+        by_label.setdefault(r.label, set()).add(r.name)
+    return sorted((frozenset(s) for s in by_label.values()), key=len)
+
+
+def test_lpa_reference_fixture_exact(spark):
+    """label_propagation.rs:85-123 — the seeded run must yield communities
+    {R1,R2,R3} and {G,B1..B5} (our engine's documented deterministic
+    schedule, seed pinned in LPA_SEED)."""
+    g = LinkGraph.from_edge_list(spark, FX.LPA_GRAPH)
+    comms = communities(label_propagation(g, seed=FX.LPA_SEED, mode="exact"))
+    assert set(map(frozenset, FX.LPA_EXPECTED)) == set(comms)
+
+
+def test_lpa_deterministic(spark):
+    g = LinkGraph.from_edge_list(spark, FX.LPA_GRAPH)
+    a = communities(label_propagation(g, seed=FX.LPA_SEED, mode="exact"))
+    b = communities(label_propagation(g, seed=FX.LPA_SEED, mode="exact"))
+    assert a == b
+
+
+def test_lpa_disjoint_cliques_exact_and_sync(spark):
+    clique1 = [(0, a, b) for a in "abcd" for b in "abcd" if a < b]
+    clique2 = [(0, a, b) for a in "wxyz" for b in "wxyz" if a < b]
+    g = LinkGraph.from_edge_list(spark, clique1 + clique2)
+    for mode in ("exact", "sync"):
+        comms = communities(label_propagation(g, seed=5, mode=mode))
+        assert set(comms) == {frozenset("abcd"), frozenset("wxyz")}
+
+
+def test_lpa_isolated_node_keeps_own_label(spark):
+    g = LinkGraph.from_edge_list(spark, [(0, "1", "2")]).subgraph(["1", "2", "3"])
+    # build a graph with an isolated node via node_only source rows instead
+    from linkgraph.synth import source_table
+
+    src = source_table(spark, [(0, "1", "2")], node_only=["9"])
+    g = LinkGraph.from_source_table(src)
+    got = {r.name: r.label for r in label_propagation(g, seed=5).collect()}
+    assert got["9"] == 9

@@ -1,0 +1,90 @@
+import math
+import random
+
+from linkgraph.algorithms import (
+    clustering_coefficient,
+    global_triangle_count,
+    k_core_ids,
+    local_clustering_coefficient,
+    local_triangle_count,
+    per_edge_triangles,
+    triplet_count,
+)
+from linkgraph.graph import LinkGraph
+
+from tests import fixtures as FX
+from tests.oracles import per_node_triangles_oracle, triangle_oracle
+
+
+def test_triangle_count_1(spark):
+    g = LinkGraph.from_edge_list(spark, FX.TRIANGLE_GRAPH_1)
+    assert global_triangle_count(g) == 4
+
+
+def test_triangle_count_motif_graph(spark):
+    g = LinkGraph.from_edge_list(spark, FX.TRIANGLE_GRAPH_3)
+    assert global_triangle_count(g) == 8
+
+
+def test_triangle_2core_prune_same_result(spark):
+    from linkgraph.algorithms.triangles import triangles_df
+
+    g = LinkGraph.from_edge_list(spark, FX.TRIANGLE_GRAPH_1)
+    assert triangles_df(g, prune_2core=True).count() == 4
+
+
+def test_per_edge_sum_matches_global(spark):
+    g = LinkGraph.from_edge_list(spark, FX.TRIANGLE_GRAPH_3)
+    per_edge = per_edge_triangles(g)
+    assert per_edge.agg({"triangles": "sum"}).first()[0] == 8
+
+
+def test_local_triangle_windowed(spark):
+    """local_triangle_count.rs:85-101: window [0,5) → nodes 1,2,3 each 1."""
+    g = LinkGraph.from_edge_list(spark, FX.LOCAL_TRIANGLE).window(0, 5)
+    got = {r.name: r.triangles for r in local_triangle_count(g).collect()}
+    assert got == {"1": 1, "2": 1, "3": 1}
+
+
+def test_local_vs_oracle_randomized(spark):
+    rng = random.Random(11)
+    edges = [(t, str(rng.randrange(25)), str(rng.randrange(25))) for t in range(90)]
+    g = LinkGraph.from_edge_list(spark, edges)
+    got = {r.name: r.triangles for r in local_triangle_count(g).collect()}
+    want = per_node_triangles_oracle([(s, d) for _, s, d in edges])
+    assert got == want
+    assert global_triangle_count(g) == triangle_oracle([(s, d) for _, s, d in edges])
+
+
+def test_triplets_and_clustering(spark):
+    """triplet_count.rs / clustering_coefficient.rs goldens: the 2-triangle
+    graph has 20 triplets and coefficient 3*2/20 = 0.3."""
+    edges = [
+        (1, "1", "2"), (1, "1", "3"), (1, "2", "3"),
+        (1, "1", "4"), (1, "3", "4"),
+        (1, "1", "5"), (1, "3", "5"), (1, "4", "5"),
+    ]
+    g = LinkGraph.from_edge_list(spark, edges)
+    tc = global_triangle_count(g)
+    tp = triplet_count(g)
+    assert clustering_coefficient(g) == 3.0 * tc / tp
+    # self-consistency on the motif graph too
+    g2 = LinkGraph.from_edge_list(spark, FX.MOTIF_GRAPH)
+    assert clustering_coefficient(g2) == 3.0 * 8 / triplet_count(g2)
+
+
+def test_local_clustering_coefficient(spark):
+    # triangle on 1-2-3 plus pendant 4: node 1 has deg 3 (2,3,4), 1 triangle
+    edges = [(0, "1", "2"), (0, "2", "3"), (0, "3", "1"), (0, "1", "4")]
+    g = LinkGraph.from_edge_list(spark, edges)
+    got = {r.name: r.coefficient for r in local_clustering_coefficient(g).collect()}
+    assert math.isclose(got["1"], 1 / 3)
+    assert got["2"] == 1.0 and got["3"] == 1.0 and got["4"] == 0.0
+
+
+def test_k_core(spark):
+    # triangle (2-core) + tail 3-4-5 that peels away
+    edges = [(0, "1", "2"), (0, "2", "3"), (0, "3", "1"), (0, "3", "4"), (0, "4", "5")]
+    g = LinkGraph.from_edge_list(spark, edges)
+    core = {r.id for r in k_core_ids(g, 2).collect()}
+    assert core == {1, 2, 3}
