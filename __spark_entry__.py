@@ -1,10 +1,26 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every operator below runs twice per round: our Spark implementation
+(``queries()``) and the ANSI-SQL oracle (``oracle_sql()``) in DuckDB, with
+row-count + schema + order-insensitive value-hash comparison at sf=0.01.
+
+The graph operators run over three graphs derived deterministically from
+the TPC-H-ish test tables (identically in Spark and SQL):
+
+- **trade**    directed  customer → supplier  (orders ⋈ lineitem);
+  node ids: custkey, 1_000_000 + suppkey.
+- **cosupply** undirected supplier — supplier sharing a part (lo < hi).
+- **transition** directed event_type → event_type from consecutive events
+  per user (lag over ts, event_id).
+
+Iterative algorithms are compared at a FIXED superstep count (tol=0) so the
+Spark run and the recursive-CTE oracle execute the same number of
+iterations; floats are rounded to 6dp on both sides. Operators whose exact
+semantics cannot be expressed in DuckDB SQL (seeded asynchronous LPA,
+xxhash-based MinHash/SimHash/fingerprints/LSH, k-core peeling) have no
+oracle entry — the driver records the weaker rows-only check; their
+correctness gates live in tests/ against reference goldens and Python
+oracles.
 """
 
 from __future__ import annotations
@@ -12,27 +28,685 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+PR_ITERS = 30  # fixed superstep count for the PageRank comparison
+
+# --------------------------------------------------------------------------
+# derived graphs (Spark side)
+# --------------------------------------------------------------------------
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _trade_edges_t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").cast("string").alias("src"),
+            (F.lit(1_000_000) + F.col("l_suppkey")).cast("string").alias("dst"),
+            (F.unix_timestamp("o_orderdate") * 1000).alias("time"),
+            F.col("l_quantity"),
+        )
+    )
+
+
+def _trade_graph(spark: SparkSession, sf_dir: str):
+    from linkgraph.graph import LinkGraph
+
+    return LinkGraph(_trade_edges_t(spark, sf_dir).select("src", "dst", "time"))
+
+
+def _cosupply_graph(spark: SparkSession, sf_dir: str):
+    from linkgraph.graph import LinkGraph
+
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sa"))
+    b = li.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sb"))
+    e = (
+        a.join(b, "pk")
+        .filter(F.col("sa") < F.col("sb"))
+        .select(
+            F.col("sa").cast("string").alias("src"),
+            F.col("sb").cast("string").alias("dst"),
+        )
+        .distinct()
+        .withColumn("time", F.lit(0).cast("long"))
+    )
+    return LinkGraph(e)
+
+
+def _transition_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .select(F.col("prev_type").alias("src"), F.col("event_type").alias("dst"))
+    )
+
+
+def _transition_graph(spark: SparkSession, sf_dir: str):
+    from linkgraph.graph import LinkGraph
+
+    # event_type names are strings; map to stable dense ids via a dictionary
+    # so results key on the name itself
+    e = _transition_edges(spark, sf_dir).withColumn("time", F.lit(0).cast("long"))
+    return LinkGraph(e)
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: PageRank over the trade graph at sf0.001 — top 20 nodes."""
+    from linkgraph.algorithms import pagerank
+
+    g = _trade_graph(spark, "/root/testdata/sf0.001")
+    res = pagerank(g, max_iter=20, tol=1e-6, norm="l2")
+    return (
+        res.select("name", F.round("score", 6).alias("score"))
+        .orderBy(F.desc("score"), "name")
+        .limit(20)
+    )
+
+
+def q_trade_edges(spark, sf_dir):
+    return (
+        _trade_edges_t(spark, sf_dir)
+        .groupBy(
+            F.col("src").cast("long").alias("src"),
+            F.col("dst").cast("long").alias("dst"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+        )
+    )
+
+
+def q_trade_degrees(spark, sf_dir):
+    g = _trade_graph(spark, sf_dir)
+    return g.degrees().select(
+        F.col("id").alias("node"), "out_degree", "in_degree", "degree"
+    )
+
+
+def q_trade_degree_stats(spark, sf_dir):
+    from linkgraph.algorithms.metrics import degree_stats
+
+    return degree_stats(_trade_graph(spark, sf_dir))
+
+
+def q_trade_degree_centrality(spark, sf_dir):
+    from linkgraph.algorithms.metrics import degree_centrality
+
+    return degree_centrality(_trade_graph(spark, sf_dir)).select(
+        F.col("id").alias("node"), F.round("centrality", 6).alias("centrality")
+    )
+
+
+def q_trade_wcc(spark, sf_dir):
+    from linkgraph.algorithms import weakly_connected_components
+
+    return weakly_connected_components(_trade_graph(spark, sf_dir)).select(
+        F.col("id").alias("node"), "component"
+    )
+
+
+def q_trade_pagerank(spark, sf_dir):
+    from linkgraph.algorithms import pagerank
+
+    g = _trade_graph(spark, sf_dir)
+    res = pagerank(g, max_iter=PR_ITERS, tol=0.0, norm="l1")
+    return res.select(F.col("id").alias("node"), F.round("score", 6).alias("score"))
+
+
+def q_trade_windowed_wcc(spark, sf_dir):
+    """WCC restricted to a half-open time window (1995 only)."""
+    from linkgraph.algorithms import weakly_connected_components
+
+    g = _trade_graph(spark, sf_dir)
+    start = 788918400000  # 1995-01-01 UTC millis
+    end = 820454400000  # 1996-01-01 UTC millis
+    return weakly_connected_components(g.window(start, end)).select(
+        F.col("id").alias("node"), "component"
+    )
+
+
+def q_cosupply_triangle_count(spark, sf_dir):
+    from linkgraph.algorithms.triangles import triangles_df
+
+    g = _cosupply_graph(spark, sf_dir)
+    return triangles_df(g).agg(F.count("*").alias("n_triangles"))
+
+
+def q_cosupply_per_edge_triangles(spark, sf_dir):
+    from linkgraph.algorithms import per_edge_triangles
+
+    return per_edge_triangles(_cosupply_graph(spark, sf_dir)).select(
+        "lo", "hi", "triangles"
+    )
+
+
+def q_cosupply_local_triangles(spark, sf_dir):
+    from linkgraph.algorithms import local_triangle_count
+
+    return local_triangle_count(_cosupply_graph(spark, sf_dir)).select(
+        F.col("id").alias("node"), "triangles"
+    )
+
+
+def q_cosupply_clustering(spark, sf_dir):
+    from linkgraph.algorithms import (
+        global_triangle_count,
+        triplet_count,
+    )
+
+    g = _cosupply_graph(spark, sf_dir)
+    t = global_triangle_count(g)
+    p = triplet_count(g)
+    coeff = (3.0 * t / p) if t and p else 0.0
+    return spark.createDataFrame(
+        [(t, p, round(coeff, 6))], "n_triangles long, n_triplets long, coefficient double"
+    )
+
+
+def q_transition_edges(spark, sf_dir):
+    return _transition_edges(spark, sf_dir).groupBy("src", "dst").agg(
+        F.count("*").alias("n")
+    )
+
+
+def q_transition_reciprocity(spark, sf_dir):
+    from linkgraph.algorithms.metrics import global_reciprocity
+
+    r = global_reciprocity(_transition_graph(spark, sf_dir))
+    return spark.createDataFrame([(round(r, 6),)], "reciprocity double")
+
+
+def q_transition_local_reciprocity(spark, sf_dir):
+    from linkgraph.algorithms.metrics import all_local_reciprocity
+
+    return all_local_reciprocity(_transition_graph(spark, sf_dir)).select(
+        F.col("name").alias("node"), F.round("reciprocity", 6).alias("reciprocity")
+    )
+
+
+def q_transition_density(spark, sf_dir):
+    from linkgraph.algorithms.metrics import directed_graph_density
+
+    d = directed_graph_density(_transition_graph(spark, sf_dir))
+    return spark.createDataFrame([(round(d, 6),)], "density double")
+
+
+def q_docs_stats(spark, sf_dir):
+    from linkgraph.pipeline.textstats import doc_stats
+
+    return doc_stats(_t(spark, sf_dir, "documents"))
+
+
+def q_docs_langid(spark, sf_dir):
+    from linkgraph.pipeline.textstats import language_id
+
+    return language_id(_t(spark, sf_dir, "documents"))
+
+
+def q_docs_token_counts(spark, sf_dir):
+    from linkgraph.pipeline.textstats import token_counts
+
+    return token_counts(_t(spark, sf_dir, "documents"))
+
+
+def q_docs_exact_dups(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy(F.md5(F.col("text")).alias("text_md5")).agg(
+        F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc_id")
+    )
+
+
+def q_docs_ngram_jaccard(spark, sf_dir):
+    from linkgraph.pipeline.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    return ngram_jaccard_pairs(docs, n=5, threshold=0.2)
+
+
+def q_emb_cosine_topk(spark, sf_dir):
+    from linkgraph.pipeline.simsearch import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    return cosine_topk(emb, queries, k=5)
+
+
+def q_emb_neardup(spark, sf_dir):
+    from linkgraph.pipeline.simsearch import cosine_neardup_pairs
+
+    return cosine_neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.35)
+
+
+# --- no SQL oracle (driver records rows-only; gated by pytest goldens) ----
+
+
+def q_trade_pagerank_converged(spark, sf_dir):
+    """PageRank run to L1 1e-9 convergence (the benchmark configuration)."""
+    from linkgraph.algorithms import pagerank
+
+    g = _trade_graph(spark, sf_dir)
+    res = pagerank(g, max_iter=200, tol=1e-9, norm="l1")
+    return res.select(F.col("id").alias("node"), F.round("score", 6).alias("score"))
+
+
+def q_cosupply_kcore(spark, sf_dir):
+    from linkgraph.algorithms import k_core_ids
+
+    g = _cosupply_graph(spark, sf_dir)
+    return k_core_ids(g, 30).select(F.col("id").alias("node"))
+
+
+def q_cosupply_lpa_sync(spark, sf_dir):
+    from linkgraph.algorithms import label_propagation
+
+    g = _transition_graph(spark, sf_dir)
+    return label_propagation(g, seed=2, mode="sync").select(
+        F.col("name").alias("node"), "label"
+    )
+
+
+def q_docs_minhash_lsh(spark, sf_dir):
+    from linkgraph.pipeline.dedup import minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, n=5, num_hashes=32, bands=8, threshold=0.4)
+
+
+def q_docs_simhash(spark, sf_dir):
+    from linkgraph.pipeline.dedup import simhash
+
+    return simhash(_t(spark, sf_dir, "documents"))
+
+
+def q_docs_fingerprint(spark, sf_dir):
+    from linkgraph.pipeline.textstats import fingerprint
+
+    return fingerprint(_t(spark, sf_dir, "documents"))
+
+
+def q_emb_lsh_topk(spark, sf_dir):
+    from linkgraph.pipeline.simsearch import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return lsh_topk(emb, queries, k=5)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "trade_edges": q_trade_edges,
+        "trade_degrees": q_trade_degrees,
+        "trade_degree_stats": q_trade_degree_stats,
+        "trade_degree_centrality": q_trade_degree_centrality,
+        "trade_wcc": q_trade_wcc,
+        "trade_windowed_wcc": q_trade_windowed_wcc,
+        "trade_pagerank": q_trade_pagerank,
+        "trade_pagerank_converged": q_trade_pagerank_converged,
+        "cosupply_triangle_count": q_cosupply_triangle_count,
+        "cosupply_per_edge_triangles": q_cosupply_per_edge_triangles,
+        "cosupply_local_triangles": q_cosupply_local_triangles,
+        "cosupply_clustering": q_cosupply_clustering,
+        "cosupply_kcore": q_cosupply_kcore,
+        "transition_edges": q_transition_edges,
+        "transition_reciprocity": q_transition_reciprocity,
+        "transition_local_reciprocity": q_transition_local_reciprocity,
+        "transition_density": q_transition_density,
+        "transition_lpa_sync": q_cosupply_lpa_sync,
+        "docs_stats": q_docs_stats,
+        "docs_langid": q_docs_langid,
+        "docs_token_counts": q_docs_token_counts,
+        "docs_exact_dups": q_docs_exact_dups,
+        "docs_ngram_jaccard": q_docs_ngram_jaccard,
+        "docs_minhash_lsh": q_docs_minhash_lsh,
+        "docs_simhash": q_docs_simhash,
+        "docs_fingerprint": q_docs_fingerprint,
+        "emb_cosine_topk": q_emb_cosine_topk,
+        "emb_lsh_topk": q_emb_lsh_topk,
+        "emb_neardup": q_emb_neardup,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------------
+# oracle SQL (DuckDB dialect; tables pre-registered as views)
+# --------------------------------------------------------------------------
+
+_TRADE_ED = """
+trade_ed AS (
+  SELECT DISTINCT o_custkey AS src, 1000000 + l_suppkey AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+)"""
+
+_TRADE_NODES = """
+trade_nodes AS (
+  SELECT DISTINCT id FROM (SELECT src AS id FROM trade_ed UNION ALL SELECT dst FROM trade_ed)
+)"""
+
+_TRADE_UND = """
+trade_und AS (
+  SELECT src AS id, dst AS nbr FROM trade_ed
+  UNION SELECT dst, src FROM trade_ed
+)"""
+
+_COSUPPLY_ED = """
+co_ed AS (
+  SELECT DISTINCT a.l_suppkey AS lo, b.l_suppkey AS hi
+  FROM lineitem a JOIN lineitem b
+    ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+)"""
+
+_TRANSITION_ED = """
+tr_raw AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src,
+         event_type AS dst
+  FROM events
+), tr_ev AS (SELECT src, dst FROM tr_raw WHERE src IS NOT NULL),
+tr_ed AS (SELECT DISTINCT src, dst FROM tr_ev),
+tr_nodes AS (
+  SELECT DISTINCT id FROM (SELECT src AS id FROM tr_ed UNION ALL SELECT dst FROM tr_ed)
+)"""
+
+_PAGERANK_ORACLE = f"""
+WITH RECURSIVE {_TRADE_ED}, {_TRADE_NODES},
+outdeg AS (SELECT src AS id, count(*)::DOUBLE AS d FROM trade_ed GROUP BY src),
+nn AS (SELECT count(*)::DOUBLE AS n FROM trade_nodes),
+w AS (
+  SELECT e.src AS u, e.dst AS v, 1.0/od.d AS wt
+  FROM trade_ed e JOIN outdeg od ON od.id = e.src
+  UNION ALL
+  SELECT s.id, t.id, 1.0/(SELECT n FROM nn)
+  FROM (SELECT tn.id FROM trade_nodes tn LEFT JOIN outdeg od ON od.id = tn.id
+        WHERE od.id IS NULL) s
+  CROSS JOIN trade_nodes t
+  UNION ALL
+  SELECT id, id, 0.0 FROM trade_nodes
+),
+pr(iter, id, score) AS (
+  SELECT 0, id, 1.0/(SELECT n FROM nn) FROM trade_nodes
+  UNION ALL
+  SELECT p.iter + 1, w.v, 0.15/(SELECT n FROM nn) + 0.85 * sum(p.score * w.wt)
+  FROM pr p JOIN w ON w.u = p.id
+  WHERE p.iter < {PR_ITERS}
+  GROUP BY p.iter + 1, w.v
+)
+SELECT id AS node, round(score, 6) AS score FROM pr WHERE iter = {PR_ITERS}
+"""
+
+_WCC_ORACLE_TMPL = """
+WITH RECURSIVE {edges}, {nodes_cte},
+und AS (SELECT {a} AS id, {b} AS nbr FROM {etable} UNION SELECT {b}, {a} FROM {etable}),
+reach(node, lab) AS (
+  SELECT id, id FROM {ntable}
+  UNION
+  SELECT u.id, r.lab FROM reach r JOIN und u ON u.nbr = r.node
+)
+SELECT node, min(lab) AS component FROM reach GROUP BY node
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sqls: dict[str, str] = {}
+
+    sqls["trade_edges"] = """
+SELECT o_custkey AS src, 1000000 + l_suppkey AS dst,
+       count(*) AS n_events, round(sum(l_quantity), 2) AS total_qty
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY 1, 2
+"""
+
+    sqls["trade_degrees"] = f"""
+WITH {_TRADE_ED}, {_TRADE_NODES}, {_TRADE_UND}
+SELECT n.id AS node,
+       coalesce(o.c, 0) AS out_degree,
+       coalesce(i.c, 0) AS in_degree,
+       coalesce(u.c, 0) AS degree
+FROM trade_nodes n
+LEFT JOIN (SELECT src, count(*) c FROM trade_ed GROUP BY src) o ON o.src = n.id
+LEFT JOIN (SELECT dst, count(*) c FROM trade_ed GROUP BY dst) i ON i.dst = n.id
+LEFT JOIN (SELECT id, count(*) c FROM trade_und GROUP BY id) u ON u.id = n.id
+"""
+
+    sqls["trade_degree_stats"] = f"""
+WITH {_TRADE_ED}, {_TRADE_NODES}, {_TRADE_UND},
+deg AS (
+  SELECT n.id,
+         coalesce(o.c, 0) AS outd, coalesce(i.c, 0) AS ind, coalesce(u.c, 0) AS d
+  FROM trade_nodes n
+  LEFT JOIN (SELECT src, count(*) c FROM trade_ed GROUP BY src) o ON o.src = n.id
+  LEFT JOIN (SELECT dst, count(*) c FROM trade_ed GROUP BY dst) i ON i.dst = n.id
+  LEFT JOIN (SELECT id, count(*) c FROM trade_und GROUP BY id) u ON u.id = n.id
+)
+SELECT max(d) AS max_degree, min(d) AS min_degree, avg(d) AS avg_degree,
+       max(outd) AS max_out_degree, min(outd) AS min_out_degree,
+       max(ind) AS max_in_degree, min(ind) AS min_in_degree
+FROM deg
+"""
+
+    sqls["trade_degree_centrality"] = f"""
+WITH {_TRADE_ED}, {_TRADE_NODES}, {_TRADE_UND},
+deg AS (
+  SELECT n.id, coalesce(u.c, 0) AS d
+  FROM trade_nodes n
+  LEFT JOIN (SELECT id, count(*) c FROM trade_und GROUP BY id) u ON u.id = n.id
+)
+SELECT id AS node, round(d::DOUBLE / (SELECT max(d) FROM deg), 6) AS centrality
+FROM deg
+"""
+
+    sqls["trade_wcc"] = _WCC_ORACLE_TMPL.format(
+        edges=_TRADE_ED,
+        nodes_cte=_TRADE_NODES,
+        a="src",
+        b="dst",
+        etable="trade_ed",
+        ntable="trade_nodes",
+    )
+
+    sqls["trade_windowed_wcc"] = """
+WITH RECURSIVE wed AS (
+  SELECT DISTINCT o_custkey AS src, 1000000 + l_suppkey AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  WHERE epoch_ms(o_orderdate) >= 788918400000 AND epoch_ms(o_orderdate) < 820454400000
+),
+wnodes AS (
+  SELECT DISTINCT id FROM (SELECT src AS id FROM wed UNION ALL SELECT dst FROM wed)
+),
+und AS (SELECT src AS id, dst AS nbr FROM wed UNION SELECT dst, src FROM wed),
+reach(node, lab) AS (
+  SELECT id, id FROM wnodes
+  UNION
+  SELECT u.id, r.lab FROM reach r JOIN und u ON u.nbr = r.node
+)
+SELECT node, min(lab) AS component FROM reach GROUP BY node
+"""
+
+    sqls["trade_pagerank"] = _PAGERANK_ORACLE
+
+    sqls["cosupply_triangle_count"] = f"""
+WITH {_COSUPPLY_ED}
+SELECT count(*) AS n_triangles
+FROM co_ed e1 JOIN co_ed e2 ON e2.lo = e1.hi JOIN co_ed e3 ON e3.lo = e1.lo AND e3.hi = e2.hi
+"""
+
+    sqls["cosupply_per_edge_triangles"] = f"""
+WITH {_COSUPPLY_ED}
+SELECT e1.lo AS lo, e1.hi AS hi, count(*) AS triangles
+FROM co_ed e1 JOIN co_ed e2 ON e2.lo = e1.hi JOIN co_ed e3 ON e3.lo = e1.lo AND e3.hi = e2.hi
+GROUP BY 1, 2
+"""
+
+    sqls["cosupply_local_triangles"] = f"""
+WITH {_COSUPPLY_ED},
+nodes AS (SELECT DISTINCT id FROM (SELECT lo AS id FROM co_ed UNION ALL SELECT hi FROM co_ed)),
+tri AS (
+  SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+  FROM co_ed e1 JOIN co_ed e2 ON e2.lo = e1.hi JOIN co_ed e3 ON e3.lo = e1.lo AND e3.hi = e2.hi
+),
+member AS (
+  SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
+)
+SELECT n.id AS node, coalesce(m.c, 0) AS triangles
+FROM nodes n LEFT JOIN (SELECT id, count(*) c FROM member GROUP BY id) m ON m.id = n.id
+"""
+
+    sqls["cosupply_clustering"] = f"""
+WITH {_COSUPPLY_ED},
+und AS (SELECT lo AS id, hi AS nbr FROM co_ed UNION SELECT hi, lo FROM co_ed),
+tc AS (
+  SELECT count(*) AS t
+  FROM co_ed e1 JOIN co_ed e2 ON e2.lo = e1.hi JOIN co_ed e3 ON e3.lo = e1.lo AND e3.hi = e2.hi
+),
+tp AS (
+  SELECT sum(d * (d - 1) / 2)::BIGINT AS p
+  FROM (SELECT count(*)::BIGINT AS d FROM und GROUP BY id)
+)
+SELECT t AS n_triangles, p AS n_triplets,
+       round(CASE WHEN t > 0 AND p > 0 THEN 3.0 * t / p ELSE 0.0 END, 6) AS coefficient
+FROM tc, tp
+"""
+
+    sqls["transition_edges"] = f"""
+WITH {_TRANSITION_ED}
+SELECT src, dst, count(*) AS n FROM tr_ev GROUP BY src, dst
+"""
+
+    sqls["transition_reciprocity"] = f"""
+WITH {_TRANSITION_ED},
+ns AS (SELECT src, dst FROM tr_ed WHERE src <> dst)
+SELECT round(
+  (SELECT count(*) FROM ns a WHERE EXISTS
+     (SELECT 1 FROM ns b WHERE b.src = a.dst AND b.dst = a.src))::DOUBLE
+  / (SELECT count(*) FROM ns), 6) AS reciprocity
+"""
+
+    sqls["transition_local_reciprocity"] = f"""
+WITH {_TRANSITION_ED},
+ns AS (SELECT src, dst FROM tr_ed WHERE src <> dst),
+o AS (SELECT src AS id, count(*) c FROM ns GROUP BY src),
+i AS (SELECT dst AS id, count(*) c FROM ns GROUP BY dst),
+b AS (
+  SELECT a.src AS id, count(*) c FROM ns a
+  WHERE EXISTS (SELECT 1 FROM ns x WHERE x.src = a.dst AND x.dst = a.src)
+  GROUP BY a.src
+)
+SELECT n.id AS node,
+       round(CASE WHEN coalesce(o.c,0) + coalesce(i.c,0) > 0
+             THEN 2.0 * coalesce(b.c,0) / (coalesce(o.c,0) + coalesce(i.c,0))
+             ELSE 0.0 END, 6) AS reciprocity
+FROM tr_nodes n
+LEFT JOIN o ON o.id = n.id LEFT JOIN i ON i.id = n.id LEFT JOIN b ON b.id = n.id
+"""
+
+    sqls["transition_density"] = f"""
+WITH {_TRANSITION_ED}
+SELECT round(
+  (SELECT count(*) FROM tr_ed)::DOUBLE /
+  ((SELECT count(*) FROM tr_nodes) * ((SELECT count(*) FROM tr_nodes) - 1.0)), 6
+) AS density
+"""
+
+    sqls["docs_stats"] = r"""
+SELECT doc_id,
+       length(text) AS n_chars,
+       len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_words,
+       length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+       length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+       round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+             / length(text), 6) AS alpha_ratio,
+       round(length(text)
+             / len(regexp_split_to_array(trim(text), '\s+')), 6) AS mean_token_len
+FROM documents
+"""
+
+    from linkgraph.pipeline.textstats import STOPWORDS
+
+    langs = sorted(STOPWORDS)
+    hit_exprs = ",\n".join(
+        "len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), "
+        f"x -> x IN ({', '.join(repr(w) for w in STOPWORDS[lang])}))) AS hits_{lang}"
+        for lang in langs
+    )
+    best = "greatest(" + ", ".join(f"hits_{x}" for x in langs) + ")"
+    pred = "CASE " + " ".join(
+        f"WHEN hits_{x} = {best} THEN '{x}'" for x in langs
+    ) + " END"
+    sqls["docs_langid"] = f"""
+WITH scored AS (SELECT doc_id, {hit_exprs} FROM documents)
+SELECT doc_id, {pred} AS pred_lang, {best} AS hits FROM scored
+"""
+
+    sqls["docs_token_counts"] = r"""
+SELECT token, count(*) AS n
+FROM (SELECT unnest(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS token
+      FROM documents)
+GROUP BY token
+"""
+
+    sqls["docs_exact_dups"] = """
+SELECT md5(text) AS text_md5, count(*) AS n_docs, min(doc_id) AS min_doc_id
+FROM documents GROUP BY 1
+"""
+
+    sqls["docs_ngram_jaccard"] = """
+WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(length(text) - 4, 1) + 1),
+                               i -> substr(text, i::INT, 5))) AS shingle
+  FROM docs
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(i::DOUBLE / (sa.sz + sb.sz - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.2
+"""
+
+    sqls["emb_cosine_topk"] = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings
+           WHERE vec_id % 25 = 0),
+c AS (SELECT vec_id AS cand_id, embedding::DOUBLE[] AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, cand_id,
+         round(list_cosine_similarity(qv, cv), 6) AS cosine
+  FROM q CROSS JOIN c WHERE query_id <> cand_id
+),
+ranked AS (
+  SELECT query_id, cand_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+  FROM scored
+)
+SELECT query_id, cand_id, cosine, rank::INT AS rank FROM ranked WHERE rank <= 5
+"""
+
+    sqls["emb_neardup"] = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
+"""
+
+    return sqls

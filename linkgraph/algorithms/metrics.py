@@ -1,0 +1,110 @@
+"""Graph metrics: degree stats/centrality, reciprocity, density.
+
+Reference semantics:
+
+- degree stats (raphtory/src/algorithms/metrics/degree.rs:49-90): max / min /
+  average over BOTH-direction distinct-neighbour degrees (plus in/out
+  variants);
+- degree centrality (centrality/degree_centrality.rs:20-56):
+  ``degree(v) / max_degree`` (0.0 when NaN/inf);
+- reciprocity (metrics/reciprocity.rs:88-160), self-loops excluded:
+  global = Σ|out∩in| / Σ|out|; local = 2·|out∩in| / (|out|+|in|), 0 if NaN;
+- directed density (metrics/directed_graph_density.rs:37):
+  E / (V·(V−1)) on deduplicated logical edges.
+
+All are one or two hash aggregates / joins — Catalyst territory, no
+iteration needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from linkgraph.graph import LinkGraph
+
+
+def degree_stats(graph: LinkGraph) -> DataFrame:
+    """One row: max/min/avg of BOTH-degree plus in/out extrema."""
+    return graph.degrees().agg(
+        F.max("degree").alias("max_degree"),
+        F.min("degree").alias("min_degree"),
+        F.avg("degree").alias("avg_degree"),
+        F.max("out_degree").alias("max_out_degree"),
+        F.min("out_degree").alias("min_out_degree"),
+        F.max("in_degree").alias("max_in_degree"),
+        F.min("in_degree").alias("min_in_degree"),
+    )
+
+
+def degree_centrality(graph: LinkGraph) -> DataFrame:
+    """``(name, id, centrality)`` = degree / max_degree."""
+    deg = graph.degrees()
+    mx = deg.agg(F.max("degree")).first()[0] or 0
+    out = deg.join(graph.ids(), "id").select(
+        "name",
+        "id",
+        (
+            F.when(F.lit(mx) > 0, F.col("degree") / F.lit(float(mx))).otherwise(0.0)
+        ).alias("centrality"),
+    )
+    return out
+
+
+def _nonself_edges(graph: LinkGraph) -> DataFrame:
+    return graph.edge_ids().filter(F.col("src_id") != F.col("dst_id"))
+
+
+def global_reciprocity(graph: LinkGraph) -> float:
+    """Fraction of non-self directed edges whose reverse edge exists."""
+    e = _nonself_edges(graph)
+    total = e.count()
+    if total == 0:
+        return 0.0
+    recip = e.join(
+        e.select(F.col("dst_id").alias("src_id"), F.col("src_id").alias("dst_id")),
+        ["src_id", "dst_id"],
+        "left_semi",
+    ).count()
+    return recip / total
+
+
+def all_local_reciprocity(graph: LinkGraph) -> DataFrame:
+    """``(name, id, reciprocity)`` = 2·|out∩in| / (|out|+|in|), 0 if undefined."""
+    e = _nonself_edges(graph)
+    out_d = e.groupBy(F.col("src_id").alias("id")).agg(F.count("*").alias("o"))
+    in_d = e.groupBy(F.col("dst_id").alias("id")).agg(F.count("*").alias("i"))
+    both = (
+        e.join(
+            e.select(F.col("dst_id").alias("src_id"), F.col("src_id").alias("dst_id")),
+            ["src_id", "dst_id"],
+            "left_semi",
+        )
+        .groupBy(F.col("src_id").alias("id"))
+        .agg(F.count("*").alias("b"))
+    )
+    return (
+        graph.ids()
+        .join(out_d, "id", "left")
+        .join(in_d, "id", "left")
+        .join(both, "id", "left")
+        .select(
+            "name",
+            "id",
+            F.when(
+                F.coalesce("o", F.lit(0)) + F.coalesce("i", F.lit(0)) > 0,
+                2.0
+                * F.coalesce("b", F.lit(0))
+                / (F.coalesce("o", F.lit(0)) + F.coalesce("i", F.lit(0))),
+            )
+            .otherwise(0.0)
+            .alias("reciprocity"),
+        )
+    )
+
+
+def directed_graph_density(graph: LinkGraph) -> float:
+    n = graph.count_nodes()
+    if n <= 1:
+        return 0.0
+    return graph.count_edges() / (n * (n - 1.0))

@@ -1,0 +1,7 @@
+"""Training-data pipeline operators over document/embedding tables.
+
+These extend the graph engine with the table-side operations a large-scale
+corpus pipeline needs (dedup, similarity search, text analysis, multimodal
+plumbing). All hot paths are built-in Spark SQL expressions (JVM-side,
+codegen) or Arrow-batched pandas UDFs — no per-row Python.
+"""

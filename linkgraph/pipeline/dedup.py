@@ -1,0 +1,193 @@
+"""Deduplication: exact, n-gram Jaccard, MinHash-LSH, SimHash.
+
+Scale notes (the 100 TB view):
+
+- exact: one hash aggregate on md5(text) — map-side combine collapses
+  duplicates before the shuffle, so the shuffle carries ~one row per
+  distinct hash.
+- n-gram Jaccard: exact pairwise similarity via a shingle inverted index
+  (explode → self-join on shingle → count). Quadratic in the worst case —
+  use it on candidate buckets, not the full corpus; that is what MinHash-LSH
+  is for.
+- MinHash-LSH: per-doc signatures from built-in xxhash64 expressions
+  (no UDF), banded into buckets; only docs sharing a band-bucket are paired.
+  Bucket join is the classic near-dup scale path (shingle→minhash→band→join).
+- SimHash: 64-bit signed-bit-vote hash over token hashes; Hamming-close
+  pairs via (a) same-band grouping on bit slices.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups — ``(text_md5, n_docs, min_doc_id)``, n>1."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("text_md5"))
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def _char_shingles(text_col: str, n: int):
+    """Distinct character n-grams as an array expression (no UDF)."""
+    t = F.col(text_col)
+    idx = F.sequence(F.lit(1), F.greatest(F.length(t) - n + 1, F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: F.substring(t, i, n)))
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact n-gram Jaccard similar pairs — ``(doc_a, doc_b, jaccard)``.
+
+    |A∩B| from an inverted-index self-join on shingles; |A∪B| from per-doc
+    set sizes. Pairs oriented doc_a < doc_b.
+    """
+    sh = docs.select(
+        F.col("doc_id"), F.explode(_char_shingles(text_col, n)).alias("shingle")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    n: int = 3,
+    num_hashes: int = 32,
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash signatures — ``(doc_id, sig: array<long>)``.
+
+    sig[i] = min over shingles of xxhash64(shingle, seed=i); all built-in
+    expressions, map-only.
+    """
+    shingles = _char_shingles(text_col, n)
+    sig = F.array(
+        *[
+            F.array_min(F.transform(shingles, lambda s, i=i: F.xxhash64(s, F.lit(i))))
+            for i in range(num_hashes)
+        ]
+    )
+    return docs.select("doc_id", sig.alias("sig"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash-LSH candidate pairs with estimated Jaccard.
+
+    Bands of ``num_hashes/bands`` rows hash to buckets; docs sharing any
+    band-bucket become candidates (the only join is on the bucket key, so
+    work scales with bucket sizes, not corpus²). Estimated similarity =
+    fraction of matching signature positions; pairs with estimate ≥
+    threshold are returned as ``(doc_a, doc_b, est_jaccard)``.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(docs, n=n, num_hashes=num_hashes, text_col=text_col)
+    banded = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("sig", b * rows_per_band + r + 1)
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "bucket"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("siga"),
+            F.col("b.sig").alias("sigb"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = F.round(
+        F.size(F.filter(F.zip_with("siga", "sigb", lambda x, y: x == y), lambda m: m))
+        / F.lit(float(num_hashes)),
+        6,
+    )
+    return cand.select("doc_a", "doc_b", est.alias("est_jaccard")).filter(
+        F.col("est_jaccard") >= threshold
+    )
+
+
+def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """64-bit SimHash over word tokens — ``(doc_id, simhash)``.
+
+    Per token, xxhash64 supplies 64 bits; each bit votes ±1; the sign of
+    each bit's vote sum forms the fingerprint. Pure expressions (explode +
+    64 conditional sums), no UDF.
+    """
+    from linkgraph.pipeline.textstats import TOKEN_RE
+
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), 0)
+        ).alias("token"),
+    ).withColumn("h", F.xxhash64("token"))
+    votes = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(64)
+        ]
+    )
+    fp = None
+    for i in range(64):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, i)
+        fp = term if fp is None else fp.bitwiseXOR(term)
+    return votes.select("doc_id", fp.alias("simhash"))

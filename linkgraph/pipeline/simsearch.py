@@ -1,0 +1,178 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+- ``cosine_topk``: exact brute-force top-k — the correctness baseline.
+  Dot products via ``zip_with`` + ``aggregate`` (sequential fold →
+  deterministic summation order, JVM-side). The candidate side is
+  broadcast when small; at scale the quadratic pair space is the cost,
+  which is what the bucketed variant avoids.
+- ``lsh_topk``: random-hyperplane LSH — sign-bit bucket join, then exact
+  re-scoring inside buckets (multi-probe over b bands). Approximate but
+  scales as Σ bucket², not corpus².
+- ``cosine_neardup_pairs``: embedding near-duplicate pairs above a cosine
+  threshold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def _dot(a, b) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v
+        )
+    )
+
+
+def cosine(a, b) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def _as_double(df: DataFrame, col: str) -> DataFrame:
+    return df.withColumn(col, F.col(col).cast("array<double>"))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbours per query — ``(query_id, cand_id,
+    cosine, rank)``; self-matches excluded; ties broken by candidate id."""
+    cand = _as_double(
+        embeddings.select(
+            F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cvec")
+        ),
+        "cvec",
+    )
+    q = _as_double(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")),
+        "qvec",
+    )
+    scored = (
+        q.crossJoin(cand)
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    planes_per_band: int = 8,
+    bands: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via random-hyperplane LSH.
+
+    Hyperplanes are derived deterministically from xxhash64(seed, band,
+    plane, dim) — no driver-side randomness, reproducible at any
+    parallelism. Candidates = vectors sharing any band signature with the
+    query; exact cosine re-scoring within candidates.
+    """
+    dim_df = embeddings.select(F.size(vec_col).alias("d")).limit(1)
+    dim = dim_df.first()["d"]
+
+    def signature(vec) -> Column:
+        # per band: a bit per hyperplane; hyperplane h component j =
+        # hash-derived value in [-1, 1)
+        sigs = []
+        for b in range(bands):
+            bits = None
+            for p in range(planes_per_band):
+                comp = F.aggregate(
+                    F.zip_with(
+                        vec,
+                        F.sequence(F.lit(0), F.lit(dim - 1)),
+                        lambda x, j: x
+                        * (
+                            (
+                                F.pmod(
+                                    F.xxhash64(
+                                        F.lit(seed), F.lit(b), F.lit(p), j
+                                    ),
+                                    F.lit(2_000_001),
+                                )
+                                - 1_000_000
+                            )
+                            / 1_000_000.0
+                        ),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                bit = F.when(comp >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+                bits = bit if bits is None else F.shiftleft(bits, 1).bitwiseXOR(bit)
+            sigs.append(F.struct(F.lit(b).alias("band"), bits.alias("sig")))
+        return F.array(*sigs)
+
+    cand = _as_double(
+        embeddings.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cvec")),
+        "cvec",
+    ).select("cand_id", "cvec", F.explode(signature(F.col("cvec"))).alias("bs"))
+    q = _as_double(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")),
+        "qvec",
+    ).select("query_id", "qvec", F.explode(signature(F.col("qvec"))).alias("bs"))
+    pairs = (
+        q.join(cand, ["bs"])
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id", "qvec", "cvec")
+        .dropDuplicates(["query_id", "cand_id"])
+    )
+    scored = pairs.select(
+        "query_id",
+        "cand_id",
+        F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cosine"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def cosine_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-duplicate pairs — ``(id_a, id_b, cosine)``, a < b."""
+    e = _as_double(
+        embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")), "v"
+    )
+    a = e.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    b = e.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,107 @@
+"""Text analysis: token counts, quality stats, language ID, fingerprints.
+
+Everything except the fingerprint is pure built-in SQL expressions —
+whole-stage-codegen'd, shuffle-free, and exactly reproducible by an ANSI
+SQL oracle. The fingerprint (rolling 64-bit hash over token shingles) uses
+xxhash64 and is verified against a Python oracle in pytest instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# word-ish tokens: runs of letters, runs of digits, or single other glyphs
+# (a BPE-ish pre-tokenisation; same regex dialect in Spark/RE2/DuckDB)
+TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+# tiny per-language stopword lists for the n-gram/stopword language heuristic
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it", "was", "for"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "auf", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "des", "une", "dans", "que"],
+    "es": ["el", "la", "los", "que", "de", "es", "un", "una", "con", "por"],
+}
+
+
+def doc_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality statistics (map-only, codegen'd).
+
+    Columns: n_chars, n_tokens (whitespace), n_words (TOKEN_RE), n_alpha,
+    n_digit, alpha_ratio, mean_token_len — the usual length/character-class
+    quality-filter inputs.
+    """
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
+    n_digit = F.length(F.regexp_replace(t, r"[^0-9]", ""))
+    n_tokens = F.size(F.split(F.trim(t), r"\s+"))
+    n_words = F.size(F.regexp_extract_all(t, F.lit(TOKEN_RE), 0))
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        n_words.alias("n_words"),
+        n_alpha.alias("n_alpha"),
+        n_digit.alias("n_digit"),
+        F.round(n_alpha / n_chars, 6).alias("alpha_ratio"),
+        F.round(n_chars / n_tokens, 6).alias("mean_token_len"),
+    )
+
+
+def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-hit language heuristic — ``(doc_id, pred_lang, hits)``.
+
+    Scores each language by the number of its stopwords among the lowercased
+    word tokens; predicted language is the argmax (ties → lexicographically
+    smallest language code, deterministic). Pure array expressions.
+    """
+    words = F.split(F.lower(F.col(text_col)), r"[^a-z]+")
+
+    def hits(stopwords):
+        # factory closure: Spark infers higher-order-lambda arity from the
+        # signature, so the stopword list must NOT be a default parameter
+        return F.size(F.filter(words, lambda w: w.isin(stopwords)))
+
+    scored = docs.select(
+        "doc_id",
+        *[hits(sw).alias(f"hits_{lang}") for lang, sw in STOPWORDS.items()],
+    )
+    langs = sorted(STOPWORDS)
+    best = F.greatest(*[F.col(f"hits_{x}") for x in langs])
+    pred = F.coalesce(
+        *[F.when(F.col(f"hits_{x}") == best, F.lit(x)) for x in langs]
+    )
+    return scored.select(
+        "doc_id", pred.alias("pred_lang"), best.alias("hits")
+    )
+
+
+def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus token frequency — ``(token, n)`` (explode + hash aggregate)."""
+    return (
+        docs.select(
+            F.explode(F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), 0)).alias(
+                "token"
+            )
+        )
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text", k: int = 5) -> DataFrame:
+    """Document fingerprint — ``(doc_id, fingerprint)``.
+
+    Winnowing-style: min xxhash64 over the k-token rolling shingles of the
+    word sequence (order-sensitive, robust to whitespace changes). Built-in
+    expressions only; verified against a Python oracle in tests.
+    """
+    words = F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), 0)
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    shingles = F.transform(
+        idx, lambda i: F.concat_ws("\x1f", F.slice(words, i + 1, k))
+    )
+    fp = F.array_min(F.transform(shingles, lambda s: F.xxhash64(s)))
+    return docs.select("doc_id", fp.alias("fingerprint"))

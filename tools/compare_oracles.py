@@ -1,0 +1,91 @@
+"""Side-by-side Spark vs DuckDB oracle comparison (the driver's check,
+replicated locally so mismatches surface before a round ends).
+
+Usage: python tools/compare_oracles.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, ".")
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entry
+    from linkgraph.session import get_spark
+
+    spark = get_spark(cores=8, shuffle_partitions=16, driver_memory="8g")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            spark_df = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: spark error: {str(e)[:300]}")
+            continue
+        t_spark = time.time() - t0
+        if name not in oracles:
+            print(f"rows-only {name}: {len(spark_df)} rows  ({t_spark:.1f}s)")
+            continue
+        t0 = time.time()
+        try:
+            duck_df = con.sql(oracles[name]).df()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: duckdb error: {str(e)[:300]}")
+            continue
+        t_duck = time.time() - t0
+        a, b = canon(spark_df), canon(duck_df)
+        ok_rows = len(a) == len(b)
+        ok_cols = list(a.columns) == list(b.columns)
+        ok_vals = False
+        if ok_rows and ok_cols:
+            try:
+                pd.testing.assert_frame_equal(
+                    a, b, check_dtype=False, check_exact=True
+                )
+                ok_vals = True
+            except AssertionError as e:
+                print(f"  value diff {name}: {str(e)[:300]}")
+        status = "OK  " if (ok_rows and ok_cols and ok_vals) else "FAIL"
+        if status == "FAIL":
+            failures.append(name)
+        print(
+            f"{status} {name}: spark {len(spark_df)}r/{t_spark:.1f}s "
+            f"duck {len(duck_df)}r/{t_duck:.1f}s cols={ok_cols}"
+        )
+        if not ok_cols:
+            print(f"  spark cols {list(a.columns)} vs duck {list(b.columns)}")
+    print("FAILURES:", failures or "none")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
