@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from linkgraph.graph import LinkGraph
-from linkgraph.superstep import CheckpointStore, SuperstepLoop
+from linkgraph.superstep import CheckpointStore, SuperstepLoop, iteration_conf
 
 
 def weakly_connected_components(
@@ -41,19 +41,23 @@ def weakly_connected_components(
 ) -> DataFrame:
     """Run WCC; returns ``(name, id, component)``."""
     spark = graph.spark
-    P = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
 
     ids = graph.ids().persist()
     # adjacency + a self-message edge per node: folding the node's own label
     # into the min as a message keeps each superstep's plan referencing the
     # state exactly ONCE (linear lineage — a state referenced twice doubles
     # the logical plan per iteration and OOMs the driver on long runs)
-    und = (
+    raw_und = (
         graph.undirected_edge_ids()
         .unionByName(ids.select("id", F.col("id").alias("nbr_id")))
-        .repartition(P, "nbr_id")
         .persist()
     )
+    from linkgraph.superstep import pick_partitions
+
+    P = partitions or pick_partitions(spark, raw_und.count())
+    und = raw_und.repartition(P, "nbr_id").persist()
+    und.count()
+    raw_und.unpersist()
 
     # init: own id; the first superstep then computes min(own, neighbours),
     # matching the reference's init step (connected_components.rs:45-51)
@@ -76,6 +80,12 @@ def weakly_connected_components(
     use_broadcast = n <= broadcast_threshold
 
     it = start_it
+    with iteration_conf(spark, shuffle_partitions=P):
+        state = _run_loop(loop, state, und, it, max_iter, use_broadcast)
+    return state.join(ids, "id").select("name", "id", "component")
+
+
+def _run_loop(loop, state, und, it, max_iter, use_broadcast):
     while it <= max_iter:
         # messages INTO v: neighbours' previous labels (incl. the self-message
         # carrying v's own previous label) → min is the new label
@@ -102,5 +112,4 @@ def weakly_connected_components(
         it += 1
         if changed == 0:
             break
-
-    return state.join(ids, "id").select("name", "id", "component")
+    return state

@@ -18,6 +18,13 @@ from linkgraph.graph import LinkGraph
 
 def k_core_ids(graph: LinkGraph, k: int, max_iter: int = sys.maxsize) -> DataFrame:
     """Ids of nodes in the k-core — ``(id)``."""
+    from linkgraph.superstep import iteration_conf
+
+    with iteration_conf(graph.spark):
+        return _peel(graph, k, max_iter)
+
+
+def _peel(graph: LinkGraph, k: int, max_iter: int) -> DataFrame:
     und = graph.undirected_edge_ids().persist()
     alive = (
         und.groupBy("id").agg(F.count("*").alias("d")).filter(F.col("d") >= k).select("id")
@@ -33,7 +40,12 @@ def k_core_ids(graph: LinkGraph, k: int, max_iter: int = sys.maxsize) -> DataFra
             .agg(F.count("*").alias("d"))
             .filter(F.col("d") >= k)
             .select("id")
-        ).persist()
+        )
+        # alive is referenced twice per peel → plan doubles; cut periodically
+        if it % 4 == 0:
+            survivors = survivors.localCheckpoint(eager=True)
+        else:
+            survivors = survivors.persist()
         n_new = survivors.count()
         alive.unpersist()
         alive = survivors

@@ -104,7 +104,14 @@ def _lpa_exact(graph: LinkGraph, seed: int, max_sweeps: int) -> DataFrame:
 
 
 def _lpa_sync(graph: LinkGraph, seed: int, max_sweeps: int) -> DataFrame:
+    from linkgraph.superstep import iteration_conf
+
     spark = graph.spark
+    with iteration_conf(spark):
+        return _lpa_sync_loop(graph, spark, seed, max_sweeps)
+
+
+def _lpa_sync_loop(graph: LinkGraph, spark, seed: int, max_sweeps: int) -> DataFrame:
     P = int(spark.conf.get("spark.sql.shuffle.partitions"))
     ids = graph.ids().persist()
     und = (

@@ -40,7 +40,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from linkgraph.graph import LinkGraph
-from linkgraph.superstep import CheckpointStore, SuperstepLoop
+from linkgraph.superstep import CheckpointStore, SuperstepLoop, iteration_conf
 
 DAMPING_DEFAULT = 0.85
 
@@ -65,15 +65,20 @@ def pagerank(
     memory-poor clusters). Above it, both sides stay co-partitioned.
     """
     spark = graph.spark
-    shuffle_p = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    P = partitions or shuffle_p
 
     ids = graph.ids().persist()
     n = ids.count()
     if n == 0:
         return ids.select("name", "id", F.lit(0.0).alias("score"))
 
-    edges = graph.edge_ids().repartition(P, "src_id").persist()
+    raw_edges = graph.edge_ids().persist()
+    n_edges = raw_edges.count()
+    from linkgraph.superstep import pick_partitions
+
+    P = partitions or pick_partitions(spark, n_edges)
+    edges = raw_edges.repartition(P, "src_id").persist()
+    edges.count()
+    raw_edges.unpersist()
     deg = (
         edges.groupBy(F.col("src_id").alias("id"))
         .agg(F.count("*").alias("out_degree"))
@@ -121,6 +126,20 @@ def pagerank(
 
     use_broadcast = n <= broadcast_threshold
 
+    with iteration_conf(spark, shuffle_partitions=P):
+        state = _run_loop(
+            spark, loop, state, edges, static, n, n_sinks, sink_mass, damping,
+            teleport, norm, tol, max_iter, start_it, use_broadcast,
+        )
+
+    out = state.join(ids, "id").select("name", "id", "score")
+    return out
+
+
+def _run_loop(
+    spark, loop, state, edges, static, n, n_sinks, sink_mass, damping,
+    teleport, norm, tol, max_iter, start_it, use_broadcast,
+):
     for it in range(start_it, max_iter + 1):
         ranks = state.filter(F.col("out_degree") > 0).select(
             "id", (F.col("score") / F.col("out_degree")).alias("contrib")
@@ -167,6 +186,4 @@ def pagerank(
         )
         if diff <= tol * n:
             break
-
-    out = state.join(ids, "id").select("name", "id", "score")
-    return out
+    return state
