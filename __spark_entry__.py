@@ -293,7 +293,118 @@ def q_emb_neardup(spark, sf_dir):
     return cosine_neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.35)
 
 
+HITS_ITERS = 15  # fixed superstep count for the HITS comparison
+SSSP_ITERS = 60  # Bellman-Ford iteration cap in the oracle (≫ graph diameter)
+
+
+def q_trade_hits(spark, sf_dir):
+    from linkgraph.algorithms import hits
+
+    g = _trade_graph(spark, sf_dir)
+    res = hits(g, max_iter=HITS_ITERS, tol=0.0)
+    return res.select(
+        F.col("name").cast("long").alias("node"),
+        F.round("hub", 6).alias("hub"),
+        F.round("auth", 6).alias("auth"),
+    )
+
+
+def q_trade_sssp(spark, sf_dir):
+    from linkgraph.algorithms import single_source_shortest_path
+
+    g = _trade_graph(spark, sf_dir)
+    return single_source_shortest_path(g, "1").select(
+        F.col("name").cast("long").alias("node"), "distance"
+    )
+
+
+def q_trade_balance(spark, sf_dir):
+    from linkgraph.algorithms.metrics import balance
+
+    g = _trade_graph_weighted(spark, sf_dir)
+    return balance(g, "l_quantity", "both").select(
+        F.col("name").cast("long").alias("node"),
+        F.round("balance", 2).alias("balance"),
+    )
+
+
+def _trade_graph_weighted(spark, sf_dir):
+    from linkgraph.graph import LinkGraph
+
+    return LinkGraph(_trade_edges_t(spark, sf_dir))
+
+
+def q_transition_in_components(spark, sf_dir):
+    from linkgraph.algorithms import in_components
+
+    return in_components(_transition_graph(spark, sf_dir)).select(
+        F.col("name").alias("node"), "n_members"
+    )
+
+
+def q_transition_out_components(spark, sf_dir):
+    from linkgraph.algorithms import out_components
+
+    return out_components(_transition_graph(spark, sf_dir)).select(
+        F.col("name").alias("node"), "n_members"
+    )
+
+
+def q_transition_dijkstra(spark, sf_dir):
+    from linkgraph.algorithms import dijkstra_single_source_shortest_paths
+    from linkgraph.graph import LinkGraph
+
+    e = (
+        _transition_edges(spark, sf_dir)
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("double").alias("weight"))
+        .withColumn("time", F.lit(0).cast("long"))
+    )
+    g = LinkGraph(e)
+    source = e.agg(F.min("src")).first()[0]
+    return dijkstra_single_source_shortest_paths(g, source, weight="weight").select(
+        F.col("name").alias("node"), F.round("cost", 2).alias("cost")
+    )
+
+
+REACH_START = 788918400000  # 1995-01-01 UTC millis
+REACH_SEEDS = ["1", "19"]
+
+
+def q_trade_reachability(spark, sf_dir):
+    from linkgraph.algorithms import temporally_reachable_nodes
+
+    g = _trade_graph(spark, sf_dir)
+    res = temporally_reachable_nodes(g, 10, REACH_START, REACH_SEEDS)
+    return res.filter(F.col("tainted")).select(
+        F.col("name").cast("long").alias("node"),
+        "earliest",
+        F.size("history").alias("n_msgs"),
+    )
+
+
+ROLL_WINDOW = 90 * 86_400_000  # 90 days
+ROLL_STEP = 30 * 86_400_000
+
+
+def q_trade_rolling_counts(spark, sf_dir):
+    from linkgraph.windows import rolling_counts
+
+    g = _trade_graph(spark, sf_dir)
+    return rolling_counts(g, ROLL_WINDOW, ROLL_STEP)
+
+
 # --- no SQL oracle (driver records rows-only; gated by pytest goldens) ----
+
+
+def q_trade_betweenness(spark, sf_dir):
+    from linkgraph.algorithms import betweenness_centrality
+
+    g = _trade_graph(spark, sf_dir)
+    return betweenness_centrality(g, k=16).select(
+        F.col("name").cast("long").alias("node"),
+        F.round("betweenness", 6).alias("betweenness"),
+    )
 
 
 def q_trade_pagerank_converged(spark, sf_dir):
@@ -358,6 +469,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trade_windowed_wcc": q_trade_windowed_wcc,
         "trade_pagerank": q_trade_pagerank,
         "trade_pagerank_converged": q_trade_pagerank_converged,
+        "trade_hits": q_trade_hits,
+        "trade_sssp": q_trade_sssp,
+        "trade_balance": q_trade_balance,
+        "trade_reachability": q_trade_reachability,
+        "trade_rolling_counts": q_trade_rolling_counts,
+        "trade_betweenness": q_trade_betweenness,
+        "transition_in_components": q_transition_in_components,
+        "transition_out_components": q_transition_out_components,
+        "transition_dijkstra": q_transition_dijkstra,
         "cosupply_triangle_count": q_cosupply_triangle_count,
         "cosupply_per_edge_triangles": q_cosupply_per_edge_triangles,
         "cosupply_local_triangles": q_cosupply_local_triangles,
@@ -536,6 +656,152 @@ SELECT node, min(lab) AS component FROM reach GROUP BY node
 """
 
     sqls["trade_pagerank"] = _PAGERANK_ORACLE
+
+    # HITS: the per-iteration normalisation constants cancel (each score is
+    # linear in the previous iteration), so iterating UNNORMALISED and
+    # normalising once at the end yields the reference's per-iteration-
+    # normalised fixed point exactly — that keeps the recursive CTE to one
+    # GROUP BY.  Zero-weight self-messages keep silent nodes in the state.
+    sqls["trade_hits"] = f"""
+WITH RECURSIVE {_TRADE_ED}, {_TRADE_NODES},
+med AS (
+  SELECT src AS f, dst AS t, 'a' AS kind, 1.0 AS w FROM trade_ed
+  UNION ALL SELECT dst, src, 'h', 1.0 FROM trade_ed
+  UNION ALL SELECT id, id, 'a', 0.0 FROM trade_nodes
+  UNION ALL SELECT id, id, 'h', 0.0 FROM trade_nodes
+),
+st(iter, id, hub, auth) AS (
+  SELECT 0, id, 1.0::DOUBLE, 1.0::DOUBLE FROM trade_nodes
+  UNION ALL
+  SELECT s.iter + 1, m.t,
+         sum(CASE WHEN m.kind = 'h' THEN s.auth * m.w ELSE 0.0 END),
+         sum(CASE WHEN m.kind = 'a' THEN s.hub * m.w ELSE 0.0 END)
+  FROM st s JOIN med m ON m.f = s.id
+  WHERE s.iter < {HITS_ITERS}
+  GROUP BY s.iter + 1, m.t
+),
+fin AS (SELECT id, hub, auth FROM st WHERE iter = {HITS_ITERS}),
+tots AS (SELECT sum(hub) AS sh, sum(auth) AS sa FROM fin)
+SELECT id AS node, round(hub / sh, 6) AS hub, round(auth / sa, 6) AS auth
+FROM fin, tots
+"""
+
+    # BFS distance as bounded Bellman-Ford: dist at iter k = shortest walk of
+    # length exactly k; min over iters = BFS distance.
+    sqls["trade_sssp"] = f"""
+WITH RECURSIVE {_TRADE_ED}, {_TRADE_NODES},
+und AS (SELECT src AS a, dst AS b FROM trade_ed UNION SELECT dst, src FROM trade_ed),
+d(iter, id, dist) AS (
+  SELECT 0, 1, 0
+  UNION ALL
+  SELECT d.iter + 1, u.b, min(d.dist) + 1
+  FROM d JOIN und u ON u.a = d.id
+  WHERE d.iter < {SSSP_ITERS}
+  GROUP BY d.iter + 1, u.b
+)
+SELECT id AS node, min(dist)::INT AS distance FROM d GROUP BY id
+"""
+
+    sqls["trade_balance"] = """
+WITH ev AS (
+  SELECT o_custkey AS src, 1000000 + l_suppkey AS dst, l_quantity AS w
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+nodes AS (SELECT DISTINCT id FROM (SELECT src AS id FROM ev UNION ALL SELECT dst FROM ev)),
+sums AS (
+  SELECT id, sum(v) AS bal FROM (
+    SELECT dst AS id, w AS v FROM ev
+    UNION ALL SELECT src, -w FROM ev
+  ) GROUP BY id
+)
+SELECT n.id AS node, round(coalesce(s.bal, 0.0), 2) AS balance
+FROM nodes n LEFT JOIN sums s ON s.id = n.id
+"""
+
+    sqls["trade_reachability"] = f"""
+WITH ev AS (
+  SELECT o_custkey AS src, 1000000 + l_suppkey AS dst,
+         epoch_ms(o_orderdate) AS t
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+msgs AS (
+  SELECT DISTINCT dst, t, src FROM ev
+  WHERE src IN ({', '.join(REACH_SEEDS)}) AND t >= {REACH_START}
+)
+SELECT dst AS node, min(t) AS earliest, count(*)::INT AS n_msgs
+FROM msgs GROUP BY dst
+UNION ALL
+SELECT DISTINCT src, {REACH_START}, 1 FROM ev WHERE src IN ({', '.join(REACH_SEEDS)})
+"""
+
+    sqls["trade_rolling_counts"] = f"""
+WITH ev AS (
+  SELECT o_custkey AS src, 1000000 + l_suppkey AS dst,
+         epoch_ms(o_orderdate) AS t
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+b AS (SELECT min(t) AS s, max(t) + 1 AS e FROM ev),
+grid AS (
+  SELECT (SELECT s FROM b) + {ROLL_STEP} * (k + 1) - {ROLL_WINDOW} AS ws,
+         (SELECT s FROM b) + {ROLL_STEP} * (k + 1) AS we
+  FROM range(0, 100000) AS r(k)
+  WHERE (SELECT s FROM b) + {ROLL_STEP} * (k + 1) < (SELECT e FROM b) + {ROLL_STEP}
+),
+j AS (SELECT ws, we, src, dst, t FROM ev JOIN grid ON t >= ws AND t < we),
+ea AS (
+  SELECT ws, we, count(*) AS n_events, count(DISTINCT (src, dst)) AS n_edges
+  FROM j GROUP BY ws, we
+),
+na AS (
+  SELECT ws, we, count(DISTINCT id) AS n_nodes
+  FROM (SELECT ws, we, src AS id FROM j UNION ALL SELECT ws, we, dst FROM j)
+  GROUP BY ws, we
+)
+SELECT grid.ws AS window_start, grid.we AS window_end,
+       coalesce(ea.n_events, 0) AS n_events,
+       coalesce(ea.n_edges, 0) AS n_edges,
+       coalesce(na.n_nodes, 0) AS n_nodes
+FROM grid LEFT JOIN ea ON ea.ws = grid.ws AND ea.we = grid.we
+LEFT JOIN na ON na.ws = grid.ws AND na.we = grid.we
+"""
+
+    sqls["transition_in_components"] = f"""
+WITH RECURSIVE {_TRANSITION_ED},
+reach(id, member) AS (
+  SELECT dst, src FROM tr_ed
+  UNION
+  SELECT r.id, e.src FROM reach r JOIN tr_ed e ON e.dst = r.member
+)
+SELECT n.id AS node, coalesce(c.n, 0) AS n_members
+FROM tr_nodes n
+LEFT JOIN (SELECT id, count(*) n FROM reach GROUP BY id) c ON c.id = n.id
+"""
+
+    sqls["transition_out_components"] = f"""
+WITH RECURSIVE {_TRANSITION_ED},
+reach(id, member) AS (
+  SELECT src, dst FROM tr_ed
+  UNION
+  SELECT r.id, e.dst FROM reach r JOIN tr_ed e ON e.src = r.member
+)
+SELECT n.id AS node, coalesce(c.n, 0) AS n_members
+FROM tr_nodes n
+LEFT JOIN (SELECT id, count(*) n FROM reach GROUP BY id) c ON c.id = n.id
+"""
+
+    sqls["transition_dijkstra"] = f"""
+WITH RECURSIVE {_TRANSITION_ED},
+wed AS (SELECT src, dst, count(*)::DOUBLE AS w FROM tr_ev GROUP BY src, dst),
+d(iter, id, cost) AS (
+  SELECT 0, (SELECT min(src) FROM tr_ed), 0.0::DOUBLE
+  UNION ALL
+  SELECT d.iter + 1, e.dst, min(d.cost + e.w)
+  FROM d JOIN wed e ON e.src = d.id
+  WHERE d.iter < 30
+  GROUP BY d.iter + 1, e.dst
+)
+SELECT id AS node, round(min(cost), 2) AS cost FROM d GROUP BY id
+"""
 
     sqls["cosupply_triangle_count"] = f"""
 WITH {_COSUPPLY_ED}

@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "pagerank_edges_per_sec_tol1e-9", "value": N, "unit": "edges/sec",
+   "queries": {"<name>": sec, ...}, "sf": ..., ...}
+
+The headline metric matches BASELINE.json: PageRank (damping 0.85) run to
+L1 convergence 1e-9 on the trade edge graph, reported as edges processed per
+second (n_simple_edges x supersteps / wall_s).  Per-query wall times for the
+other headline operators are in "queries".
+
+Scaling evidence (local[N] vs local[4N], north rule) is produced by
+``python tools/scaling_bench.py`` and recorded in BENCH.md — it needs two
+separate JVMs, so it is not part of this single-session harness.  Set
+BENCH_SCALING=1 to run it from here as well (adds ~10 min).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def _force(df) -> int:
+    """Execute the full plan without driver-side data transfer."""
+    return df.write.format("noop").mode("overwrite").save() or df.count()
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entry
+    from linkgraph.algorithms import pagerank
+    from linkgraph.session import get_spark
+
+    spark = get_spark(cores=CPUS, driver_memory="24g")
+    sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else -1.0
+
+    timings: dict[str, float] = {}
+    qs = entry.queries()
+    # headline operators across the engine's surface: graph derivation,
+    # iterative algorithms, triangle family, text dedup, similarity search
+    headline = [
+        "trade_edges",
+        "trade_degrees",
+        "trade_wcc",
+        "trade_pagerank",
+        "cosupply_triangle_count",
+        "cosupply_per_edge_triangles",
+        "transition_lpa_sync",
+        "docs_token_counts",
+        "docs_minhash_lsh",
+        "docs_simhash",
+        "emb_cosine_topk",
+    ]
+    for name in headline:
+        t0 = time.monotonic()
+        _force(qs[name](spark, SF_DIR))
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    # --- headline metric: PageRank to L1 1e-9 on the trade graph ----------
+    g = entry._trade_graph(spark, SF_DIR)
+    g.materialize()
+    n_edges = g.count_edges()
+    iters_holder: dict[str, int] = {}
+    t0 = time.monotonic()
+    res = pagerank(g, max_iter=200, tol=1e-9, norm="l1", iters_out=iters_holder)
+    _force(res.select("id", "score"))
+    pr_wall = time.monotonic() - t0
+    supersteps = iters_holder.get("iterations", 0)
+    edges_per_sec = n_edges * max(supersteps, 1) / pr_wall
+    timings["pagerank_tol1e-9"] = round(pr_wall, 3)
+
+    out = {
+        "metric": "pagerank_edges_per_sec_tol1e-9",
+        "value": round(edges_per_sec, 1),
+        "unit": "edges/sec",
+        "queries": timings,
+        "sf": sf,
+        "n_edges": n_edges,
+        "pagerank_supersteps": supersteps,
+        "cores": CPUS,
+    }
+
+    if os.environ.get("BENCH_SCALING"):
+        from tools.scaling_bench import run_scaling
+
+        out["scaling"] = run_scaling(SF_DIR)
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

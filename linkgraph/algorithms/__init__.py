@@ -1,9 +1,20 @@
 """Packaged graph algorithms (SURVEY.md §2.6)."""
 
-from linkgraph.algorithms.components import weakly_connected_components
+from linkgraph.algorithms.betweenness import betweenness_centrality
+from linkgraph.algorithms.components import (
+    in_components,
+    out_components,
+    weakly_connected_components,
+)
+from linkgraph.algorithms.hits import hits
 from linkgraph.algorithms.kcore import k_core_ids, k_core_subgraph
 from linkgraph.algorithms.lpa import label_propagation
-from linkgraph.algorithms.pagerank import pagerank
+from linkgraph.algorithms.pagerank import pagerank, pagerank_on_ids
+from linkgraph.algorithms.paths import (
+    dijkstra_single_source_shortest_paths,
+    single_source_shortest_path,
+    temporally_reachable_nodes,
+)
 from linkgraph.algorithms.triangles import (
     clustering_coefficient,
     global_triangle_count,
@@ -15,15 +26,23 @@ from linkgraph.algorithms.triangles import (
 )
 
 __all__ = [
+    "betweenness_centrality",
     "clustering_coefficient",
+    "dijkstra_single_source_shortest_paths",
     "global_triangle_count",
+    "hits",
+    "in_components",
     "k_core_ids",
     "k_core_subgraph",
     "label_propagation",
     "local_clustering_coefficient",
     "local_triangle_count",
+    "out_components",
     "pagerank",
+    "pagerank_on_ids",
     "per_edge_triangles",
+    "single_source_shortest_path",
+    "temporally_reachable_nodes",
     "triangles_df",
     "triplet_count",
     "weakly_connected_components",

@@ -1,0 +1,125 @@
+"""Betweenness centrality — batched multi-source Brandes.
+
+Semantics match the reference (algorithms/centrality/betweenness.rs:21-145):
+
+- Brandes' algorithm over **out-neighbours** (deduplicated), unweighted BFS;
+- sources = the first ``k`` nodes of the node iteration (all nodes when
+  ``k`` is None).  Reference iteration order is internal-VID (insertion)
+  order, which a distributed engine cannot observe; we take the ``k``
+  smallest node ids — identical results when k is None / k ≥ n, documented
+  divergence otherwise;
+- accumulation: ``δ(v) = Σ_{w ∈ succ(v)} σ_v/σ_w · (1 + δ(w))``; every
+  non-source node adds its δ per source (betweenness.rs:82-95);
+- ``normalized`` multiplies by ``1/((n-1)(n-2))`` (:99-104); nodes on no
+  shortest path report 0.0.
+
+Distributed shape: ALL k sources run in one batch — state is keyed
+``(src, node)`` so each BFS level is ONE join of the combined frontier
+against the cached out-adjacency, then ONE aggregate (σ accumulation).
+The backward sweep replays the stored per-level frames deepest-first with
+the same join pattern.  Supersteps = 2·diameter regardless of k; state
+volume = Σ reachable pairs (≤ k·n) — pick k to bound memory at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from linkgraph.graph import LinkGraph
+from linkgraph.superstep import iteration_conf
+
+
+def betweenness_centrality(
+    graph: LinkGraph, k: int | None = None, normalized: bool = False
+) -> DataFrame:
+    """Returns ``(name, id, betweenness)`` over all nodes in the view."""
+    spark = graph.spark
+    ids = graph.ids().persist()
+    n = ids.count()
+    adj = graph.neighbours("out").persist()
+    adj.count()
+
+    sources = ids.select("id")
+    if k is not None:
+        sources = sources.orderBy("id").limit(k)
+    # forward BFS: levels[l] = (src, node, sigma)
+    level0 = sources.select(
+        F.col("id").alias("src"), F.col("id").alias("node"), F.lit(1.0).alias("sigma")
+    ).localCheckpoint()
+    levels = [level0]
+    seen = level0.select("src", "node").localCheckpoint()
+
+    with iteration_conf(spark):
+        while True:
+            frontier = levels[-1]
+            nxt = (
+                frontier.join(adj, frontier.node == adj.id)
+                .select("src", F.col("nbr_id").alias("node"), "sigma")
+                .join(seen, ["src", "node"], "left_anti")
+                .groupBy("src", "node")
+                .agg(F.sum("sigma").alias("sigma"))
+                .localCheckpoint()
+            )
+            if nxt.limit(1).count() == 0:
+                break
+            levels.append(nxt)
+            seen = seen.unionByName(nxt.select("src", "node")).localCheckpoint()
+
+        # backward sweep: delta at the deepest level is 0
+        bc_parts: list[DataFrame] = []
+        delta = levels[-1].select(
+            "src", "node", "sigma", F.lit(0.0).alias("delta")
+        ).localCheckpoint()
+        if len(levels) > 1:
+            bc_parts.append(delta.select("node", "delta"))
+        for l in range(len(levels) - 2, -1, -1):
+            cur = levels[l]
+            succ = delta.select(
+                F.col("src").alias("s2"),
+                F.col("node").alias("w"),
+                F.col("sigma").alias("sigma_w"),
+                F.col("delta").alias("delta_w"),
+            )
+            contrib = (
+                cur.join(adj, cur.node == adj.id)
+                .join(
+                    succ,
+                    (F.col("src") == F.col("s2")) & (F.col("nbr_id") == F.col("w")),
+                )
+                .groupBy("src", "node")
+                .agg(
+                    F.sum(
+                        F.col("sigma") / F.col("sigma_w") * (1.0 + F.col("delta_w"))
+                    ).alias("delta")
+                )
+            )
+            delta = (
+                cur.join(contrib, ["src", "node"], "left")
+                .select(
+                    "src",
+                    "node",
+                    "sigma",
+                    F.coalesce("delta", F.lit(0.0)).alias("delta"),
+                )
+                .localCheckpoint()
+            )
+            if l > 0:  # level 0 is the source itself — excluded (w != source)
+                bc_parts.append(delta.select("node", "delta"))
+
+    if bc_parts:
+        allc = bc_parts[0]
+        for p in bc_parts[1:]:
+            allc = allc.unionByName(p)
+        bc = allc.groupBy(F.col("node").alias("id")).agg(
+            F.sum("delta").alias("betweenness")
+        )
+    else:
+        bc = ids.select("id", F.lit(0.0).alias("betweenness")).limit(0)
+
+    factor = 1.0 / ((n - 1.0) * (n - 2.0)) if (normalized and n > 2) else 1.0
+    return ids.join(bc, "id", "left").select(
+        "name",
+        "id",
+        (F.coalesce("betweenness", F.lit(0.0)) * F.lit(factor)).alias("betweenness"),
+    )

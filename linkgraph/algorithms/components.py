@@ -85,6 +85,73 @@ def weakly_connected_components(
     return state.join(ids, "id").select("name", "id", "component")
 
 
+def _directional_components(
+    graph: LinkGraph, direction: str, max_iter: int = sys.maxsize
+) -> DataFrame:
+    """Transitive in/out reachability sets per node
+    (components/in_components.rs:36-95, out_components.rs:35-95: per-node
+    BFS over in-/out-neighbours collecting ancestor/descendant id sets).
+
+    The reference runs one quadratic BFS per node; distributed we compute
+    the full closure once as semi-naive Datalog — pair relation
+    ``reach(node, member)`` grown frontier-by-frontier with the new pairs
+    only (Δ join), so each superstep shuffles only undiscovered pairs.
+    Returns ``(name, id, members array<long> sorted, n_members)``.  The
+    closure can be quadratic in cluster size — same asymptotics as the
+    reference, fine for the sparse DAG-ish graphs it's meant for.
+    """
+    ids = graph.ids().persist()
+    e = graph.edge_ids()
+    if direction == "in":
+        # reach(v, m): m is an ancestor of v ⇒ walk edges dst→src
+        step = e.select(F.col("dst_id").alias("id"), F.col("src_id").alias("member"))
+    else:
+        step = e.select(F.col("src_id").alias("id"), F.col("dst_id").alias("member"))
+    hop = step.select(F.col("id").alias("prev"), F.col("member")).persist()
+    hop.count()
+
+    # no self-filter: a node on a cycle (or with a self-loop) is a member of
+    # its own in/out component, as in the reference's BFS
+    seen = step.distinct().localCheckpoint()
+    frontier = seen
+    it = 0
+    with iteration_conf(graph.spark):
+        while it < max_iter:
+            it += 1
+            grown = (
+                frontier.alias("f")
+                .join(hop.alias("h"), F.col("f.member") == F.col("h.prev"))
+                .select(F.col("f.id").alias("id"), F.col("h.member").alias("member"))
+                .distinct()
+                .join(seen, ["id", "member"], "left_anti")
+                .localCheckpoint()
+            )
+            if grown.limit(1).count() == 0:
+                break
+            seen = seen.unionByName(grown).localCheckpoint()
+            frontier = grown
+    agg = seen.groupBy("id").agg(
+        F.array_sort(F.collect_set("member")).alias("members"),
+        F.count("*").alias("n_members"),
+    )
+    return ids.join(agg, "id", "left").select(
+        "name",
+        "id",
+        F.coalesce("members", F.array().cast("array<long>")).alias("members"),
+        F.coalesce("n_members", F.lit(0)).alias("n_members"),
+    )
+
+
+def in_components(graph: LinkGraph, max_iter: int = sys.maxsize) -> DataFrame:
+    """Ancestor sets — ``(name, id, members, n_members)``."""
+    return _directional_components(graph, "in", max_iter)
+
+
+def out_components(graph: LinkGraph, max_iter: int = sys.maxsize) -> DataFrame:
+    """Descendant sets — ``(name, id, members, n_members)``."""
+    return _directional_components(graph, "out", max_iter)
+
+
 def _run_loop(loop, state, und, it, max_iter, use_broadcast):
     while it <= max_iter:
         # messages INTO v: neighbours' previous labels (incl. the self-message

@@ -1,0 +1,152 @@
+"""HITS (hubs & authorities) — iterative message joins + global normalisation.
+
+Semantics match the reference exactly
+(raphtory/src/algorithms/centrality/hits.rs:49-176):
+
+- init ``hub = auth = 1.0`` for every node (hits.rs:29-36);
+- per superstep (Jacobi — both reads are the previous iteration):
+  ``recv_hub(v)  = Σ_{u ∈ in(v)}  hub(u)``   (step2, hits.rs:78-88 — each
+  node pushes its hub score to its deduplicated out-neighbours),
+  ``recv_auth(v) = Σ_{w ∈ out(v)} auth(w)``  (each node pushes its auth
+  score to its in-neighbours);
+- normalise by the **global received totals** (step3+4, hits.rs:90-117):
+  ``auth(v) = recv_hub(v) / Σ_x recv_hub(x)``,
+  ``hub(v)  = recv_auth(v) / Σ_x recv_auth(x)``;
+- converge when ``max|Δhub| ≤ 0.01`` AND ``max|Δauth| ≤ 0.01``
+  (step5, hits.rs:119-131); default 20 iterations
+  (python/packages/algorithms.rs hits wrapper).
+
+Spark-first: both message families ride ONE union'd, pre-partitioned message
+-edge table (``from_id → to_id`` tagged by kind), so each superstep is a
+single join + hash aggregate over state referenced once (linear lineage),
+then one one-row aggregate for totals + convergence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from linkgraph.graph import LinkGraph
+from linkgraph.superstep import SuperstepLoop, iteration_conf, pick_partitions
+
+
+def hits(
+    graph: LinkGraph,
+    max_iter: int = 20,
+    tol: float = 0.01,
+    partitions: int | None = None,
+    broadcast_threshold: int = 10_000_000,
+    iters_out: dict | None = None,
+) -> DataFrame:
+    """Run HITS; returns ``(name, id, hub, auth)``."""
+    spark = graph.spark
+
+    ids = graph.ids().persist()
+    n = ids.count()
+    if n == 0:
+        return ids.select(
+            "name", "id", F.lit(0.0).alias("hub"), F.lit(0.0).alias("auth")
+        )
+
+    e = graph.edge_ids()
+    # message edges: kind 'a' carries hub(u) from u to each out-neighbour v
+    # (feeds auth(v)); kind 'h' carries auth(w) from w to each in-neighbour v
+    # (feeds hub(v)).  Zero-weight self-messages keep every node in the
+    # aggregate so isolated/one-sided nodes stay present with score 0.
+    msgs_edges = (
+        e.select(
+            F.col("src_id").alias("from_id"),
+            F.col("dst_id").alias("to_id"),
+            F.lit("a").alias("kind"),
+            F.lit(1.0).alias("w"),
+        )
+        .unionByName(
+            e.select(
+                F.col("dst_id").alias("from_id"),
+                F.col("src_id").alias("to_id"),
+                F.lit("h").alias("kind"),
+                F.lit(1.0).alias("w"),
+            )
+        )
+        .unionByName(
+            ids.select(
+                F.col("id").alias("from_id"),
+                F.col("id").alias("to_id"),
+                F.lit("a").alias("kind"),
+                F.lit(0.0).alias("w"),
+            )
+        )
+        .persist()
+    )
+    P = partitions or pick_partitions(spark, msgs_edges.count())
+    msgs_edges = msgs_edges.repartition(P, "from_id").persist()
+    msgs_edges.count()
+
+    init = ids.select(
+        "id", F.lit(1.0).alias("hub"), F.lit(1.0).alias("auth")
+    ).repartition(P, "id")
+
+    loop = SuperstepLoop(spark)
+    state, start_it = loop.begin(init)
+    use_broadcast = n <= broadcast_threshold
+
+    with iteration_conf(spark, shuffle_partitions=P):
+        for it in range(start_it, max_iter + 1):
+            if iters_out is not None:
+                iters_out["iterations"] = it
+            sender = state.select(
+                F.col("id").alias("from_id"), "hub", "auth"
+            )
+            if use_broadcast:
+                sender = F.broadcast(sender)
+            recv = (
+                msgs_edges.join(sender, "from_id")
+                .groupBy(F.col("to_id").alias("id"))
+                .agg(
+                    F.sum(
+                        F.when(F.col("kind") == "a", F.col("w") * F.col("hub"))
+                    ).alias("recv_hub"),
+                    F.sum(
+                        F.when(F.col("kind") == "h", F.col("w") * F.col("auth"))
+                    ).alias("recv_auth"),
+                )
+                .select(
+                    "id",
+                    F.coalesce("recv_hub", F.lit(0.0)).alias("recv_hub"),
+                    F.coalesce("recv_auth", F.lit(0.0)).alias("recv_auth"),
+                )
+            )
+            recv = loop.stage(recv, it)  # cached raw sums (prev still live)
+            totals = recv.agg(
+                F.sum("recv_hub").alias("th"), F.sum("recv_auth").alias("ta")
+            ).first()
+            th = totals["th"] or 1.0
+            ta = totals["ta"] or 1.0
+            # convergence needs the totals first, so a second tiny aggregate
+            diff = (
+                recv.join(
+                    state.select(
+                        "id", F.col("hub").alias("ph"), F.col("auth").alias("pa")
+                    ),
+                    "id",
+                )
+                .agg(
+                    F.max(F.abs(F.col("recv_auth") / F.lit(ta) - F.col("ph"))).alias(
+                        "dh"
+                    ),
+                    F.max(F.abs(F.col("recv_hub") / F.lit(th) - F.col("pa"))).alias(
+                        "da"
+                    ),
+                )
+                .first()
+            )
+            committed = loop.commit(it)  # prev dropped; recv stays cached
+            state = committed.select(
+                "id",
+                (F.col("recv_auth") / F.lit(ta)).alias("hub"),
+                (F.col("recv_hub") / F.lit(th)).alias("auth"),
+            )
+            if (diff["dh"] or 0.0) <= tol and (diff["da"] or 0.0) <= tol:
+                break
+    return state.join(ids, "id").select("name", "id", "hub", "auth")

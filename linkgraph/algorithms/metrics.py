@@ -108,3 +108,43 @@ def directed_graph_density(graph: LinkGraph) -> float:
     if n <= 1:
         return 0.0
     return graph.count_edges() / (n * (n - 1.0))
+
+
+def balance(graph: LinkGraph, weight: str, direction: str = "both") -> DataFrame:
+    """Per-node signed sum of temporal edge-property values — the reference's
+    weight accumulation (metrics/balance.rs:100-132, per-node semantics at
+    :47-88): every temporal value of ``weight`` on IN-edges counts positive,
+    on OUT-edges negative; ``direction`` picks in / out / both.
+
+    Returns ``(name, id, balance)``.  One union + hash aggregate over the
+    event table — no iteration, full map-side partial aggregation.
+    """
+    if weight not in graph.edges_t.columns:
+        raise ValueError(f"weight property {weight!r} not found on edges")
+    from linkgraph.graph import name_to_id
+
+    w = F.col(weight).cast("double")
+    parts = []
+    if direction in ("in", "both"):
+        parts.append(
+            graph.edges_t.select(
+                name_to_id(F.col("dst")).alias("id"), w.alias("v")
+            )
+        )
+    if direction in ("out", "both"):
+        parts.append(
+            graph.edges_t.select(
+                name_to_id(F.col("src")).alias("id"), (-w).alias("v")
+            )
+        )
+    if not parts:
+        raise ValueError(f"direction must be in/out/both, got {direction!r}")
+    ev = parts[0]
+    for p in parts[1:]:
+        ev = ev.unionByName(p)
+    sums = ev.groupBy("id").agg(F.sum("v").alias("balance"))
+    return (
+        graph.ids()
+        .join(sums, "id", "left")
+        .select("name", "id", F.coalesce("balance", F.lit(0.0)).alias("balance"))
+    )

@@ -56,6 +56,7 @@ def pagerank(
     checkpoint_dir: str | None = None,
     resume: bool = False,
     checkpoint_every: int = 1,
+    iters_out: dict | None = None,
 ) -> DataFrame:
     """Run PageRank; returns ``(name, id, score)``.
 
@@ -64,14 +65,53 @@ def pagerank(
     10M nodes ≈ 160MB, still broadcastable on real executors; tune down on
     memory-poor clusters). Above it, both sides stay co-partitioned.
     """
-    spark = graph.spark
-
     ids = graph.ids().persist()
+    if ids.limit(1).count() == 0:
+        return ids.select("name", "id", F.lit(0.0).alias("score"))
+    res = pagerank_on_ids(
+        graph.spark,
+        ids.select("id"),
+        graph.edge_ids(),
+        max_iter=max_iter,
+        tol=tol,
+        norm=norm,
+        damping=damping,
+        partitions=partitions,
+        broadcast_threshold=broadcast_threshold,
+        checkpoint_dir=checkpoint_dir,
+        resume=resume,
+        checkpoint_every=checkpoint_every,
+        iters_out=iters_out,
+        pre_deduped=True,
+    )
+    return res.join(ids, "id").select("name", "id", "score")
+
+
+def pagerank_on_ids(
+    spark,
+    nodes: DataFrame,
+    edge_ids: DataFrame,
+    max_iter: int = 20,
+    tol: float = 1e-6,
+    norm: str = "l2",
+    damping: float = DAMPING_DEFAULT,
+    partitions: int | None = None,
+    broadcast_threshold: int = 10_000_000,
+    checkpoint_dir: str | None = None,
+    resume: bool = False,
+    checkpoint_every: int = 1,
+    iters_out: dict | None = None,
+    pre_deduped: bool = False,
+) -> DataFrame:
+    """Id-native PageRank core over ``nodes(id)`` + ``edge_ids(src_id, dst_id)``;
+    returns ``(id, score)``.  Pass ``pre_deduped=True`` when the edge table is
+    already simple (distinct) to skip one shuffle."""
+    ids = nodes.select("id")
     n = ids.count()
     if n == 0:
-        return ids.select("name", "id", F.lit(0.0).alias("score"))
+        return ids.select("id", F.lit(0.0).alias("score"))
 
-    raw_edges = graph.edge_ids().persist()
+    raw_edges = (edge_ids if pre_deduped else edge_ids.distinct()).persist()
     n_edges = raw_edges.count()
     from linkgraph.superstep import pick_partitions
 
@@ -129,18 +169,19 @@ def pagerank(
     with iteration_conf(spark, shuffle_partitions=P):
         state = _run_loop(
             spark, loop, state, edges, static, n, n_sinks, sink_mass, damping,
-            teleport, norm, tol, max_iter, start_it, use_broadcast,
+            teleport, norm, tol, max_iter, start_it, use_broadcast, iters_out,
         )
 
-    out = state.join(ids, "id").select("name", "id", "score")
-    return out
+    return state.select("id", "score")
 
 
 def _run_loop(
     spark, loop, state, edges, static, n, n_sinks, sink_mass, damping,
-    teleport, norm, tol, max_iter, start_it, use_broadcast,
+    teleport, norm, tol, max_iter, start_it, use_broadcast, iters_out=None,
 ):
     for it in range(start_it, max_iter + 1):
+        if iters_out is not None:
+            iters_out["iterations"] = it
         ranks = state.filter(F.col("out_degree") > 0).select(
             "id", (F.col("score") / F.col("out_degree")).alias("contrib")
         )

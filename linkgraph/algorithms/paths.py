@@ -1,0 +1,270 @@
+"""Pathing algorithms: BFS SSSP, Dijkstra, temporal reachability.
+
+Reference semantics:
+
+- ``single_source_shortest_path`` (pathing/single_source_shortest_path.rs:26-80):
+  unweighted BFS over BOTH-direction deduplicated neighbours, one path per
+  node, optional ``cutoff`` on the hop count.  The reference keeps the
+  *first-discovered* path, which depends on Rust HashMap iteration order and
+  is not deterministic; we keep the **lexicographically smallest** path at
+  each depth so results are reproducible at any parallelism (hop counts are
+  identical either way).
+- ``dijkstra_single_source_shortest_paths`` (pathing/dijkstra.rs:49-175):
+  binary-heap Dijkstra over OUT-edges; edge weight is the edge property's
+  latest temporal value (``properties().get`` at :155).  Distributed
+  execution is iterative relaxation (Bellman-Ford supersteps) — the fixpoint
+  is the same minimum cost; equal-cost path ties again break
+  lexicographically instead of by heap order.
+- ``temporally_reachable_nodes`` (pathing/temporal_reachability.rs:69-204):
+  taint BFS from seed nodes at ``start_time``; a tainted node with earliest
+  taint time ``e`` re-sends every out-edge EVENT with ``t ≥ e`` (``window(e,
+  MAX)``); receivers accumulate the distinct ``(event_time, src_name)``
+  message set; seeds record ``(start_time, "start")``; stop nodes receive
+  but never propagate; the loop ends when a superstep taints no new node or
+  after ``max_hops`` supersteps (step3 check, :169-181).
+
+All three are frontier-join iterations: the frontier DataFrame joins the
+(pre-partitioned, cached) adjacency each superstep — the distributed
+analogue of the reference's per-level HashMap sweeps.
+"""
+
+from __future__ import annotations
+
+import sys
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from linkgraph.graph import LinkGraph
+from linkgraph.superstep import iteration_conf
+
+
+def single_source_shortest_path(
+    graph: LinkGraph, source: str, cutoff: int | None = None
+) -> DataFrame:
+    """BFS shortest paths; returns ``(name, id, distance, path array<string>)``."""
+    spark = graph.spark
+    source = str(source)
+    if not graph.has_node(source):
+        return spark.createDataFrame(
+            [], "name string, id long, distance int, path array<string>"
+        )
+    ids = graph.ids().persist()
+    adj = (
+        graph.undirected_edge_ids()
+        .join(ids.select(F.col("id").alias("nbr_id"), F.col("name").alias("nbr_name")),
+              "nbr_id")
+        .persist()
+    )
+    adj.count()
+
+    settled = (
+        ids.filter(F.col("name") == source)
+        .select("id", F.lit(0).alias("distance"), F.array(F.lit(source)).alias("path"))
+        .localCheckpoint()
+    )
+    frontier = settled
+    max_level = cutoff if cutoff is not None else sys.maxsize
+    level = 0
+    with iteration_conf(spark):
+        while level < max_level:
+            level += 1
+            cand = (
+                frontier.join(adj, "id")
+                .select(
+                    F.col("nbr_id").alias("id"),
+                    F.concat("path", F.array("nbr_name")).alias("path"),
+                )
+                .join(settled.select("id"), "id", "left_anti")
+            )
+            new = cand.groupBy("id").agg(
+                F.lit(level).alias("distance"), F.min("path").alias("path")
+            )
+            new = new.localCheckpoint()
+            if new.limit(1).count() == 0:
+                break
+            settled = settled.unionByName(new).localCheckpoint()
+            frontier = new
+    return settled.join(ids, "id").select("name", "id", "distance", "path")
+
+
+def dijkstra_single_source_shortest_paths(
+    graph: LinkGraph,
+    source: str,
+    targets: list[str] | None = None,
+    weight: str = "weight",
+    max_iter: int = sys.maxsize,
+) -> DataFrame:
+    """Weighted shortest paths over out-edges; returns
+    ``(name, id, cost, path array<string>)`` for ``targets`` (all reachable
+    nodes when ``targets`` is None)."""
+    spark = graph.spark
+    source = str(source)
+    if not graph.has_node(source):
+        return spark.createDataFrame(
+            [], "name string, id long, cost double, path array<string>"
+        )
+    if weight not in graph.edges_t.columns:
+        raise ValueError(f"weight property {weight!r} not found on edges")
+    ids = graph.ids().persist()
+    from linkgraph.graph import name_to_id
+
+    # latest temporal value per logical edge — properties().get semantics
+    w = (
+        graph.edges_t.groupBy("src", "dst")
+        .agg(F.max_by(weight, F.struct("time")).cast("double").alias("w"))
+        .select(
+            name_to_id(F.col("src")).alias("id"),
+            name_to_id(F.col("dst")).alias("nbr_id"),
+            F.col("dst").alias("nbr_name"),
+            "w",
+        )
+        .filter(F.col("w").isNotNull())
+        .persist()
+    )
+    w.count()
+
+    state = (
+        ids.filter(F.col("name") == source)
+        .select("id", F.lit(0.0).alias("cost"), F.array(F.lit(source)).alias("path"))
+        .localCheckpoint()
+    )
+    frontier = state
+    it = 0
+    with iteration_conf(spark):
+        while it < max_iter:
+            it += 1
+            relax = frontier.join(w, "id").select(
+                F.col("nbr_id").alias("id"),
+                (F.col("cost") + F.col("w")).alias("cost"),
+                F.concat("path", F.array("nbr_name")).alias("path"),
+            )
+            best = relax.groupBy("id").agg(
+                F.min(F.struct("cost", "path")).alias("s")
+            ).select("id", F.col("s.cost").alias("cost"), F.col("s.path").alias("path"))
+            # keep only strict improvements over current state
+            improved = (
+                best.alias("b")
+                .join(state.alias("s"), "id", "left")
+                .filter(
+                    F.col("s.cost").isNull()
+                    | (F.col("b.cost") < F.col("s.cost"))
+                    | (
+                        (F.col("b.cost") == F.col("s.cost"))
+                        & (F.col("b.path") < F.col("s.path"))
+                    )
+                )
+                .select("id", F.col("b.cost").alias("cost"), F.col("b.path").alias("path"))
+                .localCheckpoint()
+            )
+            if improved.limit(1).count() == 0:
+                break
+            state = (
+                state.join(improved.select("id"), "id", "left_anti")
+                .unionByName(improved)
+                .localCheckpoint()
+            )
+            frontier = improved
+    out = state.join(ids, "id").select("name", "id", "cost", "path")
+    if targets is not None:
+        out = out.filter(F.col("name").isin([str(t) for t in targets]))
+    return out
+
+
+def temporally_reachable_nodes(
+    graph: LinkGraph,
+    max_hops: int,
+    start_time: int,
+    seed_nodes: list[str],
+    stop_nodes: list[str] | None = None,
+) -> DataFrame:
+    """Time-respecting taint BFS; returns one row per node:
+    ``(name, id, tainted, earliest, history array<struct<time,src>>)`` with
+    ``history`` sorted by (time, src desc) like the reference's test ordering."""
+    spark = graph.spark
+    seeds = [str(s) for s in seed_nodes]
+    stops = [str(s) for s in (stop_nodes or [])]
+    ids = graph.ids().persist()
+    from linkgraph.graph import name_to_id
+
+    events = (
+        graph.edges_t.select(
+            name_to_id(F.col("src")).alias("id"),
+            name_to_id(F.col("dst")).alias("dst_id"),
+            F.col("src").alias("src_name"),
+            "time",
+        )
+        .filter(F.col("time") >= F.lit(start_time))
+        .persist()
+    )
+    events.count()
+
+    seed_df = ids.filter(F.col("name").isin(seeds))
+    # history rows: (id, time, src)
+    history = seed_df.select(
+        "id", F.lit(start_time).alias("time"), F.lit("start").alias("src")
+    ).localCheckpoint()
+    # per-node earliest taint time
+    earliest = seed_df.select("id", F.lit(start_time).alias("earliest"))
+    tainted = seed_df.select("id")
+    frontier = earliest  # nodes that (re-)propagate next superstep
+    stop_ids = ids.filter(F.col("name").isin(stops)).select("id") if stops else None
+
+    with iteration_conf(spark):
+        for hop in range(max_hops):
+            # stop nodes receive taint but never propagate; the seeds' initial
+            # burst is exempt (reference step1 has no stop check, step2 does)
+            senders = frontier
+            if stop_ids is not None and hop > 0:
+                senders = senders.join(stop_ids, "id", "left_anti")
+            msgs = (
+                senders.join(events, "id")
+                .filter(F.col("time") >= F.col("earliest"))
+                .select(
+                    F.col("dst_id").alias("id"), "time", F.col("src_name").alias("src")
+                )
+                .distinct()
+                .localCheckpoint()
+            )
+            if msgs.limit(1).count() == 0:
+                break
+            receivers = msgs.select("id").distinct()
+            newly = receivers.join(tainted, "id", "left_anti").localCheckpoint()
+            history = history.unionByName(msgs).distinct().localCheckpoint()
+            new_earliest = msgs.groupBy("id").agg(F.min("time").alias("earliest"))
+            earliest = (
+                earliest.unionByName(new_earliest)
+                .groupBy("id")
+                .agg(F.min("earliest").alias("earliest"))
+                .localCheckpoint()
+            )
+            tainted = tainted.unionByName(newly.select("id")).localCheckpoint()
+            # reference frontier: every node that received a message this
+            # superstep re-propagates next superstep with its (merged) earliest
+            frontier = earliest.join(receivers, "id", "left_semi")
+            if newly.limit(1).count() == 0:
+                break
+
+    hist_agg = history.groupBy("id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("time", "src")),
+            lambda a, b: F.when(a.time < b.time, -1)
+            .when(a.time > b.time, 1)
+            .when(a.src > b.src, -1)
+            .when(a.src < b.src, 1)
+            .otherwise(0),
+        ).alias("history")
+    )
+    return (
+        ids.join(hist_agg, "id", "left")
+        .join(earliest, "id", "left")
+        .select(
+            "name",
+            "id",
+            F.col("history").isNotNull().alias("tainted"),
+            "earliest",
+            F.coalesce(
+                "history", F.array().cast("array<struct<time:bigint,src:string>>")
+            ).alias("history"),
+        )
+    )

@@ -264,6 +264,44 @@ class LinkGraph:
             return e.select(F.col("dst_id").alias("id"), F.col("src_id").alias("nbr_id"))
         return self.undirected_edge_ids()
 
+    # ------------------------------------------------------------ window sets
+    def time_bounds(self) -> tuple[int | None, int | None]:
+        """(earliest, latest+1) — the view's timeline, end exclusive."""
+        row = self.edges_t.agg(F.min("time"), F.max("time")).first()
+        if row is None or row[0] is None:
+            return (None, None)
+        return (row[0], row[1] + 1)
+
+    def rolling(self, window: int, step: int | None = None):
+        """Iterator of ``(start, end, LinkGraph)`` rolling windows.
+
+        Mirrors the reference's WindowSet cursor rule
+        (db/api/view/time.rs:193-209): the cursor starts at
+        ``timeline_start + step`` and yields ``[cursor - window, cursor)``
+        while ``cursor < timeline_end + step`` — the last window may hang
+        past the data. Discrete (millisecond) intervals only; calendar
+        intervals are the batch operator's job (windows.py).
+        """
+        step = step or window
+        start, end = self.time_bounds()
+        if start is None:
+            return
+        cursor = start + step
+        while cursor < end + step:
+            yield (cursor - window, cursor, self.window(cursor - window, cursor))
+            cursor += step
+
+    def expanding(self, step: int):
+        """Iterator of ``(start, end, LinkGraph)`` expanding windows —
+        window start pinned to the timeline start (time.rs:63-77,199-202)."""
+        start, end = self.time_bounds()
+        if start is None:
+            return
+        cursor = start + step
+        while cursor < end + step:
+            yield (start, cursor, self.window(start, cursor))
+            cursor += step
+
     def materialize(self) -> "LinkGraph":
         """Cache + force the hot derived tables (ids, simple edges, degrees)."""
         for df in (self.ids(), self.edge_ids(), self.undirected_edge_ids()):

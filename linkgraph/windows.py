@@ -1,0 +1,72 @@
+"""Batch windowed aggregation — one-pass rolling/expanding window counts.
+
+``LinkGraph.rolling()`` yields one lazily-filtered view per window (the
+reference's WindowSet iterator, db/api/view/time.rs:193-209).  Running a
+per-window query per view is fine for a handful of windows, but a rolling
+scan over years of data at 100 TB wants ONE pass: build the (tiny) window
+grid, broadcast it, range-join events into the windows they overlap, and
+aggregate everything in a single shuffle.  Each event lands in at most
+``ceil(window/step)`` windows, so the join fan-out is bounded and the plan
+is a broadcast nested-loop join → hash aggregate — no per-window jobs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from linkgraph.graph import LinkGraph
+
+
+def window_grid(start: int, end: int, window: int, step: int) -> list[tuple[int, int]]:
+    """The reference's WindowSet cursor rule as a list of [ws, we) pairs."""
+    out = []
+    cursor = start + step
+    while cursor < end + step:
+        out.append((cursor - window, cursor))
+        cursor += step
+    return out
+
+
+def rolling_counts(
+    graph: LinkGraph, window: int, step: int | None = None
+) -> DataFrame:
+    """Per rolling window: event/edge/node counts.
+
+    Returns ``(window_start, window_end, n_events, n_edges, n_nodes)`` —
+    n_edges deduplicated logical edges, n_nodes distinct endpoints active
+    in the window (window node semantics, window_graph.rs:217-233).
+    """
+    step = step or window
+    start, end = graph.time_bounds()
+    spark = graph.spark
+    schema = "window_start long, window_end long"
+    if start is None:
+        grid_df = spark.createDataFrame([], schema)
+    else:
+        grid_df = spark.createDataFrame(window_grid(start, end, window, step), schema)
+
+    ev = graph.edges_t.select("src", "dst", "time")
+    joined = ev.join(
+        F.broadcast(grid_df),
+        (F.col("time") >= F.col("window_start")) & (F.col("time") < F.col("window_end")),
+    )
+    per_edge = joined.groupBy("window_start", "window_end", "src", "dst").agg(
+        F.count("*").alias("n_ev")
+    )
+    edges_agg = per_edge.groupBy("window_start", "window_end").agg(
+        F.sum("n_ev").alias("n_events"), F.count("*").alias("n_edges")
+    )
+    nodes_agg = (
+        joined.select("window_start", "window_end", F.col("src").alias("name"))
+        .unionByName(
+            joined.select("window_start", "window_end", F.col("dst").alias("name"))
+        )
+        .groupBy("window_start", "window_end")
+        .agg(F.countDistinct("name").alias("n_nodes"))
+    )
+    return (
+        grid_df.join(edges_agg, ["window_start", "window_end"], "left")
+        .join(nodes_agg, ["window_start", "window_end"], "left")
+        .fillna(0, subset=["n_events", "n_edges", "n_nodes"])
+    )

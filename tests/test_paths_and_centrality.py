@@ -1,0 +1,223 @@
+"""Golden tests for HITS, SSSP, Dijkstra, temporal reachability, betweenness,
+balance, in/out components — expectations transcribed from the reference's
+inline test modules (file:line cited per test)."""
+
+import math
+
+from linkgraph.algorithms import (
+    betweenness_centrality,
+    dijkstra_single_source_shortest_paths,
+    hits,
+    in_components,
+    out_components,
+    single_source_shortest_path,
+    temporally_reachable_nodes,
+)
+from linkgraph.algorithms.metrics import balance
+from linkgraph.graph import LinkGraph
+from linkgraph.synth import source_table
+
+
+def _graph(spark, edges):
+    return LinkGraph.from_source_table(
+        source_table(spark, [(t, str(s), str(d)) for t, s, d in edges])
+    )
+
+
+def test_hits_reference_golden(spark):
+    """centrality/hits.rs:195-229 — 8-node fixture, 20 iterations."""
+    g = _graph(
+        spark,
+        [(0, s, d) for s, d in [
+            (1, 4), (2, 3), (2, 5), (3, 1), (4, 2), (4, 3), (5, 2), (5, 3),
+            (5, 4), (5, 6), (6, 3), (6, 8), (7, 1), (7, 3), (8, 1),
+        ]],
+    )
+    res = {r["name"]: (r["hub"], r["auth"]) for r in hits(g, max_iter=20).collect()}
+    expected = {
+        "1": (0.0431365, 0.096625775),
+        "2": (0.14359662, 0.18366566),
+        "3": (0.030866561, 0.36886504),
+        "4": (0.1865414, 0.12442485),
+        "5": (0.26667944, 0.05943252),
+        "6": (0.14359662, 0.10755368),
+        "7": (0.15471625, 0.0),
+        "8": (0.030866561, 0.05943252),
+    }
+    assert res.keys() == expected.keys()
+    for k, (h, a) in expected.items():
+        # reference stores f32; our doubles agree to f32 precision
+        assert math.isclose(res[k][0], h, abs_tol=2e-6), k
+        assert math.isclose(res[k][1], a, abs_tol=2e-6), k
+
+
+def test_sssp_reference_golden(spark):
+    """pathing/single_source_shortest_path.rs:94-130 — source 1, cutoff 4."""
+    g = _graph(spark, [(0, 1, 2), (1, 1, 3), (2, 1, 4), (3, 2, 3), (4, 2, 4),
+                       (5, 3, 4), (6, 4, 4), (7, 4, 5), (8, 5, 6)])
+    res = {
+        r["name"]: (r["distance"], r["path"])
+        for r in single_source_shortest_path(g, "1", cutoff=4).collect()
+    }
+    assert {k: v[0] for k, v in res.items()} == {
+        "1": 0, "2": 1, "3": 1, "4": 1, "5": 2, "6": 3
+    }
+    # the reference's first-discovered path is HashMap-order dependent; ours
+    # is the deterministic lexicographically-smallest path per node
+    assert {k: v[1] for k, v in res.items()} == {
+        "1": ["1"], "2": ["1", "2"], "3": ["1", "3"], "4": ["1", "4"],
+        "5": ["1", "4", "5"], "6": ["1", "4", "5", "6"],
+    }
+
+
+def test_sssp_cutoff_zero_and_missing_source(spark):
+    g = _graph(spark, [(0, 1, 2)])
+    res = single_source_shortest_path(g, "1", cutoff=0).collect()
+    assert {(r["name"], r["distance"]) for r in res} == {("1", 0)}
+    assert single_source_shortest_path(g, "99").count() == 0
+
+
+def test_dijkstra_reference_golden(spark):
+    """pathing/dijkstra.rs:185-233 — basic_graph, sources A and B."""
+    dj = [(0, "A", "B", 4.0), (1, "A", "C", 4.0), (2, "B", "C", 2.0),
+          (3, "C", "D", 3.0), (4, "C", "E", 1.0), (5, "C", "F", 6.0),
+          (6, "D", "F", 2.0), (7, "E", "F", 3.0)]
+    edges_t = spark.createDataFrame(
+        [(s, d, t, "_default", w) for t, s, d, w in dj],
+        "src string, dst string, time long, layer string, weight double",
+    )
+    g = LinkGraph(edges_t)
+    res = {
+        r["name"]: (r["cost"], r["path"])
+        for r in dijkstra_single_source_shortest_paths(
+            g, "A", targets=["D", "F"], weight="weight"
+        ).collect()
+    }
+    assert res == {"D": (7.0, ["A", "C", "D"]), "F": (8.0, ["A", "C", "E", "F"])}
+    res = {
+        r["name"]: (r["cost"], r["path"])
+        for r in dijkstra_single_source_shortest_paths(
+            g, "B", targets=["D", "E", "F"], weight="weight"
+        ).collect()
+    }
+    assert res == {
+        "D": (5.0, ["B", "C", "D"]),
+        "E": (3.0, ["B", "C", "E"]),
+        "F": (6.0, ["B", "C", "E", "F"]),
+    }
+
+
+TAINT_EDGES = [(10, 1, 3), (11, 1, 2), (12, 2, 4), (13, 2, 5), (14, 5, 5),
+               (14, 5, 4), (5, 4, 6), (15, 4, 7), (10, 4, 7), (10, 5, 8)]
+
+
+def _taint(spark, seeds, stops=None):
+    g = _graph(spark, TAINT_EDGES)
+    res = temporally_reachable_nodes(g, 20, 11, seeds, stops)
+    return {
+        r["name"]: [(h["time"], h["src"]) for h in r["history"]]
+        for r in res.collect()
+    }
+
+
+def test_temporal_reachability_single_seed(spark):
+    """pathing/temporal_reachability.rs:249-283 — seed 2 at t=11."""
+    assert _taint(spark, ["2"]) == {
+        "1": [], "2": [(11, "start")], "3": [],
+        "4": [(12, "2"), (14, "5")], "5": [(13, "2"), (14, "5")],
+        "6": [], "7": [(15, "4")], "8": [],
+    }
+
+
+def test_temporal_reachability_multi_seed(spark):
+    """temporal_reachability.rs:285-321 — seeds {1,2} at t=11."""
+    assert _taint(spark, ["1", "2"]) == {
+        "1": [(11, "start")], "2": [(11, "start"), (11, "1")], "3": [],
+        "4": [(12, "2"), (14, "5")], "5": [(13, "2"), (14, "5")],
+        "6": [], "7": [(15, "4")], "8": [],
+    }
+
+
+def test_temporal_reachability_stop_nodes(spark):
+    """temporal_reachability.rs:324-360 — stop nodes {4,5} receive but
+    do not propagate."""
+    assert _taint(spark, ["1", "2"], stops=["4", "5"]) == {
+        "1": [(11, "start")], "2": [(11, "start"), (11, "1")], "3": [],
+        "4": [(12, "2")], "5": [(13, "2")], "6": [], "7": [], "8": [],
+    }
+
+
+def test_betweenness_reference_golden(spark):
+    """centrality/betweenness.rs:121-165 — 6-node fixture with self-loop."""
+    g = _graph(spark, [(0, s, d) for s, d in [
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (2, 5), (3, 4), (3, 5),
+        (3, 6), (4, 3), (4, 2), (4, 4),
+    ]])
+    res = {r["name"]: r["betweenness"] for r in betweenness_centrality(g).collect()}
+    exp = {"1": 0.0, "2": 1.0, "3": 4.0, "4": 1.0, "5": 0.0, "6": 0.0}
+    assert res.keys() == exp.keys()
+    for k, v in exp.items():
+        assert math.isclose(res[k], v, abs_tol=1e-9), k
+    res = {
+        r["name"]: r["betweenness"]
+        for r in betweenness_centrality(g, normalized=True).collect()
+    }
+    for k, v in {"1": 0.0, "2": 0.05, "3": 0.2, "4": 0.05, "5": 0.0, "6": 0.0}.items():
+        assert math.isclose(res[k], v, abs_tol=1e-9), k
+
+
+def test_betweenness_k_limits_sources(spark):
+    g = _graph(spark, [(0, 1, 2), (0, 2, 3), (0, 3, 4)])
+    # k=1 → only source 1 contributes: δ(2)=2 (paths to 3,4), δ(3)=1, δ(4)=0
+    res = {r["name"]: r["betweenness"] for r in betweenness_centrality(g, k=1).collect()}
+    assert res == {"1": 0.0, "2": 2.0, "3": 1.0, "4": 0.0}
+
+
+def test_balance_reference_golden(spark):
+    """metrics/balance.rs:141-203 — BOTH / IN / OUT signed sums."""
+    rows = [("1", "2", 10.0, 1), ("1", "4", 20.0, 2), ("2", "3", 5.0, 3),
+            ("3", "2", 2.0, 4), ("3", "1", 1.0, 5), ("4", "3", 10.0, 6),
+            ("4", "1", 5.0, 7), ("1", "5", 2.0, 8)]
+    edges_t = spark.createDataFrame(
+        [(s, d, t, "_default", v) for s, d, v, t in rows],
+        "src string, dst string, time long, layer string, value_dec double",
+    )
+    g = LinkGraph(edges_t)
+    cases = {
+        "both": {"1": -26.0, "2": 7.0, "3": 12.0, "4": 5.0, "5": 2.0},
+        "in": {"1": 6.0, "2": 12.0, "3": 15.0, "4": 20.0, "5": 2.0},
+        "out": {"1": -32.0, "2": -5.0, "3": -3.0, "4": -15.0, "5": 0.0},
+    }
+    for direction, exp in cases.items():
+        res = {r["name"]: r["balance"] for r in balance(g, "value_dec", direction).collect()}
+        assert res == exp, direction
+
+
+COMP_EDGES = [(1, 1, 2), (1, 1, 3), (1, 2, 4), (1, 2, 5), (1, 5, 4),
+              (1, 4, 6), (1, 4, 7), (1, 5, 8)]
+
+
+def test_in_components_reference_golden(spark):
+    """components/in_components.rs:99-134."""
+    g = _graph(spark, COMP_EDGES)
+    res = {r["name"]: sorted(r["members"]) for r in in_components(g).collect()}
+    assert res == {
+        "1": [], "2": [1], "3": [1], "4": [1, 2, 5], "5": [1, 2],
+        "6": [1, 2, 4, 5], "7": [1, 2, 4, 5], "8": [1, 2, 5],
+    }
+
+
+def test_out_components_reference_golden(spark):
+    """components/out_components.rs:103-140."""
+    g = _graph(spark, COMP_EDGES)
+    res = {r["name"]: sorted(r["members"]) for r in out_components(g).collect()}
+    assert res == {
+        "1": [2, 3, 4, 5, 6, 7, 8], "2": [4, 5, 6, 7, 8], "3": [],
+        "4": [6, 7], "5": [4, 6, 7, 8], "6": [], "7": [], "8": [],
+    }
+
+
+def test_components_include_self_on_cycle(spark):
+    g = _graph(spark, [(0, 1, 2), (0, 2, 1), (0, 2, 3)])
+    res = {r["name"]: sorted(r["members"]) for r in in_components(g).collect()}
+    assert res == {"1": [1, 2], "2": [1, 2], "3": [1, 2]}

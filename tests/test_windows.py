@@ -1,0 +1,65 @@
+"""Rolling/expanding WindowSet semantics (db/api/view/time.rs:193-209) and
+the one-pass batch rolling_counts operator."""
+
+from linkgraph.graph import LinkGraph
+from linkgraph.synth import source_table
+from linkgraph.windows import rolling_counts, window_grid
+
+EDGES = [(0, 1, 2), (5, 2, 3), (10, 3, 4), (15, 4, 5), (20, 5, 1), (20, 5, 1),
+         (25, 1, 3)]
+
+
+def _g(spark):
+    return LinkGraph.from_source_table(
+        source_table(spark, [(t, str(s), str(d)) for t, s, d in EDGES])
+    )
+
+
+def test_rolling_cursor_rule(spark):
+    g = _g(spark)
+    views = list(g.rolling(10))
+    # timeline [0, 26): cursor starts at start+step, runs while < end+step
+    assert [(s, e) for s, e, _ in views] == [(0, 10), (10, 20), (20, 30)]
+    assert views[0][2].count_temporal_edges() == 2
+    assert views[2][2].count_edges() == 2  # duplicate (5,1) events dedup
+
+
+def test_rolling_with_step(spark):
+    g = _g(spark)
+    views = list(g.rolling(10, 5))
+    assert [(s, e) for s, e, _ in views] == [
+        (-5, 5), (0, 10), (5, 15), (10, 20), (15, 25), (20, 30),
+    ]
+
+
+def test_expanding(spark):
+    g = _g(spark)
+    views = list(g.expanding(10))
+    assert [(s, e) for s, e, _ in views] == [(0, 10), (0, 20), (0, 30)]
+    assert views[2][2].count_temporal_edges() == 7
+
+
+def test_rolling_counts_matches_per_window_views(spark):
+    g = _g(spark)
+    rc = {
+        (r["window_start"], r["window_end"]): (r["n_events"], r["n_edges"], r["n_nodes"])
+        for r in rolling_counts(g, 10, 10).collect()
+    }
+    expected = {}
+    for s, e, view in g.rolling(10, 10):
+        expected[(s, e)] = (
+            view.count_temporal_edges(),
+            view.count_edges(),
+            view.count_nodes(),
+        )
+    assert rc == expected
+    assert rc == {(0, 10): (2, 2, 3), (10, 20): (2, 2, 3), (20, 30): (3, 2, 3)}
+
+
+def test_window_grid_empty_graph(spark):
+    assert window_grid(0, 1, 10, 10) == [(0, 10)]
+    empty = LinkGraph(
+        spark.createDataFrame([], "src string, dst string, time long, layer string")
+    )
+    assert list(empty.rolling(10)) == []
+    assert rolling_counts(empty, 10).count() == 0

@@ -1,0 +1,161 @@
+#!/usr/bin/env python
+"""Scaling-efficiency benchmark — the BASELINE.json north rule evidence.
+
+The rule asks for throughput scaling efficiency >= 0.8 between N and 4N
+executors on a real cluster.  This sandbox has one machine, so the stand-in
+is the same PageRank job at two parallelism levels (``local[8]`` vs
+``local[32]``) on the SAME input, in separate JVMs (Spark cannot change its
+master in-process).  Results go to BENCH.md.
+
+The input is a deterministic seeded power-law-ish edge table synthesised
+with ``spark.range`` + xxhash (no external data), sized so per-superstep
+compute dominates fixed driver overhead — the regime a 1000-executor 100 TB
+run lives in.  PageRank runs a FIXED superstep count (tol=0) so both levels
+do identical work.
+
+Usage:
+  python tools/scaling_bench.py                 # full N vs 4N comparison
+  python tools/scaling_bench.py --worker --cores 8   # one level (internal)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+N_EDGES = int(os.environ.get("SCALING_EDGES", 20_000_000))
+N_NODES = N_EDGES // 8
+ITERS = int(os.environ.get("SCALING_ITERS", 8))
+LO, HI = 8, 32  # N and 4N parallelism levels
+
+
+def synth_edges(spark, n_edges: int, n_nodes: int):
+    """Seeded synthetic edge table: ~90% uniform destinations, ~10% directed
+    at a 1000-node hub set (the skew a real repo-dependency graph shows)."""
+    from pyspark.sql import functions as F
+
+    e = spark.range(n_edges).select(
+        F.pmod(F.xxhash64("id", F.lit(1)), F.lit(n_nodes)).alias("src_id"),
+        F.when(
+            F.pmod(F.xxhash64("id", F.lit(2)), F.lit(10)) == 0,
+            F.pmod(F.xxhash64("id", F.lit(3)), F.lit(1000)),
+        )
+        .otherwise(F.pmod(F.xxhash64("id", F.lit(4)), F.lit(n_nodes)))
+        .alias("dst_id"),
+    )
+    return e
+
+
+def worker(cores: int) -> None:
+    from pyspark.sql import functions as F
+
+    from linkgraph.algorithms.pagerank import pagerank_on_ids
+    from linkgraph.session import get_spark
+
+    spark = get_spark(
+        app_name=f"scaling[{cores}]", cores=cores, shuffle_partitions=2 * cores,
+        driver_memory="24g",
+    )
+    nodes = spark.range(N_NODES).select(F.col("id"))
+    # dedup + materialize the input fully before the clock starts
+    edges = (
+        synth_edges(spark, N_EDGES, N_NODES)
+        .distinct()
+        .repartition(2 * cores, "src_id")
+        .persist()
+    )
+    n_simple = edges.count()
+
+    t0 = time.monotonic()
+    res = pagerank_on_ids(
+        spark, nodes, edges, max_iter=ITERS, tol=0.0, norm="l1",
+        partitions=2 * cores, pre_deduped=True,
+    )
+    res.write.format("noop").mode("overwrite").save()
+    wall = time.monotonic() - t0
+    print(
+        "WORKER_RESULT "
+        + json.dumps(
+            {
+                "cores": cores,
+                "wall_s": round(wall, 2),
+                "n_edges": n_simple,
+                "iters": ITERS,
+                "edges_per_sec": round(n_simple * ITERS / wall, 1),
+            }
+        )
+    )
+
+
+def run_level(cores: int) -> dict:
+    env = dict(os.environ)
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--worker", "--cores", str(cores)],
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=3600,
+    )
+    for line in proc.stdout.splitlines():
+        if line.startswith("WORKER_RESULT "):
+            return json.loads(line[len("WORKER_RESULT "):])
+    raise RuntimeError(
+        f"worker local[{cores}] produced no result:\n{proc.stdout[-2000:]}\n{proc.stderr[-2000:]}"
+    )
+
+
+def run_scaling(sf_dir: str | None = None) -> dict:
+    lo = run_level(LO)
+    hi = run_level(HI)
+    speedup = hi["edges_per_sec"] / lo["edges_per_sec"]
+    eff = speedup / (HI / LO)
+    return {
+        f"local[{LO}]": lo,
+        f"local[{HI}]": hi,
+        "speedup": round(speedup, 3),
+        "scaling_efficiency": round(eff, 3),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--worker", action="store_true")
+    ap.add_argument("--cores", type=int, default=8)
+    args = ap.parse_args()
+    if args.worker:
+        worker(args.cores)
+        return
+    result = run_scaling()
+    print(json.dumps(result, indent=2))
+    lo, hi = result[f"local[{LO}]"], result[f"local[{HI}]"]
+    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
+        f.write(
+            f"""# BENCH — PageRank throughput & scaling ({time.strftime('%Y-%m-%d')})
+
+North-rule evidence: the same PageRank job (damping 0.85, {ITERS} fixed
+supersteps, {lo['n_edges']:,} distinct edges over {N_NODES:,} nodes of a
+seeded synthetic hub-skewed graph) at two parallelism levels on the same
+input, separate JVMs. `local[N]` threads stand in for N executors
+(single-machine sandbox; see tools/scaling_bench.py).
+
+| parallelism | wall (s) | throughput (edges/sec) |
+|---|---|---|
+| local[{LO}] (N)  | {lo['wall_s']} | {lo['edges_per_sec']:,} |
+| local[{HI}] (4N) | {hi['wall_s']} | {hi['edges_per_sec']:,} |
+
+**Speedup {LO}→{HI} cores: {result['speedup']}x — scaling efficiency {result['scaling_efficiency']}**
+(target ≥ 0.8 per BASELINE.json).
+
+Headline per-round numbers (sf0.1 testdata) are produced by `python bench.py`
+and recorded by the driver as `BENCH_r{{N}}.json`.
+"""
+        )
+    print("wrote BENCH.md")
+
+
+if __name__ == "__main__":
+    main()
