@@ -66,8 +66,11 @@ def _cosupply_graph(spark: SparkSession, sf_dir: str):
     from linkgraph.graph import LinkGraph
 
     li = _t(spark, sf_dir, "lineitem")
-    a = li.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sa"))
-    b = li.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sb"))
+    # dedup (part, supplier) BEFORE the self-join: shrinks both join inputs
+    # and removes duplicate pair multiplicity at the source
+    ps = li.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("s")).distinct()
+    a = ps.select("pk", F.col("s").alias("sa"))
+    b = ps.select("pk", F.col("s").alias("sb"))
     e = (
         a.join(b, "pk")
         .filter(F.col("sa") < F.col("sb"))
@@ -182,10 +185,12 @@ def q_trade_windowed_wcc(spark, sf_dir):
 
 
 def q_cosupply_triangle_count(spark, sf_dir):
-    from linkgraph.algorithms.triangles import triangles_df
+    from linkgraph.algorithms import per_edge_triangles
 
     g = _cosupply_graph(spark, sf_dir)
-    return triangles_df(g).agg(F.count("*").alias("n_triangles"))
+    return per_edge_triangles(g).agg(
+        F.coalesce(F.sum("triangles"), F.lit(0)).alias("n_triangles")
+    )
 
 
 def q_cosupply_per_edge_triangles(spark, sf_dir):
@@ -287,6 +292,38 @@ def q_emb_cosine_topk(spark, sf_dir):
     return cosine_topk(emb, queries, k=5)
 
 
+def _assets(spark, sf_dir):
+    from linkgraph.pipeline.multimodal import assets_from_documents
+
+    return assets_from_documents(_t(spark, sf_dir, "documents"))
+
+
+def q_assets_image_features(spark, sf_dir):
+    from linkgraph.pipeline.multimodal import image_features
+
+    feats = image_features(_assets(spark, sf_dir))
+    cols = [
+        F.round(F.element_at("features", i + 1), 6).alias(f"f{i}") for i in range(8)
+    ]
+    return feats.select("asset_id", *cols)
+
+
+def q_assets_audio_features(spark, sf_dir):
+    from linkgraph.pipeline.multimodal import audio_features
+
+    return audio_features(_assets(spark, sf_dir)).select(
+        "asset_id", "n_samples", F.round("peak", 6).alias("peak")
+    )
+
+
+def q_assets_frame_sample(spark, sf_dir):
+    from linkgraph.pipeline.multimodal import frame_sample
+
+    return frame_sample(_assets(spark, sf_dir)).select(
+        "asset_id", "frame_idx", "t_ms"
+    )
+
+
 def q_emb_neardup(spark, sf_dir):
     from linkgraph.pipeline.simsearch import cosine_neardup_pairs
 
@@ -364,6 +401,49 @@ def q_transition_dijkstra(spark, sf_dir):
     source = e.agg(F.min("src")).first()[0]
     return dijkstra_single_source_shortest_paths(g, source, weight="weight").select(
         F.col("name").alias("node"), F.round("cost", 2).alias("cost")
+    )
+
+
+def q_transition_scc(spark, sf_dir):
+    from linkgraph.algorithms.components import strongly_connected_components
+
+    labels = strongly_connected_components(_transition_graph(spark, sf_dir))
+    # canonical component name = min member NAME (internal ids are hashes of
+    # the string names, so the raw min-id label is not oracle-comparable)
+    canon = labels.groupBy("scc").agg(F.min("name").alias("scc_name"))
+    return labels.join(canon, "scc").select(
+        F.col("name").alias("node"), F.col("scc_name").alias("scc")
+    )
+
+
+def q_trade_edge_prop_agg(spark, sf_dir):
+    from linkgraph.properties import edge_temporal_property_agg
+
+    g = _trade_graph_weighted(spark, sf_dir)
+    return edge_temporal_property_agg(g, "l_quantity").select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+        "n_values",
+        F.round("p_sum", 2).alias("p_sum"),
+        F.round("p_mean", 6).alias("p_mean"),
+        "p_min",
+        "p_max",
+        "p_first",
+        "p_latest",
+    )
+
+
+PROP_AT = 820454400000  # 1996-01-01 UTC millis
+
+
+def q_trade_edge_prop_at(spark, sf_dir):
+    from linkgraph.properties import edge_property_at
+
+    g = _trade_graph_weighted(spark, sf_dir)
+    return edge_property_at(g, "l_quantity", PROP_AT).select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+        "value",
     )
 
 
@@ -478,6 +558,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transition_in_components": q_transition_in_components,
         "transition_out_components": q_transition_out_components,
         "transition_dijkstra": q_transition_dijkstra,
+        "transition_scc": q_transition_scc,
+        "trade_edge_prop_agg": q_trade_edge_prop_agg,
+        "trade_edge_prop_at": q_trade_edge_prop_at,
         "cosupply_triangle_count": q_cosupply_triangle_count,
         "cosupply_per_edge_triangles": q_cosupply_per_edge_triangles,
         "cosupply_local_triangles": q_cosupply_local_triangles,
@@ -499,6 +582,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_lsh_topk": q_emb_lsh_topk,
         "emb_neardup": q_emb_neardup,
+        "assets_image_features": q_assets_image_features,
+        "assets_audio_features": q_assets_audio_features,
+        "assets_frame_sample": q_assets_frame_sample,
     }
 
 
@@ -803,6 +889,55 @@ d(iter, id, cost) AS (
 SELECT id AS node, round(min(cost), 2) AS cost FROM d GROUP BY id
 """
 
+    sqls["transition_scc"] = f"""
+WITH RECURSIVE {_TRANSITION_ED},
+reach(a, b) AS (
+  SELECT src, dst FROM tr_ed
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN tr_ed e ON e.src = r.b
+),
+mutual AS (
+  SELECT r1.a, r1.b FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a
+)
+SELECT n.id AS node, least(n.id, coalesce(m.lab, n.id)) AS scc
+FROM tr_nodes n
+LEFT JOIN (SELECT a, min(b) AS lab FROM mutual GROUP BY a) m ON m.a = n.id
+"""
+
+    sqls["trade_edge_prop_agg"] = """
+WITH ev AS (
+  SELECT o_custkey AS src, 1000000 + l_suppkey AS dst,
+         epoch_ms(o_orderdate) AS t, l_quantity::DOUBLE AS w
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+b AS (
+  SELECT src, dst, count(w) AS n_values, round(sum(w), 2) AS p_sum,
+         round(avg(w), 6) AS p_mean, min(w) AS p_min, max(w) AS p_max,
+         min(t) AS mt, max(t) AS xt
+  FROM ev GROUP BY src, dst
+),
+fv AS (SELECT e.src, e.dst, min(e.w) AS v FROM ev e JOIN b
+       ON b.src = e.src AND b.dst = e.dst AND e.t = b.mt GROUP BY e.src, e.dst),
+lv AS (SELECT e.src, e.dst, max(e.w) AS v FROM ev e JOIN b
+       ON b.src = e.src AND b.dst = e.dst AND e.t = b.xt GROUP BY e.src, e.dst)
+SELECT b.src, b.dst, n_values, p_sum, p_mean, p_min, p_max,
+       fv.v AS p_first, lv.v AS p_latest
+FROM b JOIN fv ON fv.src = b.src AND fv.dst = b.dst
+JOIN lv ON lv.src = b.src AND lv.dst = b.dst
+"""
+
+    sqls["trade_edge_prop_at"] = f"""
+WITH ev AS (
+  SELECT o_custkey AS src, 1000000 + l_suppkey AS dst,
+         epoch_ms(o_orderdate) AS t, l_quantity::DOUBLE AS w
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+b AS (SELECT src, dst, max(t) AS xt FROM ev WHERE t <= {PROP_AT} GROUP BY src, dst)
+SELECT e.src, e.dst, max(e.w) AS value
+FROM ev e JOIN b ON b.src = e.src AND b.dst = e.dst AND e.t = b.xt
+GROUP BY e.src, e.dst
+"""
+
     sqls["cosupply_triangle_count"] = f"""
 WITH {_COSUPPLY_ED}
 SELECT count(*) AS n_triangles
@@ -949,6 +1084,33 @@ FROM inter
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.2
+"""
+
+    # multimodal fakes are closed-form in (utf8 byte length, doc_id), so the
+    # whole mapInPandas pipeline is oracle-checkable end-to-end
+    feat_cols = ",\n       ".join(
+        f"round(((octet_length(encode(text)) * {i + 1} + doc_id) % 997) / 997.0, 6)"
+        f" AS f{i}"
+        for i in range(8)
+    )
+    sqls["assets_image_features"] = f"""
+SELECT doc_id AS asset_id,
+       {feat_cols}
+FROM documents WHERE doc_id % 3 = 0
+"""
+
+    sqls["assets_audio_features"] = """
+SELECT doc_id AS asset_id,
+       (1 + doc_id % 7) * 16000 AS n_samples,
+       round((octet_length(encode(text)) % 256) / 255.0, 6) AS peak
+FROM documents WHERE doc_id % 3 = 1
+"""
+
+    sqls["assets_frame_sample"] = """
+SELECT doc_id AS asset_id,
+       unnest(range(0, (1 + doc_id % 7) * 4))::INT AS frame_idx,
+       unnest(range(0, (1 + doc_id % 7) * 4))::INT * 250 AS t_ms
+FROM documents WHERE doc_id % 3 = 2
 """
 
     sqls["emb_cosine_topk"] = """

@@ -34,7 +34,7 @@ def weakly_connected_components(
     graph: LinkGraph,
     max_iter: int = sys.maxsize,
     partitions: int | None = None,
-    broadcast_threshold: int = 10_000_000,
+    broadcast_threshold: int = 1_000_000,
     checkpoint_dir: str | None = None,
     resume: bool = False,
     checkpoint_every: int = 1,
@@ -150,6 +150,123 @@ def in_components(graph: LinkGraph, max_iter: int = sys.maxsize) -> DataFrame:
 def out_components(graph: LinkGraph, max_iter: int = sys.maxsize) -> DataFrame:
     """Descendant sets — ``(name, id, members, n_members)``."""
     return _directional_components(graph, "out", max_iter)
+
+
+def strongly_connected_components(graph: LinkGraph) -> DataFrame:
+    """SCC labels — ``(name, id, scc)`` where ``scc`` is the minimum
+    external id in the node's strongly connected component.
+
+    The reference (components/scc.rs:102-175) marks cycle nodes by per-node
+    out-closure then runs sequential Tarjan on the induced subgraph — a
+    driver-bound design.  Distributed we run FORWARD-BACKWARD COLORING
+    (Fleischer et al., the standard BSP SCC scheme): per round, (1) min-id
+    labels propagate along out-edges to a fixpoint, colouring every node
+    with the smallest id that reaches it; (2) from each colour's root
+    (id == colour) the colour propagates backward along in-edges, staying
+    inside the colour — the backward-reached set is exactly the root's SCC;
+    (3) peel those nodes and repeat on the remainder.  Each round is pure
+    frontier joins; rounds ≤ the longest chain of SCCs, fixpoints ≤
+    diameter.  Labels agree with Tarjan exactly (same components, min-id
+    naming), so groups match scc.rs's test output.
+    """
+    spark = graph.spark
+    ids = graph.ids().persist()
+    all_edges = graph.edge_ids().filter(
+        F.col("src_id") != F.col("dst_id")
+    ).persist()
+    all_edges.count()
+
+    assigned = spark.createDataFrame([], "id long, scc long").localCheckpoint()
+    active = ids.select("id").localCheckpoint()
+    edges = all_edges.localCheckpoint()
+
+    with iteration_conf(spark):
+        while active.limit(1).count() > 0:
+            # (1) forward min-id colouring to fixpoint
+            color = active.select("id", F.col("id").alias("color")).localCheckpoint()
+            while True:
+                msgs = (
+                    edges.join(
+                        color.select(
+                            F.col("id").alias("src_id"), F.col("color").alias("c")
+                        ),
+                        "src_id",
+                    )
+                    .select(F.col("dst_id").alias("id"), "c")
+                    .unionByName(color.select("id", F.col("color").alias("c")))
+                )
+                new_color = msgs.groupBy("id").agg(F.min("c").alias("color"))
+                new_color = new_color.localCheckpoint()
+                changed = (
+                    new_color.alias("n")
+                    .join(color.alias("p"), "id")
+                    .filter(F.col("n.color") < F.col("p.color"))
+                    .limit(1)
+                    .count()
+                )
+                color = new_color
+                if changed == 0:
+                    break
+            # (2) backward sweep from roots, constrained to the same colour
+            member = color.filter(F.col("id") == F.col("color")).select(
+                "id", F.col("color").alias("scc")
+            ).localCheckpoint()
+            frontier = member
+            while True:
+                preds = (
+                    edges.join(
+                        frontier.select(F.col("id").alias("dst_id"), "scc"), "dst_id"
+                    )
+                    .select(F.col("src_id").alias("id"), "scc")
+                    .distinct()
+                    .join(color, "id")
+                    .filter(F.col("color") == F.col("scc"))
+                    .select("id", "scc")
+                    .join(member, "id", "left_anti")
+                    .localCheckpoint()
+                )
+                if preds.limit(1).count() == 0:
+                    break
+                member = member.unionByName(preds).localCheckpoint()
+                frontier = preds
+            # (3) peel the found SCCs and iterate on the remainder
+            assigned = assigned.unionByName(member).localCheckpoint()
+            active = active.join(member, "id", "left_anti").localCheckpoint()
+            edges = (
+                edges.join(
+                    active.select(F.col("id").alias("src_id")), "src_id", "left_semi"
+                )
+                .join(active.select(F.col("id").alias("dst_id")), "dst_id", "left_semi")
+                .localCheckpoint()
+            )
+    return ids.join(assigned, "id", "left").select(
+        "name", "id", F.coalesce("scc", "id").alias("scc")
+    )
+
+
+def scc_groups(graph: LinkGraph) -> DataFrame:
+    """Non-trivial SCCs as sorted member arrays — the reference's result
+    shape (scc.rs returns only components of cycle nodes): components of
+    size > 1, plus self-loop singletons."""
+    labels = strongly_connected_components(graph)
+    self_loops = (
+        graph.edge_ids()
+        .filter(F.col("src_id") == F.col("dst_id"))
+        .select(F.col("src_id").alias("id"))
+        .distinct()
+    )
+    grouped = labels.groupBy("scc").agg(
+        F.array_sort(F.collect_list("id")).alias("members"),
+        F.count("*").alias("n"),
+    )
+    looped = grouped.join(
+        self_loops.withColumnRenamed("id", "scc"), "scc", "left_semi"
+    )
+    return (
+        grouped.filter(F.col("n") > 1)
+        .unionByName(looped.filter(F.col("n") == 1))
+        .select("scc", "members", "n")
+    )
 
 
 def _run_loop(loop, state, und, it, max_iter, use_broadcast):

@@ -36,7 +36,7 @@ def hits(
     max_iter: int = 20,
     tol: float = 0.01,
     partitions: int | None = None,
-    broadcast_threshold: int = 10_000_000,
+    broadcast_threshold: int = 1_000_000,
     iters_out: dict | None = None,
 ) -> DataFrame:
     """Run HITS; returns ``(name, id, hub, auth)``."""

@@ -52,7 +52,7 @@ def pagerank(
     norm: str = "l2",
     damping: float = DAMPING_DEFAULT,
     partitions: int | None = None,
-    broadcast_threshold: int = 10_000_000,
+    broadcast_threshold: int = 1_000_000,
     checkpoint_dir: str | None = None,
     resume: bool = False,
     checkpoint_every: int = 1,
@@ -96,7 +96,7 @@ def pagerank_on_ids(
     norm: str = "l2",
     damping: float = DAMPING_DEFAULT,
     partitions: int | None = None,
-    broadcast_threshold: int = 10_000_000,
+    broadcast_threshold: int = 1_000_000,
     checkpoint_dir: str | None = None,
     resume: bool = False,
     checkpoint_every: int = 1,

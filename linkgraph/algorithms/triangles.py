@@ -16,13 +16,22 @@ Semantics match the reference exactly:
   local (metrics/local_clustering_coefficient.rs:57):
   local_triangles / C(deg, 2).
 
-Spark-first plan: per-edge triangles come from ONE self-join producing
-(a<b<c) wedges plus ONE inner join probing the closing edge — both on
-canonical edges, broadcastable when small. The reference's 2-core prune
-(:62-63) is an optional pre-filter (identical result; useful at scale to
-shrink the wedge join). Hub skew in the wedge join is bounded by the lo<hi
-orientation (each wedge is counted at its smallest vertex); a
-degree-ordered orientation variant can tighten the bound further.
+Spark-first plan — COUNT without ENUMERATING.  On dense graphs the wedge
+self-join materialises O(Σ C(d,2)) rows (a near-complete 1000-node graph has
+~1.6·10⁸ triangles); all counting paths therefore intersect **sorted
+larger-id adjacency arrays** per canonical edge — the reference's own
+AdjSet-intersection scheme (triangle_count.rs:82-107) — so the shuffled
+volume is one row per edge, not per triangle.  Two interchangeable kernels:
+
+- ``jvm``   — ``array_intersect`` inside whole-stage codegen (default);
+- ``arrow`` — ``mapInPandas`` numpy kernel over Arrow batches (the
+  north-star's CSR-block pandas-UDF shape; same results, useful template
+  for kernels Spark lacks built-ins for).
+
+``triangles_df`` still enumerates explicit (a,b,c) rows for listing /
+debugging; use the counters at scale.  Hub skew of the larger-id adjacency
+is bounded by the lo<hi orientation; a degree-ordered orientation (bigger
+lists O(√m)) is the next tightening if profiles demand it.
 """
 
 from __future__ import annotations
@@ -31,6 +40,129 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from linkgraph.graph import LinkGraph
+
+
+def _bigger_nbrs(graph: LinkGraph) -> DataFrame:
+    """Per node: the sorted array of strictly-larger neighbour ids —
+    ``(id, nbrs array<long>)`` — exactly the reference's step-1 state
+    (triangle_count.rs:73-80)."""
+    return (
+        graph.canonical_edge_ids()
+        .groupBy(F.col("lo").alias("id"))
+        .agg(F.array_sort(F.collect_set("hi")).alias("nbrs"))
+    )
+
+
+# adjacency-entry budget for the broadcast-CSR kernel: 20M int64 entries
+# ≈ 160MB on the driver / per executor — the hub-vector-broadcast regime.
+CSR_BROADCAST_MAX = 20_000_000
+
+
+def _csr_intersect_counts(edge_pairs: DataFrame, adj: DataFrame) -> DataFrame:
+    """Broadcast the whole adjacency as numpy arrays and count sorted-array
+    intersections per edge inside a ``mapInPandas`` kernel — one row per
+    edge moves, the adjacency moves ONCE per executor (north-star CSR-block
+    shape; the distributed analogue of the reference's in-memory AdjSet
+    intersects, triangle_count.rs:82-107).  Caller guarantees the adjacency
+    fits the broadcast budget."""
+    import numpy as np
+    import pandas as pd
+
+    spark = edge_pairs.sparkSession
+    adj_pdf = adj.toPandas()
+    adj_map = {
+        int(i): np.asarray(nbrs, dtype=np.int64)
+        for i, nbrs in zip(adj_pdf["id"], adj_pdf["nbrs"])
+    }
+    bc = spark.sparkContext.broadcast(adj_map)
+    empty = np.empty(0, dtype=np.int64)
+
+    def _isize(a, b):
+        # |a ∩ b| for sorted unique arrays: binary-search the smaller into
+        # the larger — O(|s|·log|l|) fully vectorized, no concat-sort
+        if a.size > b.size:
+            a, b = b, a
+        if a.size == 0 or b.size == 0:
+            return 0
+        idx = np.searchsorted(b, a)
+        idx[idx == b.size] = 0  # out-of-range probes can never match b[0] twice wrongly: a is unique & sorted, a[-1] > b[-1] here
+        return int(np.count_nonzero(b[idx] == a))
+
+    def kernel(batches):
+        amap = bc.value
+        for pdf in batches:
+            los = pdf["lo"].to_numpy()
+            his = pdf["hi"].to_numpy()
+            counts = np.fromiter(
+                (
+                    _isize(amap.get(a, empty), amap.get(b, empty))
+                    for a, b in zip(los, his)
+                ),
+                dtype=np.int64,
+                count=len(los),
+            )
+            yield pd.DataFrame({"lo": los, "hi": his, "triangles": counts})
+
+    return edge_pairs.select("lo", "hi").mapInPandas(
+        kernel, "lo long, hi long, triangles long"
+    )
+
+
+def _pick_kernel(graph: LinkGraph, kernel: str) -> str:
+    # every kernel scans the canonical edges at least twice (adjacency build
+    # + per-edge probe), so materialize them once — persist() on the memoized
+    # DataFrame is idempotent and shared by all later calls on this graph
+    graph.canonical_edge_ids().persist()
+    if kernel != "auto":
+        return kernel
+    m = graph.canonical_edge_ids().count()
+    return "csr" if m <= CSR_BROADCAST_MAX else "jvm"
+
+
+def _edge_common_bigger(graph: LinkGraph, kernel: str = "auto") -> DataFrame:
+    """Per canonical edge: ``(lo, hi, triangles)`` = |bigger(lo) ∩ bigger(hi)|
+    (zero rows included).  Every common larger neighbour c closes triangle
+    {lo<hi<c}, attributed to edge (lo, hi)."""
+    kernel = _pick_kernel(graph, kernel)
+    canon = graph.canonical_edge_ids()
+    big = _bigger_nbrs(graph)
+    if kernel == "csr":
+        return _csr_intersect_counts(canon, big)
+    joined = (
+        canon.join(big.withColumnRenamed("id", "lo"), "lo")
+        .withColumnRenamed("nbrs", "lo_nbrs")
+        .join(
+            big.withColumnRenamed("id", "hi").withColumnRenamed("nbrs", "hi_nbrs"),
+            "hi",
+            "left",
+        )
+        .select(
+            "lo",
+            "hi",
+            "lo_nbrs",
+            F.coalesce("hi_nbrs", F.array().cast("array<long>")).alias("hi_nbrs"),
+        )
+    )
+    if kernel == "arrow":
+        import numpy as np
+        import pandas as pd
+
+        def intersect_sizes(batches):
+            for pdf in batches:
+                counts = [
+                    np.intersect1d(a, b, assume_unique=True).size
+                    for a, b in zip(pdf["lo_nbrs"], pdf["hi_nbrs"])
+                ]
+                yield pd.DataFrame(
+                    {"lo": pdf["lo"], "hi": pdf["hi"], "triangles": counts}
+                )
+
+        return joined.mapInPandas(
+            intersect_sizes, "lo long, hi long, triangles long"
+        )
+    return joined.select(
+        "lo", "hi", F.size(F.array_intersect("lo_nbrs", "hi_nbrs")).alias("triangles")
+    )
 
 
 def triangles_df(graph: LinkGraph, prune_2core: bool = False) -> DataFrame:
@@ -51,35 +183,81 @@ def triangles_df(graph: LinkGraph, prune_2core: bool = False) -> DataFrame:
     return wedges.join(e3, ["a", "c"], "left_semi").select("a", "b", "c")
 
 
-def per_edge_triangles(graph: LinkGraph) -> DataFrame:
-    """Per-canonical-edge triangle attribution — ``(lo, hi, triangles)``.
+def per_edge_triangles(graph: LinkGraph, kernel: str = "auto") -> DataFrame:
+    """Per-canonical-edge triangle attribution — ``(lo, hi, triangles)``,
+    edges with zero triangles omitted.
 
     Triangle {a<b<c} is attributed to its smallest edge (a, b), matching
     the reference's s>t intersection accounting (triangle_count.rs:82-107)
     which counts each triangle exactly once at the pair of its two smallest
     vertices.
     """
-    tri = triangles_df(graph)
-    return (
-        tri.groupBy(F.col("a").alias("lo"), F.col("b").alias("hi"))
-        .agg(F.count("*").alias("triangles"))
-    )
+    return _edge_common_bigger(graph, kernel).filter(F.col("triangles") > 0)
 
 
-def global_triangle_count(graph: LinkGraph) -> int:
-    row = triangles_df(graph).agg(F.count("*")).first()
-    return int(row[0])
+def global_triangle_count(graph: LinkGraph, kernel: str = "auto") -> int:
+    row = _edge_common_bigger(graph, kernel).agg(F.sum("triangles")).first()
+    return int(row[0] or 0)
 
 
-def local_triangle_count(graph: LinkGraph) -> DataFrame:
-    """Per-node triangle membership — ``(name, id, triangles)`` (0-filled)."""
-    tri = triangles_df(graph)
-    member = (
-        tri.select(F.col("a").alias("id"))
-        .unionAll(tri.select(F.col("b").alias("id")))
-        .unionAll(tri.select(F.col("c").alias("id")))
+def local_triangle_count(graph: LinkGraph, kernel: str = "auto") -> DataFrame:
+    """Per-node triangle membership — ``(name, id, triangles)`` (0-filled).
+
+    Counted from FULL-neighbour intersections per edge: every triangle has
+    three edges, and Σ_{edges e ∋ v} |N(u)∩N(w)| counts each of v's
+    triangles exactly twice (once per incident triangle edge), so
+    ``local(v) = Σ t_e / 2`` — still one row per edge, never per triangle.
+    """
+    kernel = _pick_kernel(graph, kernel)
+    graph.undirected_edge_ids().persist()
+    full = (
+        graph.undirected_edge_ids()
+        .filter(F.col("id") != F.col("nbr_id"))
         .groupBy("id")
-        .agg(F.count("*").alias("triangles"))
+        .agg(F.array_sort(F.collect_set("nbr_id")).alias("nbrs"))
+    )
+    if kernel == "csr":
+        per_edge = _csr_intersect_counts(
+            graph.canonical_edge_ids(), full
+        ).withColumnRenamed("triangles", "t_e")
+        return _local_from_edge_counts(graph, per_edge)
+    joined = (
+        graph.canonical_edge_ids()
+        .join(full.withColumnRenamed("id", "lo"), "lo")
+        .withColumnRenamed("nbrs", "lo_nbrs")
+        .join(
+            full.withColumnRenamed("id", "hi").withColumnRenamed("nbrs", "hi_nbrs"),
+            "hi",
+        )
+    )
+    if kernel == "arrow":
+        import numpy as np
+        import pandas as pd
+
+        def intersect_sizes(batches):
+            for pdf in batches:
+                counts = [
+                    np.intersect1d(a, b, assume_unique=True).size
+                    for a, b in zip(pdf["lo_nbrs"], pdf["hi_nbrs"])
+                ]
+                yield pd.DataFrame(
+                    {"lo": pdf["lo"], "hi": pdf["hi"], "t_e": counts}
+                )
+
+        per_edge = joined.mapInPandas(intersect_sizes, "lo long, hi long, t_e long")
+    else:
+        per_edge = joined.select(
+            "lo", "hi", F.size(F.array_intersect("lo_nbrs", "hi_nbrs")).alias("t_e")
+        )
+    return _local_from_edge_counts(graph, per_edge)
+
+
+def _local_from_edge_counts(graph: LinkGraph, per_edge: DataFrame) -> DataFrame:
+    member = (
+        per_edge.select(F.col("lo").alias("id"), "t_e")
+        .unionAll(per_edge.select(F.col("hi").alias("id"), "t_e"))
+        .groupBy("id")
+        .agg((F.sum("t_e") / 2).cast("long").alias("triangles"))
     )
     return (
         graph.ids()
@@ -100,9 +278,9 @@ def triplet_count(graph: LinkGraph) -> int:
     return int(row[0] or 0)
 
 
-def clustering_coefficient(graph: LinkGraph) -> float:
+def clustering_coefficient(graph: LinkGraph, kernel: str = "jvm") -> float:
     """Global: 3·triangles / triplets — clustering_coefficient.rs:38-47."""
-    t = global_triangle_count(graph)
+    t = global_triangle_count(graph, kernel)
     p = triplet_count(graph)
     return (3.0 * t / p) if t and p else 0.0
 

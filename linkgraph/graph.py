@@ -264,6 +264,22 @@ class LinkGraph:
             return e.select(F.col("dst_id").alias("id"), F.col("src_id").alias("nbr_id"))
         return self.undirected_edge_ids()
 
+    # ------------------------------------------------------------ persistence
+    def save(self, path: str) -> None:
+        """Persist the graph (event tables) — ``save_to_file`` parity
+        (python/graph/graph.rs:260-301, bincode there; columnar here so a
+        saved graph is also directly queryable by any parquet reader)."""
+        self.edges_t.write.mode("overwrite").parquet(f"{path.rstrip('/')}/edges_t")
+        self.nodes_t.write.mode("overwrite").parquet(f"{path.rstrip('/')}/nodes_t")
+
+    @classmethod
+    def load(cls, spark, path: str) -> "LinkGraph":
+        """Load a graph written by :meth:`save` — ``load_from_file`` parity."""
+        p = path.rstrip("/")
+        return cls(
+            spark.read.parquet(f"{p}/edges_t"), spark.read.parquet(f"{p}/nodes_t")
+        )
+
     # ------------------------------------------------------------ window sets
     def time_bounds(self) -> tuple[int | None, int | None]:
         """(earliest, latest+1) — the view's timeline, end exclusive."""

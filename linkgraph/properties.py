@@ -1,0 +1,67 @@
+"""Temporal property projections/aggregations — the Properties API analogue.
+
+Raphtory exposes per-entity property histories with aggregation
+(``props.temporal().get(name).{values, sum, mean, min, max, count, at,
+first, latest}`` — python/graph/properties/props.rs, db/api/properties/).
+Our event table IS the history: per logical edge, the rows of ``edges_t``
+ordered by ``(time, value)`` are the temporal values of each property
+column, so the whole API surface is one hash aggregate with ``min_by`` /
+``max_by`` for the boundary values — map-side combinable, one shuffle.
+
+Tie-break note: the reference orders same-timestamp events by ingestion
+sequence (TimeIndexEntry's secondary index, core/storage/timeindex.rs:19);
+a derived table has no ingestion order, so ties break by value — documented
+determinism instead of hidden insertion order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from linkgraph.graph import LinkGraph
+
+
+def edge_temporal_property_agg(graph: LinkGraph, prop: str) -> DataFrame:
+    """Per logical edge: full aggregate view of one temporal property —
+    ``(src, dst, n_values, p_sum, p_mean, p_min, p_max, p_first, p_latest)``.
+    """
+    if prop not in graph.edges_t.columns:
+        raise ValueError(f"property {prop!r} not found on edges")
+    v = F.col(prop).cast("double")
+    order = F.struct("time", v.alias("v"))
+    return (
+        graph.edges_t.groupBy("src", "dst")
+        .agg(
+            F.count(v).alias("n_values"),
+            F.sum(v).alias("p_sum"),
+            F.avg(v).alias("p_mean"),
+            F.min(v).alias("p_min"),
+            F.max(v).alias("p_max"),
+            F.min_by(v, order).alias("p_first"),
+            F.max_by(v, order).alias("p_latest"),
+        )
+    )
+
+
+def edge_property_at(graph: LinkGraph, prop: str, t: int) -> DataFrame:
+    """Value of the property as of time ``t`` per edge (latest value with
+    ``time <= t``) — ``temporal().get(name).at(t)`` semantics."""
+    if prop not in graph.edges_t.columns:
+        raise ValueError(f"property {prop!r} not found on edges")
+    v = F.col(prop).cast("double")
+    return (
+        graph.edges_t.filter(F.col("time") <= F.lit(t))
+        .groupBy("src", "dst")
+        .agg(F.max_by(v, F.struct("time", v.alias("v"))).alias("value"))
+    )
+
+
+def graph_property_history(graph: LinkGraph, prop: str) -> DataFrame:
+    """The property's full event history — ``(src, dst, time, value)``
+    ordered iteration, the ``values()`` accessor."""
+    if prop not in graph.edges_t.columns:
+        raise ValueError(f"property {prop!r} not found on edges")
+    return graph.edges_t.select(
+        "src", "dst", "time", F.col(prop).cast("double").alias("value")
+    ).orderBy("src", "dst", "time", "value")

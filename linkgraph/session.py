@@ -36,6 +36,13 @@ def get_spark(
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
+        # shuffle/spill to tmpfs when available: local-mode shuffles are
+        # disk-bound and this sandbox's disk throughput is noisy; a real
+        # cluster would point this at fast local SSDs instead
+        .config(
+            "spark.local.dir",
+            "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else "/tmp",
+        )
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.default.parallelism", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")

@@ -1,6 +1,7 @@
 import random
 
 from linkgraph.algorithms import weakly_connected_components
+from linkgraph.algorithms.components import scc_groups, strongly_connected_components
 from linkgraph.graph import LinkGraph
 
 from tests import fixtures as FX
@@ -69,3 +70,44 @@ def test_wcc_checkpoint_resume(spark, tmp_path):
         ).collect()
     }
     assert got == FX.WCC_TWO_COMPONENTS_EXPECTED
+
+
+def test_scc_reference_golden(spark):
+    """components/scc.rs:180-208 — one non-trivial SCC {2,5,6,7,8}."""
+    from linkgraph.graph import LinkGraph
+    from linkgraph.synth import source_table
+
+    edges = [(1, 1, 2), (1, 2, 3), (1, 2, 5), (1, 3, 4), (1, 5, 6), (1, 6, 4),
+             (1, 6, 7), (1, 7, 8), (1, 8, 6), (1, 6, 2)]
+    g = LinkGraph.from_source_table(
+        source_table(spark, [(t, str(s), str(d)) for t, s, d in edges])
+    )
+    groups = [sorted(r["members"]) for r in scc_groups(g).collect()]
+    assert groups == [[2, 5, 6, 7, 8]]
+    labels = {r["name"]: r["scc"] for r in strongly_connected_components(g).collect()}
+    assert labels == {"1": 1, "2": 2, "3": 3, "4": 4, "5": 2, "6": 2, "7": 2, "8": 2}
+
+
+def test_scc_self_loop_singleton(spark):
+    from linkgraph.graph import LinkGraph
+    from linkgraph.synth import source_table
+
+    g = LinkGraph.from_source_table(
+        source_table(spark, [(0, "1", "2"), (0, "2", "2"), (0, "2", "3")])
+    )
+    groups = {tuple(sorted(r["members"])) for r in scc_groups(g).collect()}
+    assert groups == {(2,)}
+
+
+def test_scc_two_cycles_and_chain(spark):
+    from linkgraph.graph import LinkGraph
+    from linkgraph.synth import source_table
+
+    # 1<->2 -> 3 -> 4<->5, plus isolated chain 6->7
+    edges = [(0, 1, 2), (0, 2, 1), (0, 2, 3), (0, 3, 4), (0, 4, 5), (0, 5, 4),
+             (0, 6, 7)]
+    g = LinkGraph.from_source_table(
+        source_table(spark, [(t, str(s), str(d)) for t, s, d in edges])
+    )
+    labels = {r["name"]: r["scc"] for r in strongly_connected_components(g).collect()}
+    assert labels == {"1": 1, "2": 1, "3": 3, "4": 4, "5": 4, "6": 6, "7": 7}

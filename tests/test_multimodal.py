@@ -1,0 +1,77 @@
+"""Multimodal pipeline plumbing: binary blobs + typed meta through Arrow
+batches, metadata-driven frame explode, stubbed decode seam."""
+
+import pytest
+
+from linkgraph.pipeline.multimodal import (
+    assets_from_documents,
+    audio_features,
+    frame_sample,
+    image_features,
+    resize_images,
+)
+
+
+@pytest.fixture(scope="module")
+def assets(spark):
+    docs = spark.createDataFrame(
+        [(i, "abc" * (i + 1), "en", "src", 3 * (i + 1)) for i in range(9)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    return assets_from_documents(docs).persist()
+
+
+def test_asset_schema_and_kinds(assets):
+    rows = {r["asset_id"]: r for r in assets.collect()}
+    assert len(rows) == 9
+    assert rows[0]["kind"] == "image" and rows[1]["kind"] == "audio"
+    assert rows[2]["kind"] == "video"
+    assert bytes(rows[1]["blob"]) == b"abcabc"
+    assert rows[3]["meta"]["width"] == 19
+    assert rows[4]["meta"]["duration_ms"] == 5000
+
+
+def test_image_features_deterministic_fake(assets):
+    feats = {r["asset_id"]: r["features"] for r in image_features(assets).collect()}
+    assert set(feats) == {0, 3, 6}  # image kind = doc_id % 3 == 0
+    # fake formula: ((len * (i+1) + id) % 997) / 997
+    blob_len = 3 * (3 + 1)  # doc 3
+    assert feats[3][0] == ((blob_len * 1 + 3) % 997) / 997.0
+    assert len(feats[3]) == 8
+    a = image_features(assets).collect()
+    b = image_features(assets).collect()
+    assert sorted(map(str, a)) == sorted(map(str, b))
+
+
+def test_audio_features_metadata(assets):
+    rows = {r["asset_id"]: r for r in audio_features(assets).collect()}
+    assert set(rows) == {1, 4, 7}
+    assert rows[4]["n_samples"] == 5 * 16000
+    assert 0.0 <= rows[1]["peak"] <= 1.0
+
+
+def test_frame_sample_counts(assets):
+    rows = frame_sample(assets, step_ms=250).collect()
+    by_asset = {}
+    for r in rows:
+        by_asset.setdefault(r["asset_id"], []).append((r["frame_idx"], r["t_ms"]))
+    assert set(by_asset) == {2, 5, 8}
+    # doc 2: duration 3000ms -> 12 frames at 0,250,...,2750
+    assert sorted(by_asset[2]) == [(i, i * 250) for i in range(12)]
+    assert rows[0]["frame_ref"].count("#") == 1
+
+
+def test_resize_rewrites_meta_only(assets):
+    out = {r["asset_id"]: r for r in resize_images(assets, 8, 8).collect()}
+    orig = {r["asset_id"]: r for r in assets.filter("kind = 'image'").collect()}
+    assert set(out) == set(orig)
+    for k in out:
+        assert out[k]["meta"]["width"] == 8 and out[k]["meta"]["height"] == 8
+        assert bytes(out[k]["blob"]) == bytes(orig[k]["blob"])
+
+
+def test_real_decode_is_explicit_stub(assets):
+    with pytest.raises(NotImplementedError, match="real image decoding"):
+        image_features(assets, real=True)
+    with pytest.raises(NotImplementedError, match="real audio decoding"):
+        audio_features(assets, real=True)

@@ -1,0 +1,63 @@
+"""Temporal property aggregation API + graph save/load round-trip."""
+
+import pytest
+
+from linkgraph.graph import LinkGraph
+from linkgraph.properties import (
+    edge_property_at,
+    edge_temporal_property_agg,
+    graph_property_history,
+)
+
+
+@pytest.fixture(scope="module")
+def wg(spark):
+    rows = [("a", "b", 1, 10.0), ("a", "b", 2, 30.0), ("a", "b", 2, 20.0),
+            ("a", "c", 5, 7.0)]
+    return LinkGraph(
+        spark.createDataFrame(
+            [(s, d, t, "_default", w) for s, d, t, w in rows],
+            "src string, dst string, time long, layer string, weight double",
+        )
+    )
+
+
+def test_edge_temporal_property_agg(wg):
+    rows = {(r["src"], r["dst"]): r for r in
+            edge_temporal_property_agg(wg, "weight").collect()}
+    ab = rows[("a", "b")]
+    assert ab["n_values"] == 3 and ab["p_sum"] == 60.0 and ab["p_mean"] == 20.0
+    assert ab["p_min"] == 10.0 and ab["p_max"] == 30.0
+    assert ab["p_first"] == 10.0  # earliest time
+    assert ab["p_latest"] == 30.0  # latest time, value tie-break max
+    ac = rows[("a", "c")]
+    assert ac["n_values"] == 1 and ac["p_first"] == ac["p_latest"] == 7.0
+
+
+def test_edge_property_at(wg):
+    at1 = {(r["src"], r["dst"]): r["value"]
+           for r in edge_property_at(wg, "weight", 1).collect()}
+    assert at1 == {("a", "b"): 10.0}
+    at2 = {(r["src"], r["dst"]): r["value"]
+           for r in edge_property_at(wg, "weight", 2).collect()}
+    assert at2[("a", "b")] == 30.0
+
+
+def test_property_history_ordered(wg):
+    vals = [r["value"] for r in graph_property_history(wg, "weight").collect()]
+    assert vals == [10.0, 20.0, 30.0, 7.0]
+
+
+def test_missing_property_raises(wg):
+    with pytest.raises(ValueError, match="not found"):
+        edge_temporal_property_agg(wg, "nope")
+
+
+def test_save_load_roundtrip(spark, tmp_path, wg):
+    path = str(tmp_path / "g")
+    wg.save(path)
+    g2 = LinkGraph.load(spark, path)
+    assert g2.count_edges() == wg.count_edges()
+    assert g2.count_temporal_edges() == wg.count_temporal_edges()
+    assert sorted(r["name"] for r in g2.names().collect()) == ["a", "b", "c"]
+    assert "weight" in g2.edges_t.columns
