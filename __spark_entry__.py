@@ -512,6 +512,29 @@ def q_cosupply_lpa_sync(spark, sf_dir):
     )
 
 
+def q_transition_motifs(spark, sf_dir):
+    """Global temporal 3-node motif 40-vector over event-type transitions
+    with real event timestamps, delta = 1 hour."""
+    from linkgraph.algorithms import global_temporal_three_node_motif
+    from linkgraph.graph import LinkGraph
+
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    e = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .select(
+            F.col("prev_type").alias("src"),
+            F.col("event_type").alias("dst"),
+            (F.unix_timestamp("ts") * 1000).alias("time"),
+        )
+    )
+    vec = global_temporal_three_node_motif(LinkGraph(e), 3_600_000)
+    return spark.createDataFrame(
+        [(i, int(v)) for i, v in enumerate(vec)], "motif_id int, count long"
+    )
+
+
 def q_docs_minhash_lsh(spark, sf_dir):
     from linkgraph.pipeline.dedup import minhash_lsh_pairs
 
@@ -576,6 +599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_token_counts": q_docs_token_counts,
         "docs_exact_dups": q_docs_exact_dups,
         "docs_ngram_jaccard": q_docs_ngram_jaccard,
+        "transition_motifs": q_transition_motifs,
         "docs_minhash_lsh": q_docs_minhash_lsh,
         "docs_simhash": q_docs_simhash,
         "docs_fingerprint": q_docs_fingerprint,

@@ -9,6 +9,10 @@ from linkgraph.algorithms.components import (
 from linkgraph.algorithms.hits import hits
 from linkgraph.algorithms.kcore import k_core_ids, k_core_subgraph
 from linkgraph.algorithms.lpa import label_propagation
+from linkgraph.algorithms.motifs import (
+    global_temporal_three_node_motif,
+    temporal_three_node_motif_multi,
+)
 from linkgraph.algorithms.pagerank import pagerank, pagerank_on_ids
 from linkgraph.algorithms.paths import (
     dijkstra_single_source_shortest_paths,
@@ -29,8 +33,10 @@ __all__ = [
     "betweenness_centrality",
     "clustering_coefficient",
     "dijkstra_single_source_shortest_paths",
+    "global_temporal_three_node_motif",
     "global_triangle_count",
     "hits",
+    "temporal_three_node_motif_multi",
     "in_components",
     "k_core_ids",
     "k_core_subgraph",

@@ -1,0 +1,387 @@
+"""Temporal three-node motifs — the Paranjape-et-al δ-window 40-vector.
+
+Semantics match the reference exactly
+(algorithms/motifs/global_temporal_three_node_motifs.rs,
+kernels in motifs/three_node_motifs.rs):
+
+- the 40-vector = 24 star counts (pre/mid/post × 8 direction triples, with
+  the two-node counts subtracted cyclically) + 8 two-node counts + 8
+  triangle counts (global_temporal_three_node_motifs.rs:226-265 assembles
+  [star32][tri8]);
+- star counts per node run over ALL its incident edge events in time order
+  (star_motif_count, :26-73); two-node counts per neighbour pair over the
+  merged u→v / v→u event sequence (twonode_motif_count, :77-113); triangle
+  counts per triangle {a<b<c} over all events among its three node pairs,
+  found via larger-id neighbour-set intersection on the 2-core
+  (triangle_motifs, :115-242);
+- every kernel is the O(events) sliding-window pre/mid/post counter of
+  three_node_motifs.rs (δ-window maintained with two pointers).
+
+Event ordering: the reference breaks same-timestamp ties by global ingestion
+order (``time_and_index``); a derived table has no ingestion order, so ties
+break by ``(time, src, dst)`` — identical whenever timestamps are unique
+(documented divergence otherwise).  Self-loop events follow the reference's
+literal behaviour: once (OUT) in star sequences, twice (OUT, OUT) in the
+two-node sequence of the self pair.
+
+Spark shape: star/two-node counting is one ``applyInPandas`` over events
+grouped by node (each group = one node's timeline — the reference's
+per-node task, embarrassingly parallel); triangle counting joins per-pair
+event arrays onto the triangle list and runs one ``applyInPandas`` over
+triangles.  Only the final 40 numbers cross to the driver.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from linkgraph.graph import LinkGraph
+
+IN, OUT = 0, 1
+DIRS2D = [(0, 0), (0, 1), (1, 0), (1, 1)]
+
+
+def _m2(d1: int, d2: int) -> int:
+    return 2 * d1 + d2
+
+
+def _m3(d1: int, d2: int, d3: int) -> int:
+    return 4 * d1 + 2 * d2 + d3
+
+
+# ---------------------------------------------------------------- kernels
+
+
+def two_node_counts(dirs: np.ndarray, times: np.ndarray, delta: int) -> np.ndarray:
+    """TwoNodeCounter::execute (three_node_motifs.rs:28-66) — 8-vector."""
+    c1 = np.zeros(2, dtype=np.int64)
+    c2 = np.zeros(4, dtype=np.int64)
+    c3 = np.zeros(8, dtype=np.int64)
+    start = 0
+    for j in range(len(dirs)):
+        t = times[j]
+        while times[start] + delta < t:
+            d = dirs[start]
+            c1[d] -= 1
+            c2[_m2(d, IN)] -= c1[IN]
+            c2[_m2(d, OUT)] -= c1[OUT]
+            start += 1
+        d = dirs[j]
+        for d1, d2 in DIRS2D:
+            c3[_m3(d1, d2, d)] += c2[_m2(d1, d2)]
+        c2[_m2(IN, d)] += c1[IN]
+        c2[_m2(OUT, d)] += c1[OUT]
+        c1[d] += 1
+    return c3
+
+
+def star_counts(
+    nbs: np.ndarray, dirs: np.ndarray, times: np.ndarray, n: int, delta: int
+) -> np.ndarray:
+    """StarCounter::execute (three_node_motifs.rs:84-177) — 24-vector
+    [pre 8][mid 8][post 8]."""
+    l = len(nbs)
+    out = np.zeros(24, dtype=np.int64)
+    if l < 3:
+        return out
+    pre_nodes = np.zeros(2 * n, dtype=np.int64)
+    post_nodes = np.zeros(2 * n, dtype=np.int64)
+    pre_sum = np.zeros(8, dtype=np.int64)
+    mid_sum = np.zeros(8, dtype=np.int64)
+    post_sum = np.zeros(8, dtype=np.int64)
+    count_pre = np.zeros(8, dtype=np.int64)
+    count_mid = np.zeros(8, dtype=np.int64)
+    count_post = np.zeros(8, dtype=np.int64)
+    start = end = 0
+    for j in range(l):
+        tj = times[j]
+        while start < l and times[start] + delta < tj:
+            nb, d = nbs[start], dirs[start]
+            pre_nodes[d * n + nb] -= 1
+            pre_sum[_m2(d, IN)] -= pre_nodes[IN * n + nb]
+            pre_sum[_m2(d, OUT)] -= pre_nodes[OUT * n + nb]
+            start += 1
+        while end < l and times[end] <= tj + delta:
+            nb, d = nbs[end], dirs[end]
+            post_sum[_m2(IN, d)] += post_nodes[IN * n + nb]
+            post_sum[_m2(OUT, d)] += post_nodes[OUT * n + nb]
+            post_nodes[d * n + nb] += 1
+            end += 1
+        nb, d = nbs[j], dirs[j]
+        # pop_post(current)
+        post_nodes[d * n + nb] -= 1
+        post_sum[_m2(d, IN)] -= post_nodes[IN * n + nb]
+        post_sum[_m2(d, OUT)] -= post_nodes[OUT * n + nb]
+        # process_current
+        mid_sum[_m2(IN, d)] -= pre_nodes[IN * n + nb]
+        mid_sum[_m2(OUT, d)] -= pre_nodes[OUT * n + nb]
+        for d1, d2 in DIRS2D:
+            count_pre[_m3(d1, d2, d)] += pre_sum[_m2(d1, d2)]
+            count_post[_m3(d, d1, d2)] += post_sum[_m2(d1, d2)]
+            count_mid[_m3(d1, d, d2)] += mid_sum[_m2(d1, d2)]
+        mid_sum[_m2(d, IN)] += post_nodes[IN * n + nb]
+        mid_sum[_m2(d, OUT)] += post_nodes[OUT * n + nb]
+        # push_pre(current)
+        pre_sum[_m2(IN, d)] += pre_nodes[IN * n + nb]
+        pre_sum[_m2(OUT, d)] += pre_nodes[OUT * n + nb]
+        pre_nodes[d * n + nb] += 1
+    out[0:8] = count_pre
+    out[8:16] = count_mid
+    out[16:24] = count_post
+    return out
+
+
+def triangle_counts(
+    uv_edge: np.ndarray,
+    uorv: np.ndarray,
+    dirs: np.ndarray,
+    times: np.ndarray,
+    delta: int,
+) -> np.ndarray:
+    """TriangleCounter::execute (three_node_motifs.rs:195-334) — 8-vector.
+
+    ``nb`` is always 0 here, as in the reference's global driver
+    (global_temporal_three_node_motifs.rs:192-215 passes nb=0, n=2)."""
+    l = len(dirs)
+    final = np.zeros(8, dtype=np.int64)
+    if l < 3:
+        return final
+    n = 2
+    pre_nodes = np.zeros(4 * n, dtype=np.int64)
+    post_nodes = np.zeros(4 * n, dtype=np.int64)
+    pre_sum = np.zeros(8, dtype=np.int64)
+    mid_sum = np.zeros(8, dtype=np.int64)
+    post_sum = np.zeros(8, dtype=np.int64)
+    start = end = 0
+    for j in range(l):
+        tj = times[j]
+        while start < l and times[start] + delta < tj:
+            uv, w, d = uv_edge[start], uorv[start], dirs[start]
+            if not uv:
+                pre_nodes[n * _m2(d, w)] -= 1
+                pre_sum[_m3(w, d, IN)] -= pre_nodes[n * _m2(IN, 1 - w)]
+                pre_sum[_m3(w, d, OUT)] -= pre_nodes[n * _m2(OUT, 1 - w)]
+            start += 1
+        while end < l and times[end] <= tj + delta:
+            uv, w, d = uv_edge[end], uorv[end], dirs[end]
+            if not uv:
+                post_sum[_m3(1 - w, IN, d)] += post_nodes[n * _m2(IN, 1 - w)]
+                post_sum[_m3(1 - w, OUT, d)] += post_nodes[n * _m2(OUT, 1 - w)]
+                post_nodes[n * _m2(d, w)] += 1
+            end += 1
+        uv, w, d = uv_edge[j], uorv[j], dirs[j]
+        # pop_post(current)
+        if not uv:
+            post_nodes[n * _m2(d, w)] -= 1
+            post_sum[_m3(w, d, IN)] -= post_nodes[n * _m2(IN, 1 - w)]
+            post_sum[_m3(w, d, OUT)] -= post_nodes[n * _m2(OUT, 1 - w)]
+        # process_current
+        if not uv:
+            mid_sum[_m3(1 - w, IN, d)] -= pre_nodes[n * _m2(IN, 1 - w)]
+            mid_sum[_m3(1 - w, OUT, d)] -= pre_nodes[n * _m2(OUT, 1 - w)]
+            mid_sum[_m3(w, d, IN)] += post_nodes[n * _m2(IN, 1 - w)]
+            mid_sum[_m3(w, d, OUT)] += post_nodes[n * _m2(OUT, 1 - w)]
+        else:
+            final[0] += mid_sum[_m3(d, 0, 0)] + post_sum[_m3(d, 0, 1)] + pre_sum[_m3(1 - d, 1, 1)]
+            final[4] += mid_sum[_m3(d, 1, 0)] + post_sum[_m3(1 - d, 0, 1)] + pre_sum[_m3(1 - d, 0, 1)]
+            final[2] += mid_sum[_m3(1 - d, 0, 0)] + post_sum[_m3(d, 1, 1)] + pre_sum[_m3(1 - d, 1, 0)]
+            final[6] += mid_sum[_m3(1 - d, 1, 0)] + post_sum[_m3(1 - d, 1, 1)] + pre_sum[_m3(1 - d, 0, 0)]
+            final[1] += mid_sum[_m3(d, 0, 1)] + post_sum[_m3(d, 0, 0)] + pre_sum[_m3(d, 1, 1)]
+            final[5] += mid_sum[_m3(d, 1, 1)] + post_sum[_m3(1 - d, 0, 0)] + pre_sum[_m3(d, 0, 1)]
+            final[3] += mid_sum[_m3(1 - d, 0, 1)] + post_sum[_m3(d, 1, 0)] + pre_sum[_m3(d, 1, 0)]
+            final[7] += mid_sum[_m3(1 - d, 1, 1)] + post_sum[_m3(1 - d, 1, 0)] + pre_sum[_m3(d, 0, 0)]
+        # push_pre(current)
+        if not uv:
+            pre_sum[_m3(1 - w, IN, d)] += pre_nodes[n * _m2(IN, 1 - w)]
+            pre_sum[_m3(1 - w, OUT, d)] += pre_nodes[n * _m2(OUT, 1 - w)]
+            pre_nodes[n * _m2(d, w)] += 1
+    return final
+
+
+# ---------------------------------------------------------- orchestration
+
+
+def _events_with_seq(graph: LinkGraph):
+    """Event table with ids and a deterministic global sequence number."""
+    from linkgraph.graph import name_to_id
+
+    return graph.edges_t.select(
+        name_to_id(F.col("src")).alias("src_id"),
+        name_to_id(F.col("dst")).alias("dst_id"),
+        "time",
+    ).withColumn("seq", F.row_number().over(W.orderBy("time", "src_id", "dst_id")))
+
+
+def _star_twonode_vectors(graph: LinkGraph, deltas: list[int]):
+    """Per node: [star24 - twonode-cyclic][twonode 8] = 32 per delta, summed
+    across nodes (star_motif_count, global_temporal_three_node_motifs.rs:26-73)."""
+    import pandas as pd
+
+    ev = _events_with_seq(graph)
+    star_events = ev.select(
+        F.col("src_id").alias("node"),
+        F.col("dst_id").alias("nb"),
+        F.lit(OUT).alias("dir"),
+        "time",
+        "seq",
+    ).unionByName(
+        ev.filter(F.col("src_id") != F.col("dst_id")).select(
+            F.col("dst_id").alias("node"),
+            F.col("src_id").alias("nb"),
+            F.lit(IN).alias("dir"),
+            "time",
+            "seq",
+        )
+    )
+
+    n_deltas = len(deltas)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["time", "seq"], kind="mergesort")
+        node = int(pdf["node"].iloc[0])
+        nb_codes, nb_uniques = pd.factorize(pdf["nb"])
+        n = len(nb_uniques)
+        times = pdf["time"].to_numpy(np.int64)
+        dirs = pdf["dir"].to_numpy(np.int64)
+        nbs = nb_codes.astype(np.int64)
+        rows = []
+        for di, delta in enumerate(deltas):
+            star = star_counts(nbs, dirs, times, n, delta)
+            two = np.zeros(8, dtype=np.int64)
+            for code, nb in enumerate(nb_uniques):
+                mask = nbs == code
+                tn_dirs, tn_times = dirs[mask], times[mask]
+                if nb == node:
+                    # reference counts each self-loop event twice (OUT, OUT)
+                    # in the two-node series (twonode_motif_count explodes
+                    # the same edge as both out and inc)
+                    tn_dirs = np.repeat(tn_dirs, 2)
+                    tn_times = np.repeat(tn_times, 2)
+                two += two_node_counts(tn_dirs, tn_times, delta)
+            vec = np.concatenate([star - np.tile(two, 3), two])
+            rows.append([node, di] + vec.tolist())
+        cols = ["node", "delta_idx"] + [f"c{i}" for i in range(32)]
+        return pd.DataFrame(rows, columns=cols)
+
+    schema = "node long, delta_idx int, " + ", ".join(
+        f"c{i} long" for i in range(32)
+    )
+    per_node = star_events.groupBy("node").applyInPandas(kernel, schema)
+    sums = per_node.groupBy("delta_idx").agg(
+        *[F.sum(f"c{i}").alias(f"c{i}") for i in range(32)]
+    )
+    out = {di: [0] * 32 for di in range(n_deltas)}
+    for r in sums.collect():
+        out[r["delta_idx"]] = [int(r[f"c{i}"] or 0) for i in range(32)]
+    return out
+
+
+def _triangle_vectors(graph: LinkGraph, deltas: list[int]):
+    """Per triangle {a<b<c}: the 8 triangle-motif counts over all events
+    among its three pairs, summed (triangle_motifs,
+    global_temporal_three_node_motifs.rs:115-242; 2-core prune at :121)."""
+    import pandas as pd
+
+    from linkgraph.algorithms.kcore import k_core_ids
+    from linkgraph.algorithms.triangles import triangles_df
+
+    core = k_core_ids(graph, 2)
+    sub = graph.subgraph(
+        core.join(graph.ids(), "id").select("name")
+    )
+    tri = triangles_df(sub)
+    ev = _events_with_seq(sub)
+    # per unordered pair {x,y} (x<y): the full event array with endpoints
+    pair_ev = (
+        ev.select(
+            F.least("src_id", "dst_id").alias("plo"),
+            F.greatest("src_id", "dst_id").alias("phi"),
+            "src_id",
+            "dst_id",
+            "time",
+            "seq",
+        )
+        .groupBy("plo", "phi")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("time", "seq", "src_id", "dst_id"))
+            ).alias("evs")
+        )
+    )
+    # attach each of the triangle's three pairs
+    tri_pairs = (
+        tri.select("a", "b", "c", F.col("a").alias("plo"), F.col("b").alias("phi"))
+        .unionByName(
+            tri.select("a", "b", "c", F.col("a").alias("plo"), F.col("c").alias("phi"))
+        )
+        .unionByName(
+            tri.select("a", "b", "c", F.col("b").alias("plo"), F.col("c").alias("phi"))
+        )
+    )
+    joined = tri_pairs.join(pair_ev, ["plo", "phi"]).select("a", "b", "c", "evs")
+
+    n_deltas = len(deltas)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        a, b, c = int(pdf["a"].iloc[0]), int(pdf["b"].iloc[0]), int(pdf["c"].iloc[0])
+        v, u, w = a, b, c  # reference naming: u > v; w = common larger nbr
+        evs = []
+        for arr in pdf["evs"]:
+            evs.extend(
+                (e["time"], e["seq"], e["src_id"], e["dst_id"]) for e in arr
+            )
+        evs.sort(key=lambda e: (e[0], e[1]))
+        l = len(evs)
+        times = np.fromiter((e[0] for e in evs), dtype=np.int64, count=l)
+        uv_edge = np.zeros(l, dtype=bool)
+        uorv = np.zeros(l, dtype=np.int64)
+        dirs = np.zeros(l, dtype=np.int64)
+        # event mapping per global_temporal_three_node_motifs.rs:188-214
+        for i, (_, _, src, dst) in enumerate(evs):
+            if src == w:
+                uorv[i] = 0 if dst == u else 1
+                dirs[i] = IN
+            elif dst == w:
+                uorv[i] = 0 if src == u else 1
+                dirs[i] = OUT
+            elif src == u:
+                uv_edge[i], uorv[i], dirs[i] = True, 1, OUT
+            else:
+                uv_edge[i], uorv[i], dirs[i] = True, 0, IN
+        rows = []
+        for di, delta in enumerate(deltas):
+            vec = triangle_counts(uv_edge, uorv, dirs, times, delta)
+            rows.append([a, b, c, di] + vec.tolist())
+        return pd.DataFrame(
+            rows, columns=["a", "b", "c", "delta_idx"] + [f"t{i}" for i in range(8)]
+        )
+
+    schema = "a long, b long, c long, delta_idx int, " + ", ".join(
+        f"t{i} long" for i in range(8)
+    )
+    per_tri = joined.groupBy("a", "b", "c").applyInPandas(kernel, schema)
+    sums = per_tri.groupBy("delta_idx").agg(
+        *[F.sum(f"t{i}").alias(f"t{i}") for i in range(8)]
+    )
+    out = {di: [0] * 8 for di in range(n_deltas)}
+    for r in sums.collect():
+        out[r["delta_idx"]] = [int(r[f"t{i}"] or 0) for i in range(8)]
+    return out
+
+
+def temporal_three_node_motif_multi(
+    graph: LinkGraph, deltas: list[int]
+) -> list[list[int]]:
+    """The global 40-vectors, one per delta
+    (temporal_three_node_motif_multi, :244-300): [star-minus-twonode 24]
+    [twonode 8][triangle 8]."""
+    star = _star_twonode_vectors(graph, deltas)
+    tri = _triangle_vectors(graph, deltas)
+    return [star[i] + tri[i] for i in range(len(deltas))]
+
+
+def global_temporal_three_node_motif(graph: LinkGraph, delta: int) -> list[int]:
+    """The global 40-vector for one delta (:302-309)."""
+    return temporal_three_node_motif_multi(graph, [delta])[0]

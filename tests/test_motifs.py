@@ -1,0 +1,60 @@
+"""Temporal three-node motifs — golden 40-vector from the reference's
+global_temporal_three_node_motifs.rs test (motifs_test::test_global)."""
+
+import numpy as np
+
+from linkgraph.algorithms.motifs import (
+    global_temporal_three_node_motif,
+    temporal_three_node_motif_multi,
+    two_node_counts,
+)
+from linkgraph.graph import LinkGraph
+from linkgraph.synth import source_table
+
+MOTIF_EDGES = [
+    (1, 1, 2), (1, 1, 2), (2, 1, 3), (2, 1, 3), (3, 1, 4), (4, 3, 1),
+    (5, 3, 4), (6, 3, 5), (7, 4, 5), (8, 5, 6), (9, 5, 8), (10, 7, 5),
+    (11, 8, 5), (12, 1, 9), (13, 9, 1), (14, 6, 3), (15, 4, 8), (16, 8, 3),
+    (17, 5, 10), (18, 10, 5), (19, 10, 8), (20, 1, 11), (21, 11, 1),
+    (22, 9, 11), (23, 11, 9),
+]
+
+EXPECTED_40 = [
+    0, 2, 3, 8, 2, 4, 1, 5, 0, 0, 0, 0, 1, 0, 2, 0, 0, 1, 6, 0, 0, 1, 10, 2,
+    0, 1, 0, 0, 0, 0, 1, 0, 2, 3, 2, 4, 1, 2, 4, 1,
+]
+
+
+def _graph(spark):
+    return LinkGraph.from_source_table(
+        source_table(spark, [(t, str(s), str(d)) for t, s, d in MOTIF_EDGES])
+    )
+
+
+def test_global_motif_reference_golden(spark):
+    """global_temporal_three_node_motifs.rs:311-371 — delta=10, exact."""
+    got = global_temporal_three_node_motif(_graph(spark), 10)
+    assert got == EXPECTED_40
+
+
+def test_multi_delta(spark):
+    got = temporal_three_node_motif_multi(_graph(spark), [10, 1])
+    assert got[0] == EXPECTED_40
+    assert len(got[1]) == 40
+    # delta=1 admits strictly fewer (or equal) windows than delta=10
+    assert sum(got[1]) <= sum(got[0])
+
+
+def test_two_node_kernel_shape():
+    # O--I--I within delta: one OI pair feeding 2d, one OII triple in 3d
+    dirs = np.array([1, 0, 0], dtype=np.int64)
+    times = np.array([1, 2, 3], dtype=np.int64)
+    c3 = two_node_counts(dirs, times, 5)
+    assert c3.sum() == 1  # exactly one length-3 motif in-window
+    assert c3[0b100] == 1  # O then I then I → map3d(1,0,0)
+
+
+def test_motifs_empty_and_tiny(spark):
+    g = LinkGraph.from_source_table(source_table(spark, [(1, "1", "2")]))
+    got = global_temporal_three_node_motif(g, 10)
+    assert got == [0] * 40
