@@ -11,6 +11,7 @@ from linkgraph.algorithms.kcore import k_core_ids, k_core_subgraph
 from linkgraph.algorithms.lpa import label_propagation
 from linkgraph.algorithms.motifs import (
     global_temporal_three_node_motif,
+    local_temporal_three_node_motifs,
     temporal_three_node_motif_multi,
 )
 from linkgraph.algorithms.pagerank import pagerank, pagerank_on_ids
@@ -41,6 +42,7 @@ __all__ = [
     "k_core_ids",
     "k_core_subgraph",
     "label_propagation",
+    "local_temporal_three_node_motifs",
     "local_clustering_coefficient",
     "local_triangle_count",
     "out_components",

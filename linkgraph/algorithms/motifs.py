@@ -214,9 +214,10 @@ def _events_with_seq(graph: LinkGraph):
     ).withColumn("seq", F.row_number().over(W.orderBy("time", "src_id", "dst_id")))
 
 
-def _star_twonode_vectors(graph: LinkGraph, deltas: list[int]):
-    """Per node: [star24 - twonode-cyclic][twonode 8] = 32 per delta, summed
-    across nodes (star_motif_count, global_temporal_three_node_motifs.rs:26-73)."""
+def _star_twonode_vectors(graph: LinkGraph, deltas: list[int], local: bool = False):
+    """Per node: [star24 - twonode-cyclic][twonode 8] = 32 per delta
+    (star_motif_count, global_temporal_three_node_motifs.rs:26-73) — summed
+    across nodes for the global census, per-node DataFrame when ``local``."""
     import pandas as pd
 
     ev = _events_with_seq(graph)
@@ -269,6 +270,8 @@ def _star_twonode_vectors(graph: LinkGraph, deltas: list[int]):
         f"c{i} long" for i in range(32)
     )
     per_node = star_events.groupBy("node").applyInPandas(kernel, schema)
+    if local:
+        return per_node
     sums = per_node.groupBy("delta_idx").agg(
         *[F.sum(f"c{i}").alias(f"c{i}") for i in range(32)]
     )
@@ -278,7 +281,7 @@ def _star_twonode_vectors(graph: LinkGraph, deltas: list[int]):
     return out
 
 
-def _triangle_vectors(graph: LinkGraph, deltas: list[int]):
+def _triangle_vectors(graph: LinkGraph, deltas: list[int], local: bool = False):
     """Per triangle {a<b<c}: the 8 triangle-motif counts over all events
     among its three pairs, summed (triangle_motifs,
     global_temporal_three_node_motifs.rs:115-242; 2-core prune at :121)."""
@@ -324,21 +327,14 @@ def _triangle_vectors(graph: LinkGraph, deltas: list[int]):
 
     n_deltas = len(deltas)
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        a, b, c = int(pdf["a"].iloc[0]), int(pdf["b"].iloc[0]), int(pdf["c"].iloc[0])
-        v, u, w = a, b, c  # reference naming: u > v; w = common larger nbr
-        evs = []
-        for arr in pdf["evs"]:
-            evs.extend(
-                (e["time"], e["seq"], e["src_id"], e["dst_id"]) for e in arr
-            )
-        evs.sort(key=lambda e: (e[0], e[1]))
+    def _map_and_count(evs, u, w, delta):
+        """Event mapping per global_temporal_three_node_motifs.rs:188-214
+        for roles (u, w); v is the remaining vertex."""
         l = len(evs)
         times = np.fromiter((e[0] for e in evs), dtype=np.int64, count=l)
         uv_edge = np.zeros(l, dtype=bool)
         uorv = np.zeros(l, dtype=np.int64)
         dirs = np.zeros(l, dtype=np.int64)
-        # event mapping per global_temporal_three_node_motifs.rs:188-214
         for i, (_, _, src, dst) in enumerate(evs):
             if src == w:
                 uorv[i] = 0 if dst == u else 1
@@ -350,18 +346,41 @@ def _triangle_vectors(graph: LinkGraph, deltas: list[int]):
                 uv_edge[i], uorv[i], dirs[i] = True, 1, OUT
             else:
                 uv_edge[i], uorv[i], dirs[i] = True, 0, IN
+        return triangle_counts(uv_edge, uorv, dirs, times, delta)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        a, b, c = int(pdf["a"].iloc[0]), int(pdf["b"].iloc[0]), int(pdf["c"].iloc[0])
+        evs = []
+        for arr in pdf["evs"]:
+            evs.extend(
+                (e["time"], e["seq"], e["src_id"], e["dst_id"]) for e in arr
+            )
+        evs.sort(key=lambda e: (e[0], e[1]))
         rows = []
         for di, delta in enumerate(deltas):
-            vec = triangle_counts(uv_edge, uorv, dirs, times, delta)
-            rows.append([a, b, c, di] + vec.tolist())
+            if local:
+                # per-member attribution (local_temporal_three_node_motifs
+                # .rs:206-290): member u counts with v = the smaller and
+                # w = the larger of the other two vertices
+                for node, u, w in ((a, a, c), (b, b, c), (c, c, b)):
+                    vec = _map_and_count(evs, u, w, delta)
+                    rows.append([node, di] + vec.tolist())
+            else:
+                # global driver: one count per triangle at (u=b, v=a, w=c)
+                vec = _map_and_count(evs, b, c, delta)
+                rows.append([a, di] + vec.tolist())
         return pd.DataFrame(
-            rows, columns=["a", "b", "c", "delta_idx"] + [f"t{i}" for i in range(8)]
+            rows, columns=["node", "delta_idx"] + [f"t{i}" for i in range(8)]
         )
 
-    schema = "a long, b long, c long, delta_idx int, " + ", ".join(
+    schema = "node long, delta_idx int, " + ", ".join(
         f"t{i} long" for i in range(8)
     )
     per_tri = joined.groupBy("a", "b", "c").applyInPandas(kernel, schema)
+    if local:
+        return per_tri.groupBy("node", "delta_idx").agg(
+            *[F.sum(f"t{i}").alias(f"t{i}") for i in range(8)]
+        )
     sums = per_tri.groupBy("delta_idx").agg(
         *[F.sum(f"t{i}").alias(f"t{i}") for i in range(8)]
     )
@@ -385,3 +404,29 @@ def temporal_three_node_motif_multi(
 def global_temporal_three_node_motif(graph: LinkGraph, delta: int) -> list[int]:
     """The global 40-vector for one delta (:302-309)."""
     return temporal_three_node_motif_multi(graph, [delta])[0]
+
+
+def local_temporal_three_node_motifs(graph: LinkGraph, deltas: list[int]):
+    """Per-node 40-vectors — ``(name, id, delta_idx, motifs array<long>)``
+    (local_temporal_three_node_motifs.rs:326-400: per-node star/two-node
+    counts assembled with per-member triangle attribution)."""
+    star = _star_twonode_vectors(graph, deltas, local=True)
+    tri = _triangle_vectors(graph, deltas, local=True)
+    joined = star.join(tri, ["node", "delta_idx"], "left")
+    motif_cols = [F.coalesce(F.col(f"c{i}"), F.lit(0)) for i in range(32)] + [
+        F.coalesce(F.col(f"t{i}"), F.lit(0)) for i in range(8)
+    ]
+    per_node = joined.select(
+        F.col("node").alias("id"), "delta_idx", F.array(*motif_cols).alias("motifs")
+    )
+    # zero-fill nodes with no events at all
+    deltas_df = graph.spark.createDataFrame(
+        [(i,) for i in range(len(deltas))], "delta_idx int"
+    )
+    base = graph.ids().crossJoin(deltas_df)
+    return base.join(per_node, ["id", "delta_idx"], "left").select(
+        "name",
+        "id",
+        "delta_idx",
+        F.coalesce("motifs", F.array(*[F.lit(0).cast("long")] * 40)).alias("motifs"),
+    )

@@ -58,3 +58,41 @@ def test_motifs_empty_and_tiny(spark):
     g = LinkGraph.from_source_table(source_table(spark, [(1, "1", "2")]))
     got = global_temporal_three_node_motif(g, 10)
     assert got == [0] * 40
+
+
+LOCAL_EDGES = [
+    (1, 1, 2), (2, 1, 3), (3, 1, 4), (4, 3, 1), (5, 3, 4), (6, 3, 5),
+    (7, 4, 5), (8, 5, 6), (9, 5, 8), (10, 7, 5), (11, 8, 5), (12, 1, 9),
+    (13, 9, 1), (14, 6, 3), (15, 4, 8), (16, 8, 3), (17, 5, 10), (18, 10, 5),
+    (19, 10, 8), (20, 1, 11), (21, 11, 1), (22, 9, 11), (23, 11, 9),
+]
+
+LOCAL_EXPECTED = {
+    "1": [0,0,0,0,1,2,0,0,0,0,0,0,0,0,1,0,0,0,2,0,0,0,3,0,0,0,0,0,0,0,0,0,1,1,1,1,1,1,2,0],
+    "10": [0,0,0,1,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,1,0,1,0,1,0,1],
+    "11": [0,0,1,1,0,0,0,0,0,0,0,0,0,0,0,0,0,1,0,0,0,1,0,0,0,0,0,0,0,0,0,0,1,1,1,1,1,0,1,0],
+    "2": [0]*40,
+    "3": [0,0,0,2,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,1,0,2,0,1,2,0],
+    "4": [0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,1,0,1,0,0,1,2,0],
+    "5": [0,0,0,0,1,1,0,0,0,0,0,0,1,0,0,0,0,0,4,0,0,0,3,0,0,0,0,0,0,0,0,0,1,2,1,3,0,1,1,1],
+    "6": [0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,1,0,0,0,0],
+    "7": [0]*40,
+    "8": [0,0,2,1,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,1,2,1,2,0,1,0,1],
+    "9": [0,0,0,1,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,1,0,0,0,0,0,0,0,0,0,1,1,1,1,1,0,1,0],
+}
+
+
+def test_local_motifs_reference_golden(spark):
+    """local_temporal_three_node_motifs.rs:417-533 — per-node 40-vectors,
+    delta=10; the reference asserts nodes 3..11."""
+    from linkgraph.algorithms.motifs import local_temporal_three_node_motifs
+
+    g = LinkGraph.from_source_table(
+        source_table(spark, [(t, str(s), str(d)) for t, s, d in LOCAL_EDGES])
+    )
+    got = {
+        r["name"]: list(r["motifs"])
+        for r in local_temporal_three_node_motifs(g, [10]).collect()
+    }
+    for node in map(str, range(3, 12)):
+        assert got[node] == LOCAL_EXPECTED[node], node
