@@ -55,33 +55,36 @@ def weakly_connected_components(
     from linkgraph.superstep import pick_partitions
 
     P = partitions or pick_partitions(spark, raw_und.count())
-    und = raw_und.repartition(P, "nbr_id").persist()
-    und.count()
-    raw_und.unpersist()
-
-    # init: own id; the first superstep then computes min(own, neighbours),
-    # matching the reference's init step (connected_components.rs:45-51)
-    init = ids.select("id", F.col("id").alias("component")).repartition(P, "id")
-
-    store = CheckpointStore(spark, checkpoint_dir) if checkpoint_dir else None
-    if store is not None:
-        edge_sum = und.agg(
-            F.sum(F.xxhash64("id", "nbr_id").bitwiseAND(F.lit(0xFFFFFFFF)))
-        ).first()[0]
-        meta = {"algorithm": "wcc", "edge_checksum": int(edge_sum or 0)}
-        store.validate_meta(meta)
-        store.write_meta(meta)
-
-    loop = SuperstepLoop(
-        spark, store=store, resume=resume, checkpoint_every=checkpoint_every
-    )
-    state, start_it = loop.begin(init)
-    n = ids.count()
-    use_broadcast = n <= broadcast_threshold
-
-    it = start_it
     with iteration_conf(spark, shuffle_partitions=P):
-        state = _run_loop(loop, state, und, it, max_iter, use_broadcast)
+        # pre-sorted cache built under the loop conf (AQE off): elides the
+        # adjacency-side Sort of the per-superstep sort-merge join
+        und = (
+            raw_und.repartition(P, "nbr_id").sortWithinPartitions("nbr_id").persist()
+        )
+        und.count()
+        raw_und.unpersist()
+
+        # init: own id; the first superstep then computes min(own, nbrs),
+        # matching the reference's init (connected_components.rs:45-51)
+        init = ids.select("id", F.col("id").alias("component")).repartition(P, "id")
+
+        store = CheckpointStore(spark, checkpoint_dir) if checkpoint_dir else None
+        if store is not None:
+            edge_sum = und.agg(
+                F.sum(F.xxhash64("id", "nbr_id").bitwiseAND(F.lit(0xFFFFFFFF)))
+            ).first()[0]
+            meta = {"algorithm": "wcc", "edge_checksum": int(edge_sum or 0)}
+            store.validate_meta(meta)
+            store.write_meta(meta)
+
+        loop = SuperstepLoop(
+            spark, store=store, resume=resume, checkpoint_every=checkpoint_every
+        )
+        state, start_it = loop.begin(init)
+        n = ids.count()
+        use_broadcast = n <= broadcast_threshold
+
+        state = _run_loop(loop, state, und, start_it, max_iter, use_broadcast)
     return state.join(ids, "id").select("name", "id", "component")
 
 

@@ -80,18 +80,22 @@ def hits(
         .persist()
     )
     P = partitions or pick_partitions(spark, msgs_edges.count())
-    msgs_edges = msgs_edges.repartition(P, "from_id").persist()
-    msgs_edges.count()
-
-    init = ids.select(
-        "id", F.lit(1.0).alias("hub"), F.lit(1.0).alias("auth")
-    ).repartition(P, "id")
-
-    loop = SuperstepLoop(spark)
-    state, start_it = loop.begin(init)
-    use_broadcast = n <= broadcast_threshold
-
     with iteration_conf(spark, shuffle_partitions=P):
+        msgs_edges = (
+            msgs_edges.repartition(P, "from_id")
+            .sortWithinPartitions("from_id")
+            .persist()
+        )
+        msgs_edges.count()
+
+        init = ids.select(
+            "id", F.lit(1.0).alias("hub"), F.lit(1.0).alias("auth")
+        ).repartition(P, "id")
+
+        loop = SuperstepLoop(spark)
+        state, start_it = loop.begin(init)
+        use_broadcast = n <= broadcast_threshold
+
         for it in range(start_it, max_iter + 1):
             if iters_out is not None:
                 iters_out["iterations"] = it

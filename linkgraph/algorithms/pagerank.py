@@ -116,57 +116,70 @@ def pagerank_on_ids(
     from linkgraph.superstep import pick_partitions
 
     P = partitions or pick_partitions(spark, n_edges)
-    edges = raw_edges.repartition(P, "src_id").persist()
-    edges.count()
-    raw_edges.unpersist()
-    deg = (
-        edges.groupBy(F.col("src_id").alias("id"))
-        .agg(F.count("*").alias("out_degree"))
-    )
-    # static per-node table: (id, out_degree) — partitioned by id once
-    static = (
-        ids.select("id")
-        .join(deg, "id", "left")
-        .fillna(0, subset=["out_degree"])
-        .repartition(P, "id")
-        .persist()
-    )
-    n_sinks = static.filter(F.col("out_degree") == 0).count()
-
-    teleport = (1.0 - damping) / n
-    init = static.withColumn("score", F.lit(1.0 / n))
-
-    store = CheckpointStore(spark, checkpoint_dir) if checkpoint_dir else None
-    if store is not None:
-        # fingerprint the input + config so a stale checkpoint from another
-        # graph is refused instead of silently resumed
-        edge_sum = edges.agg(
-            F.sum(F.xxhash64("src_id", "dst_id").bitwiseAND(F.lit(0xFFFFFFFF)))
-        ).first()[0]
-        # only trajectory-affecting facts: tol/norm may legitimately change
-        # between a killed run and its resume (e.g. resume to tighter tol)
-        meta = {
-            "algorithm": "pagerank",
-            "n_nodes": n,
-            "edge_checksum": int(edge_sum or 0),
-            "damping": damping,
-        }
-        store.validate_meta(meta)
-        store.write_meta(meta)
-    loop = SuperstepLoop(
-        spark, store=store, resume=resume, checkpoint_every=checkpoint_every
-    )
-    state, start_it = loop.begin(init)
-
-    # sink mass of the current (previous-iteration) state
-    if n_sinks:
-        sink_mass = state.filter(F.col("out_degree") == 0).agg(F.sum("score")).first()[0]
-    else:
-        sink_mass = 0.0
-
-    use_broadcast = n <= broadcast_threshold
-
+    # The loop-scoped conf wraps the CACHE BUILDS too: caches built with AQE
+    # on get AQE-wrapped plans whose within-partition ordering Catalyst can't
+    # see, resurrecting per-superstep sorts.
     with iteration_conf(spark, shuffle_partitions=P):
+        # partition AND pre-sort within partitions: the per-superstep
+        # contribution join is a sort-merge join of two cached co-partitioned
+        # sides — with the cache already sorted on the join key, Catalyst
+        # elides the big-side Sort every iteration (only the small freshly-
+        # aggregated message side sorts)
+        edges = (
+            raw_edges.repartition(P, "src_id").sortWithinPartitions("src_id").persist()
+        )
+        edges.count()
+        raw_edges.unpersist()
+        deg = (
+            edges.groupBy(F.col("src_id").alias("id"))
+            .agg(F.count("*").alias("out_degree"))
+        )
+        # static per-node table: (id, out_degree) — partitioned by id once
+        static = (
+            ids.select("id")
+            .join(deg, "id", "left")
+            .fillna(0, subset=["out_degree"])
+            .repartition(P, "id")
+            .sortWithinPartitions("id")
+            .persist()
+        )
+        n_sinks = static.filter(F.col("out_degree") == 0).count()
+
+        teleport = (1.0 - damping) / n
+        init = static.withColumn("score", F.lit(1.0 / n))
+
+        store = CheckpointStore(spark, checkpoint_dir) if checkpoint_dir else None
+        if store is not None:
+            # fingerprint the input + config so a stale checkpoint from
+            # another graph is refused instead of silently resumed
+            edge_sum = edges.agg(
+                F.sum(F.xxhash64("src_id", "dst_id").bitwiseAND(F.lit(0xFFFFFFFF)))
+            ).first()[0]
+            # only trajectory-affecting facts: tol/norm may legitimately
+            # change between a killed run and its resume
+            meta = {
+                "algorithm": "pagerank",
+                "n_nodes": n,
+                "edge_checksum": int(edge_sum or 0),
+                "damping": damping,
+            }
+            store.validate_meta(meta)
+            store.write_meta(meta)
+        loop = SuperstepLoop(
+            spark, store=store, resume=resume, checkpoint_every=checkpoint_every
+        )
+        state, start_it = loop.begin(init)
+
+        # sink mass of the current (previous-iteration) state
+        if n_sinks:
+            sink_mass = (
+                state.filter(F.col("out_degree") == 0).agg(F.sum("score")).first()[0]
+            )
+        else:
+            sink_mass = 0.0
+
+        use_broadcast = n <= broadcast_threshold
+
         state = _run_loop(
             spark, loop, state, edges, static, n, n_sinks, sink_mass, damping,
             teleport, norm, tol, max_iter, start_it, use_broadcast, iters_out,
