@@ -512,6 +512,29 @@ def q_cosupply_lpa_sync(spark, sf_dir):
     )
 
 
+def q_trade_modularity(spark, sf_dir):
+    """Modularity of the WCC partition of the trade graph."""
+    from linkgraph.algorithms import weakly_connected_components
+    from linkgraph.algorithms.community import modularity
+
+    g = _trade_graph(spark, sf_dir)
+    labels = weakly_connected_components(g).select(
+        "id", F.col("component").alias("label")
+    )
+    q = modularity(g, labels)
+    return spark.createDataFrame([(round(q, 6),)], "modularity double")
+
+
+def q_trade_louvain(spark, sf_dir):
+    """Deterministic Louvain communities (rows-only; reference is unseeded)."""
+    from linkgraph.algorithms.community import louvain
+
+    g = _trade_graph(spark, sf_dir)
+    return louvain(g, max_levels=2, max_sweeps=4).select(
+        F.col("name").cast("long").alias("node"), "community"
+    )
+
+
 def q_transition_motifs(spark, sf_dir):
     """Global temporal 3-node motif 40-vector over event-type transitions
     with real event timestamps, delta = 1 hour."""
@@ -600,6 +623,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_exact_dups": q_docs_exact_dups,
         "docs_ngram_jaccard": q_docs_ngram_jaccard,
         "transition_motifs": q_transition_motifs,
+        "trade_modularity": q_trade_modularity,
+        "trade_louvain": q_trade_louvain,
         "docs_minhash_lsh": q_docs_minhash_lsh,
         "docs_simhash": q_docs_simhash,
         "docs_fingerprint": q_docs_fingerprint,
@@ -960,6 +985,31 @@ b AS (SELECT src, dst, max(t) AS xt FROM ev WHERE t <= {PROP_AT} GROUP BY src, d
 SELECT e.src, e.dst, max(e.w) AS value
 FROM ev e JOIN b ON b.src = e.src AND b.dst = e.dst AND e.t = b.xt
 GROUP BY e.src, e.dst
+"""
+
+    sqls["trade_modularity"] = f"""
+WITH RECURSIVE {_TRADE_ED}, {_TRADE_NODES}, {_TRADE_UND},
+reach(node, lab) AS (
+  SELECT id, id FROM trade_nodes
+  UNION
+  SELECT u.id, r.lab FROM reach r JOIN trade_und u ON u.nbr = r.node
+),
+comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY node),
+k AS (SELECT id, count(*)::DOUBLE AS kk FROM trade_und GROUP BY id),
+m AS (SELECT sum(kk) AS m2 FROM k),
+intra AS (
+  SELECT count(*)::DOUBLE AS w FROM trade_und u
+  JOIN comp a ON a.node = u.id JOIN comp b ON b.node = u.nbr
+  WHERE a.component = b.component
+),
+kc AS (
+  SELECT sum(s * s) AS k2 FROM (
+    SELECT sum(kk) AS s FROM k JOIN comp ON comp.node = k.id GROUP BY component
+  )
+)
+SELECT round((SELECT w FROM intra) / (SELECT m2 FROM m)
+       - (SELECT k2 FROM kc) / ((SELECT m2 FROM m) * (SELECT m2 FROM m)), 6)
+       AS modularity
 """
 
     sqls["cosupply_triangle_count"] = f"""

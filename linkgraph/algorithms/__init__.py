@@ -1,6 +1,7 @@
 """Packaged graph algorithms (SURVEY.md §2.6)."""
 
 from linkgraph.algorithms.betweenness import betweenness_centrality
+from linkgraph.algorithms.community import louvain, modularity
 from linkgraph.algorithms.components import (
     in_components,
     out_components,
@@ -42,6 +43,8 @@ __all__ = [
     "k_core_ids",
     "k_core_subgraph",
     "label_propagation",
+    "louvain",
+    "modularity",
     "local_temporal_three_node_motifs",
     "local_clustering_coefficient",
     "local_triangle_count",

@@ -1,0 +1,113 @@
+"""Sources and sinks — loader/export parity (SURVEY §2.1).
+
+Reference surface: ``CsvLoader`` (graph_loader/source/csv_loader.rs:120-359,
+parallel multi-file CSV with gzip/bz2), ``JsonLoader``
+(source/json_loader.rs), and the Python export helpers ``to_edge_df`` /
+``to_node_df`` / ``to_networkx`` (python/python/raphtory/export.py:108-280).
+Spark's readers already are the parallel, compression-aware multi-file
+loaders, so each loader is a thin schema adapter onto ``LinkGraph``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from linkgraph.graph import LinkGraph
+
+
+def _adapt(
+    df: DataFrame,
+    src: str,
+    dst: str,
+    time: str | None,
+    layer: str | None,
+    props: list[str] | None,
+) -> LinkGraph:
+    cols = [
+        F.col(src).cast("string").alias("src"),
+        F.col(dst).cast("string").alias("dst"),
+    ]
+    if time is not None:
+        tcol = F.col(time)
+        if dict(df.dtypes)[time] in ("timestamp", "date"):
+            tcol = F.unix_timestamp(tcol) * 1000
+        cols.append(tcol.cast("long").alias("time"))
+    if layer is not None:
+        cols.append(F.col(layer).cast("string").alias("layer"))
+    for p in props or []:
+        cols.append(F.col(p))
+    return LinkGraph(df.select(*cols))
+
+
+def from_csv(
+    spark: SparkSession,
+    path: str,
+    src: str = "src",
+    dst: str = "dst",
+    time: str | None = "time",
+    layer: str | None = None,
+    props: list[str] | None = None,
+    **reader_options,
+) -> LinkGraph:
+    """Edge-list CSV(s) → LinkGraph.  ``path`` may be a glob/directory;
+    gzip/bz2 handled natively (CsvLoader parity)."""
+    opts = {"header": "true", "inferSchema": "true", **reader_options}
+    return _adapt(spark.read.options(**opts).csv(path), src, dst, time, layer, props)
+
+
+def from_json(
+    spark: SparkSession,
+    path: str,
+    src: str = "src",
+    dst: str = "dst",
+    time: str | None = "time",
+    layer: str | None = None,
+    props: list[str] | None = None,
+    **reader_options,
+) -> LinkGraph:
+    """JSON-lines edge file(s) → LinkGraph (JsonLoader parity)."""
+    return _adapt(
+        spark.read.options(**reader_options).json(path), src, dst, time, layer, props
+    )
+
+
+def to_edge_df(graph: LinkGraph):
+    """Pandas edge DataFrame — export.py:177 ``to_edge_df`` shape:
+    one row per logical edge with its event-time history."""
+    return (
+        graph.edges_t.groupBy("src", "dst")
+        .agg(F.sort_array(F.collect_list("time")).alias("update_history"))
+        .orderBy("src", "dst")
+        .toPandas()
+    )
+
+
+def to_node_df(graph: LinkGraph):
+    """Pandas node DataFrame — export.py:231 ``to_node_df`` shape:
+    one row per node with its activity history."""
+    return (
+        graph.nodes_t.groupBy("name")
+        .agg(F.sort_array(F.collect_set("time")).alias("update_history"))
+        .orderBy("name")
+        .toPandas()
+    )
+
+
+def to_networkx(graph: LinkGraph, include_times: bool = True):
+    """Graph → ``networkx.MultiDiGraph`` (export.py:108 ``to_networkx``).
+    Gated on networkx being installed; collects to the driver — small
+    graphs only, like the reference's export."""
+    try:
+        import networkx as nx
+    except ImportError as e:  # pragma: no cover - env-dependent
+        raise ImportError("to_networkx requires the networkx package") from e
+    g = nx.MultiDiGraph()
+    for r in graph.names().collect():
+        g.add_node(r["name"])
+    for r in graph.edges_t.select("src", "dst", "time").collect():
+        if include_times:
+            g.add_edge(r["src"], r["dst"], time=r["time"])
+        else:
+            g.add_edge(r["src"], r["dst"])
+    return g

@@ -112,3 +112,86 @@ def random_attachment_edges(
         )
     )
     return edges
+
+
+def preferential_attachment_edges(
+    spark: SparkSession,
+    n_nodes: int,
+    out_degree: int = 4,
+    seed: int = 42,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Seeded preferential-attachment (Barabási–Albert-style) edge stream.
+
+    The reference's ``ba_preferential_attachment``
+    (graphgen/preferential_attachment.rs:52) grows the graph sequentially,
+    attaching each new node to ``out_degree`` existing nodes with
+    probability proportional to degree — inherently serial and unseeded.
+    The distributed equivalent is the **vertex-copy model**: node i's k-th
+    target is a uniformly random ENDPOINT of a uniformly random earlier
+    edge — endpoints appear in the edge multiset exactly degree-many times,
+    so the choice is degree-proportional, and because this generator's
+    earlier edges are closed-form in their index (edge e: src = 2 + e//m,
+    dst = that edge's own hash draw), the lookup needs no join: every edge
+    is computable independently.  Deterministic in ``seed``; equals BA in
+    distribution, documented divergence from the reference's serial RNG.
+
+    Batch rounds double the node range each time: nodes of a round copy
+    endpoints only from edges of earlier rounds (log₂ n rounds, one shuffle
+    join each — the standard batched-BA scheme; within-round degree updates
+    are the documented divergence from the serial reference).  Returns
+    ``edges_t(src, dst, time, layer)``; nodes 0..n-1.
+    """
+    m = out_degree
+    P = partitions or 8
+
+    def picks(lo: int, hi: int):
+        base = spark.range(lo, hi)
+        k = F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("k")
+        return base.select(F.col("id").alias("src_i"), k)
+
+    # seed round: node 2 attaches uniformly to the pool {0, 1}
+    acc = picks(2, min(3, n_nodes)).select(
+        "src_i",
+        "k",
+        F.pmod(F.xxhash64("src_i", "k", F.lit(seed)), F.lit(2)).alias("dst_i"),
+    )
+    acc = acc.withColumn("eidx", (F.col("src_i") - 2) * m + F.col("k")).localCheckpoint()
+    lo = 3
+    while lo < n_nodes:
+        hi = min(n_nodes, lo * 2)
+        n_earlier = (lo - 2) * m  # edges from all earlier rounds
+        new = (
+            picks(lo, hi)
+            .withColumn(
+                "pick_idx",
+                F.pmod(F.xxhash64("src_i", "k", F.lit(seed)), F.lit(n_earlier)),
+            )
+            .join(
+                acc.select(
+                    F.col("eidx").alias("pick_idx"),
+                    F.col("src_i").alias("e_src"),
+                    F.col("dst_i").alias("e_dst"),
+                ),
+                "pick_idx",
+            )
+            .select(
+                "src_i",
+                "k",
+                F.when(
+                    F.pmod(F.xxhash64("src_i", "k", F.lit(seed + 1)), F.lit(2)) == 0,
+                    F.col("e_src"),
+                )
+                .otherwise(F.col("e_dst"))
+                .alias("dst_i"),
+            )
+            .withColumn("eidx", (F.col("src_i") - 2) * m + F.col("k"))
+        )
+        acc = acc.unionByName(new).repartition(P).localCheckpoint()
+        lo = hi
+    return acc.select(
+        F.col("src_i").cast("string").alias("src"),
+        F.col("dst_i").cast("string").alias("dst"),
+        (F.col("src_i") * m + F.col("k")).cast("long").alias("time"),
+        F.lit("_default").alias("layer"),
+    )

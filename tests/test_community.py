@@ -1,0 +1,69 @@
+"""Modularity (exact hand-computed golden) + deterministic Louvain."""
+
+import math
+
+from linkgraph.algorithms.community import louvain, modularity
+from linkgraph.graph import LinkGraph
+from linkgraph.synth import source_table
+
+
+def _two_cliques(spark):
+    c1 = [(0, a, b) for a in "123" for b in "123" if a < b]
+    c2 = [(0, a, b) for a in "456" for b in "456" if a < b]
+    bridge = [(0, "1", "4")]
+    return LinkGraph.from_source_table(source_table(spark, c1 + c2 + bridge))
+
+
+def test_modularity_hand_computed(spark):
+    """Two 3-cliques + bridge, partitioned by clique:
+    m2=14, intra=12, K1=K2=7 → Q = 12/14 − 2·49/196 = 0.35714…"""
+    g = _two_cliques(spark)
+    labels = g.ids().selectExpr("id", "case when name in ('1','2','3') then 1 else 2 end as label")
+    q = modularity(g, labels)
+    assert math.isclose(q, 12 / 14 - 98 / 196, abs_tol=1e-12)
+
+
+def test_modularity_identity_partition(spark):
+    """Singleton partition: intra = 0 → Q = −Σk²/m2²."""
+    g = _two_cliques(spark)
+    labels = g.ids().selectExpr("id", "id as label")
+    q = modularity(g, labels)
+    # k: nodes 1,4 have k=3; others k=2 → Σk² = 2·9 + 4·4 = 34
+    assert math.isclose(q, -34 / 196, abs_tol=1e-12)
+
+
+def test_modularity_resolution_and_selfloops(spark):
+    g = LinkGraph.from_source_table(
+        source_table(spark, [(0, "1", "2"), (0, "2", "2")])
+    )
+    labels = g.ids().selectExpr("id", "1 as label")
+    # k excludes self-loops: m2 = 2; intra = 2 (edge both ways) + 1 self
+    assert math.isclose(modularity(g, labels), 3 / 2 - 4 / 4, abs_tol=1e-12)
+    assert math.isclose(
+        modularity(g, labels, resolution=2.0), 3 / 2 - 2 * 4 / 4, abs_tol=1e-12
+    )
+
+
+def test_louvain_recovers_cliques(spark):
+    from pyspark.sql import functions as F
+
+    g = _two_cliques(spark)
+    result = louvain(g)
+    res = {r["name"]: r["community"] for r in result.collect()}
+    coms = {}
+    for name, c in res.items():
+        coms.setdefault(c, set()).add(name)
+    assert set(map(frozenset, coms.values())) == {
+        frozenset({"1", "2", "3"}),
+        frozenset({"4", "5", "6"}),
+    }
+    # modularity of the result beats the singleton partition
+    q = modularity(g, result.select("id", F.col("community").alias("label")))
+    assert q > 0.3
+
+
+def test_louvain_deterministic(spark):
+    g = _two_cliques(spark)
+    a = sorted((r["name"], r["community"]) for r in louvain(g, seed=3).collect())
+    b = sorted((r["name"], r["community"]) for r in louvain(g, seed=3).collect())
+    assert a == b

@@ -1,0 +1,66 @@
+"""Loaders/exports (CsvLoader/JsonLoader/to_*_df parity) and the seeded
+graph generators."""
+
+from pyspark.sql import functions as F
+
+from linkgraph.graph import LinkGraph
+from linkgraph.io import from_csv, from_json, to_edge_df, to_node_df
+from linkgraph.synth import preferential_attachment_edges, random_attachment_edges
+
+
+def test_from_csv_roundtrip(spark, tmp_path):
+    p = str(tmp_path / "edges.csv")
+    with open(p, "w") as f:
+        f.write("src,dst,time\na,b,1\na,b,2\nb,c,3\n")
+    g = from_csv(spark, p)
+    assert g.count_temporal_edges() == 3
+    assert g.count_edges() == 2
+    assert g.earliest_time() == 1 and g.latest_time() == 3
+
+
+def test_from_json_roundtrip(spark, tmp_path):
+    p = str(tmp_path / "edges.json")
+    with open(p, "w") as f:
+        f.write('{"src": "a", "dst": "b", "time": 5}\n')
+        f.write('{"src": "b", "dst": "c", "time": 6}\n')
+    g = from_json(spark, p)
+    assert g.count_edges() == 2 and g.latest_time() == 6
+
+
+def test_exports(spark):
+    g = LinkGraph(
+        spark.createDataFrame(
+            [("a", "b", 2, "_default"), ("a", "b", 1, "_default")],
+            "src string, dst string, time long, layer string",
+        )
+    )
+    edf = to_edge_df(g)
+    assert list(edf["update_history"][0]) == [1, 2]
+    ndf = to_node_df(g)
+    assert set(ndf["name"]) == {"a", "b"}
+
+
+def test_random_attachment_deterministic(spark):
+    a = random_attachment_edges(spark, 1000, seed=7)
+    b = random_attachment_edges(spark, 1000, seed=7)
+    assert a.count() == 999 * 4
+    assert a.exceptAll(b).count() == 0
+    # every target precedes its source
+    bad = a.filter(F.col("dst").cast("long") >= F.col("src").cast("long")).count()
+    assert bad == 0
+
+
+def test_preferential_attachment_skew(spark):
+    pa = preferential_attachment_edges(spark, 5000, seed=7)
+    ra = random_attachment_edges(spark, 5000, seed=7)
+    assert pa.count() == (5000 - 2) * 4
+    # deterministic
+    assert pa.exceptAll(preferential_attachment_edges(spark, 5000, seed=7)).count() == 0
+    # degree-proportional attachment concentrates in-degree far beyond uniform
+    def max_in(df):
+        return (
+            df.groupBy("dst").count().agg(F.max("count")).first()[0]
+        )
+    assert max_in(pa) > 3 * max_in(ra)
+    # targets always precede sources
+    assert pa.filter(F.col("dst").cast("long") >= F.col("src").cast("long")).count() == 0
