@@ -17,10 +17,11 @@ Iterative algorithms are compared at a FIXED superstep count (tol=0) so the
 Spark run and the recursive-CTE oracle execute the same number of
 iterations; floats are rounded to 6dp on both sides. Operators whose exact
 semantics cannot be expressed in DuckDB SQL (seeded asynchronous LPA,
-xxhash-based MinHash/SimHash/fingerprints/LSH, k-core peeling) have no
-oracle entry — the driver records the weaker rows-only check; their
-correctness gates live in tests/ against reference goldens and Python
-oracles.
+xxhash-based MinHash/SimHash/fingerprints/LSH, k-core peeling, Brandes
+betweenness, temporal motif kernels, Louvain) have no oracle entry — the
+driver records the weaker rows-only check; their correctness gates live in
+tests/ against the reference's golden test vectors (see COVERAGE.md for
+the full operator → query → golden map).
 """
 
 from __future__ import annotations

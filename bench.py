@@ -53,9 +53,12 @@ def main() -> None:
         "trade_degrees",
         "trade_wcc",
         "trade_pagerank",
+        "trade_hits",
+        "trade_betweenness",
         "cosupply_triangle_count",
         "cosupply_per_edge_triangles",
         "transition_lpa_sync",
+        "transition_scc",
         "docs_token_counts",
         "docs_minhash_lsh",
         "docs_simhash",

@@ -14,7 +14,18 @@ salted aggregation, checkpointed iteration).
 """
 
 from linkgraph.graph import LinkGraph
+from linkgraph.io import from_csv, from_json, to_edge_df, to_node_df, to_networkx
 from linkgraph.session import get_spark
+from linkgraph.windows import rolling_counts
 
-__all__ = ["LinkGraph", "get_spark"]
+__all__ = [
+    "LinkGraph",
+    "from_csv",
+    "from_json",
+    "get_spark",
+    "rolling_counts",
+    "to_edge_df",
+    "to_networkx",
+    "to_node_df",
+]
 __version__ = "0.1.0"
