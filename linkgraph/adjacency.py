@@ -1,0 +1,133 @@
+"""Hash-partitioned, salted CSR adjacency blocks — the north-star layout.
+
+The reference shards adjacency ``vid % 16`` into per-shard sorted ``AdjSet``
+rows (core/storage/mod.rs:29-33, adjset.rs:16-28).  The distributed layout
+here is its scale-out analogue:
+
+- ``csr_blocks``: adjacency hash-bucketed by source id, each bucket packed
+  into one Arrow row of CSR arrays (``ids``, ``indptr``, ``indices``) inside
+  ``applyInPandas`` — the batch shape numpy kernels consume (the triangle
+  counters and any custom vertex program iterate these blocks instead of
+  row-at-a-time Python).
+- **Salting**: a hub whose adjacency would dominate its bucket is split
+  across ``(id, salt)`` sub-rows so no single Arrow batch or task owns a
+  whole hub.  Consumers do two-phase aggregation (partial per salt → final
+  per id); ``salted_out_degrees`` demonstrates the pattern and is the
+  building block the sum-shaped aggregations get implicitly from Spark's
+  map-side partial aggregation (pagerank.py notes the equivalence).
+- ``broadcast_hub_vector``: the (tiny) high-degree hub id set with its
+  per-hub values, collected for broadcast into iteration joins — the
+  north-star's hub-vector broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from linkgraph.graph import LinkGraph
+
+HUB_DEGREE_DEFAULT = 100_000
+
+
+def salted_edges(
+    graph: LinkGraph, salts: int = 16, hub_degree: int = HUB_DEGREE_DEFAULT
+) -> DataFrame:
+    """Simple directed edges with a salt column: hubs (out-degree ≥
+    ``hub_degree``) spread across ``salts`` sub-keys, everyone else salt 0 —
+    ``(src_id, dst_id, salt)``."""
+    e = graph.edge_ids()
+    deg = e.groupBy("src_id").agg(F.count("*").alias("d"))
+    hubs = deg.filter(F.col("d") >= hub_degree).select("src_id")
+    return e.join(F.broadcast(hubs.withColumn("is_hub", F.lit(True))), "src_id", "left").select(
+        "src_id",
+        "dst_id",
+        F.when(
+            F.col("is_hub").isNotNull(),
+            F.pmod(F.xxhash64("dst_id"), F.lit(salts)).cast("int"),
+        )
+        .otherwise(F.lit(0))
+        .alias("salt"),
+    )
+
+
+def csr_blocks(
+    graph: LinkGraph,
+    num_buckets: int = 32,
+    salts: int = 16,
+    hub_degree: int = HUB_DEGREE_DEFAULT,
+) -> DataFrame:
+    """Adjacency as per-bucket CSR Arrow rows —
+    ``(bucket, salt, ids array<long>, indptr array<int>, indices
+    array<long>)`` with ``ids`` sorted and each row's neighbour slice
+    ``indices[indptr[i]:indptr[i+1]]`` sorted (AdjSet ordering)."""
+    import numpy as np
+    import pandas as pd
+
+    e = salted_edges(graph, salts, hub_degree).withColumn(
+        "bucket", F.pmod(F.xxhash64("src_id"), F.lit(num_buckets)).cast("int")
+    )
+
+    def pack(pdf: pd.DataFrame):
+        for (bucket, salt), grp in pdf.groupby(["bucket", "salt"]):
+            srcs = grp["src_id"].to_numpy(np.int64)
+            dsts = grp["dst_id"].to_numpy(np.int64)
+            order = np.lexsort((dsts, srcs))
+            srcs, dsts = srcs[order], dsts[order]
+            ids, starts = np.unique(srcs, return_index=True)
+            indptr = np.append(starts, len(srcs)).astype(np.int32)
+            yield pd.DataFrame(
+                {
+                    "bucket": [int(bucket)],
+                    "salt": [int(salt)],
+                    "ids": [ids.tolist()],
+                    "indptr": [indptr.tolist()],
+                    "indices": [dsts.tolist()],
+                }
+            )
+
+    def pack_batches(batches):
+        for pdf in batches:
+            yield from pack(pdf)
+
+    return (
+        e.repartition(num_buckets, "bucket", "salt")
+        .sortWithinPartitions("bucket", "salt")
+        .mapInPandas(
+            pack_batches,
+            "bucket int, salt int, ids array<long>, indptr array<int>, "
+            "indices array<long>",
+        )
+    )
+
+
+def salted_out_degrees(
+    graph: LinkGraph, salts: int = 16, hub_degree: int = HUB_DEGREE_DEFAULT
+) -> DataFrame:
+    """Two-phase salted degree aggregation — ``(id, out_degree)``:
+    partial count per ``(src_id, salt)``, final sum per id.  Identical
+    result to ``degrees()``; the explicit form of the hot-key pattern."""
+    return (
+        salted_edges(graph, salts, hub_degree)
+        .groupBy("src_id", "salt")
+        .agg(F.count("*").alias("partial"))
+        .groupBy(F.col("src_id").alias("id"))
+        .agg(F.sum("partial").alias("out_degree"))
+    )
+
+
+def broadcast_hub_vector(
+    graph: LinkGraph,
+    values: DataFrame,
+    hub_degree: int = HUB_DEGREE_DEFAULT,
+) -> dict[int, float]:
+    """Collect the hub slice of a per-node value column for broadcast —
+    ``values`` is ``(id, value)``; returns {id: value} for hubs only."""
+    deg = (
+        graph.edge_ids()
+        .groupBy(F.col("src_id").alias("id"))
+        .agg(F.count("*").alias("d"))
+        .filter(F.col("d") >= hub_degree)
+    )
+    rows = values.join(deg.select("id"), "id", "left_semi").collect()
+    return {int(r[0]): float(r[1]) for r in rows}

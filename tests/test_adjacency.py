@@ -1,0 +1,66 @@
+"""Salted CSR adjacency blocks: reconstruction + hub salting invariants."""
+
+from pyspark.sql import functions as F
+
+from linkgraph.adjacency import (
+    broadcast_hub_vector,
+    csr_blocks,
+    salted_edges,
+    salted_out_degrees,
+)
+from linkgraph.graph import LinkGraph
+from linkgraph.synth import random_attachment_edges
+
+
+def _g(spark):
+    return LinkGraph(random_attachment_edges(spark, 300, out_degree=3, seed=11))
+
+
+def test_csr_blocks_reconstruct_adjacency(spark):
+    g = _g(spark)
+    expected = {
+        (r["src_id"], r["dst_id"])
+        for r in g.edge_ids().collect()
+    }
+    got = set()
+    for row in csr_blocks(g, num_buckets=4).collect():
+        ids, indptr, indices = row["ids"], row["indptr"], row["indices"]
+        assert len(indptr) == len(ids) + 1
+        for i, node in enumerate(ids):
+            nbrs = indices[indptr[i]:indptr[i + 1]]
+            assert nbrs == sorted(nbrs)  # AdjSet ordering
+            got.update((node, nbr) for nbr in nbrs)
+    assert got == expected
+
+
+def test_salting_splits_hubs_only(spark):
+    g = _g(spark)
+    # low threshold → every node with degree >= 2 becomes a "hub"
+    se = salted_edges(g, salts=4, hub_degree=2)
+    n_salts = se.filter(F.col("salt") > 0).count()
+    assert n_salts > 0
+    # high threshold → nobody salted
+    se0 = salted_edges(g, salts=4, hub_degree=10_000)
+    assert se0.filter(F.col("salt") > 0).count() == 0
+
+
+def test_salted_degrees_match_plain(spark):
+    g = _g(spark)
+    plain = {
+        r["id"]: r["out_degree"]
+        for r in g.degrees().filter(F.col("out_degree") > 0).collect()
+    }
+    salted = {
+        r["id"]: r["out_degree"]
+        for r in salted_out_degrees(g, salts=4, hub_degree=2).collect()
+    }
+    assert salted == plain
+
+
+def test_broadcast_hub_vector(spark):
+    g = _g(spark)
+    values = g.ids().select("id", (F.col("id") * 2.0).alias("value"))
+    hubs = broadcast_hub_vector(g, values, hub_degree=3)
+    assert hubs  # random-attachment nodes all have out-degree 3
+    for k, v in hubs.items():
+        assert v == 2.0 * k
