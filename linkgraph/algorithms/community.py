@@ -115,9 +115,21 @@ def louvain(
     seed: int = 17,
     max_levels: int = 5,
     max_sweeps: int = 8,
+    tol: float = 1e-8,
 ) -> DataFrame:
     """Deterministic Louvain; returns ``(name, id, community)`` where the
-    community label is the minimum member id."""
+    community label is the minimum member id.
+
+    Gain accounting matches ``ModularityUnDir::move_delta``
+    (modularity.rs:266-281) exactly: candidate score
+    ``2·w(v→c)/m2 − 2·res·k_v·(K_c − [c=own]·k_v)/m2²`` so score
+    differences equal the reference's ΔQ; ``m2`` is computed ONCE from the
+    level-0 strengths and reused at every aggregation level, and a
+    supernode's strength is the sum of its members' strengths (intra-
+    community weight included), as ``aggregate()`` does (modularity.rs:
+    350-394 — ``k = k_com`` of the old level, ``m2`` never reassigned).
+    A move is taken only when its best ΔQ exceeds ``tol`` (louvain.rs:50-53).
+    """
     spark = graph.spark
     ids = graph.ids().persist()
     und, self_loops = _weighted_und(graph, weight)
@@ -129,6 +141,15 @@ def louvain(
 
     # current mapping original-id -> community (starts as identity)
     mapping = ids.select("id", F.col("id").alias("community")).localCheckpoint()
+
+    # level-0 strengths (self-loops excluded, adj filter modularity.rs:198)
+    # and the FIXED m2 = Σk used at every level
+    k0 = und.groupBy("id").agg(F.sum("w").alias("k"))
+    m2 = k0.agg(F.sum("k")).first()[0] or 0.0
+    if m2 == 0.0:
+        return ids.join(mapping, "id").select("name", "id", "community")
+    # strengths of the current level's supernodes (node = community id)
+    nodes_k = k0.select(F.col("id").alias("node"), "k").localCheckpoint()
 
     for level in range(max_levels):
         if _dbg:
@@ -149,24 +170,22 @@ def louvain(
             .agg(F.sum("w").alias("w"))
             .localCheckpoint()
         )
-        sup_k = sup_edges.groupBy(F.col("a").alias("node")).agg(
-            F.sum("w").alias("k")
-        )
-        m2 = sup_k.agg(F.sum("k")).first()[0] or 0.0
-        if m2 == 0.0:
-            break
 
         # local-move sweeps on the supergraph: node = current community
-        com = sup_k.select("node", F.col("node").alias("com"), "k").localCheckpoint()
+        com = nodes_k.select(
+            "node", F.col("node").alias("com"), "k"
+        ).localCheckpoint()
         improved_any = False
         zero_streak = 0
         for sweep in range(max_sweeps):
             if _dbg:
                 print(f"louvain level={level} sweep={sweep}", flush=True)
             com_tot = com.groupBy("com").agg(F.sum("k").alias("k_com"))
-            # candidate gains: for node v and neighbour community c:
-            # ΔQ ∝ w(v→c)/m2 − resolution·k_v·K_c/(m2²/2)… constant terms per
-            # node cancel when comparing candidates, keep the exact ordering
+            # candidate score for node v and community c:
+            #   S(c) = 2·w(v→c)/m2 − 2·res·k_v·(K_c − [c=own]·k_v)/m2²
+            # so S(c) − S(own) equals move_delta(v, c) exactly
+            # (modularity.rs:266-281: a = 2(w_vc − w_v,own), p = 2(k_v·(K_c −
+            # K_own) + k_v²), ΔQ = (a − res·p/m2)/m2)
             cand = (
                 sup_edges.join(
                     com.select(F.col("node").alias("b"), F.col("com").alias("c_b")),
@@ -186,7 +205,7 @@ def louvain(
                     "cand",
                     "k",
                     (
-                        F.col("w_to") / m2
+                        F.lit(2.0) * F.col("w_to") / m2
                         - F.lit(2.0 * resolution)
                         * F.col("k")
                         * (
@@ -221,7 +240,7 @@ def louvain(
                 .select(
                     "node",
                     (
-                        F.coalesce("w_own", F.lit(0.0)) / m2
+                        F.lit(2.0) * F.coalesce("w_own", F.lit(0.0)) / m2
                         - F.lit(2.0 * resolution)
                         * F.col("k")
                         * (F.col("k_com") - F.col("k"))
@@ -234,7 +253,9 @@ def louvain(
                 .join(stay, "node")
                 .filter(
                     (F.col("new_com") != F.col("com"))
-                    & (F.col("gain") > F.col("stay_gain") + 1e-15)
+                    # gain − stay_gain = move_delta; take only ΔQ > tol
+                    # (louvain.rs:50-53, tol default 1e-8)
+                    & (F.col("gain") > F.col("stay_gain") + tol)
                     # deterministic anti-swap guard: even sweeps only move
                     # toward smaller community ids, odd sweeps toward larger
                     # — a pairwise swap needs both directions, so it can
@@ -270,7 +291,14 @@ def louvain(
             )
         # canonicalise community labels to min member node id
         canon = com.groupBy("com").agg(F.min("node").alias("canon"))
-        com = com.join(canon, "com").select("node", F.col("canon").alias("com"))
+        com = com.join(canon, "com").select("node", F.col("canon").alias("com"), "k")
+        # next level's supernode strengths = Σ member strengths (aggregate()
+        # keeps intra-community weight in k: modularity.rs:381-385)
+        nodes_k = (
+            com.groupBy(F.col("com").alias("node"))
+            .agg(F.sum("k").alias("k"))
+            .localCheckpoint()
+        )
         mapping = (
             mapping.join(
                 com.select(F.col("node").alias("community"), F.col("com").alias("new")),

@@ -81,12 +81,14 @@ def hits(
     )
     P = partitions or pick_partitions(spark, msgs_edges.count())
     with iteration_conf(spark, shuffle_partitions=P):
+        raw_msgs = msgs_edges
         msgs_edges = (
             msgs_edges.repartition(P, "from_id")
             .sortWithinPartitions("from_id")
             .persist()
         )
         msgs_edges.count()
+        raw_msgs.unpersist()  # the pre-repartition copy is no longer needed
 
         init = ids.select(
             "id", F.lit(1.0).alias("hub"), F.lit(1.0).alias("auth")
@@ -121,13 +123,16 @@ def hits(
                     F.coalesce("recv_auth", F.lit(0.0)).alias("recv_auth"),
                 )
             )
-            recv = loop.stage(recv, it)  # cached raw sums (prev still live)
-            totals = recv.agg(
+            recv = loop.stage(recv, it, materialize=False)
+            # ONE driver action per superstep: the received totals ride into
+            # the convergence aggregate as a broadcast one-row cross join, so
+            # normalisation happens inside the same job that computes the
+            # max-|Δ| (and that job also materialises the recv cache)
+            tot = recv.agg(
                 F.sum("recv_hub").alias("th"), F.sum("recv_auth").alias("ta")
-            ).first()
-            th = totals["th"] or 1.0
-            ta = totals["ta"] or 1.0
-            # convergence needs the totals first, so a second tiny aggregate
+            )
+            th_nz = F.when(F.col("th") != 0.0, F.col("th")).otherwise(F.lit(1.0))
+            ta_nz = F.when(F.col("ta") != 0.0, F.col("ta")).otherwise(F.lit(1.0))
             diff = (
                 recv.join(
                     state.select(
@@ -135,16 +140,21 @@ def hits(
                     ),
                     "id",
                 )
+                .crossJoin(F.broadcast(tot))
                 .agg(
-                    F.max(F.abs(F.col("recv_auth") / F.lit(ta) - F.col("ph"))).alias(
+                    F.max(F.abs(F.col("recv_auth") / ta_nz - F.col("ph"))).alias(
                         "dh"
                     ),
-                    F.max(F.abs(F.col("recv_hub") / F.lit(th) - F.col("pa"))).alias(
+                    F.max(F.abs(F.col("recv_hub") / th_nz - F.col("pa"))).alias(
                         "da"
                     ),
+                    F.first("th").alias("th"),
+                    F.first("ta").alias("ta"),
                 )
                 .first()
             )
+            th = diff["th"] or 1.0
+            ta = diff["ta"] or 1.0
             committed = loop.commit(it)  # prev dropped; recv stays cached
             state = committed.select(
                 "id",

@@ -40,13 +40,25 @@ from pyspark.sql import functions as F
 from linkgraph.graph import LinkGraph
 
 
+AUTO_EXACT_MAX_EDGES = 2_000_000  # ~one executor task's worth of adjacency
+
+
 def label_propagation(
     graph: LinkGraph,
     seed: int = 42,
-    mode: str = "exact",
+    mode: str = "auto",
     max_sweeps: int = 100,
 ) -> DataFrame:
-    """Run LPA; returns ``(name, id, label)`` (label = a member node's id)."""
+    """Run LPA; returns ``(name, id, label)`` (label = a member node's id).
+
+    ``mode="auto"`` (default) picks the DISTRIBUTED ``sync`` path unless the
+    undirected adjacency is small enough (≤ ``AUTO_EXACT_MAX_EDGES``) for
+    the single-task reference-parity ``exact`` path — the exact schedule is
+    inherently sequential (label_propagation.rs:42-59 runs driver-side), so
+    it must stay opt-in-sized, never the scale default."""
+    if mode == "auto":
+        n_und = graph.undirected_edge_ids().count()
+        mode = "exact" if n_und <= AUTO_EXACT_MAX_EDGES else "sync"
     if mode == "exact":
         return _lpa_exact(graph, seed, max_sweeps)
     if mode == "sync":

@@ -35,7 +35,6 @@ from __future__ import annotations
 
 import numpy as np
 from pyspark.sql import functions as F
-from pyspark.sql import Window as W
 
 from linkgraph.graph import LinkGraph
 
@@ -203,15 +202,19 @@ def triangle_counts(
 # ---------------------------------------------------------- orchestration
 
 
-def _events_with_seq(graph: LinkGraph):
-    """Event table with ids and a deterministic global sequence number."""
+def _events(graph: LinkGraph):
+    """Event table with ids.  The engine's documented same-timestamp tie
+    rule is the ``(time, src_id, dst_id)`` tuple itself (module doc above) —
+    kernels sort their event subsets by that tuple locally, which yields the
+    exact order a global ``row_number`` over it would, WITHOUT funnelling
+    every event through one task (no unpartitioned Window at any scale)."""
     from linkgraph.graph import name_to_id
 
     return graph.edges_t.select(
         name_to_id(F.col("src")).alias("src_id"),
         name_to_id(F.col("dst")).alias("dst_id"),
         "time",
-    ).withColumn("seq", F.row_number().over(W.orderBy("time", "src_id", "dst_id")))
+    )
 
 
 def _star_twonode_vectors(graph: LinkGraph, deltas: list[int], local: bool = False):
@@ -220,27 +223,29 @@ def _star_twonode_vectors(graph: LinkGraph, deltas: list[int], local: bool = Fal
     across nodes for the global census, per-node DataFrame when ``local``."""
     import pandas as pd
 
-    ev = _events_with_seq(graph)
+    ev = _events(graph)
     star_events = ev.select(
         F.col("src_id").alias("node"),
         F.col("dst_id").alias("nb"),
         F.lit(OUT).alias("dir"),
         "time",
-        "seq",
+        "src_id",
+        "dst_id",
     ).unionByName(
         ev.filter(F.col("src_id") != F.col("dst_id")).select(
             F.col("dst_id").alias("node"),
             F.col("src_id").alias("nb"),
             F.lit(IN).alias("dir"),
             "time",
-            "seq",
+            "src_id",
+            "dst_id",
         )
     )
 
     n_deltas = len(deltas)
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["time", "seq"], kind="mergesort")
+        pdf = pdf.sort_values(["time", "src_id", "dst_id"], kind="mergesort")
         node = int(pdf["node"].iloc[0])
         nb_codes, nb_uniques = pd.factorize(pdf["nb"])
         n = len(nb_uniques)
@@ -295,7 +300,7 @@ def _triangle_vectors(graph: LinkGraph, deltas: list[int], local: bool = False):
         core.join(graph.ids(), "id").select("name")
     )
     tri = triangles_df(sub)
-    ev = _events_with_seq(sub)
+    ev = _events(sub)
     # per unordered pair {x,y} (x<y): the full event array with endpoints
     pair_ev = (
         ev.select(
@@ -304,12 +309,11 @@ def _triangle_vectors(graph: LinkGraph, deltas: list[int], local: bool = False):
             "src_id",
             "dst_id",
             "time",
-            "seq",
         )
         .groupBy("plo", "phi")
         .agg(
             F.sort_array(
-                F.collect_list(F.struct("time", "seq", "src_id", "dst_id"))
+                F.collect_list(F.struct("time", "src_id", "dst_id"))
             ).alias("evs")
         )
     )
@@ -335,7 +339,7 @@ def _triangle_vectors(graph: LinkGraph, deltas: list[int], local: bool = False):
         uv_edge = np.zeros(l, dtype=bool)
         uorv = np.zeros(l, dtype=np.int64)
         dirs = np.zeros(l, dtype=np.int64)
-        for i, (_, _, src, dst) in enumerate(evs):
+        for i, (_, src, dst) in enumerate(evs):
             if src == w:
                 uorv[i] = 0 if dst == u else 1
                 dirs[i] = IN
@@ -352,10 +356,8 @@ def _triangle_vectors(graph: LinkGraph, deltas: list[int], local: bool = False):
         a, b, c = int(pdf["a"].iloc[0]), int(pdf["b"].iloc[0]), int(pdf["c"].iloc[0])
         evs = []
         for arr in pdf["evs"]:
-            evs.extend(
-                (e["time"], e["seq"], e["src_id"], e["dst_id"]) for e in arr
-            )
-        evs.sort(key=lambda e: (e[0], e[1]))
+            evs.extend((e["time"], e["src_id"], e["dst_id"]) for e in arr)
+        evs.sort()
         rows = []
         for di, delta in enumerate(deltas):
             if local:

@@ -29,9 +29,11 @@ volume is one row per edge, not per triangle.  Two interchangeable kernels:
   for kernels Spark lacks built-ins for).
 
 ``triangles_df`` still enumerates explicit (a,b,c) rows for listing /
-debugging; use the counters at scale.  Hub skew of the larger-id adjacency
-is bounded by the lo<hi orientation; a degree-ordered orientation (bigger
-lists O(√m)) is the next tightening if profiles demand it.
+debugging; use the counters at scale.  Global counting orients edges by
+(degree, id) — any acyclic orientation counts each triangle exactly once,
+and the degree-DAG bounds out-adjacency lists at O(√m) on power-law graphs
+— while per-edge attribution keeps the reference's id orientation for
+result parity.
 """
 
 from __future__ import annotations
@@ -42,13 +44,43 @@ from pyspark.sql import functions as F
 from linkgraph.graph import LinkGraph
 
 
-def _bigger_nbrs(graph: LinkGraph) -> DataFrame:
-    """Per node: the sorted array of strictly-larger neighbour ids —
-    ``(id, nbrs array<long>)`` — exactly the reference's step-1 state
-    (triangle_count.rs:73-80)."""
+def _oriented_pairs(graph: LinkGraph, orientation: str = "id") -> DataFrame:
+    """Each undirected simple edge once, as ``(lo, hi)`` oriented by:
+
+    - ``"id"``     — lo < hi by node id (the reference's orientation,
+      triangle_count.rs:75,84 — required for per-edge attribution parity);
+    - ``"degree"`` — from the lower-(degree, id) endpoint to the higher.
+      The standard power-law tightening: out-adjacency lists in the
+      degree-DAG are O(√m) long, so hub intersections stay bounded.  Any
+      acyclic orientation counts each triangle exactly once (the unique
+      vertex with both out-edges), so global/local totals are identical.
+    """
+    canon = graph.canonical_edge_ids()
+    if orientation == "id":
+        return canon
+    deg = (
+        canon.select(F.col("lo").alias("id"))
+        .unionAll(canon.select(F.col("hi").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("d"))
+    )
+    with_deg = canon.join(
+        deg.select(F.col("id").alias("lo"), F.col("d").alias("dlo")), "lo"
+    ).join(deg.select(F.col("id").alias("hi"), F.col("d").alias("dhi")), "hi")
+    # lo < hi by id already, so degree ties keep the id orientation
+    fwd = with_deg.filter(F.col("dlo") <= F.col("dhi")).select("lo", "hi")
+    rev = with_deg.filter(F.col("dlo") > F.col("dhi")).select(
+        F.col("hi").alias("lo"), F.col("lo").alias("hi")
+    )
+    return fwd.unionAll(rev)
+
+
+def _out_nbrs(pairs: DataFrame) -> DataFrame:
+    """Per node: the sorted array of out-neighbour ids in the oriented DAG —
+    ``(id, nbrs array<long>)`` — the reference's step-1 state
+    (triangle_count.rs:73-80) generalised to any acyclic orientation."""
     return (
-        graph.canonical_edge_ids()
-        .groupBy(F.col("lo").alias("id"))
+        pairs.groupBy(F.col("lo").alias("id"))
         .agg(F.array_sort(F.collect_set("hi")).alias("nbrs"))
     )
 
@@ -70,12 +102,22 @@ def _csr_intersect_counts(edge_pairs: DataFrame, adj: DataFrame) -> DataFrame:
 
     spark = edge_pairs.sparkSession
     adj_pdf = adj.toPandas()
-    adj_map = {
-        int(i): np.asarray(nbrs, dtype=np.int64)
-        for i, nbrs in zip(adj_pdf["id"], adj_pdf["nbrs"])
-    }
-    bc = spark.sparkContext.broadcast(adj_map)
-    empty = np.empty(0, dtype=np.int64)
+    # CSR triple (ids, indptr, indices): three flat numpy arrays broadcast
+    # once per executor — no driver-side dict of millions of slice objects,
+    # and numpy arrays pickle as raw buffers
+    raw_ids = adj_pdf["id"].to_numpy(np.int64)
+    order = np.argsort(raw_ids, kind="stable")
+    ids = raw_ids[order]
+    lists = adj_pdf["nbrs"].to_numpy()[order] if len(order) else np.empty(0, object)
+    lens = np.fromiter((len(x) for x in lists), dtype=np.int64, count=len(lists))
+    indptr = np.zeros(len(ids) + 1, dtype=np.int64)
+    np.cumsum(lens, out=indptr[1:])
+    indices = (
+        np.concatenate([np.asarray(x, dtype=np.int64) for x in lists])
+        if len(lists)
+        else np.empty(0, dtype=np.int64)
+    )
+    bc = spark.sparkContext.broadcast((ids, indptr, indices))
 
     def _isize(a, b):
         # |a ∩ b| for sorted unique arrays: binary-search the smaller into
@@ -89,15 +131,20 @@ def _csr_intersect_counts(edge_pairs: DataFrame, adj: DataFrame) -> DataFrame:
         return int(np.count_nonzero(b[idx] == a))
 
     def kernel(batches):
-        amap = bc.value
+        c_ids, c_indptr, c_indices = bc.value
+        empty = np.empty(0, dtype=np.int64)
+
+        def row(node):
+            i = np.searchsorted(c_ids, node)
+            if i < c_ids.size and c_ids[i] == node:
+                return c_indices[c_indptr[i]: c_indptr[i + 1]]
+            return empty
+
         for pdf in batches:
             los = pdf["lo"].to_numpy()
             his = pdf["hi"].to_numpy()
             counts = np.fromiter(
-                (
-                    _isize(amap.get(a, empty), amap.get(b, empty))
-                    for a, b in zip(los, his)
-                ),
+                (_isize(row(a), row(b)) for a, b in zip(los, his)),
                 dtype=np.int64,
                 count=len(los),
             )
@@ -119,13 +166,16 @@ def _pick_kernel(graph: LinkGraph, kernel: str) -> str:
     return "csr" if m <= CSR_BROADCAST_MAX else "jvm"
 
 
-def _edge_common_bigger(graph: LinkGraph, kernel: str = "auto") -> DataFrame:
-    """Per canonical edge: ``(lo, hi, triangles)`` = |bigger(lo) ∩ bigger(hi)|
-    (zero rows included).  Every common larger neighbour c closes triangle
-    {lo<hi<c}, attributed to edge (lo, hi)."""
+def _edge_common_bigger(
+    graph: LinkGraph, kernel: str = "auto", orientation: str = "id"
+) -> DataFrame:
+    """Per oriented edge: ``(lo, hi, triangles)`` = |out(lo) ∩ out(hi)|
+    (zero rows included).  Every common out-neighbour c closes one triangle,
+    attributed to edge (lo, hi) — with ``orientation="id"`` this is exactly
+    the reference's {a<b<c} → (a, b) attribution."""
     kernel = _pick_kernel(graph, kernel)
-    canon = graph.canonical_edge_ids()
-    big = _bigger_nbrs(graph)
+    canon = _oriented_pairs(graph, orientation)
+    big = _out_nbrs(canon)
     if kernel == "csr":
         return _csr_intersect_counts(canon, big)
     joined = (
@@ -196,7 +246,13 @@ def per_edge_triangles(graph: LinkGraph, kernel: str = "auto") -> DataFrame:
 
 
 def global_triangle_count(graph: LinkGraph, kernel: str = "auto") -> int:
-    row = _edge_common_bigger(graph, kernel).agg(F.sum("triangles")).first()
+    # degree orientation: same total (any acyclic orientation counts each
+    # triangle once), hub-bounded intersection arrays at scale
+    row = (
+        _edge_common_bigger(graph, kernel, orientation="degree")
+        .agg(F.sum("triangles"))
+        .first()
+    )
     return int(row[0] or 0)
 
 

@@ -191,3 +191,50 @@ def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
         term = F.shiftleft(bit, i)
         fp = term if fp is None else fp.bitwiseXOR(term)
     return votes.select("doc_id", fp.alias("simhash"))
+
+
+def simhash_pairs(
+    docs: DataFrame, max_distance: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """Hamming-near SimHash pairs — ``(doc_a, doc_b, hamming)``, a < b,
+    distance ≤ ``max_distance``.
+
+    Pigeonhole banding (Manku et al., WWW'07): the 64-bit fingerprint splits
+    into ``max_distance + 1`` bit slices — two fingerprints within distance
+    k differ in at most k slices, so they AGREE EXACTLY on at least one.
+    Candidates therefore come from an equi-join on (slice index, slice
+    bits) — guaranteed recall, no probabilistic miss — and the exact
+    Hamming distance (``bit_count(a XOR b)``) filters precision.  Cost is
+    Σ_bucket |bucket|² per slice, never corpus²."""
+    nb = max_distance + 1
+    if nb > 64:
+        raise ValueError("max_distance must be < 64")
+    width = 64 // nb
+    fps = simhash(docs, text_col=text_col)
+    slices = []
+    for i in range(nb):
+        w = width + (64 - width * nb if i == nb - 1 else 0)
+        bits = F.shiftrightunsigned("simhash", i * width).bitwiseAND(
+            F.lit((1 << w) - 1)
+        )
+        slices.append(F.struct(F.lit(i).alias("slice"), bits.alias("bits")))
+    banded = fps.select(
+        "doc_id", "simhash", F.explode(F.array(*slices)).alias("sb")
+    )
+    a = banded.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"), "sb"
+    )
+    b = banded.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"), "sb"
+    )
+    return (
+        a.join(b, "sb")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_distance)
+    )

@@ -78,25 +78,13 @@ def cosine_topk(
     )
 
 
-def lsh_topk(
-    embeddings: DataFrame,
-    queries: DataFrame,
-    k: int = 5,
-    planes_per_band: int = 8,
-    bands: int = 4,
-    seed: int = 42,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Approximate top-k via random-hyperplane LSH.
+def _band_signature(dim: int, bands: int, planes_per_band: int, seed: int):
+    """Random-hyperplane band signatures as a pure column expression.
 
     Hyperplanes are derived deterministically from xxhash64(seed, band,
     plane, dim) — no driver-side randomness, reproducible at any
-    parallelism. Candidates = vectors sharing any band signature with the
-    query; exact cosine re-scoring within candidates.
+    parallelism.  Returns a function vec → array<struct<band,sig>>.
     """
-    dim_df = embeddings.select(F.size(vec_col).alias("d")).limit(1)
-    dim = dim_df.first()["d"]
 
     def signature(vec) -> Column:
         # per band: a bit per hyperplane; hyperplane h component j =
@@ -131,6 +119,28 @@ def lsh_topk(
             sigs.append(F.struct(F.lit(b).alias("band"), bits.alias("sig")))
         return F.array(*sigs)
 
+    return signature
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    planes_per_band: int = 8,
+    bands: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via random-hyperplane LSH.
+
+    Candidates = vectors sharing any band signature with the query; exact
+    cosine re-scoring within candidates (bucket-bounded cost).
+    """
+    dim_df = embeddings.select(F.size(vec_col).alias("d")).limit(1)
+    dim = dim_df.first()["d"]
+    signature = _band_signature(dim, bands, planes_per_band, seed)
+
     cand = _as_double(
         embeddings.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cvec")),
         "cvec",
@@ -154,13 +164,81 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def neardup_band_params(threshold: float, miss_prob: float = 1e-6):
+    """(bands, planes_per_band) so a pair at exactly ``threshold`` cosine is
+    missed with probability ≤ ``miss_prob``.
+
+    Random-hyperplane bit agreement probability p = 1 − arccos(c)/π; a pair
+    collides in one band of r planes w.p. p^r, so miss = (1−p^r)^bands.
+    r grows with the threshold (tighter thresholds → smaller, more selective
+    buckets); bands = ceil(ln miss_prob / ln(1−p^r)).
+    """
+    import math
+
+    p = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    r = max(2, int(math.pi / math.acos(max(-1.0, min(1.0, threshold)))))
+    bands = max(1, math.ceil(math.log(miss_prob) / math.log(1.0 - p**r)))
+    return bands, r
+
+
 def cosine_neardup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    bands: int | None = None,
+    planes_per_band: int | None = None,
+    seed: int = 42,
 ) -> DataFrame:
-    """Embedding near-duplicate pairs — ``(id_a, id_b, cosine)``, a < b."""
+    """Embedding near-duplicate pairs — ``(id_a, id_b, cosine)``, a < b.
+
+    Scale path: hyperplane-LSH band buckets generate the candidate pairs
+    (cost = Σ_bucket |bucket|², never corpus²), then candidates are
+    re-scored with EXACT cosine and filtered at ``threshold`` — so every
+    emitted pair is exact; only recall is probabilistic, bounded by
+    :func:`neardup_band_params` (default ≤1e-6 miss per threshold-grazing
+    pair, exponentially smaller above it).  For a guaranteed-exhaustive
+    small-corpus sweep use :func:`cosine_neardup_pairs_brute`.
+    """
+    if bands is None or planes_per_band is None:
+        auto_b, auto_r = neardup_band_params(threshold)
+        bands = bands or auto_b
+        planes_per_band = planes_per_band or auto_r
+    e = _as_double(
+        embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")), "v"
+    )
+    dim = e.select(F.size("v").alias("d")).limit(1).first()["d"]
+    signature = _band_signature(dim, bands, planes_per_band, seed)
+    banded = e.select(
+        "id", "v", F.explode(signature(F.col("v"))).alias("bs")
+    )
+    a = banded.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"), "bs"
+    )
+    b = banded.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"), "bs"
+    )
+    return (
+        a.join(b, "bs")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def cosine_neardup_pairs_brute(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All-pairs exact near-duplicates — the test oracle for
+    :func:`cosine_neardup_pairs`.  O(n²): small corpora only."""
     e = _as_double(
         embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")), "v"
     )

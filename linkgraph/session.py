@@ -33,16 +33,19 @@ def get_spark(
         n = os.cpu_count() or 8
         shuffle_partitions = 2 * int(cores) if str(cores).isdigit() else min(2 * n, 64)
 
+    # Shuffle/spill location: DISK by default. tmpfs (/dev/shm) is RAM-backed
+    # and often tiny (64 MB in default Docker), so routing shuffle there can
+    # fail with ENOSPC and defeats memory-pressure spilling; benchmarks on
+    # this sandbox opt in explicitly via LINKGRAPH_TMPFS=1 (126 GB tmpfs
+    # here, and local-mode disk throughput is noisy).
+    local_dir = os.environ.get("SPARK_LOCAL_DIRS") or (
+        "/dev/shm/spark-local"
+        if os.environ.get("LINKGRAPH_TMPFS") == "1" and os.path.isdir("/dev/shm")
+        else None
+    )
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
-        # shuffle/spill to tmpfs when available: local-mode shuffles are
-        # disk-bound and this sandbox's disk throughput is noisy; a real
-        # cluster would point this at fast local SSDs instead
-        .config(
-            "spark.local.dir",
-            "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else "/tmp",
-        )
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.default.parallelism", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
@@ -55,6 +58,8 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -1,0 +1,126 @@
+"""Dedup / similarity-search pipeline operators vs brute-force oracles."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from linkgraph.pipeline.dedup import (
+    exact_duplicates,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_pairs,
+)
+from linkgraph.pipeline.simsearch import (
+    cosine_neardup_pairs,
+    cosine_neardup_pairs_brute,
+    cosine_topk,
+    lsh_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumped over the lazy dog",
+        "pack my box with five dozen liquor jugs",
+        "sphinx of black quartz judge my vow",
+        "how vexingly quick daft zebras jump",
+    ]
+    rows = []
+    for i in range(40):
+        t = base[i % len(base)]
+        if i >= 20:
+            t = t + f" variant {i % 7}"
+        rows.append((i, t))
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    # 3 well-separated clusters + noise: realistic near-dup structure
+    rng = np.random.RandomState(7)
+    centers = rng.randn(3, 16) * 3
+    rows = []
+    for i in range(90):
+        c = centers[i % 3]
+        v = c + rng.randn(16) * 0.4
+        rows.append((i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>").cache()
+
+
+def test_exact_duplicates(docs):
+    groups = exact_duplicates(docs).collect()
+    assert all(r["n_docs"] > 1 for r in groups)
+    # the first 20 docs are 4 copies of each of the 5 base strings
+    assert sum(r["n_docs"] for r in groups) >= 20
+
+
+def test_simhash_pairs_vs_brute(docs):
+    fps = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    k = 6
+    expected = set()
+    ids = sorted(fps)
+    for i in ids:
+        for j in ids:
+            if i < j and bin((fps[i] ^ fps[j]) & ((1 << 64) - 1)).count("1") <= k:
+                expected.add((i, j, bin((fps[i] ^ fps[j]) & ((1 << 64) - 1)).count("1")))
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_pairs(docs, max_distance=k).collect()
+    }
+    # pigeonhole banding is EXACT: guaranteed recall + exact rescoring
+    assert got == expected
+    assert len(expected) > 0
+
+
+def test_neardup_lsh_vs_brute(vecs):
+    thr = 0.5
+    brute = {
+        (r["id_a"], r["id_b"]) for r in cosine_neardup_pairs_brute(vecs, thr).collect()
+    }
+    lsh = {(r["id_a"], r["id_b"]) for r in cosine_neardup_pairs(vecs, thr).collect()}
+    assert len(brute) > 50
+    # precision is exact by construction; recall bounded at 1e-6/pair
+    assert lsh == brute
+
+
+def test_neardup_no_crossjoin_plan(vecs):
+    plan = cosine_neardup_pairs(vecs, 0.5)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_lsh_topk_reasonable(vecs):
+    q = vecs.filter(F.col("vec_id") < 6)
+    exact = {
+        (r["query_id"], r["rank"]): r["cand_id"]
+        for r in cosine_topk(vecs, q, k=3).collect()
+    }
+    approx = {
+        (r["query_id"], r["rank"]): r["cand_id"]
+        for r in lsh_topk(vecs, q, k=3, planes_per_band=4, bands=8).collect()
+    }
+    # same-cluster neighbours collide in some band with these params;
+    # demand ≥80% agreement on rank-1
+    hits = sum(
+        1 for (qid, rk), c in exact.items() if rk == 1 and approx.get((qid, rk)) == c
+    )
+    assert hits >= 5
+
+
+def test_minhash_lsh_finds_near_duplicates(docs):
+    pairs = minhash_lsh_pairs(docs, threshold=0.8).collect()
+    found = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    # doc 0 and doc 5 are identical copies of base[0]
+    assert (0, 5) in found
+    est = {(r["doc_a"], r["doc_b"]): r["est_jaccard"] for r in pairs}
+    assert est[(0, 5)] == 1.0
+
+
+def test_ngram_jaccard_exact(docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.99).collect()
+    }
+    assert pairs[(0, 5)] == 1.0
