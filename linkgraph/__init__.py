@@ -14,15 +14,20 @@ salted aggregation, checkpointed iteration).
 """
 
 from linkgraph.graph import LinkGraph
+from linkgraph.intervals import Interval, parse_interval
 from linkgraph.io import from_csv, from_json, to_edge_df, to_node_df, to_networkx
+from linkgraph.persistent import PersistentLinkGraph
 from linkgraph.session import get_spark
 from linkgraph.windows import rolling_counts
 
 __all__ = [
+    "Interval",
     "LinkGraph",
+    "PersistentLinkGraph",
     "from_csv",
     "from_json",
     "get_spark",
+    "parse_interval",
     "rolling_counts",
     "to_edge_df",
     "to_networkx",

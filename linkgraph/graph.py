@@ -43,9 +43,30 @@ def name_to_id(col: Column) -> Column:
 
 
 class LinkGraph:
-    """Immutable graph view over an event-level edge table."""
+    """Immutable graph view over an event-level edge table.
 
-    def __init__(self, edges_t: DataFrame, nodes_t: DataFrame | None = None):
+    Besides the two event tables, a graph may carry CONSTANT properties —
+    set-once, time-independent metadata (db/api/properties/
+    constant_props.rs; ingested via the loaders' ``const_props`` path,
+    python/graph/pandas/loaders.rs:11-463):
+
+    - ``node_const(name, <prop columns>)`` — one row per node;
+    - ``edge_const(src, dst, <prop columns>)`` — one row per logical edge;
+    - ``graph_const`` — a plain dict of graph-level properties.
+
+    Constant properties are window-independent: temporal views propagate
+    them unfiltered (a window narrows histories, never metadata), while
+    accessors always join against the view's entity set.
+    """
+
+    def __init__(
+        self,
+        edges_t: DataFrame,
+        nodes_t: DataFrame | None = None,
+        node_const: DataFrame | None = None,
+        edge_const: DataFrame | None = None,
+        graph_const: dict | None = None,
+    ):
         self.spark = edges_t.sparkSession
         if "layer" not in edges_t.columns:
             edges_t = edges_t.withColumn("layer", F.lit("_default"))
@@ -58,7 +79,20 @@ class LinkGraph:
                 .unionByName(edges_t.select(F.col("dst").alias("name"), "time"))
             )
         self.nodes_t = nodes_t
+        self.node_const = node_const
+        self.edge_const = edge_const
+        self.graph_const = dict(graph_const or {})
         self._cache: dict[str, DataFrame] = {}
+
+    def _derive(self, edges_t: DataFrame, nodes_t: DataFrame) -> "LinkGraph":
+        """A view over new event tables, carrying the constant-prop tables."""
+        return LinkGraph(
+            edges_t,
+            nodes_t,
+            node_const=self.node_const,
+            edge_const=self.edge_const,
+            graph_const=self.graph_const,
+        )
 
     # ---------------------------------------------------------------- build
     @classmethod
@@ -93,7 +127,7 @@ class LinkGraph:
             cond = cond & (F.col("time") >= F.lit(start))
         if end is not None:
             cond = cond & (F.col("time") < F.lit(end))
-        return LinkGraph(self.edges_t.filter(cond), self.nodes_t.filter(cond))
+        return self._derive(self.edges_t.filter(cond), self.nodes_t.filter(cond))
 
     def at(self, t: int) -> "LinkGraph":
         return self.window(t, t + 1)
@@ -106,7 +140,7 @@ class LinkGraph:
 
     def layer(self, *layers: str) -> "LinkGraph":
         """Restrict to edge layers — layer_graph.rs:22."""
-        return LinkGraph(
+        return self._derive(
             self.edges_t.filter(F.col("layer").isin(list(layers))), self.nodes_t
         )
 
@@ -129,7 +163,7 @@ class LinkGraph:
             )
         )
         n = self.nodes_t.join(F.broadcast(node_df), "name", "left_semi")
-        return LinkGraph(e, n)
+        return self._derive(e, n)
 
     # ------------------------------------------------------------ accessors
     def _memo(self, key: str, build) -> DataFrame:
@@ -193,6 +227,13 @@ class LinkGraph:
             ).distinct()
 
         return self._memo("canonical", build)
+
+    def paths(self, *names: str):
+        """Multi-hop path surface — ``g.paths("a").neighbours().neighbours()``
+        (PathFromNode / PathFromGraph, db/graph/path.rs; see hops.py)."""
+        from linkgraph.hops import paths_from
+
+        return paths_from(self, *names)
 
     def degrees(self) -> DataFrame:
         """Distinct-neighbour degrees — (id, out_degree, in_degree, degree).
@@ -288,35 +329,37 @@ class LinkGraph:
             return (None, None)
         return (row[0], row[1] + 1)
 
-    def rolling(self, window: int, step: int | None = None):
+    def rolling(self, window: int | str, step: int | str | None = None):
         """Iterator of ``(start, end, LinkGraph)`` rolling windows.
 
         Mirrors the reference's WindowSet cursor rule
         (db/api/view/time.rs:193-209): the cursor starts at
         ``timeline_start + step`` and yields ``[cursor - window, cursor)``
         while ``cursor < timeline_end + step`` — the last window may hang
-        past the data. Discrete (millisecond) intervals only; calendar
-        intervals are the batch operator's job (windows.py).
+        past the data.  ``window``/``step`` are discrete millisecond ints
+        or CALENDAR interval strings (``"1 day"``, ``"2 weeks"``,
+        ``"3 months"`` — months via calendar arithmetic, not fixed ms;
+        core/utils/time.rs:120-156, intervals.py).
         """
-        step = step or window
-        start, end = self.time_bounds()
-        if start is None:
-            return
-        cursor = start + step
-        while cursor < end + step:
-            yield (cursor - window, cursor, self.window(cursor - window, cursor))
-            cursor += step
+        from linkgraph.intervals import window_grid
 
-    def expanding(self, step: int):
-        """Iterator of ``(start, end, LinkGraph)`` expanding windows —
-        window start pinned to the timeline start (time.rs:63-77,199-202)."""
         start, end = self.time_bounds()
         if start is None:
             return
-        cursor = start + step
-        while cursor < end + step:
-            yield (start, cursor, self.window(start, cursor))
-            cursor += step
+        for ws, we in window_grid(start, end, window, step):
+            yield (ws, we, self.window(ws, we))
+
+    def expanding(self, step: int | str):
+        """Iterator of ``(start, end, LinkGraph)`` expanding windows —
+        window start pinned to the timeline start (time.rs:63-77,199-202);
+        ``step`` may be a calendar interval string."""
+        from linkgraph.intervals import expanding_grid
+
+        start, end = self.time_bounds()
+        if start is None:
+            return
+        for ws, we in expanding_grid(start, end, step):
+            yield (ws, we, self.window(ws, we))
 
     def materialize(self) -> "LinkGraph":
         """Cache + force the hot derived tables (ids, simple edges, degrees)."""

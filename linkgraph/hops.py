@@ -1,0 +1,101 @@
+"""Multi-hop path API — the reference's ``PathFromGraph`` / ``PathFromNode``
+(db/graph/path.rs:19,194) chained-neighbour surface as DataFrames.
+
+``graph.paths()`` (or ``graph.paths("a", "b")``) starts a :class:`PathSet`;
+each ``.neighbours()`` / ``.out_neighbours()`` / ``.in_neighbours()`` hop
+expands every current endpoint to its DEDUPLICATED neighbour set (the
+reference's sorted ``AdjSet`` — one entry per distinct neighbour regardless
+of event multiplicity), while paths through different intermediates stay
+distinct rows, exactly like iterating the reference's nested path iterators.
+
+Scale shape: one ``PathSet`` is a ``(start_id, node_id)`` DataFrame; each
+hop is one hash join against the deduplicated adjacency table — shuffle on
+``node_id``, no driver round-trips, no per-path Python.  k hops = k joins,
+which is the plan a 1000-executor BFS over a 100 TB edge table wants
+(frontier joins, not recursion).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from linkgraph.graph import LinkGraph, name_to_id
+
+
+class PathSet:
+    """Endpoints of all paths built so far: columns ``(start_id, node_id)``
+    — one row PER PATH (multiset), matching the reference's path iterators."""
+
+    def __init__(self, graph: LinkGraph, frontier: DataFrame, hops: int = 0):
+        self.graph = graph
+        self._df = frontier
+        self.hops = hops
+
+    # -------------------------------------------------------------- hops
+    def _adj(self, direction: str) -> DataFrame:
+        e = self.graph.edge_ids()  # deduplicated logical edges
+        if direction == "out":
+            return e.select(F.col("src_id").alias("node_id"), F.col("dst_id").alias("nb"))
+        if direction == "in":
+            return e.select(F.col("dst_id").alias("node_id"), F.col("src_id").alias("nb"))
+        # BOTH: distinct undirected neighbours (AdjSet dedup across
+        # directions — a reciprocal edge contributes ONE neighbour entry)
+        return self.graph.undirected_edge_ids().select(
+            F.col("id").alias("node_id"), F.col("nbr_id").alias("nb")
+        )
+
+    def _hop(self, direction: str) -> "PathSet":
+        nxt = (
+            self._df.join(self._adj(direction), "node_id")
+            .select("start_id", F.col("nb").alias("node_id"))
+        )
+        return PathSet(self.graph, nxt, self.hops + 1)
+
+    def neighbours(self) -> "PathSet":
+        return self._hop("both")
+
+    def out_neighbours(self) -> "PathSet":
+        return self._hop("out")
+
+    def in_neighbours(self) -> "PathSet":
+        return self._hop("in")
+
+    # ----------------------------------------------------------- results
+    def df(self) -> DataFrame:
+        """Raw ``(start_id, node_id)`` path-endpoint multiset."""
+        return self._df
+
+    def endpoints(self) -> DataFrame:
+        """Per start node: distinct endpoints — ``(start_id, node_id)``."""
+        return self._df.distinct()
+
+    def counts(self) -> DataFrame:
+        """Per start node: ``(start_id, n_paths, n_distinct)`` — path count
+        and distinct-endpoint count at the current hop depth."""
+        return self._df.groupBy("start_id").agg(
+            F.count("*").alias("n_paths"),
+            F.countDistinct("node_id").alias("n_distinct"),
+        )
+
+    def names(self) -> DataFrame:
+        """Endpoints joined back to node names: ``(start_id, name)``."""
+        return (
+            self._df.join(self.graph.ids(), self._df.node_id == F.col("id"))
+            .select("start_id", "name")
+        )
+
+
+def paths_from(graph: LinkGraph, *names: str) -> PathSet:
+    """Start a :class:`PathSet` at the given node names (all nodes when
+    empty) — ``PathFromGraph`` when unseeded, ``PathFromNode`` when seeded."""
+    ids = graph.ids()
+    if names:
+        seed = F.array(*[name_to_id(F.lit(n)) for n in names])
+        start = ids.filter(F.array_contains(seed, F.col("id")))
+    else:
+        start = ids
+    frontier = start.select(
+        F.col("id").alias("start_id"), F.col("id").alias("node_id")
+    )
+    return PathSet(graph, frontier, 0)

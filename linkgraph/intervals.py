@@ -1,0 +1,132 @@
+"""Calendar intervals — ``"1 day"``, ``"2 weeks and 3 hours"``, ``"3 months"``.
+
+Mirrors the reference's ``Interval`` (core/utils/time.rs:120-290):
+
+- a string parses to ``(millis, months)``: fixed-length units (weeks, days,
+  hours, minutes, seconds, milliseconds) accumulate into ``millis``;
+  months/years into ``months`` (variable length — calendar arithmetic, not
+  fixed ms; time.rs:272-286 parse_duration);
+- multiple pairs join with "and" / "," / "&" (time.rs:176-209);
+- ``t + interval`` adds months FIRST (calendar, day clamped to month end —
+  chrono ``Months`` semantics) then millis; ``t - interval`` subtracts
+  millis then months, so ``t + i - i == t`` (time.rs:289-325);
+- a plain int is a discrete millisecond interval (no calendar part).
+
+All driver-side scalar math: intervals only generate window GRIDS; the
+per-event work stays in Spark.
+"""
+
+from __future__ import annotations
+
+import calendar
+import re
+from dataclasses import dataclass
+from datetime import datetime, timezone
+
+MS = {
+    "millisecond": 1,
+    "second": 1000,
+    "minute": 60_000,
+    "hour": 3_600_000,
+    "day": 86_400_000,
+    "week": 604_800_000,
+}
+MONTHS = {"month": 1, "year": 12}
+
+
+@dataclass(frozen=True)
+class Interval:
+    millis: int = 0
+    months: int = 0
+
+    @property
+    def is_discrete(self) -> bool:
+        return self.months == 0
+
+    def add_to(self, t: int) -> int:
+        """t + interval — months first, then millis (time.rs:308-325)."""
+        if self.months:
+            t = _add_months_ms(t, self.months)
+        return t + self.millis
+
+    def sub_from(self, t: int) -> int:
+        """t - interval — millis first, then months (time.rs:289-306)."""
+        t = t - self.millis
+        if self.months:
+            t = _add_months_ms(t, -self.months)
+        return t
+
+
+def _add_months_ms(t_ms: int, months: int) -> int:
+    """Calendar month addition on an epoch-ms timestamp (UTC), day clamped
+    to the target month's length — chrono ``Months`` semantics."""
+    dt = datetime.fromtimestamp(t_ms / 1000.0, tz=timezone.utc)
+    # rebuild sub-second part exactly (float division loses precision)
+    ms_within = t_ms % 1000
+    total = dt.year * 12 + (dt.month - 1) + months
+    y, m = divmod(total, 12)
+    m += 1
+    d = min(dt.day, calendar.monthrange(y, m)[1])
+    out = datetime(y, m, d, dt.hour, dt.minute, dt.second, tzinfo=timezone.utc)
+    return int(out.timestamp()) * 1000 + ms_within
+
+
+def parse_interval(value) -> Interval:
+    """Parse an interval from an int (discrete ms) or a string of
+    ``<number> <unit>`` pairs (time.rs TryFrom<&str>, :176-209)."""
+    if isinstance(value, Interval):
+        return value
+    if isinstance(value, int):
+        if value < 0:
+            raise ValueError("interval must be non-negative")
+        return Interval(millis=value)
+    tokens = [
+        tok
+        for tok in re.split(r"[\s&,]+", str(value).replace("and", " ").strip())
+        if tok
+    ]
+    if len(tokens) < 2 or len(tokens) % 2 != 0:
+        raise ValueError(f"invalid interval {value!r}: expected number/unit pairs")
+    millis = months = 0
+    for num, unit in zip(tokens[::2], tokens[1::2]):
+        if not num.isdigit():
+            raise ValueError(f"invalid interval number {num!r} in {value!r}")
+        n = int(num)
+        u = unit.rstrip("s") if unit != "s" else unit
+        if u in MS:
+            millis += n * MS[u]
+        elif u in MONTHS:
+            months += n * MONTHS[u]
+        else:
+            raise ValueError(f"invalid interval unit {unit!r} in {value!r}")
+    return Interval(millis=millis, months=months)
+
+
+def window_grid(start: int, end: int, window, step=None) -> list[tuple[int, int]]:
+    """The reference's WindowSet cursor rule with interval arithmetic
+    (db/api/view/time.rs:193-209): cursor starts at ``start + step``, each
+    window is ``[cursor - window, cursor)``, iteration continues while
+    ``cursor < end + step`` (the last window may hang past the data)."""
+    w = parse_interval(window)
+    s = parse_interval(step) if step is not None else w
+    if s.millis == 0 and s.months == 0:
+        raise ValueError("step must be positive")
+    out = []
+    cursor = s.add_to(start)
+    while cursor < s.add_to(end):
+        out.append((w.sub_from(cursor), cursor))
+        cursor = s.add_to(cursor)
+    return out
+
+
+def expanding_grid(start: int, end: int, step) -> list[tuple[int, int]]:
+    """Expanding-window bounds: start pinned, end advances by ``step``."""
+    s = parse_interval(step)
+    if s.millis == 0 and s.months == 0:
+        raise ValueError("step must be positive")
+    out = []
+    cursor = s.add_to(start)
+    while cursor < s.add_to(end):
+        out.append((start, cursor))
+        cursor = s.add_to(cursor)
+    return out

@@ -1,0 +1,373 @@
+"""Persistent graph — edge deletions with interval-validity semantics.
+
+The reference's ``GraphWithDeletions`` (db/graph/views/deletion_graph.rs):
+an edge is active from the time it is added until it is explicitly deleted;
+a windowed view includes an edge iff it is active at any point in the
+window (deletion_graph.rs:29-37, WINDOW_FILTER :115-119).  Precisely, for
+window ``[s, e)`` (edge_alive_at, :61-113):
+
+- included iff the edge has an ADDITION event in ``[s, e)``, OR it is
+  *alive at s*;
+- alive at t iff the edge's first-ever event is a deletion at time ≥ t
+  (an edge deleted before it was ever added is assumed alive from -∞,
+  deletion_graph.rs:106-110), or its last addition at time ≤ t is more
+  recent than its last deletion at time ≤ t;
+- a deletion AT ``t`` means *not* alive at ``t`` (test_window_semantics:
+  ``at(10)`` excludes an edge deleted at 10 — half-open validity
+  ``[add_t, del_t)``).
+
+Event ordering: the reference breaks add/delete ties at one timestamp by
+ingestion sequence (TimeIndexEntry); a derived table has no ingestion
+order, so this engine fixes the documented rule *addition before deletion*
+at equal timestamps — an add+delete at the same ``t`` yields the empty
+interval ``[t, t)`` (dead).
+
+Scale shape: every question below is ONE hash aggregate over the event
+table grouped by logical edge (conditional min/max with map-side partial
+aggregation), or one ``sort_array`` + ``aggregate`` expression for the
+interval reconstruction — no window over a global sort, no driver loops.
+
+Reference parity goldens: tests/test_persistent.py transcribes
+test_window_semantics / test_edge_deletions / test_timestamps /
+test_edge_properties (deletion_graph.rs:582-790).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from linkgraph.graph import LinkGraph, name_to_id
+
+I64_MIN = -(1 << 63)
+I64_MAX = (1 << 63) - 1
+
+# tie rank at equal time: addition sorts before deletion
+_ADD_RANK, _DEL_RANK = 0, 1
+
+
+def _op_rank():
+    return F.when(F.col("op") == "add", F.lit(_ADD_RANK)).otherwise(F.lit(_DEL_RANK))
+
+
+class PersistentLinkGraph:
+    """Graph over add/delete edge events — ``GraphWithDeletions`` analogue.
+
+    ``events_t`` columns: ``src, dst, time, op`` (+ optional ``layer`` and
+    property columns); ``op`` ∈ {'add', 'del'}.
+    """
+
+    def __init__(
+        self,
+        events_t: DataFrame,
+        nodes_t: DataFrame | None = None,
+        start: int | None = None,
+        end: int | None = None,
+    ):
+        self.spark = events_t.sparkSession
+        if "layer" not in events_t.columns:
+            events_t = events_t.withColumn("layer", F.lit("_default"))
+        if "op" not in events_t.columns:
+            events_t = events_t.withColumn("op", F.lit("add"))
+        self.events_t = events_t
+        if nodes_t is None:
+            nodes_t = (
+                events_t.select(F.col("src").alias("name"), "time")
+                .unionByName(events_t.select(F.col("dst").alias("name"), "time"))
+            )
+        self.nodes_t = nodes_t
+        self.start = start  # window [start, end); None = unbounded
+        self.end = end
+
+    # ---------------------------------------------------------------- build
+    @classmethod
+    def from_event_list(
+        cls, spark, events: list[tuple[int, str, str, str]]
+    ) -> "PersistentLinkGraph":
+        """Tiny test constructor from ``(time, src, dst, op)`` tuples."""
+        df = spark.createDataFrame(
+            [(str(s), str(d), int(t), str(op)) for t, s, d, op in events],
+            schema="src string, dst string, time long, op string",
+        )
+        return cls(df)
+
+    # ---------------------------------------------------------------- views
+    def window(self, start: int | None, end: int | None) -> "PersistentLinkGraph":
+        """Temporal view ``[start, end)`` — intersects with any current
+        bounds.  Unlike the event graph, the EVENT TABLE IS NOT FILTERED:
+        events outside the window still decide aliveness at the window
+        start (deletion_graph.rs window filter)."""
+        s = self.start if start is None else max(start, self.start or I64_MIN)
+        e = self.end if end is None else min(end, self.end or I64_MAX)
+        return PersistentLinkGraph(self.events_t, self.nodes_t, s, e)
+
+    def at(self, t: int) -> "PersistentLinkGraph":
+        return self.window(t, t + 1)
+
+    def before(self, t: int) -> "PersistentLinkGraph":
+        return self.window(None, t)
+
+    def after(self, t: int) -> "PersistentLinkGraph":
+        return self.window(t + 1, None)
+
+    def layer(self, *layers: str) -> "PersistentLinkGraph":
+        return PersistentLinkGraph(
+            self.events_t.filter(F.col("layer").isin(list(layers))),
+            self.nodes_t,
+            self.start,
+            self.end,
+        )
+
+    # ------------------------------------------------------------ inclusion
+    def _edge_status(self) -> DataFrame:
+        """Per logical edge: the conditional boundary aggregates that decide
+        window inclusion — one map-side-combinable hash aggregate.
+
+        Columns: ``src, dst, first_add, first_del, last_add_le_s,
+        last_del_le_s, has_add_in_w`` where boundary values are
+        ``struct(time, rank)`` for the documented add<del tie rule.
+        """
+        s = self.start if self.start is not None else I64_MIN
+        e = self.end if self.end is not None else I64_MAX
+        t, r = F.col("time"), _op_rank()
+        is_add, is_del = F.col("op") == "add", F.col("op") == "del"
+        ev = F.struct(t.alias("t"), r.alias("r"))
+        return self.events_t.groupBy("src", "dst").agg(
+            F.min(F.when(is_add, ev)).alias("first_add"),
+            F.min(F.when(is_del, ev)).alias("first_del"),
+            F.max(F.when(is_add & (t <= F.lit(s)), ev)).alias("last_add_le_s"),
+            F.max(F.when(is_del & (t <= F.lit(s)), ev)).alias("last_del_le_s"),
+            F.max(
+                F.when(is_add & (t >= F.lit(s)) & (t < F.lit(e)), True)
+            ).alias("has_add_in_w"),
+            F.min(F.when(is_add, t)).alias("earliest"),
+            F.max(F.when(is_add, t)).alias("last_add_t"),
+            F.max(F.when(is_del, t)).alias("last_del_t"),
+        )
+
+    @staticmethod
+    def _alive_at_start_cond():
+        """Aliveness at the window start s (edge_alive_at,
+        deletion_graph.rs:61-113), over ``_edge_status`` columns:
+
+        - the edge was deleted BEFORE its first addition (both events must
+          exist: Rust ``None < Some`` makes ``fd < fa`` false for a
+          never-added edge, so delete-only edges are never alive) and that
+          first deletion is at time ≥ s (alive from -∞ *through* the
+          deletion instant — the reference's ``v >= TimeIndexEntry::
+          start(t)`` is inclusive in this branch), OR
+        - the last addition ≤ s outranks the last deletion ≤ s (NULL = -∞,
+          struct comparison applies the add<del tie rule — so an edge
+          deleted exactly at s is dead at s).
+        """
+        fd, fa = F.col("first_del"), F.col("first_add")
+        la, ld = F.col("last_add_le_s"), F.col("last_del_le_s")
+        s = F.col("_s")
+        del_first = (
+            fd.isNotNull() & fa.isNotNull() & (fd < fa) & (fd["t"] >= s)
+        )
+        add_wins = la.isNotNull() & (ld.isNull() | (la > ld))
+        return del_first | add_wins
+
+    def _included_edges(self) -> DataFrame:
+        st = self._edge_status()
+        if self.start is None and self.end is None:
+            # unwindowed: EVERY edge ever referenced is accessible, even
+            # delete-only ones (deletion_graph.rs:31-32)
+            return st
+        s = self.start if self.start is not None else I64_MIN
+        st = st.withColumn("_s", F.lit(s))
+        return st.filter(
+            F.coalesce(F.col("has_add_in_w"), F.lit(False))
+            | self._alive_at_start_cond()
+        )
+
+    # ------------------------------------------------------------ accessors
+    def edges(self) -> DataFrame:
+        """Included logical edges — ``(src, dst)``.  Unwindowed, every edge
+        ever referenced (added OR deleted) is present
+        (deletion_graph.rs:31-32: access to all edges even when deleted)."""
+        return self._included_edges().select("src", "dst")
+
+    def edge_ids(self) -> DataFrame:
+        return self.edges().select(
+            name_to_id(F.col("src")).alias("src_id"),
+            name_to_id(F.col("dst")).alias("dst_id"),
+        )
+
+    def count_edges(self) -> int:
+        return self.edges().count()
+
+    def nodes(self) -> DataFrame:
+        """Included nodes — first event time ≤ window end (the reference's
+        include_node_window, deletion_graph.rs:240-249; node deletions are
+        an open FIXME there and out of scope here too)."""
+        e = self.end if self.end is not None else I64_MAX
+        return (
+            self.nodes_t.groupBy("name")
+            .agg(F.min("time").alias("first_t"))
+            .filter(F.col("first_t") <= F.lit(e))
+            .select("name")
+        )
+
+    def edge_earliest_latest(self) -> DataFrame:
+        """Per edge: ``(src, dst, earliest_time, latest_time)`` — earliest =
+        first addition (NULL when only deleted), latest = last deletion, or
+        +∞ (NULL here) while still alive (test_timestamps,
+        deletion_graph.rs:697-712)."""
+        st = self._edge_status()
+        # latest alive period is open ⇔ the last addition outranks the last
+        # deletion (add<del at equal time, so a same-t add+del is closed)
+        is_open = F.col("last_del_t").isNull() | (
+            F.col("last_add_t").isNotNull()
+            & (F.col("last_add_t") > F.col("last_del_t"))
+        )
+        return st.select(
+            "src",
+            "dst",
+            F.col("earliest").alias("earliest_time"),
+            F.when(is_open, F.lit(None).cast("long"))
+            .otherwise(F.col("last_del_t"))
+            .alias("latest_time"),
+        )
+
+    def validity_intervals(self) -> DataFrame:
+        """Per edge: exploded validity intervals ``(src, dst, valid_from,
+        valid_until)`` with half-open ``[from, until)`` semantics; an open
+        interval has ``valid_until`` NULL (+∞), an edge first seen as a
+        deletion has ``valid_from`` NULL (-∞).
+
+        Built from the per-edge event list with ``sort_array`` +
+        ``filter``/``transform`` — the per-edge event count is bounded
+        (edge history), so the collect_list stays within a row group; the
+        only shuffle is the groupBy."""
+        ev = self.events_t.select(
+            "src", "dst", F.struct(F.col("time").alias("t"), _op_rank().alias("r")).alias("e")
+        )
+        per_edge = ev.groupBy("src", "dst").agg(
+            F.array_sort(F.collect_list("e")).alias("evs")
+        )
+        # state machine over the sorted event list, as a SQL higher-order
+        # aggregate: fold events into (alive, from, intervals)
+        folded = per_edge.select(
+            "src",
+            "dst",
+            F.aggregate(
+                "evs",
+                F.struct(
+                    # alive from -inf when the first event is a deletion AND
+                    # the edge is added at some point (fd < fa needs both:
+                    # a delete-only edge is never alive, edge_alive_at
+                    # None-ordering); interval ends are uniformly half-open
+                    # here (documented divergence: edge_alive_at's del-first
+                    # branch is inclusive at the deletion instant)
+                    (
+                        F.element_at("evs", 1)["r"].eqNullSafe(F.lit(_DEL_RANK))
+                        & F.exists("evs", lambda e: e["r"] == _ADD_RANK)
+                    ).alias("alive"),
+                    F.lit(None).cast("long").alias("from"),
+                    F.array().cast("array<struct<f: long, u: long>>").alias("ivals"),
+                ),
+                lambda acc, e: F.when(
+                    (e["r"] == _DEL_RANK) & acc["alive"],
+                    F.struct(
+                        F.lit(False).alias("alive"),
+                        F.lit(None).cast("long").alias("from"),
+                        F.concat(
+                            acc["ivals"],
+                            F.array(
+                                F.struct(
+                                    acc["from"].alias("f"), e["t"].alias("u")
+                                )
+                            ),
+                        ).alias("ivals"),
+                    ),
+                )
+                .when(
+                    (e["r"] == _ADD_RANK) & ~acc["alive"],
+                    F.struct(
+                        F.lit(True).alias("alive"),
+                        e["t"].alias("from"),
+                        acc["ivals"].alias("ivals"),
+                    ),
+                )
+                .otherwise(acc),
+                lambda acc: F.when(
+                    acc["alive"],
+                    F.concat(
+                        acc["ivals"],
+                        F.array(
+                            F.struct(
+                                acc["from"].alias("f"),
+                                F.lit(None).cast("long").alias("u"),
+                            )
+                        ),
+                    ),
+                ).otherwise(acc["ivals"]),
+            ).alias("ivals"),
+        )
+        return folded.select(
+            "src", "dst", F.explode("ivals").alias("iv")
+        ).select(
+            "src",
+            "dst",
+            F.col("iv.f").alias("valid_from"),
+            F.col("iv.u").alias("valid_until"),
+        )
+
+    # ------------------------------------------------------------ properties
+    def edge_property_get(self, prop: str) -> DataFrame:
+        """Latest value of a temporal property per included edge, with the
+        reference's carry-over rule (test_edge_deletions/-properties):
+        values = addition events inside the window, plus — when the edge is
+        alive at the window start — the last value before the start,
+        clamped TO the start.  ``(src, dst, time, value)`` with ``time``
+        already clamped; get = the max-time row per edge."""
+        vals = self.edge_temporal_values(prop)
+        return vals.groupBy("src", "dst").agg(
+            F.max_by(
+                F.col("value"), F.struct(F.col("time"), F.col("value").alias("v"))
+            ).alias("value")
+        )
+
+    def edge_temporal_values(self, prop: str) -> DataFrame:
+        """Temporal values of ``prop`` per included edge in the window —
+        carry-over at the start clamped to the start (deletion-graph
+        temporal property semantics, test_edge_deletions:648-655)."""
+        if prop not in self.events_t.columns:
+            raise ValueError(f"property {prop!r} not found on events")
+        s = self.start if self.start is not None else I64_MIN
+        e = self.end if self.end is not None else I64_MAX
+        adds = self.events_t.filter(
+            (F.col("op") == "add") & F.col(prop).isNotNull()
+        )
+        inside = adds.filter(
+            (F.col("time") >= F.lit(s)) & (F.col("time") < F.lit(e))
+        ).select("src", "dst", "time", F.col(prop).alias("value"))
+        alive = (
+            self._edge_status()
+            .withColumn("_s", F.lit(s).cast("long"))
+            .filter(self._alive_at_start_cond())
+        )
+        carry = (
+            adds.filter(F.col("time") < F.lit(s))
+            .groupBy("src", "dst")
+            .agg(
+                F.max_by(
+                    F.col(prop), F.struct("time", F.col(prop).alias("v"))
+                ).alias("value")
+            )
+            .join(alive.select("src", "dst"), ["src", "dst"], "left_semi")
+            .select("src", "dst", F.lit(s).cast("long").alias("time"), "value")
+        )
+        return inside.unionByName(carry)
+
+    # ------------------------------------------------------------ snapshots
+    def snapshot_at(self, t: int) -> LinkGraph:
+        """The alive-at-t simple graph as an event-graph view, for running
+        any algorithm against persistent state (edges alive at instant t)."""
+        alive = self.window(t, t + 1)._included_edges().filter(
+            PersistentLinkGraph._alive_at_start_cond()
+        )
+        e = alive.select("src", "dst").withColumn("time", F.lit(t).cast("long"))
+        return LinkGraph(e)

@@ -65,3 +65,77 @@ def graph_property_history(graph: LinkGraph, prop: str) -> DataFrame:
     return graph.edges_t.select(
         "src", "dst", "time", F.col(prop).cast("double").alias("value")
     ).orderBy("src", "dst", "time", "value")
+
+
+# ----------------------------------------------------------- node temporal
+
+
+def node_temporal_property_agg(graph: LinkGraph, prop: str) -> DataFrame:
+    """Per node: full aggregate view of one temporal property on the node
+    event table — ``(name, n_values, p_sum, p_mean, p_min, p_max, p_first,
+    p_latest)`` (node-side mirror of the edge API;
+    db/api/properties/temporal_props.rs exposes the same accessors on
+    NodeView properties)."""
+    if prop not in graph.nodes_t.columns:
+        raise ValueError(f"property {prop!r} not found on nodes")
+    v = F.col(prop).cast("double")
+    order = F.struct("time", v.alias("v"))
+    return (
+        graph.nodes_t.filter(v.isNotNull())
+        .groupBy("name")
+        .agg(
+            F.count(v).alias("n_values"),
+            F.sum(v).alias("p_sum"),
+            F.avg(v).alias("p_mean"),
+            F.min(v).alias("p_min"),
+            F.max(v).alias("p_max"),
+            F.min_by(v, order).alias("p_first"),
+            F.max_by(v, order).alias("p_latest"),
+        )
+    )
+
+
+def node_property_at(graph: LinkGraph, prop: str, t: int) -> DataFrame:
+    """Latest node-property value with ``time <= t`` — ``(name, value)``."""
+    if prop not in graph.nodes_t.columns:
+        raise ValueError(f"property {prop!r} not found on nodes")
+    v = F.col(prop).cast("double")
+    return (
+        graph.nodes_t.filter((F.col("time") <= F.lit(t)) & v.isNotNull())
+        .groupBy("name")
+        .agg(F.max_by(v, F.struct("time", v.alias("v"))).alias("value"))
+    )
+
+
+# --------------------------------------------------------------- constant
+
+
+def node_const_property(graph: LinkGraph, prop: str) -> DataFrame:
+    """Constant node property for every node IN THE VIEW — ``(name,
+    value)``; nodes without the property get NULL (constant_props.rs get()
+    → Option).  Window-independent by construction: the const table is
+    carried unfiltered, the join restricts to the view's node set."""
+    if graph.node_const is None or prop not in graph.node_const.columns:
+        raise ValueError(f"constant node property {prop!r} not found")
+    return graph.names().join(
+        graph.node_const.select("name", F.col(prop).alias("value")),
+        "name",
+        "left",
+    )
+
+
+def edge_const_property(graph: LinkGraph, prop: str) -> DataFrame:
+    """Constant edge property for every logical edge in the view —
+    ``(src, dst, value)``."""
+    if graph.edge_const is None or prop not in graph.edge_const.columns:
+        raise ValueError(f"constant edge property {prop!r} not found")
+    return graph.edges().join(
+        graph.edge_const.select("src", "dst", F.col(prop).alias("value")),
+        ["src", "dst"],
+        "left",
+    )
+
+
+def graph_const_property(graph: LinkGraph, prop: str):
+    """Graph-level constant property value (None when unset)."""
+    return graph.graph_const.get(prop)

@@ -18,26 +18,19 @@ from pyspark.sql import functions as F
 from linkgraph.graph import LinkGraph
 
 
-def window_grid(start: int, end: int, window: int, step: int) -> list[tuple[int, int]]:
-    """The reference's WindowSet cursor rule as a list of [ws, we) pairs."""
-    out = []
-    cursor = start + step
-    while cursor < end + step:
-        out.append((cursor - window, cursor))
-        cursor += step
-    return out
+from linkgraph.intervals import window_grid
 
 
 def rolling_counts(
-    graph: LinkGraph, window: int, step: int | None = None
+    graph: LinkGraph, window: int | str, step: int | str | None = None
 ) -> DataFrame:
     """Per rolling window: event/edge/node counts.
 
     Returns ``(window_start, window_end, n_events, n_edges, n_nodes)`` —
     n_edges deduplicated logical edges, n_nodes distinct endpoints active
     in the window (window node semantics, window_graph.rs:217-233).
+    ``window``/``step`` accept calendar interval strings (intervals.py).
     """
-    step = step or window
     start, end = graph.time_bounds()
     spark = graph.spark
     schema = "window_start long, window_end long"

@@ -1,0 +1,70 @@
+"""Multi-hop path API (hops.py) vs hand-computed paths.
+
+Parity target: the reference's chained path iterators
+(db/graph/path.rs PathFromNode/PathFromGraph) — each hop expands to the
+DEDUPED neighbour set per node, path multiplicity across intermediates
+is preserved.
+"""
+
+from linkgraph.graph import LinkGraph
+
+
+def _g(spark):
+    #   1 → 2 → 4
+    #   1 → 3 → 4
+    #   4 → 5, duplicate event 1→2 (must dedup per hop)
+    edges = [
+        (0, "1", "2"),
+        (1, "1", "2"),
+        (0, "1", "3"),
+        (0, "2", "4"),
+        (0, "3", "4"),
+        (0, "4", "5"),
+    ]
+    return LinkGraph.from_edge_list(spark, edges)
+
+
+def test_out_two_hop_multiset(spark):
+    g = _g(spark)
+    p = g.paths("1").out_neighbours().out_neighbours()
+    rows = sorted((r["start_id"], r["node_id"]) for r in p.df().collect())
+    # two paths reach 4 (via 2 and via 3) — multiset keeps both; the
+    # duplicate 1→2 event contributes only ONE neighbour entry
+    assert rows == [(1, 4), (1, 4)]
+    counts = p.counts().collect()[0]
+    assert counts["n_paths"] == 2 and counts["n_distinct"] == 1
+
+
+def test_three_hop_and_endpoints(spark):
+    g = _g(spark)
+    p = g.paths("1").out_neighbours().out_neighbours().out_neighbours()
+    assert p.hops == 3
+    eps = [(r["start_id"], r["node_id"]) for r in p.endpoints().collect()]
+    assert eps == [(1, 5)]
+
+
+def test_in_and_both_neighbours(spark):
+    g = _g(spark)
+    rows = sorted(
+        r["node_id"] for r in g.paths("4").in_neighbours().df().collect()
+    )
+    assert rows == [2, 3]
+    both = sorted(
+        r["node_id"] for r in g.paths("4").neighbours().df().collect()
+    )
+    assert both == [2, 3, 5]
+
+
+def test_paths_from_all_nodes(spark):
+    g = _g(spark)
+    p = g.paths().out_neighbours()
+    # one row per (node, distinct out-neighbour): 1→{2,3}, 2→{4}, 3→{4}, 4→{5}
+    assert p.df().count() == 5
+
+
+def test_names_join(spark):
+    g = _g(spark)
+    got = sorted(
+        r["name"] for r in g.paths("1").out_neighbours().names().collect()
+    )
+    assert got == ["2", "3"]

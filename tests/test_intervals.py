@@ -1,0 +1,104 @@
+"""Calendar-interval parsing + rolling-window bounds vs reference goldens.
+
+Expected values transcribed from the reference's tests:
+- interval_parsing (core/utils/time.rs:330-360);
+- rolling_dates / expanding_dates (db/api/view/time.rs:281-330);
+- rolling / expanding discrete bounds (db/api/view/time.rs:231-279).
+"""
+
+from datetime import datetime, timezone
+
+import pytest
+
+from linkgraph.graph import LinkGraph
+from linkgraph.intervals import Interval, parse_interval, window_grid
+
+SECOND = 1000
+MINUTE = 60 * SECOND
+HOUR = 60 * MINUTE
+DAY = 24 * HOUR
+WEEK = 7 * DAY
+
+
+def ms(s: str) -> int:
+    """'%Y-%m-%d %H:%M:%S[.%f]' → epoch millis (UTC), as try_into_time."""
+    fmt = "%Y-%m-%d %H:%M:%S.%f" if "." in s else "%Y-%m-%d %H:%M:%S"
+    return int(
+        datetime.strptime(s, fmt).replace(tzinfo=timezone.utc).timestamp() * 1000
+    )
+
+
+def test_interval_parsing():
+    # core/utils/time.rs:330-360
+    assert parse_interval("1 day").millis == DAY
+    assert parse_interval("1 week").millis == WEEK
+    assert parse_interval("4 weeks and 1 day").millis == 4 * WEEK + DAY
+    assert parse_interval("2 days & 1 millisecond").millis == 2 * DAY + 1
+    assert (
+        parse_interval("2 days, 1 hour, and 2 minutes").millis
+        == 2 * DAY + HOUR + 2 * MINUTE
+    )
+    assert parse_interval("1 weeks ,   1 minute").millis == WEEK + MINUTE
+    assert (
+        parse_interval("23 seconds  and 34 millisecond and 1 minute").millis
+        == 23 * SECOND + 34 + MINUTE
+    )
+    assert parse_interval("3 months") == Interval(millis=0, months=3)
+    assert parse_interval("2 years") == Interval(millis=0, months=24)
+    assert parse_interval("1 month and 1 day") == Interval(millis=DAY, months=1)
+    with pytest.raises(ValueError):
+        parse_interval("1 fortnight")
+    with pytest.raises(ValueError):
+        parse_interval("day")
+
+
+def test_month_arithmetic_roundtrip():
+    # time + interval - interval == time (time.rs:289-325 ordering contract;
+    # holds when no month-end clamping occurs, as in the reference)
+    t = ms("2020-01-15 12:34:56.789")
+    iv = parse_interval("1 month and 3 days")
+    assert iv.sub_from(iv.add_to(t)) == t
+    # Jan 31 + 1 month clamps to Feb 29 (2020 is a leap year)
+    assert parse_interval("1 month").add_to(ms("2020-01-31 00:00:00")) == ms(
+        "2020-02-29 00:00:00"
+    )
+
+
+def test_rolling_dates_bounds():
+    # db/api/view/time.rs:281-305 rolling_dates — both timeline variants
+    for end_s in ("2020-06-07 23:59:59.999", None):
+        start = ms("2020-06-06 00:00:00")
+        end = ms(end_s) + 1 if end_s else ms("2020-06-08 00:00:00")
+        got = window_grid(start, end, "1 day")
+        assert got == [
+            (ms("2020-06-06 00:00:00"), ms("2020-06-07 00:00:00")),
+            (ms("2020-06-07 00:00:00"), ms("2020-06-08 00:00:00")),
+        ]
+
+
+def test_rolling_discrete_bounds():
+    # db/api/view/time.rs:231-254: timeline [1, 7), window 2
+    assert window_grid(1, 7, 2) == [(1, 3), (3, 5), (5, 7)]
+    # time.rs rolling(): timeline [1, 6), window 3, step 2 — the first
+    # window may hang BEFORE the data (cursor starts at start + step)
+    assert window_grid(1, 6, 3, 2) == [(0, 3), (2, 5), (4, 7)]
+
+
+def test_monthly_rolling_on_graph(spark):
+    # three events in consecutive calendar months; "1 month" windows land
+    # on calendar boundaries, not fixed 30-day blocks
+    t1, t2, t3 = (
+        ms("2021-01-15 00:00:00"),
+        ms("2021-02-20 00:00:00"),
+        ms("2021-04-02 00:00:00"),
+    )
+    g = LinkGraph.from_edge_list(
+        spark, [(t1, "a", "b"), (t2, "b", "c"), (t3, "c", "d")]
+    )
+    wins = [(s, e, sub.count_temporal_edges()) for s, e, sub in g.rolling("1 month")]
+    # cursor starts at t1 + 1 month = 2021-02-15; windows [cursor-1mo, cursor)
+    assert wins[0][0] == t1 and wins[0][2] == 1  # catches the Jan event
+    assert sum(n for _, _, n in wins) >= 3  # every event in some window
+    # window boundaries are calendar-aligned to the 15th
+    starts = [datetime.fromtimestamp(s / 1000, tz=timezone.utc) for s, _, _ in wins]
+    assert all(d.day == 15 for d in starts)

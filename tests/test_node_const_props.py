@@ -1,0 +1,105 @@
+"""Node temporal properties + constant node/edge/graph properties.
+
+Parity targets: db/api/properties/temporal_props.rs (node-side accessors)
+and constant_props.rs (set-once metadata, window-independent), loader
+ingest path python/graph/pandas/loaders.rs:11-463 (const_props columns).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from linkgraph.graph import LinkGraph
+from linkgraph.properties import (
+    edge_const_property,
+    graph_const_property,
+    node_const_property,
+    node_property_at,
+    node_temporal_property_agg,
+)
+
+
+@pytest.fixture()
+def pg(spark):
+    edges = spark.createDataFrame(
+        [("a", "b", 1), ("b", "c", 3), ("a", "b", 5)],
+        schema="src string, dst string, time long",
+    )
+    nodes = spark.createDataFrame(
+        [
+            ("a", 1, 10.0),
+            ("a", 3, 30.0),
+            ("b", 1, None),
+            ("b", 4, 8.0),
+            ("c", 3, 5.0),
+        ],
+        schema="name string, time long, balance double",
+    )
+    node_const = spark.createDataFrame(
+        [("a", "gold"), ("b", "silver")], schema="name string, tier string"
+    )
+    edge_const = spark.createDataFrame(
+        [("a", "b", "friend")], schema="src string, dst string, kind string"
+    )
+    return LinkGraph(
+        edges,
+        nodes,
+        node_const=node_const,
+        edge_const=edge_const,
+        graph_const={"source": "unit-test", "version": 3},
+    )
+
+
+def test_node_temporal_agg(pg):
+    agg = {r["name"]: r for r in node_temporal_property_agg(pg, "balance").collect()}
+    a = agg["a"]
+    assert a["n_values"] == 2
+    assert a["p_sum"] == 40.0 and a["p_min"] == 10.0 and a["p_max"] == 30.0
+    assert a["p_first"] == 10.0 and a["p_latest"] == 30.0
+    # NULL values are not part of the history (b has one real value)
+    assert agg["b"]["n_values"] == 1 and agg["b"]["p_latest"] == 8.0
+
+
+def test_node_property_at(pg):
+    at2 = {r["name"]: r["value"] for r in node_property_at(pg, "balance", 2).collect()}
+    assert at2 == {"a": 10.0}  # b/c have no non-null values at t <= 2
+    at4 = {r["name"]: r["value"] for r in node_property_at(pg, "balance", 4).collect()}
+    assert at4["a"] == 30.0 and at4["b"] == 8.0 and at4["c"] == 5.0
+
+
+def test_node_temporal_agg_windowed(pg):
+    # windows narrow node histories too (window re-derives nodes_t)
+    w = pg.window(2, 4)
+    agg = {r["name"]: r for r in node_temporal_property_agg(w, "balance").collect()}
+    assert agg["a"]["n_values"] == 1 and agg["a"]["p_latest"] == 30.0
+    assert "b" not in agg  # b's only value is at t=4, outside [2,4)
+
+
+def test_const_node_property(pg):
+    vals = {r["name"]: r["value"] for r in node_const_property(pg, "tier").collect()}
+    assert vals == {"a": "gold", "b": "silver", "c": None}
+    # window-independent: same values inside any window, restricted to the
+    # window's node set
+    w = pg.window(3, 4)  # node events in [3,4): a@3, c@3
+    wv = {r["name"]: r["value"] for r in node_const_property(w, "tier").collect()}
+    assert wv == {"a": "gold", "c": None}
+
+
+def test_const_edge_property(pg):
+    vals = {
+        (r["src"], r["dst"]): r["value"]
+        for r in edge_const_property(pg, "kind").collect()
+    }
+    assert vals == {("a", "b"): "friend", ("b", "c"): None}
+
+
+def test_graph_const_property(pg):
+    assert graph_const_property(pg, "source") == "unit-test"
+    assert graph_const_property(pg, "version") == 3
+    assert graph_const_property(pg, "missing") is None
+    # views carry graph props
+    assert graph_const_property(pg.window(0, 2), "version") == 3
+
+
+def test_missing_const_raises(pg):
+    with pytest.raises(ValueError, match="not found"):
+        node_const_property(pg, "nope")

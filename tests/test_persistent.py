@@ -1,0 +1,196 @@
+"""Persistent-graph (edge deletion) semantics vs reference goldens.
+
+All expected values are transcribed from the reference's own test module
+(raphtory/src/db/graph/views/deletion_graph.rs:582-790):
+test_window_semantics, test_edge_deletions, test_timestamps,
+test_edge_properties, test_materialize_only_deletion (edge presence part).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from linkgraph.persistent import PersistentLinkGraph
+
+
+@pytest.fixture()
+def del_graph(spark):
+    # deletion_graph.rs test_window_semantics: add(1, 1→2), delete(10, 1→2)
+    return PersistentLinkGraph.from_event_list(
+        spark, [(1, "1", "2", "add"), (10, "1", "2", "del")]
+    )
+
+
+def test_window_semantics(del_graph):
+    g = del_graph
+    # deletion_graph.rs:676-694
+    assert g.count_edges() == 1
+    assert g.at(12).count_edges() == 0
+    assert g.at(11).count_edges() == 0
+    assert g.at(10).count_edges() == 0  # deletion AT t kills instant t
+    assert g.at(9).count_edges() == 1
+    assert g.window(5, 9).count_edges() == 1
+    assert g.window(5, 10).count_edges() == 1
+    assert g.window(5, 11).count_edges() == 1
+    assert g.window(10, 12).count_edges() == 0
+    assert g.before(10).count_edges() == 1
+    assert g.after(10).count_edges() == 0
+
+
+def test_edge_deletions_inclusion_and_props(spark):
+    # deletion_graph.rs:628-674: add(0, 0→1, added=0), delete(10, 0→1)
+    ev = spark.createDataFrame(
+        [("0", "1", 0, "add", 0), ("0", "1", 10, "del", None)],
+        schema="src string, dst string, time long, op string, added long",
+    )
+    g = PersistentLinkGraph(ev)
+    assert [tuple(r) for r in g.edges().collect()] == [("0", "1")]
+    assert g.window(1, 2).count_edges() == 1
+    assert g.window(11, 12).count_edges() == 0
+
+    # property carried over into the window, clamped to the start:
+    # temporal values of window(1,2) == [(1, 0)]
+    vals = g.window(1, 2).edge_temporal_values("added").collect()
+    assert [(r["time"], r["value"]) for r in vals] == [(1, 0)]
+    got = g.window(1, 2).edge_property_get("added").collect()
+    assert got[0]["value"] == 0
+    # dead edge in the window → no property rows
+    assert g.window(11, 12).edge_property_get("added").count() == 0
+
+
+def test_timestamps(spark):
+    # deletion_graph.rs:697-712
+    g1 = PersistentLinkGraph.from_event_list(
+        spark, [(1, "1", "2", "add")]
+    )
+    r = g1.edge_earliest_latest().collect()[0]
+    assert r["earliest_time"] == 1 and r["latest_time"] is None  # +inf
+
+    g2 = PersistentLinkGraph.from_event_list(
+        spark, [(1, "1", "2", "add"), (10, "1", "2", "del")]
+    )
+    r = g2.edge_earliest_latest().collect()[0]
+    assert r["earliest_time"] == 1 and r["latest_time"] == 10
+
+    # deletion of a never-added edge: earliest None, latest 10, and the
+    # edge still exists in the unwindowed view
+    g3 = PersistentLinkGraph.from_event_list(spark, [(10, "3", "4", "del")])
+    assert g3.count_edges() == 1  # unwindowed: delete-only edges accessible
+    r = g3.edge_earliest_latest().collect()[0]
+    assert r["earliest_time"] is None and r["latest_time"] == 10
+    # ... but a NEVER-added edge is never alive (None < Some: fd < fa
+    # fails when there is no addition, edge_alive_at None-ordering)
+    assert g3.at(5).count_edges() == 0
+
+    # deleted-before-added: alive from -inf through the deletion instant
+    g3b = PersistentLinkGraph.from_event_list(
+        spark, [(10, "3", "4", "del"), (20, "3", "4", "add")]
+    )
+    assert g3b.at(5).count_edges() == 1
+    assert g3b.at(10).count_edges() == 1  # inclusive in the del-first branch
+    assert g3b.at(15).count_edges() == 0
+    assert g3b.at(25).count_edges() == 1
+
+    # then add at 1: earliest 1, latest still 10
+    g4 = PersistentLinkGraph.from_event_list(
+        spark, [(10, "3", "4", "del"), (1, "3", "4", "add")]
+    )
+    r = g4.edge_earliest_latest().collect()[0]
+    assert r["earliest_time"] == 1 and r["latest_time"] == 10
+
+
+def test_edge_properties_window_updates(spark):
+    # deletion_graph.rs:744-790: add(0, tv=1), delete(10), add_update(11, tv=2)
+    ev = spark.createDataFrame(
+        [
+            ("1", "2", 0, "add", 1),
+            ("1", "2", 10, "del", None),
+            ("1", "2", 11, "add", 2),
+        ],
+        schema="src string, dst string, time long, op string, tv long",
+    )
+    g = PersistentLinkGraph(ev)
+    # unwindowed get = latest addition value
+    assert g.edge_property_get("tv").collect()[0]["value"] == 2
+    # at(10): dead and no events → None
+    assert g.at(10).edge_property_get("tv").count() == 0
+    # window(10,12): update at 11 inside → 2
+    assert g.window(10, 12).edge_property_get("tv").collect()[0]["value"] == 2
+    # window(5,12): carry-over (5, 1) + inside (11, 2) → latest 2
+    vals = sorted(
+        (r["time"], r["value"])
+        for r in g.window(5, 12).edge_temporal_values("tv").collect()
+    )
+    assert vals == [(5, 1), (11, 2)]
+
+
+def test_validity_intervals(spark):
+    g = PersistentLinkGraph.from_event_list(
+        spark,
+        [
+            (1, "a", "b", "add"),
+            (5, "a", "b", "del"),
+            (7, "a", "b", "add"),
+            (7, "a", "b", "add"),  # double add: interval from FIRST add of run
+            (9, "a", "b", "del"),
+            (9, "a", "b", "del"),  # double delete: ignored while dead
+            (12, "a", "b", "add"),  # open tail
+            (4, "c", "d", "del"),  # never added: never alive, no intervals
+            (4, "c", "e", "del"),  # deleted then added: alive from -inf
+            (8, "c", "e", "add"),
+            (6, "e", "f", "add"),
+            (6, "e", "f", "del"),  # same-t add+del → empty interval [6,6)
+        ],
+    )
+    rows = {
+        (r["src"], r["dst"], r["valid_from"], r["valid_until"])
+        for r in g.validity_intervals().collect()
+    }
+    assert rows == {
+        ("a", "b", 1, 5),
+        ("a", "b", 7, 9),
+        ("a", "b", 12, None),
+        ("c", "e", None, 4),
+        ("c", "e", 8, None),
+        ("e", "f", 6, 6),
+    }
+
+
+def test_same_time_add_delete_is_dead(spark):
+    g = PersistentLinkGraph.from_event_list(
+        spark, [(5, "x", "y", "add"), (5, "x", "y", "del")]
+    )
+    assert g.at(5).count_edges() == 1  # add event IN the window includes it
+    assert g.at(6).count_edges() == 0  # but it is dead from 5 onward
+    r = g.edge_earliest_latest().collect()[0]
+    assert r["latest_time"] == 5
+
+
+def test_snapshot_at(spark):
+    g = PersistentLinkGraph.from_event_list(
+        spark,
+        [
+            (0, "a", "b", "add"),
+            (5, "a", "b", "del"),
+            (0, "b", "c", "add"),
+        ],
+    )
+    s3 = g.snapshot_at(3)
+    assert sorted(
+        (r["src"], r["dst"]) for r in s3.edges().collect()
+    ) == [("a", "b"), ("b", "c")]
+    s7 = g.snapshot_at(7)
+    assert [(r["src"], r["dst"]) for r in s7.edges().collect()] == [("b", "c")]
+
+
+def test_nodes_inclusion(spark):
+    # include_node_window: first event time <= window end
+    g = PersistentLinkGraph.from_event_list(
+        spark, [(0, "1", "2", "add"), (8, "3", "4", "add")]
+    )
+    assert {r["name"] for r in g.window(0, 5).nodes().collect()} == {"1", "2"}
+    assert {r["name"] for r in g.window(0, 9).nodes().collect()} == {
+        "1",
+        "2",
+        "3",
+        "4",
+    }
