@@ -586,6 +586,169 @@ def q_emb_lsh_topk(spark, sf_dir):
     return lsh_topk(emb, queries, k=5)
 
 
+def q_docs_simhash_pairs(spark, sf_dir):
+    from linkgraph.pipeline.dedup import simhash_pairs
+
+    return simhash_pairs(_t(spark, sf_dir, "documents"), max_distance=6)
+
+
+# ------------------------------------------------------- persistent graph
+
+# deterministic add/delete event stream: every 7th lineitem is a deletion
+# of its (customer, supplier) edge, the rest are additions
+PERSIST_WS = 788918400000  # 1995-01-01 UTC millis
+PERSIST_WE = 820454400000  # 1996-01-01 UTC millis
+
+
+def _persist_events(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return o.join(li, o.o_orderkey == li.l_orderkey).select(
+        F.col("o_custkey").cast("string").alias("src"),
+        (F.lit(1_000_000) + F.col("l_suppkey")).cast("string").alias("dst"),
+        (F.unix_timestamp("o_orderdate") * 1000).alias("time"),
+        F.when(F.col("l_linenumber") % 7 == 0, F.lit("del"))
+        .otherwise(F.lit("add"))
+        .alias("op"),
+    )
+
+
+def q_persistent_window_edges(spark, sf_dir):
+    """Edges of the 1995 window under deletion semantics: addition in the
+    window OR alive at the window start (deletion_graph.rs:61-119)."""
+    from linkgraph.persistent import PersistentLinkGraph
+
+    g = PersistentLinkGraph(_persist_events(spark, sf_dir))
+    return g.window(PERSIST_WS, PERSIST_WE).edges().select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+    )
+
+
+def q_persistent_earliest_latest(spark, sf_dir):
+    """Per edge: first addition / final deletion time (NULL→-1: still alive
+    resp. never added) — deletion_graph.rs test_timestamps."""
+    from linkgraph.persistent import PersistentLinkGraph
+
+    g = PersistentLinkGraph(_persist_events(spark, sf_dir))
+    return g.edge_earliest_latest().select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+        F.coalesce("earliest_time", F.lit(-1)).alias("earliest_time"),
+        F.coalesce("latest_time", F.lit(-1)).alias("latest_time"),
+    )
+
+
+def q_persistent_validity_intervals(spark, sf_dir):
+    """Exploded [valid_from, valid_until) validity intervals per edge
+    (-1 = ±infinity on the respective side)."""
+    from linkgraph.persistent import PersistentLinkGraph
+
+    g = PersistentLinkGraph(_persist_events(spark, sf_dir))
+    return g.validity_intervals().select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+        F.coalesce("valid_from", F.lit(-1)).alias("valid_from"),
+        F.coalesce("valid_until", F.lit(-1)).alias("valid_until"),
+    )
+
+
+# ------------------------------------------- node + constant properties
+
+
+def _trade_prop_graph(spark, sf_dir):
+    """Trade graph with a node event table (customer spend per order,
+    supplier sightings per shipment) and a constant node property
+    (c_acctbal) — the loaders' const_props ingest path."""
+    from linkgraph.graph import LinkGraph
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cust_nodes = o.select(
+        F.col("o_custkey").cast("string").alias("name"),
+        (F.unix_timestamp("o_orderdate") * 1000).alias("time"),
+        F.col("o_totalprice").alias("spend"),
+    )
+    supp_nodes = li.select(
+        (F.lit(1_000_000) + F.col("l_suppkey")).cast("string").alias("name"),
+        (F.unix_timestamp("l_shipdate") * 1000).alias("time"),
+        F.lit(None).cast("double").alias("spend"),
+    )
+    node_const = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("string").alias("name"),
+        F.col("c_acctbal").alias("acctbal"),
+    )
+    return LinkGraph(
+        _trade_edges_t(spark, sf_dir).select("src", "dst", "time"),
+        cust_nodes.unionByName(supp_nodes),
+        node_const=node_const,
+    )
+
+
+def q_trade_node_prop_agg(spark, sf_dir):
+    from linkgraph.properties import node_temporal_property_agg
+
+    g = _trade_prop_graph(spark, sf_dir)
+    return node_temporal_property_agg(g, "spend").select(
+        F.col("name").cast("long").alias("node"),
+        "n_values",
+        F.round("p_sum", 2).alias("p_sum"),
+        F.round("p_mean", 6).alias("p_mean"),
+        "p_min",
+        "p_max",
+        "p_first",
+        "p_latest",
+    )
+
+
+def q_trade_node_prop_at(spark, sf_dir):
+    from linkgraph.properties import node_property_at
+
+    g = _trade_prop_graph(spark, sf_dir)
+    return node_property_at(g, "spend", PROP_AT).select(
+        F.col("name").cast("long").alias("node"), "value"
+    )
+
+
+def q_trade_node_const_prop(spark, sf_dir):
+    """Constant node property for EVERY node in the view (suppliers have
+    none → sentinel -99999.0; constant_props.rs get() → Option)."""
+    from linkgraph.properties import node_const_property
+
+    g = _trade_prop_graph(spark, sf_dir)
+    return node_const_property(g, "acctbal").select(
+        F.col("name").cast("long").alias("node"),
+        F.round(F.coalesce("value", F.lit(-99999.0)), 2).alias("acctbal"),
+    )
+
+
+# --------------------------------------------------- calendar windows
+
+
+def q_trade_monthly_rolling(spark, sf_dir):
+    """rolling_counts with a CALENDAR '1 month' interval — windows land on
+    month-mates of the timeline start (clamped chrono Months arithmetic),
+    not fixed 30-day blocks (core/utils/time.rs:120-156)."""
+    from linkgraph.windows import rolling_counts
+
+    return rolling_counts(_trade_graph(spark, sf_dir), "1 month")
+
+
+# ------------------------------------------------------- multi-hop paths
+
+TWO_HOP_SEEDS = ["1", "19"]
+
+
+def q_trade_two_hop(spark, sf_dir):
+    """Chained path API: per seed, 2-hop BOTH-direction path count and
+    distinct endpoint count (PathFromNode, db/graph/path.rs)."""
+    g = _trade_graph(spark, sf_dir)
+    p = g.paths(*TWO_HOP_SEEDS).neighbours().neighbours()
+    return p.counts().select(
+        F.col("start_id").alias("node"), "n_paths", "n_distinct"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "trade_edges": q_trade_edges,
@@ -628,6 +791,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trade_louvain": q_trade_louvain,
         "docs_minhash_lsh": q_docs_minhash_lsh,
         "docs_simhash": q_docs_simhash,
+        "docs_simhash_pairs": q_docs_simhash_pairs,
+        "persistent_window_edges": q_persistent_window_edges,
+        "persistent_earliest_latest": q_persistent_earliest_latest,
+        "persistent_validity_intervals": q_persistent_validity_intervals,
+        "trade_node_prop_agg": q_trade_node_prop_agg,
+        "trade_node_prop_at": q_trade_node_prop_at,
+        "trade_node_const_prop": q_trade_node_const_prop,
+        "trade_monthly_rolling": q_trade_monthly_rolling,
+        "trade_two_hop": q_trade_two_hop,
         "docs_fingerprint": q_docs_fingerprint,
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_lsh_topk": q_emb_lsh_topk,
@@ -1210,6 +1382,186 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
+"""
+
+    # ------------------------------------------------------ persistent graph
+    # shared event CTE: encode the (time, op-rank) tie rule (add<del at equal
+    # time) as key = t*2 + r so plain min/max mirror the struct comparisons
+    persist_ev = """
+ev AS (
+  SELECT o_custkey AS src, 1000000 + l_suppkey AS dst,
+         epoch_ms(o_orderdate) AS t,
+         CASE WHEN l_linenumber % 7 = 0 THEN 1 ELSE 0 END AS r
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+)"""
+
+    sqls["persistent_window_edges"] = f"""
+WITH {persist_ev},
+st AS (
+  SELECT src, dst,
+         min(CASE WHEN r = 0 THEN t * 2 END) AS fa,
+         min(CASE WHEN r = 1 THEN t * 2 + 1 END) AS fd,
+         max(CASE WHEN r = 0 AND t <= {PERSIST_WS} THEN t * 2 END) AS la,
+         max(CASE WHEN r = 1 AND t <= {PERSIST_WS} THEN t * 2 + 1 END) AS ld,
+         max(CASE WHEN r = 0 AND t >= {PERSIST_WS} AND t < {PERSIST_WE}
+             THEN 1 ELSE 0 END) AS aw
+  FROM ev GROUP BY src, dst
+)
+SELECT src::BIGINT AS src, dst::BIGINT AS dst FROM st
+WHERE aw = 1
+   OR (fd IS NOT NULL AND fa IS NOT NULL AND fd < fa
+       AND (fd - 1) // 2 >= {PERSIST_WS})
+   OR (la IS NOT NULL AND (ld IS NULL OR la > ld))
+"""
+
+    sqls["persistent_earliest_latest"] = f"""
+WITH {persist_ev},
+st AS (
+  SELECT src, dst,
+         min(CASE WHEN r = 0 THEN t END) AS earliest,
+         max(CASE WHEN r = 0 THEN t END) AS last_add_t,
+         max(CASE WHEN r = 1 THEN t END) AS last_del_t
+  FROM ev GROUP BY src, dst
+)
+SELECT src::BIGINT AS src, dst::BIGINT AS dst,
+       coalesce(earliest, -1) AS earliest_time,
+       CASE WHEN last_del_t IS NULL
+              OR (last_add_t IS NOT NULL AND last_add_t > last_del_t)
+            THEN -1 ELSE last_del_t END AS latest_time
+FROM st
+"""
+
+    # validity intervals: the sorted-event fold = run-length compression of
+    # the op sequence; the first run is a no-op when it matches the initial
+    # state (alive0 = first event is a deletion AND an addition exists)
+    sqls["persistent_validity_intervals"] = f"""
+WITH {persist_ev},
+st AS (
+  SELECT src, dst, min(t * 2 + r) AS fe,
+         max(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS has_add
+  FROM ev GROUP BY src, dst
+),
+runs AS (
+  SELECT e.src, e.dst, e.t, e.r,
+         (st.fe % 2 = 1 AND st.has_add = 1) AS alive0,
+         lag(e.r) OVER (PARTITION BY e.src, e.dst ORDER BY e.t, e.r) AS pr
+  FROM ev e JOIN st ON st.src = e.src AND st.dst = e.dst
+),
+rstarts AS (
+  SELECT src, dst, t, r, alive0,
+         row_number() OVER (PARTITION BY src, dst ORDER BY t, r) AS ri
+  FROM runs WHERE pr IS NULL OR r <> pr
+),
+eff AS (
+  SELECT src, dst, t, r,
+         row_number() OVER (PARTITION BY src, dst ORDER BY t, r) AS ei
+  FROM rstarts
+  WHERE NOT (ri = 1 AND ((alive0 AND r = 0) OR (NOT alive0 AND r = 1)))
+),
+iv AS (
+  SELECT src, dst, t, r,
+         lead(t) OVER (PARTITION BY src, dst ORDER BY t, r) AS u, ei
+  FROM eff
+)
+SELECT src::BIGINT AS src, dst::BIGINT AS dst,
+       t AS valid_from, coalesce(u, -1) AS valid_until
+FROM iv WHERE r = 0
+UNION ALL
+SELECT src::BIGINT, dst::BIGINT, -1, t FROM iv WHERE r = 1 AND ei = 1
+"""
+
+    # --------------------------------------------- node + constant properties
+    node_ev = """
+nev AS (
+  SELECT o_custkey AS name, epoch_ms(o_orderdate) AS t,
+         o_totalprice::DOUBLE AS v
+  FROM orders
+)"""
+
+    sqls["trade_node_prop_agg"] = f"""
+WITH {node_ev},
+b AS (
+  SELECT name, count(v) AS n_values, round(sum(v), 2) AS p_sum,
+         round(avg(v), 6) AS p_mean, min(v) AS p_min, max(v) AS p_max,
+         min(t) AS mt, max(t) AS xt
+  FROM nev GROUP BY name
+),
+fv AS (SELECT e.name, min(e.v) AS v FROM nev e JOIN b
+       ON b.name = e.name AND e.t = b.mt GROUP BY e.name),
+lv AS (SELECT e.name, max(e.v) AS v FROM nev e JOIN b
+       ON b.name = e.name AND e.t = b.xt GROUP BY e.name)
+SELECT b.name::BIGINT AS node, n_values, p_sum, p_mean, p_min, p_max,
+       fv.v AS p_first, lv.v AS p_latest
+FROM b JOIN fv ON fv.name = b.name JOIN lv ON lv.name = b.name
+"""
+
+    sqls["trade_node_prop_at"] = f"""
+WITH {node_ev},
+b AS (SELECT name, max(t) AS xt FROM nev WHERE t <= {PROP_AT} GROUP BY name)
+SELECT e.name::BIGINT AS node, max(e.v) AS value
+FROM nev e JOIN b ON b.name = e.name AND e.t = b.xt
+GROUP BY e.name
+"""
+
+    sqls["trade_node_const_prop"] = """
+WITH n AS (
+  SELECT DISTINCT o_custkey AS name FROM orders
+  UNION
+  SELECT DISTINCT 1000000 + l_suppkey FROM lineitem
+)
+SELECT n.name::BIGINT AS node,
+       round(coalesce(c.c_acctbal, -99999.0), 2) AS acctbal
+FROM n LEFT JOIN customer c ON c.c_custkey = n.name
+"""
+
+    # ------------------------------------------------------ calendar windows
+    # cascade month arithmetic (cursor += 1 month each step, clamped) via a
+    # recursive CTE — matches the WindowSet cursor rule with Interval months
+    sqls["trade_monthly_rolling"] = """
+WITH RECURSIVE ev AS (
+  SELECT o_custkey AS src, 1000000 + l_suppkey AS dst,
+         epoch_ms(o_orderdate) AS t
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+b AS (SELECT min(t) AS s, max(t) + 1 AS e FROM ev),
+cur(we) AS (
+  SELECT epoch_ms(epoch_ms(s) + INTERVAL 1 MONTH) FROM b
+  UNION ALL
+  SELECT epoch_ms(epoch_ms(we) + INTERVAL 1 MONTH) FROM cur
+  WHERE epoch_ms(epoch_ms(we) + INTERVAL 1 MONTH)
+        < (SELECT epoch_ms(epoch_ms(e) + INTERVAL 1 MONTH) FROM b)
+),
+grid AS (SELECT epoch_ms(epoch_ms(we) - INTERVAL 1 MONTH) AS ws, we FROM cur),
+j AS (SELECT ws, we, src, dst FROM ev JOIN grid ON t >= ws AND t < we),
+ea AS (
+  SELECT ws, we, count(*) AS n_events, count(DISTINCT (src, dst)) AS n_edges
+  FROM j GROUP BY ws, we
+),
+na AS (
+  SELECT ws, we, count(DISTINCT id) AS n_nodes
+  FROM (SELECT ws, we, src AS id FROM j UNION ALL SELECT ws, we, dst FROM j)
+  GROUP BY ws, we
+)
+SELECT grid.ws AS window_start, grid.we AS window_end,
+       coalesce(ea.n_events, 0) AS n_events,
+       coalesce(ea.n_edges, 0) AS n_edges,
+       coalesce(na.n_nodes, 0) AS n_nodes
+FROM grid LEFT JOIN ea ON ea.ws = grid.ws AND ea.we = grid.we
+LEFT JOIN na ON na.ws = grid.ws AND na.we = grid.we
+"""
+
+    # ------------------------------------------------------- multi-hop paths
+    seeds_sql = ", ".join(f"({s})" for s in TWO_HOP_SEEDS)
+    sqls["trade_two_hop"] = f"""
+WITH {_TRADE_ED}, {_TRADE_UND},
+h1 AS (
+  SELECT s.id AS start_id, u.nbr AS n1
+  FROM (VALUES {seeds_sql}) AS s(id) JOIN trade_und u ON u.id = s.id
+),
+h2 AS (SELECT h1.start_id, u.nbr AS n2 FROM h1 JOIN trade_und u ON u.id = h1.n1)
+SELECT start_id AS node, count(*) AS n_paths,
+       count(DISTINCT n2) AS n_distinct
+FROM h2 GROUP BY start_id
 """
 
     return sqls
