@@ -13,9 +13,10 @@ Job::Check at :176-184, morcel size 16k at :229). Our analogue:
 - lineage is truncated so the logical plan doesn't grow unboundedly across
   iterations (persist each state, ``localCheckpoint`` every few supersteps);
 - per the north rule, vertex state checkpoints to a table per superstep with
-  per-partition lineage rows ``(partition_id, iteration, rows, checksum,
-  wall_ms)`` so any run resumes from the last completed iteration, and
-  convergence deltas are emitted as metrics (``metrics.jsonl``).
+  a lineage row ``(partition_id, iteration, rows, checksum, wall_ms)``
+  (checksum observed during the write — no readback) so any run resumes
+  from the last completed iteration, and convergence deltas are emitted as
+  metrics (``metrics.jsonl``).
 
 The checkpoint store targets Iceberg when an Iceberg catalog is on the
 classpath (``df.writeTo(table)``); this sandbox image has no Iceberg jars,
@@ -30,7 +31,7 @@ import os
 import time as _time
 from contextlib import contextmanager
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -150,29 +151,37 @@ class CheckpointStore:
     def save(self, df: DataFrame, iteration: int, metrics: dict | None = None) -> None:
         """Write state snapshot, then lineage rows (the commit marker).
 
-        Lineage checksum is an order-insensitive 64-bit fold
-        (sum of xxhash64 over all columns) per output partition.
+        Lineage checksum is an order-insensitive 64-bit fold (sum of
+        xxhash64 over all columns) collected via ``observe()`` DURING the
+        parquet write — one Spark job per save, no readback of the files
+        just written.  ``partition_id`` is ``-1``: the fold is global (the
+        per-save serial cost must stay independent of N, and observed
+        metrics cannot be split per output partition).
         """
         t0 = _time.monotonic()
-        df.write.mode("overwrite").parquet(self._state_path(iteration))
-        written = self.spark.read.parquet(self._state_path(iteration))
-        lineage = (
-            written.groupBy(F.spark_partition_id().alias("partition_id"))
-            .agg(
-                F.count("*").alias("rows"),
-                # order-insensitive fold; 32-bit terms so the ANSI long sum
-                # cannot overflow below 2^31 rows per partition
-                F.sum(
-                    F.xxhash64(*written.columns).bitwiseAND(F.lit(0xFFFFFFFF))
-                ).alias("checksum"),
-            )
-            .select(
-                "partition_id",
-                F.lit(iteration).alias("iteration"),
-                "rows",
-                "checksum",
-                F.lit((_time.monotonic() - t0) * 1000.0).alias("wall_ms"),
-            )
+        obs = Observation()
+        observed = df.observe(
+            obs,
+            F.count(F.lit(1)).alias("rows"),
+            # order-insensitive fold; 32-bit terms so the ANSI long sum
+            # cannot overflow below 2^31 rows
+            F.sum(
+                F.xxhash64(*df.columns).bitwiseAND(F.lit(0xFFFFFFFF))
+            ).alias("checksum"),
+        )
+        observed.write.mode("overwrite").parquet(self._state_path(iteration))
+        got = obs.get
+        lineage = self.spark.createDataFrame(
+            [
+                (
+                    -1,
+                    iteration,
+                    int(got["rows"]),
+                    int(got["checksum"] or 0),
+                    (_time.monotonic() - t0) * 1000.0,
+                )
+            ],
+            schema=LINEAGE_SCHEMA,
         )
         lineage.write.mode("append").parquet(self._lineage_path)
         if metrics is not None:
