@@ -482,7 +482,7 @@ def q_trade_betweenness(spark, sf_dir):
     from linkgraph.algorithms import betweenness_centrality
 
     g = _trade_graph(spark, sf_dir)
-    return betweenness_centrality(g, k=16).select(
+    return betweenness_centrality(g, k=16, normalized=False).select(
         F.col("name").cast("long").alias("node"),
         F.round("betweenness", 6).alias("betweenness"),
     )

@@ -62,7 +62,15 @@ def main() -> None:
         "docs_token_counts",
         "docs_minhash_lsh",
         "docs_simhash",
+        "docs_simhash_pairs",
         "emb_cosine_topk",
+        "emb_neardup",
+        # round 2: deletion semantics, node props, calendar windows, paths
+        "persistent_window_edges",
+        "persistent_validity_intervals",
+        "trade_node_prop_agg",
+        "trade_monthly_rolling",
+        "trade_two_hop",
     ]
     for name in headline:
         t0 = time.monotonic()

@@ -31,9 +31,12 @@ from linkgraph.superstep import iteration_conf
 
 
 def betweenness_centrality(
-    graph: LinkGraph, k: int | None = None, normalized: bool = False
+    graph: LinkGraph, k: int | None = None, normalized: bool = True
 ) -> DataFrame:
-    """Returns ``(name, id, betweenness)`` over all nodes in the view."""
+    """Returns ``(name, id, betweenness)`` over all nodes in the view.
+
+    ``normalized`` defaults to True, matching the reference Python surface
+    (python/packages/algorithms.rs:590 ``normalized=true``)."""
     spark = graph.spark
     ids = graph.ids().persist()
     n = ids.count()

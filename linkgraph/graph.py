@@ -36,7 +36,13 @@ _MAX_I64 = (1 << 63) - 1
 
 
 def name_to_id(col: Column) -> Column:
-    """Stable 64-bit non-negative node id for a name column (see module doc)."""
+    """Stable 64-bit non-negative node id for a name column (see module doc).
+
+    Collision caveats: a zero-padded numeric name ("007") collides with its
+    unpadded form ("7"), and a hashed non-numeric name can in principle land
+    on a small numeric id.  Datasets mixing key styles should run
+    :meth:`LinkGraph.validate_ids` once at build time.
+    """
     as_num = col.cast("long")
     hashed = F.xxhash64(col).bitwiseAND(F.lit(_MAX_I64))
     return F.when(col.rlike(r"^\d{1,18}$"), as_num).otherwise(hashed)
@@ -227,6 +233,30 @@ class LinkGraph:
             ).distinct()
 
         return self._memo("canonical", build)
+
+    def validate_ids(self) -> int:
+        """Assert the name→id mapping is injective over THIS graph's nodes —
+        one aggregate (``count == countDistinct(id)``); raises ``ValueError``
+        listing sample colliding names otherwise.  Run once at build time
+        before very large runs (see :func:`name_to_id` caveats)."""
+        row = self.ids().agg(
+            F.count("*").alias("n"), F.countDistinct("id").alias("d")
+        ).first()
+        if row["n"] != row["d"]:
+            sample = (
+                self.ids()
+                .groupBy("id")
+                .agg(F.count("*").alias("c"), F.collect_list("name").alias("names"))
+                .filter(F.col("c") > 1)
+                .limit(5)
+                .collect()
+            )
+            pairs = "; ".join(str(r["names"]) for r in sample)
+            raise ValueError(
+                f"name_to_id collision: {row['n'] - row['d']} id(s) shared by "
+                f"multiple names, e.g. {pairs}"
+            )
+        return int(row["n"])
 
     def paths(self, *names: str):
         """Multi-hop path surface — ``g.paths("a").neighbours().neighbours()``

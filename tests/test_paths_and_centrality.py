@@ -153,7 +153,7 @@ def test_betweenness_reference_golden(spark):
         (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (2, 5), (3, 4), (3, 5),
         (3, 6), (4, 3), (4, 2), (4, 4),
     ]])
-    res = {r["name"]: r["betweenness"] for r in betweenness_centrality(g).collect()}
+    res = {r["name"]: r["betweenness"] for r in betweenness_centrality(g, normalized=False).collect()}
     exp = {"1": 0.0, "2": 1.0, "3": 4.0, "4": 1.0, "5": 0.0, "6": 0.0}
     assert res.keys() == exp.keys()
     for k, v in exp.items():
@@ -169,7 +169,7 @@ def test_betweenness_reference_golden(spark):
 def test_betweenness_k_limits_sources(spark):
     g = _graph(spark, [(0, 1, 2), (0, 2, 3), (0, 3, 4)])
     # k=1 → only source 1 contributes: δ(2)=2 (paths to 3,4), δ(3)=1, δ(4)=0
-    res = {r["name"]: r["betweenness"] for r in betweenness_centrality(g, k=1).collect()}
+    res = {r["name"]: r["betweenness"] for r in betweenness_centrality(g, k=1, normalized=False).collect()}
     assert res == {"1": 0.0, "2": 2.0, "3": 1.0, "4": 0.0}
 
 

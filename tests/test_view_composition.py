@@ -1,0 +1,145 @@
+"""View-composition sweep: algorithms must honour window ∘ layer ∘ subgraph.
+
+The reference applies every algorithm to an arbitrary GraphViewOps stack
+(windowed_graph / layer_graph / node_subgraph wrap the same core, so e.g.
+connected_components over g.window(..).layer(..) is exercised by
+db/graph/views tests).  Here the invariance oracle is the engine itself:
+running an algorithm on a COMPOSED VIEW must equal running it on a graph
+REBUILT from the pre-filtered event table — if a cached accessor or a
+const-prop table leaks across the view boundary, the two diverge.
+
+Also transcribes the reference's windowed-WCC shape
+(connected_components.rs:221-250: the same edge set split across disjoint
+windows yields per-window components) with a layered twist.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from linkgraph.graph import LinkGraph
+from linkgraph.algorithms.components import weakly_connected_components
+from linkgraph.algorithms.triangles import local_triangle_count
+from linkgraph.algorithms.metrics import global_reciprocity
+from linkgraph.algorithms.pagerank import pagerank
+
+# (time, src, dst, layer): two triangles (a,b,c) on layer "x" early,
+# (c,d,e) on layer "y" late, a bridge c-d on "x" late, plus a reciprocal
+# pair (a,b) on "y" and an isolated late edge (f,g) on "x"
+EVENTS = [
+    (1, "a", "b", "x"),
+    (2, "b", "c", "x"),
+    (3, "c", "a", "x"),
+    (10, "c", "d", "x"),
+    (11, "d", "e", "y"),
+    (12, "e", "c", "y"),
+    (13, "c", "d", "y"),
+    (5, "b", "a", "y"),
+    (14, "f", "g", "x"),
+]
+
+
+def _events_df(spark, rows):
+    return spark.createDataFrame(
+        [(s, d, t, l) for t, s, d, l in rows],
+        "src string, dst string, time long, layer string",
+    )
+
+
+def _full(spark):
+    return LinkGraph(_events_df(spark, EVENTS))
+
+
+def _rebuilt(spark, pred):
+    """Graph built directly from the pre-filtered event list (the oracle)."""
+    return LinkGraph(_events_df(spark, [r for r in EVENTS if pred(r)]))
+
+
+def _wcc_by_name(g):
+    return {
+        r["name"]: r["component"]
+        for r in weakly_connected_components(g).collect()
+    }
+
+
+def _ltc_by_name(g):
+    return {
+        r["name"]: r["triangles"] for r in local_triangle_count(g).collect()
+    }
+
+
+def test_window_then_layer_wcc(spark):
+    view = _full(spark).window(0, 10).layer("x")
+    oracle = _rebuilt(spark, lambda r: 0 <= r[0] < 10 and r[3] == "x")
+    assert _wcc_by_name(view) == _wcc_by_name(oracle)
+    # early x-window: one triangle component, no d/e/f/g
+    assert set(_wcc_by_name(view)) == {"a", "b", "c"}
+
+
+def test_layer_then_window_commutes(spark):
+    g = _full(spark)
+    a = _wcc_by_name(g.layer("y").window(10, 14))
+    b = _wcc_by_name(g.window(10, 14).layer("y"))
+    assert a == b == _wcc_by_name(
+        _rebuilt(spark, lambda r: 10 <= r[0] < 14 and r[3] == "y")
+    )
+
+
+def test_windowed_layered_local_triangles(spark):
+    g = _full(spark)
+    # whole graph: triangle (a,b,c) via x plus (c,d,e) via y — note the
+    # reciprocal (a,b)/(b,a) dedups to one undirected edge
+    assert _ltc_by_name(g) == {
+        "a": 1, "b": 1, "c": 2, "d": 1, "e": 1, "f": 0, "g": 0,
+    }
+    # layer x only: the (c,d,e) triangle loses its d-e and e-c edges; the
+    # node set is NOT layer-filtered (layer_graph.rs restricts edges only),
+    # so e stays visible with zero triangles
+    ltc_x = _ltc_by_name(g.layer("x"))
+    assert ltc_x == {"a": 1, "b": 1, "c": 1, "d": 0, "e": 0, "f": 0, "g": 0}
+    # late window ∘ layer y: edges (d,e),(e,c),(c,d) → one triangle; f and g
+    # have window events (t=14) so they remain as zero-triangle nodes
+    late_y = _ltc_by_name(g.window(10, 20).layer("y"))
+    assert late_y == {"c": 1, "d": 1, "e": 1, "f": 0, "g": 0}
+
+
+def test_subgraph_of_windowed_view(spark):
+    g = _full(spark).window(0, 10)
+    sub = g.subgraph(["a", "b", "c", "d"])
+    oracle = _rebuilt(
+        spark,
+        lambda r: 0 <= r[0] < 10 and {r[1], r[2]} <= {"a", "b", "c", "d"},
+    )
+    assert _wcc_by_name(sub) == _wcc_by_name(oracle)
+
+
+def test_reciprocity_respects_layer(spark):
+    g = _full(spark)
+    # layer-x has no reciprocal pair; adding layer y brings (a,b)/(b,a)
+    assert global_reciprocity(g.layer("x")) == 0.0
+    assert global_reciprocity(g.layer("x", "y")) > 0.0
+
+
+def test_pagerank_on_composed_view_matches_rebuilt(spark):
+    view = _full(spark).window(0, 12).layer("x", "y")
+    oracle = _rebuilt(spark, lambda r: 0 <= r[0] < 12)
+    a = {r["name"]: r["score"] for r in pagerank(view, max_iter=20).collect()}
+    b = {r["name"]: r["score"] for r in pagerank(oracle, max_iter=20).collect()}
+    assert set(a) == set(b)
+    for k in a:
+        assert a[k] == pytest.approx(b[k], abs=1e-12)
+
+
+def test_const_props_survive_view_stack(spark):
+    from linkgraph.properties import node_const_property
+
+    const = spark.createDataFrame(
+        [("a", 1.0), ("e", 5.0), ("f", 9.0)], "name string, score double"
+    )
+    g = LinkGraph(_events_df(spark, EVENTS), node_const=const)
+    view = g.window(0, 10).layer("x").subgraph(["a", "b", "c"])
+    got = {
+        r["name"]: r["value"]
+        for r in node_const_property(view, "score").collect()
+    }
+    # restricted to the view's node set; nodes without the prop get NULL
+    assert got == {"a": 1.0, "b": None, "c": None}
