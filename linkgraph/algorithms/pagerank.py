@@ -44,6 +44,17 @@ from linkgraph.superstep import CheckpointStore, SuperstepLoop, iteration_conf
 
 DAMPING_DEFAULT = 0.85
 
+# Budget for the gathered-CSR kernel: 20M int64 edge endpoints / node slots
+# (~160 MB per array on the driver) — the same hub-vector-broadcast regime as
+# triangles.CSR_BROADCAST_MAX.  Below it, the optimal *physical* plan for the
+# whole iteration is a single local pass: per-superstep DataFrame jobs cost a
+# fixed ~0.3-1 s of scheduling/exchange latency each, which dominates when a
+# superstep touches < ~10M rows — exactly the regime the (single-node,
+# in-memory) reference lives in.  Above it, the distributed superstep loop is
+# the only plan that survives, and it is the one benchmarked at 160M edges in
+# BENCH.md.
+DRIVER_KERNEL_MAX = 20_000_000
+
 
 def pagerank(
     graph: LinkGraph,
@@ -57,6 +68,7 @@ def pagerank(
     resume: bool = False,
     checkpoint_every: int = 1,
     iters_out: dict | None = None,
+    kernel: str = "auto",
 ) -> DataFrame:
     """Run PageRank; returns ``(name, id, score)``.
 
@@ -64,6 +76,14 @@ def pagerank(
     vector is broadcast into the contribution join (a ~16-byte/node table:
     10M nodes ≈ 160MB, still broadcastable on real executors; tune down on
     memory-poor clusters). Above it, both sides stay co-partitioned.
+
+    ``kernel``: ``"superstep"`` — the distributed BSP loop (the 100-TB
+    path); ``"local"`` — gather the (deduplicated) edge list once and run
+    the whole power iteration as a vectorized numpy kernel on the driver,
+    identical semantics; ``"auto"`` (default) — ``local`` when the graph
+    fits ``DRIVER_KERNEL_MAX`` and no checkpointing was requested, else
+    ``superstep``.  Both kernels implement pagerank.rs:54-183 exactly and
+    are cross-checked in tests/test_pagerank.py.
     """
     ids = graph.ids().persist()
     if ids.limit(1).count() == 0:
@@ -83,6 +103,7 @@ def pagerank(
         checkpoint_every=checkpoint_every,
         iters_out=iters_out,
         pre_deduped=True,
+        kernel=kernel,
     )
     return res.join(ids, "id").select("name", "id", "score")
 
@@ -102,6 +123,7 @@ def pagerank_on_ids(
     checkpoint_every: int = 1,
     iters_out: dict | None = None,
     pre_deduped: bool = False,
+    kernel: str = "auto",
 ) -> DataFrame:
     """Id-native PageRank core over ``nodes(id)`` + ``edge_ids(src_id, dst_id)``;
     returns ``(id, score)``.  Pass ``pre_deduped=True`` when the edge table is
@@ -113,6 +135,19 @@ def pagerank_on_ids(
 
     raw_edges = (edge_ids if pre_deduped else edge_ids.distinct()).persist()
     n_edges = raw_edges.count()
+    if kernel == "auto":
+        kernel = (
+            "local"
+            if checkpoint_dir is None
+            and max(n, n_edges) <= DRIVER_KERNEL_MAX
+            else "superstep"
+        )
+    if kernel == "local":
+        out = _pagerank_local(
+            spark, ids, raw_edges, n, max_iter, tol, norm, damping, iters_out
+        )
+        raw_edges.unpersist()
+        return out
     from linkgraph.superstep import pick_partitions
 
     P = partitions or pick_partitions(spark, n_edges)
@@ -186,6 +221,61 @@ def pagerank_on_ids(
         )
 
     return state.select("id", "score")
+
+
+def _pagerank_local(
+    spark, ids, edges, n, max_iter, tol, norm, damping, iters_out=None
+) -> DataFrame:
+    """Gathered-CSR power iteration — pagerank.rs:54-183 semantics, one
+    driver-side numpy pass instead of ``max_iter`` DataFrame jobs.
+
+    The edge list arrives as two int64 arrays over Arrow (one job), every
+    superstep is two ``bincount`` scatters, and the result ships back as one
+    Arrow batch.  Bounded by ``DRIVER_KERNEL_MAX`` (~160 MB/array); the
+    superstep kernel above is the identical-semantics scale path.  Stray
+    edges whose endpoint is outside ``ids`` behave exactly as the
+    distributed joins treat them: an unknown dst still absorbs its src's
+    out-degree share (the mass is lost), an unknown src contributes
+    nothing."""
+    import numpy as np
+    import pandas as pd
+
+    id_sorted = np.sort(ids.toPandas()["id"].to_numpy(np.int64))
+    e = edges.select("src_id", "dst_id").toPandas()
+    src_raw = e["src_id"].to_numpy(np.int64)
+    dst_raw = e["dst_id"].to_numpy(np.int64)
+
+    def _lookup(vals):
+        pos = np.searchsorted(id_sorted, vals)
+        pos_c = np.minimum(pos, n - 1)
+        ok = id_sorted[pos_c] == vals
+        return pos_c, ok
+
+    src, src_ok = _lookup(src_raw)
+    dst, dst_ok = _lookup(dst_raw)
+    # out-degree counts every distinct out-edge of a known src (even to an
+    # unknown dst — join-semantics parity with the superstep kernel)
+    out_deg = np.bincount(src[src_ok], minlength=n).astype(np.float64)
+    both = src_ok & dst_ok
+    src_m, dst_m = src[both], dst[both]
+    sinks = out_deg == 0.0
+    safe_deg = np.where(sinks, 1.0, out_deg)
+
+    score = np.full(n, 1.0 / n)
+    teleport = (1.0 - damping) / n
+    for it in range(1, max_iter + 1):
+        if iters_out is not None:
+            iters_out["iterations"] = it
+        contrib = np.where(sinks, 0.0, score / safe_deg)
+        msum = np.bincount(dst_m, weights=contrib[src_m], minlength=n)
+        sink_mass = float(score[sinks].sum())
+        new = damping * msum + (teleport + damping * sink_mass / n)
+        d = np.abs(new - score)
+        diff = float(np.sqrt(float((d * d).sum()))) if norm == "l2" else float(d.sum())
+        score = new
+        if diff <= tol * n:
+            break
+    return spark.createDataFrame(pd.DataFrame({"id": id_sorted, "score": score}))
 
 
 def _run_loop(

@@ -230,11 +230,12 @@ class SuperstepLoop:
         spark: SparkSession,
         store: CheckpointStore | None = None,
         resume: bool = False,
-        truncate_every: int = 64,  # lineage cut cadence. Measured (Spark 4):
+        truncate_every: int = 32,  # lineage cut cadence. Measured (Spark 4):
         # per-superstep analysis cost stays flat for 40+ uncut supersteps
-        # with single-reference linear lineage, while every cut costs a
-        # cache→checkpoint copy — so cut rarely, keeping the mechanism as a
-        # backstop for very long runs
+        # with single-reference linear lineage, but the PLAN TEXT (rendered
+        # per action for execution listeners) grows superlinearly and OOMs a
+        # default-1g spark-submit driver near ~60 uncut supersteps — cut
+        # every 32, costing one cache→checkpoint copy (~3% overhead)
         checkpoint_every: int = 1,
     ):
         self.spark = spark

@@ -27,9 +27,11 @@ def test_five_edge_golden(spark):
     assert_close(got, FX.FIVE_EDGE_PAGERANK, 5)
 
 
-def test_gen_graph_golden(spark):
-    """python/tests/test_algorithms.py:232-246 — allclose 1e-6 gate."""
-    got = run_pr(spark, FX.GEN_GRAPH, max_iter=20, norm="l2")
+@pytest.mark.parametrize("kernel", ["local", "superstep"])
+def test_gen_graph_golden(spark, kernel):
+    """python/tests/test_algorithms.py:232-246 — allclose 1e-6 gate,
+    on BOTH the gathered-CSR kernel and the distributed superstep loop."""
+    got = run_pr(spark, FX.GEN_GRAPH, max_iter=20, norm="l2", kernel=kernel)
     assert set(got) == set(FX.GEN_GRAPH_PAGERANK)
     for k, v in FX.GEN_GRAPH_PAGERANK.items():
         assert math.isclose(got[k], v, rel_tol=0, abs_tol=1e-6), (k, got[k], v)
@@ -60,16 +62,16 @@ def test_scores_sum_to_one(spark):
     assert math.isclose(sum(got.values()), 1.0, abs_tol=1e-9)
 
 
-@pytest.mark.parametrize("seed", [7, 101])
-def test_randomized_vs_oracle(spark, seed):
+@pytest.mark.parametrize("seed,kernel", [(7, "local"), (7, "superstep"), (101, "local"), (101, "superstep")])
+def test_randomized_vs_oracle(spark, seed, kernel):
     """Quickcheck-style: random digraphs must match the numpy oracle that
-    replicates pagerank.rs semantics line-for-line."""
+    replicates pagerank.rs semantics line-for-line — both kernels."""
     rng = random.Random(seed)
     n = 30
     edges = [
         (t, str(rng.randrange(n)), str(rng.randrange(n))) for t in range(80)
     ]
-    got = run_pr(spark, edges, max_iter=50, norm="l1", tol=1e-12)
+    got = run_pr(spark, edges, max_iter=50, norm="l1", tol=1e-12, kernel=kernel)
     want = pagerank_oracle([(s, d) for _, s, d in edges],
                            max_iter=50, norm="l1", tol=1e-12)
     assert set(got) == set(want)
@@ -79,7 +81,9 @@ def test_randomized_vs_oracle(spark, seed):
 
 def test_no_broadcast_path_matches(spark):
     """Force the co-partitioned (non-broadcast) join path; results identical."""
-    got = run_pr(spark, FX.GEN_GRAPH, max_iter=20, broadcast_threshold=0)
+    got = run_pr(
+        spark, FX.GEN_GRAPH, max_iter=20, broadcast_threshold=0, kernel="superstep"
+    )
     for k, v in FX.GEN_GRAPH_PAGERANK.items():
         assert math.isclose(got[k], v, abs_tol=1e-6)
 
