@@ -90,6 +90,21 @@ def main() -> None:
     edges_per_sec = n_edges * max(supersteps, 1) / pr_wall
     timings["pagerank_tol1e-9"] = round(pr_wall, 3)
 
+    # the distributed BSP loop's number at the same config, reported
+    # alongside: kernel="auto" picks the gathered-CSR kernel at this scale
+    # (sub-memory graph), while the superstep loop is the 100-TB path whose
+    # scaling evidence lives in BENCH.md
+    sup_holder: dict[str, int] = {}
+    t0 = time.monotonic()
+    res = pagerank(
+        g, max_iter=200, tol=1e-9, norm="l1", iters_out=sup_holder,
+        kernel="superstep",
+    )
+    _force(res.select("id", "score"))
+    sup_wall = time.monotonic() - t0
+    sup_steps = sup_holder.get("iterations", 0)
+    timings["pagerank_tol1e-9_superstep"] = round(sup_wall, 3)
+
     out = {
         "metric": "pagerank_edges_per_sec_tol1e-9",
         "value": round(edges_per_sec, 1),
@@ -98,6 +113,9 @@ def main() -> None:
         "sf": sf,
         "n_edges": n_edges,
         "pagerank_supersteps": supersteps,
+        "superstep_kernel_edges_per_sec": round(
+            n_edges * max(sup_steps, 1) / sup_wall, 1
+        ),
         "cores": CPUS,
     }
 

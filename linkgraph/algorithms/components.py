@@ -38,11 +38,31 @@ def weakly_connected_components(
     checkpoint_dir: str | None = None,
     resume: bool = False,
     checkpoint_every: int = 1,
+    kernel: str = "auto",
 ) -> DataFrame:
-    """Run WCC; returns ``(name, id, component)``."""
+    """Run WCC; returns ``(name, id, component)``.
+
+    ``kernel``: ``"superstep"`` — distributed min-label propagation (scale
+    path, O(diameter) supersteps); ``"local"`` — gathered edge list +
+    vectorized pointer-jumping on the driver, identical min-id labels
+    (see pagerank.DRIVER_KERNEL_MAX); ``"auto"`` picks ``local`` under the
+    budget when no checkpointing is requested."""
     spark = graph.spark
 
     ids = graph.ids().persist()
+    if kernel == "auto":
+        from linkgraph.algorithms.pagerank import DRIVER_KERNEL_MAX
+
+        n_ids = ids.count()
+        m = graph.edge_ids().count()
+        kernel = (
+            "local"
+            if checkpoint_dir is None and max(n_ids, m) <= DRIVER_KERNEL_MAX
+            else "superstep"
+        )
+    if kernel == "local":
+        res = _wcc_local(spark, ids, graph.edge_ids())
+        return res.join(ids, "id").select("name", "id", "component")
     # adjacency + a self-message edge per node: folding the node's own label
     # into the min as a message keeps each superstep's plan referencing the
     # state exactly ONCE (linear lineage — a state referenced twice doubles
@@ -86,6 +106,41 @@ def weakly_connected_components(
 
         state = _run_loop(loop, state, und, start_it, max_iter, use_broadcast)
     return state.join(ids, "id").select("name", "id", "component")
+
+
+def _wcc_local(spark, ids, edge_ids) -> DataFrame:
+    """Gathered WCC — min-propagation + pointer jumping over dense indices.
+
+    ``id_sorted`` is ascending, so the minimum dense index in a component
+    maps back to the minimum external id — exactly the reference's label
+    (connected_components.rs:36-97).  Each round scatters labels across
+    edges both ways (``minimum.at``) then collapses label chains by
+    repeated ``lab[lab]``; rounds needed = O(log diameter)."""
+    import numpy as np
+    import pandas as pd
+
+    id_sorted = np.sort(ids.select("id").toPandas()["id"].to_numpy(np.int64))
+    n = len(id_sorted)
+    e = edge_ids.select("src_id", "dst_id").toPandas()
+    src = np.searchsorted(id_sorted, e["src_id"].to_numpy(np.int64))
+    dst = np.searchsorted(id_sorted, e["dst_id"].to_numpy(np.int64))
+
+    lab = np.arange(n, dtype=np.int64)
+    while True:
+        new = lab.copy()
+        np.minimum.at(new, dst, lab[src])
+        np.minimum.at(new, src, lab[dst])
+        while True:
+            hop = new[new]
+            if np.array_equal(hop, new):
+                break
+            new = hop
+        if np.array_equal(new, lab):
+            break
+        lab = new
+    return spark.createDataFrame(
+        pd.DataFrame({"id": id_sorted, "component": id_sorted[lab]})
+    )
 
 
 def _directional_components(

@@ -38,8 +38,14 @@ def hits(
     partitions: int | None = None,
     broadcast_threshold: int = 1_000_000,
     iters_out: dict | None = None,
+    kernel: str = "auto",
 ) -> DataFrame:
-    """Run HITS; returns ``(name, id, hub, auth)``."""
+    """Run HITS; returns ``(name, id, hub, auth)``.
+
+    ``kernel``: ``"superstep"`` — distributed BSP loop (scale path);
+    ``"local"`` — gathered-CSR numpy power iteration, identical semantics
+    (see pagerank.DRIVER_KERNEL_MAX for the budget rationale); ``"auto"``
+    picks ``local`` under the budget."""
     spark = graph.spark
 
     ids = graph.ids().persist()
@@ -50,6 +56,14 @@ def hits(
         )
 
     e = graph.edge_ids()
+    if kernel == "auto":
+        from linkgraph.algorithms.pagerank import DRIVER_KERNEL_MAX
+
+        m = e.count()
+        kernel = "local" if max(n, m) <= DRIVER_KERNEL_MAX else "superstep"
+    if kernel == "local":
+        res = _hits_local(spark, ids, e, n, max_iter, tol, iters_out)
+        return res.join(ids, "id").select("name", "id", "hub", "auth")
     # message edges: kind 'a' carries hub(u) from u to each out-neighbour v
     # (feeds auth(v)); kind 'h' carries auth(w) from w to each in-neighbour v
     # (feeds hub(v)).  Zero-weight self-messages keep every node in the
@@ -164,3 +178,36 @@ def hits(
             if (diff["dh"] or 0.0) <= tol and (diff["da"] or 0.0) <= tol:
                 break
     return state.join(ids, "id").select("name", "id", "hub", "auth")
+
+
+def _hits_local(spark, ids, edge_ids, n, max_iter, tol, iters_out=None):
+    """Gathered-CSR HITS — hits.rs:49-131 semantics in two ``bincount``
+    scatters per superstep; same convergence rule (max-|Δ| on BOTH families
+    ≤ tol, checked after global-total normalisation)."""
+    import numpy as np
+    import pandas as pd
+
+    id_sorted = np.sort(ids.select("id").toPandas()["id"].to_numpy(np.int64))
+    e = edge_ids.select("src_id", "dst_id").toPandas()
+    src = np.searchsorted(id_sorted, e["src_id"].to_numpy(np.int64))
+    dst = np.searchsorted(id_sorted, e["dst_id"].to_numpy(np.int64))
+
+    hub = np.ones(n)
+    auth = np.ones(n)
+    for it in range(1, max_iter + 1):
+        if iters_out is not None:
+            iters_out["iterations"] = it
+        recv_hub = np.bincount(dst, weights=hub[src], minlength=n)
+        recv_auth = np.bincount(src, weights=auth[dst], minlength=n)
+        th = float(recv_hub.sum()) or 1.0
+        ta = float(recv_auth.sum()) or 1.0
+        new_auth = recv_hub / th
+        new_hub = recv_auth / ta
+        dh = float(np.abs(new_hub - hub).max()) if n else 0.0
+        da = float(np.abs(new_auth - auth).max()) if n else 0.0
+        hub, auth = new_hub, new_auth
+        if dh <= tol and da <= tol:
+            break
+    return spark.createDataFrame(
+        pd.DataFrame({"id": id_sorted, "hub": hub, "auth": auth})
+    )

@@ -1,5 +1,7 @@
 import random
 
+import pytest
+
 from linkgraph.algorithms import weakly_connected_components
 from linkgraph.algorithms.components import scc_groups, strongly_connected_components
 from linkgraph.graph import LinkGraph
@@ -50,10 +52,11 @@ def test_circle_graph_property(spark):
     assert set(got.values()) == {min(ids)}
 
 
-def test_randomized_vs_oracle(spark):
+@pytest.mark.parametrize("kernel", ["local", "superstep"])
+def test_randomized_vs_oracle(spark, kernel):
     rng = random.Random(7)
     edges = [(t, str(rng.randrange(60)), str(rng.randrange(60))) for t in range(70)]
-    got = run_wcc(spark, edges)
+    got = run_wcc(spark, edges, kernel=kernel)
     want = wcc_oracle([(s, d) for _, s, d in edges])
     assert got == want
 

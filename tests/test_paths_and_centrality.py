@@ -4,6 +4,8 @@ inline test modules (file:line cited per test)."""
 
 import math
 
+import pytest
+
 from linkgraph.algorithms import (
     betweenness_centrality,
     dijkstra_single_source_shortest_paths,
@@ -24,8 +26,10 @@ def _graph(spark, edges):
     )
 
 
-def test_hits_reference_golden(spark):
-    """centrality/hits.rs:195-229 — 8-node fixture, 20 iterations."""
+@pytest.mark.parametrize("kernel", ["local", "superstep"])
+def test_hits_reference_golden(spark, kernel):
+    """centrality/hits.rs:195-229 — 8-node fixture, 20 iterations — both
+    the gathered-CSR kernel and the distributed superstep loop."""
     g = _graph(
         spark,
         [(0, s, d) for s, d in [
@@ -33,7 +37,10 @@ def test_hits_reference_golden(spark):
             (5, 4), (5, 6), (6, 3), (6, 8), (7, 1), (7, 3), (8, 1),
         ]],
     )
-    res = {r["name"]: (r["hub"], r["auth"]) for r in hits(g, max_iter=20).collect()}
+    res = {
+        r["name"]: (r["hub"], r["auth"])
+        for r in hits(g, max_iter=20, kernel=kernel).collect()
+    }
     expected = {
         "1": (0.0431365, 0.096625775),
         "2": (0.14359662, 0.18366566),

@@ -118,18 +118,22 @@ def run_level(cores: int) -> dict:
     # makes each level a faithful stand-in for an N-core cluster slice
     # (JVM 17 reads availableProcessors from the affinity mask, so its
     # internal thread pools size honestly too).
-    proc = subprocess.run(
-        [
-            "taskset", "-c", f"0-{cores - 1}",
-            sys.executable, os.path.abspath(__file__), "--worker", "--cores", str(cores),
-        ],
-        capture_output=True, text=True, env=env, cwd=REPO, timeout=3600,
-    )
-    for line in proc.stdout.splitlines():
-        if line.startswith("WORKER_RESULT "):
-            return json.loads(line[len("WORKER_RESULT "):])
+    log_path = f"/tmp/scaling_worker_{cores}.log"
+    with open(log_path, "w") as log:
+        subprocess.run(
+            [
+                "taskset", "-c", f"0-{cores - 1}",
+                sys.executable, os.path.abspath(__file__), "--worker", "--cores", str(cores),
+            ],
+            stdout=log, stderr=subprocess.STDOUT, text=True, env=env, cwd=REPO,
+            timeout=7200,
+        )
+    with open(log_path) as log:
+        for line in log:
+            if line.startswith("WORKER_RESULT "):
+                return json.loads(line[len("WORKER_RESULT "):])
     raise RuntimeError(
-        f"worker local[{cores}] produced no result:\n{proc.stdout[-2000:]}\n{proc.stderr[-2000:]}"
+        f"worker local[{cores}] produced no result — see {log_path}"
     )
 
 
