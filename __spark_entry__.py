@@ -464,6 +464,42 @@ def q_trade_reachability(spark, sf_dir):
     )
 
 
+SEIR_SEED = "1"  # user_id 1 in the events contact graph
+
+
+def _contact_edges(spark, sf_dir):
+    """Temporal user-contact graph: within each event_type stream,
+    consecutive events link previous user → user at the later event's
+    epoch-ms time (a deterministic, SQL-expressible temporal graph)."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("prev_user", F.lag("user_id").over(w))
+        .filter(F.col("prev_user").isNotNull())
+        .select(
+            F.col("prev_user").cast("string").alias("src"),
+            F.col("user_id").cast("string").alias("dst"),
+            # ts is TIMESTAMP_NTZ; session tz is UTC, so the cast matches
+            # DuckDB's epoch_ms(naive-as-UTC)
+            F.unix_millis(F.col("ts").cast("timestamp")).alias("time"),
+        )
+    )
+
+
+def q_events_seir(spark, sf_dir):
+    """temporal_SEIR with p=1.0 / incubation 1 / no recovery: the quenched
+    process is then fully deterministic (the SI earliest-infection fixpoint),
+    so a recursive-CTE oracle can replay it."""
+    from linkgraph.algorithms import temporal_seir
+    from linkgraph.graph import LinkGraph
+
+    g = LinkGraph(_contact_edges(spark, sf_dir))
+    res = temporal_seir(g, 1.0, 0, [SEIR_SEED])
+    return res.select(
+        F.col("name").cast("long").alias("node"), "infected"
+    )
+
+
 ROLL_WINDOW = 90 * 86_400_000  # 90 days
 ROLL_STEP = 30 * 86_400_000
 
@@ -763,6 +799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trade_sssp": q_trade_sssp,
         "trade_balance": q_trade_balance,
         "trade_reachability": q_trade_reachability,
+        "events_seir": q_events_seir,
         "trade_rolling_counts": q_trade_rolling_counts,
         "trade_betweenness": q_trade_betweenness,
         "transition_in_components": q_transition_in_components,
@@ -1040,6 +1077,27 @@ SELECT dst AS node, min(t) AS earliest, count(*)::INT AS n_msgs
 FROM msgs GROUP BY dst
 UNION ALL
 SELECT DISTINCT src, {REACH_START}, 1 FROM ev WHERE src IN ({', '.join(REACH_SEEDS)})
+"""
+
+    # p=1.0 / incubation 1 / no recovery ⇒ the quenched SEIR process is the
+    # deterministic earliest-infection fixpoint: infected(v) = min event time
+    # t of a contact (u→v, t) with t >= infected(u) + 1.  Any valid (node, t)
+    # infection chain yields a valid time and the true time is the min over
+    # chains, so pair-expansion recursion computes it exactly; (node, t)
+    # pairs are finite (t ∈ event times ∪ {{0}}), so the CTE terminates.
+    sqls["events_seir"] = f"""
+WITH RECURSIVE contact AS (
+  SELECT lag(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS src,
+         user_id AS dst, epoch_ms(ts) AS t
+  FROM events
+),
+ce AS (SELECT DISTINCT src, dst, t FROM contact WHERE src IS NOT NULL),
+inf AS (
+  SELECT CAST({SEIR_SEED} AS BIGINT) AS node, CAST(0 AS BIGINT) AS t
+  UNION
+  SELECT e.dst, e.t FROM inf i JOIN ce e ON e.src = i.node AND e.t >= i.t + 1
+)
+SELECT node, min(t) AS infected FROM inf GROUP BY node
 """
 
     sqls["trade_rolling_counts"] = f"""

@@ -16,6 +16,7 @@ from linkgraph.algorithms.motifs import (
     temporal_three_node_motif_multi,
 )
 from linkgraph.algorithms.pagerank import pagerank, pagerank_on_ids
+from linkgraph.algorithms.seir import temporal_seir
 from linkgraph.algorithms.paths import (
     dijkstra_single_source_shortest_paths,
     single_source_shortest_path,
@@ -53,6 +54,7 @@ __all__ = [
     "pagerank_on_ids",
     "per_edge_triangles",
     "single_source_shortest_path",
+    "temporal_seir",
     "temporally_reachable_nodes",
     "triangles_df",
     "triplet_count",

@@ -35,6 +35,7 @@ Spark-first execution, designed for ~10^9 nodes / 10^11 edges:
 from __future__ import annotations
 
 import math
+import time as _time
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -124,6 +125,7 @@ def pagerank_on_ids(
     iters_out: dict | None = None,
     pre_deduped: bool = False,
     kernel: str = "auto",
+    timings_out: list | None = None,
 ) -> DataFrame:
     """Id-native PageRank core over ``nodes(id)`` + ``edge_ids(src_id, dst_id)``;
     returns ``(id, score)``.  Pass ``pre_deduped=True`` when the edge table is
@@ -150,6 +152,7 @@ def pagerank_on_ids(
         return out
     from linkgraph.superstep import pick_partitions
 
+    _t_setup = _time.monotonic()
     P = partitions or pick_partitions(spark, n_edges)
     # The loop-scoped conf wraps the CACHE BUILDS too: caches built with AQE
     # on get AQE-wrapped plans whose within-partition ordering Catalyst can't
@@ -215,9 +218,12 @@ def pagerank_on_ids(
 
         use_broadcast = n <= broadcast_threshold
 
+        if timings_out is not None:
+            timings_out.append(("setup", _time.monotonic() - _t_setup))
         state = _run_loop(
             spark, loop, state, edges, static, n, n_sinks, sink_mass, damping,
             teleport, norm, tol, max_iter, start_it, use_broadcast, iters_out,
+            timings_out,
         )
 
     return state.select("id", "score")
@@ -281,8 +287,10 @@ def _pagerank_local(
 def _run_loop(
     spark, loop, state, edges, static, n, n_sinks, sink_mass, damping,
     teleport, norm, tol, max_iter, start_it, use_broadcast, iters_out=None,
+    timings_out=None,
 ):
     for it in range(start_it, max_iter + 1):
+        _t_it = _time.monotonic()
         if iters_out is not None:
             iters_out["iterations"] = it
         ranks = state.filter(F.col("out_degree") > 0).select(
@@ -328,6 +336,8 @@ def _run_loop(
         state = loop.commit(
             it, metrics={"algorithm": "pagerank", "delta": diff, "tol": tol}
         )
+        if timings_out is not None:
+            timings_out.append((it, _time.monotonic() - _t_it))
         if diff <= tol * n:
             break
     return state

@@ -1,0 +1,168 @@
+"""Temporal SEIR vs a pure-Python DES replaying the reference's queue logic
+(epidemics.rs:166-244) on the SAME quenched draws.
+
+The draws (per-event coins, per-node incubation/recovery delays, seed
+choices) are evaluated with the module's own Spark expressions and
+collected; the DES then runs the reference's discrete-event loop on them —
+so the test checks that the distributed fixpoint equals the sequential
+simulation exactly, for both the SI relaxation path and the finite-recovery
+Dijkstra-batched path."""
+
+import heapq
+import random
+from collections import defaultdict
+
+import pytest
+from pyspark.sql import functions as F
+
+from linkgraph.algorithms.seir import I64_MAX, _exp_delay, _unif, temporal_seir
+from linkgraph.graph import LinkGraph, name_to_id
+from linkgraph.synth import source_table
+
+# the reference test's 7-node contact topology (epidemics.rs:303-313),
+# with both directions added like generate_graph does (:317-318)
+TOPOLOGY = [(1, 4), (1, 5), (1, 6), (2, 4), (2, 5), (3, 7), (4, 6), (5, 7), (6, 7)]
+
+
+def _contact_events(seed: int, n_per_edge: int = 6, t_max: int = 50):
+    rng = random.Random(seed)
+    events = []
+    for v1, v2 in TOPOLOGY:
+        for _ in range(n_per_edge):
+            t = rng.randrange(t_max)
+            events.append((t, str(v1), str(v2)))
+            events.append((t, str(v2), str(v1)))
+    return sorted(set(events))
+
+
+def _graph(spark, events):
+    return LinkGraph.from_source_table(source_table(spark, events))
+
+
+def _collect_draws(spark, g, events, infection_prob, incubation_rate,
+                   recovery_rate, rng_seed):
+    """Evaluate the module's own quenched-draw expressions and collect them."""
+    ids = {r["name"]: r["id"] for r in g.ids().collect()}
+    ev = spark.createDataFrame(
+        [(ids[s], ids[d], t) for t, s, d in events],
+        schema="src_id long, dst_id long, time long",
+    )
+    coins = {
+        (r["src_id"], r["dst_id"], r["time"]): r["c"]
+        for r in ev.select(
+            "src_id", "dst_id", "time",
+            (
+                _unif(F.col("src_id"), F.col("dst_id"), F.col("time"), F.lit(rng_seed))
+                < F.lit(float(infection_prob))
+            ).alias("c"),
+        ).collect()
+    }
+    incub_expr = (
+        F.lit(1).cast("long")
+        if incubation_rate is None
+        else _exp_delay(_unif(F.col("id"), F.lit(rng_seed), F.lit(1)), incubation_rate)
+    )
+    recov_expr = (
+        F.lit(None).cast("long")
+        if recovery_rate is None
+        else _exp_delay(_unif(F.col("id"), F.lit(rng_seed), F.lit(2)), recovery_rate)
+    )
+    delays = {
+        r["id"]: (r["i"], r["r"])
+        for r in g.ids()
+        .select("id", incub_expr.alias("i"), recov_expr.alias("r"))
+        .collect()
+    }
+    return ids, coins, delays
+
+
+def _des(seed_ids, t0, events_by_src, coins, delays):
+    """The reference's DES (epidemics.rs:200-236) on quenched draws."""
+    states = {}
+    q = [(t0, v) for v in sorted(seed_ids)]
+    heapq.heapify(q)
+    while q:
+        t, u = heapq.heappop(q)
+        if u in states:
+            continue
+        incub, recov = delays[u]
+        start = min(I64_MAX - incub, t) + incub
+        end = I64_MAX if recov is None else min(I64_MAX - recov, start) + recov
+        states[u] = (t, start, end)
+        for te, v in events_by_src[u]:
+            if start <= te < end and v not in states and coins[(u, v, te)]:
+                heapq.heappush(q, (te, v))
+    return states
+
+
+@pytest.mark.parametrize(
+    "p,recovery_rate,incubation_rate,graph_seed",
+    [
+        (1.0, None, None, 1),       # deterministic SI, incubation 1
+        (0.5, None, None, 2),       # SI relaxation path with coins
+        (0.7, None, 0.4, 3),        # SI with sampled incubation
+        (1.0, 0.05, None, 4),       # finite recovery → Dijkstra batches
+        (0.6, 0.1, 0.5, 5),         # full SEIR, all draws quenched
+        (0.3, 0.02, None, 6),
+    ],
+)
+def test_seir_matches_reference_des(spark, p, recovery_rate, incubation_rate,
+                                    graph_seed):
+    events = _contact_events(graph_seed)
+    g = _graph(spark, events)
+    got = {
+        r["id"]: (r["infected"], r["active"], r["recovered"])
+        for r in temporal_seir(
+            g, p, 0, ["1"],
+            recovery_rate=recovery_rate,
+            incubation_rate=incubation_rate,
+            rng_seed=graph_seed,
+        ).collect()
+    }
+    ids, coins, delays = _collect_draws(
+        spark, g, events, p, incubation_rate, recovery_rate, graph_seed
+    )
+    by_src = defaultdict(list)
+    for t, s, d in events:
+        by_src[ids[s]].append((t, ids[d]))
+    for lst in by_src.values():
+        lst.sort()
+    want = _des([ids["1"]], 0, by_src, coins, delays)
+    assert got == want
+
+
+def test_seir_seed_validation(spark):
+    g = _graph(spark, _contact_events(1))
+    with pytest.raises(ValueError, match="Invalid node"):
+        temporal_seir(g, 0.5, 0, ["99"]).collect()
+    with pytest.raises(ValueError, match="Invalid probability"):
+        temporal_seir(g, 1.5, 0, ["1"])
+    with pytest.raises(ValueError, match="Requested"):
+        temporal_seir(g, 0.5, 0, 100)
+    with pytest.raises(ValueError, match="Invalid seed fraction"):
+        temporal_seir(g, 0.5, 0, 1.5)
+
+
+def test_seir_number_and_probability_seeds(spark):
+    events = _contact_events(7)
+    g = _graph(spark, events)
+    # Number(n): exactly n seeds, all infected at t0 (epidemics.rs:105-124)
+    res = temporal_seir(g, 0.0, 5, 3, rng_seed=7).collect()
+    assert len(res) == 3 and all(r["infected"] == 5 for r in res)
+    # Probability(p=1.0): every node is a seed (epidemics.rs:92-103)
+    res = temporal_seir(g, 0.0, 5, 1.0, rng_seed=7).collect()
+    assert len(res) == 7 and all(r["infected"] == 5 for r in res)
+
+
+def test_seir_window_composition(spark):
+    """SEIR over a windowed view only uses in-window events."""
+    events = sorted(set(_contact_events(8, t_max=40)) | {(0, "1", "4")})
+    g = _graph(spark, events)
+    full = {r["id"] for r in temporal_seir(g, 1.0, 0, ["1"]).collect()}
+    windowed = {
+        r["id"] for r in temporal_seir(g.window(0, 1), 1.0, 0, ["1"]).collect()
+    }
+    # every in-window event (t=0) precedes the seed's active time (t=1),
+    # so the windowed epidemic cannot spread past the seed itself
+    assert windowed <= full
+    assert len(windowed) == 1
