@@ -785,6 +785,40 @@ def q_trade_two_hop(spark, sf_dir):
     )
 
 
+# ------------------------------------------------------- full-text search
+
+BM25_QUERY = "spark vector window merge"  # terms present in the synthetic docs
+FUZZY_QUERY = "sparkk vectr"  # distance-1 typos of spark / vector
+
+
+def q_docs_search_bm25(spark, sf_dir):
+    """BM25 top-k over the documents table — the tantivy search_nodes
+    analogue (search/mod.rs:583)."""
+    from linkgraph.pipeline.textsearch import search
+
+    return search(_t(spark, sf_dir, "documents"), BM25_QUERY, k=20)
+
+
+def q_docs_fuzzy_search(spark, sf_dir):
+    """Fuzzy (Levenshtein ≤ 1) BM25 search — fuzzy_search_nodes analogue
+    (raphtory-graphql model/graph/graph.rs:241-262); term expansion via a
+    deletion-neighbourhood join, verified exactly."""
+    from linkgraph.pipeline.textsearch import fuzzy_search
+
+    return fuzzy_search(_t(spark, sf_dir, "documents"), FUZZY_QUERY, k=20)
+
+
+def q_emb_ivf_topk(spark, sf_dir):
+    """IVF ANN top-k — approximate (probed-cell candidates, exact
+    re-scoring); no SQL oracle, gated by the recall tests in
+    tests/test_pipeline.py."""
+    from linkgraph.pipeline.simsearch import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0)
+    return ivf_topk(emb, queries_df, k=5, nprobe=4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "trade_edges": q_trade_edges,
@@ -838,6 +872,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trade_monthly_rolling": q_trade_monthly_rolling,
         "trade_two_hop": q_trade_two_hop,
         "docs_fingerprint": q_docs_fingerprint,
+        "docs_search_bm25": q_docs_search_bm25,
+        "docs_fuzzy_search": q_docs_fuzzy_search,
+        "emb_ivf_topk": q_emb_ivf_topk,
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_lsh_topk": q_emb_lsh_topk,
         "emb_neardup": q_emb_neardup,
@@ -1620,6 +1657,67 @@ h2 AS (SELECT h1.start_id, u.nbr AS n2 FROM h1 JOIN trade_und u ON u.id = h1.n1)
 SELECT start_id AS node, count(*) AS n_paths,
        count(DISTINCT n2) AS n_distinct
 FROM h2 GROUP BY start_id
+"""
+
+    # ------------------------------------------------------- full-text search
+    # shared BM25 CTEs: tokenisation identical to textsearch.tokens()
+    _FTS = """
+tok AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                            t -> t <> '')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term)"""
+
+    def _bm25_terms_sql(query: str) -> str:
+        terms = sorted({t for t in query.lower().split() if t})
+        return ", ".join(f"'{t}'" for t in terms)
+
+    sqls["docs_search_bm25"] = f"""
+WITH {_FTS},
+q AS (SELECT unnest([{_bm25_terms_sql(BM25_QUERY)}]) AS term),
+scored AS (
+  SELECT tf.doc_id,
+         ln(1 + (stats.n - dft.df + 0.5) / (dft.df + 0.5))
+           * tf.tf * 2.2
+           / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS s
+  FROM tf JOIN q USING (term) JOIN dft USING (term)
+       JOIN dl USING (doc_id) CROSS JOIN stats
+),
+agg AS (SELECT doc_id, round(sum(s), 6) AS score FROM scored GROUP BY doc_id),
+ranked AS (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+  FROM agg
+)
+SELECT doc_id, score, rank FROM ranked WHERE rank <= 20
+"""
+
+    sqls["docs_fuzzy_search"] = f"""
+WITH {_FTS},
+q AS (SELECT unnest([{_bm25_terms_sql(FUZZY_QUERY)}]) AS qterm),
+qe AS (
+  SELECT q.qterm, dft.term FROM q JOIN dft ON levenshtein(q.qterm, dft.term) <= 1
+),
+scored AS (
+  SELECT tf.doc_id,
+         ln(1 + (stats.n - dft.df + 0.5) / (dft.df + 0.5))
+           * tf.tf * 2.2
+           / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS s
+  FROM tf JOIN qe USING (term) JOIN dft USING (term)
+       JOIN dl USING (doc_id) CROSS JOIN stats
+),
+agg AS (SELECT doc_id, round(sum(s), 6) AS score FROM scored GROUP BY doc_id),
+ranked AS (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+  FROM agg
+)
+SELECT doc_id, score, rank FROM ranked WHERE rank <= 20
 """
 
     return sqls

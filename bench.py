@@ -65,6 +65,9 @@ def main() -> None:
         "docs_simhash_pairs",
         "emb_cosine_topk",
         "emb_neardup",
+        "emb_ivf_topk",
+        "docs_search_bm25",
+        "docs_fuzzy_search",
         # round 2: deletion semantics, node props, calendar windows, paths
         "persistent_window_edges",
         "persistent_validity_intervals",

@@ -1,0 +1,186 @@
+"""Full-text search over a document table — the Spark analogue of the
+reference's tantivy index (search/mod.rs:320 index_nodes / :583
+search_nodes and the GraphQL search_* / fuzzy_search_* surface,
+raphtory-graphql/src/model/graph/graph.rs:172-193, 241-262).
+
+The reference embeds tantivy (an inverted index + BM25 scorer) and exposes
+``search_nodes(query, limit)`` / ``fuzzy_search_nodes`` (Levenshtein ≤ d
+term expansion).  Re-expressed Spark-first:
+
+- the *index* is a postings DataFrame ``(term, doc_id, tf)`` plus a
+  doc-length table — both plain hash aggregates, partitioned by term, that
+  persist as parquet/Iceberg tables and scale linearly in corpus size;
+- a *query* is a broadcast join of its (few) terms against the postings,
+  one groupBy(doc) for the BM25 sum, top-k with a bounded window — no
+  per-row Python anywhere;
+- *fuzzy* term expansion uses the SymSpell deletion-neighbourhood trick:
+  every vocab term emits its ≤L single-character deletions, every query
+  term likewise, candidates join on the shared deletion key (linear, no
+  vocab × query cross product) and are verified with an exact
+  ``levenshtein() <= 1`` — the scale path for 10⁹-term vocabularies where
+  the naive cross join is quadratic.
+
+Tokenisation (shared with the DuckDB oracles): lowercase, split on
+``[^a-z0-9]+``, drop empties.  BM25 uses the standard Okapi parameters
+``k1=1.2, b=0.75`` and tantivy's idf ``ln(1 + (N - df + 0.5)/(df + 0.5))``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+K1 = 1.2
+B = 0.75
+
+
+def tokens(col) -> Column:
+    """Lowercase alphanumeric tokens of a string column (empties dropped)."""
+    return F.filter(
+        F.split(F.lower(col), "[^a-z0-9]+"), lambda t: t != F.lit("")
+    )
+
+
+def build_index(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> dict[str, DataFrame]:
+    """The inverted index as DataFrames: ``postings(term, doc_id, tf)``,
+    ``doclen(doc_id, dl)``.  Both are single hash aggregates with map-side
+    combine; persist them as parquet bucketed by ``term`` for repeated
+    query serving (the tantivy-segment analogue)."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    postings = toks.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
+    doclen = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    return {"postings": postings, "doclen": doclen}
+
+
+def _topk(agg: DataFrame, k: int) -> DataFrame:
+    """Global top-k by (score desc, doc_id) WITHOUT an unpartitioned window:
+    ``orderBy().limit(k)`` plans as TakeOrderedAndProject (per-partition
+    bounded heaps merged on the driver — distributed, k-bounded memory);
+    rank is then a window over just k rows."""
+    top = agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    w = W.orderBy(F.desc("score"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w))
+
+
+def _query_terms(spark, query: str) -> DataFrame:
+    terms = sorted(
+        {t for t in __import__("re").split(r"[^a-z0-9]+", query.lower()) if t}
+    )
+    return spark.createDataFrame([(t,) for t in terms], "qterm string")
+
+
+def search(
+    docs: DataFrame,
+    query: str,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 top-k documents for ``query`` — ``(doc_id, score, rank)``.
+
+    Score = Σ_{t ∈ query terms} idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
+    ties broken by ``doc_id`` ascending.  The query-term table is tiny and
+    broadcast; everything else is one join + one aggregate."""
+    spark = docs.sparkSession
+    ix = build_index(docs, id_col, text_col)
+    postings, doclen = ix["postings"], ix["doclen"]
+
+    n_df = doclen.agg(
+        F.count("*").alias("n"), F.avg("dl").alias("avgdl")
+    )
+    df_by_term = postings.groupBy("term").agg(F.count("*").alias("df"))
+
+    qt = _query_terms(spark, query)
+    matched = postings.join(
+        F.broadcast(qt), postings["term"] == qt["qterm"], "inner"
+    ).join(doclen, "doc_id").crossJoin(F.broadcast(n_df)).join(
+        df_by_term, "term"
+    )
+    idf = F.log(F.lit(1.0) + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    tf_part = (
+        F.col("tf") * (K1 + 1.0)
+        / (F.col("tf") + K1 * (1.0 - B + B * F.col("dl") / F.col("avgdl")))
+    )
+    scored = matched.select("doc_id", (idf * tf_part).alias("s"))
+    agg = scored.groupBy("doc_id").agg(F.round(F.sum("s"), 6).alias("score"))
+    return _topk(agg, k)
+
+
+def _deletion_keys(term) -> Column:
+    """The term plus every single-character deletion of it — the SymSpell
+    edit-distance-1 candidate key set, as a pure column expression."""
+    n = F.length(term)
+    dels = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.concat(F.substring(term, F.lit(1), i - 1), term.substr(i + 1, n)),
+    )
+    return F.array_distinct(F.concat(F.array(term), dels))
+
+
+def fuzzy_expand(
+    vocab: DataFrame, query_terms: DataFrame, max_dist: int = 1
+) -> DataFrame:
+    """Map each query term to every vocab term within Levenshtein
+    ``max_dist`` (=1) — ``(qterm, term)``.
+
+    Scale path: deletion-neighbourhood join.  Each side emits its ≤len
+    single-deletion keys; an edit-distance-≤1 pair ALWAYS shares a key
+    (equal, one insert, one delete, or one substitution → the deletion at
+    the edited position matches), so the join is a complete candidate
+    generator and the exact ``levenshtein`` filter only verifies.  Cost is
+    linear in Σ term length, never |vocab| × |query|."""
+    if max_dist != 1:
+        raise NotImplementedError("deletion-neighbourhood join covers distance 1")
+    v = vocab.select(
+        F.col("term"), F.explode(_deletion_keys(F.col("term"))).alias("key")
+    )
+    q = query_terms.select(
+        F.col("qterm"), F.explode(_deletion_keys(F.col("qterm"))).alias("key")
+    )
+    return (
+        v.join(q, "key")
+        .select("qterm", "term")
+        .dropDuplicates(["qterm", "term"])
+        .filter(F.levenshtein(F.col("qterm"), F.col("term")) <= max_dist)
+    )
+
+
+def fuzzy_search(
+    docs: DataFrame,
+    query: str,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 top-k where each query term also matches vocab terms at
+    Levenshtein distance ≤ 1 (the reference's fuzzy_search_nodes with
+    levenshtein_distance=1, graph.rs:241-262).  A vocab term matched by
+    several query terms scores once per query term, each with the vocab
+    term's own idf (tantivy fuzzy expands to a union of term queries)."""
+    spark = docs.sparkSession
+    ix = build_index(docs, id_col, text_col)
+    postings, doclen = ix["postings"], ix["doclen"]
+    n_df = doclen.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl"))
+    df_by_term = postings.groupBy("term").agg(F.count("*").alias("df"))
+
+    qt = _query_terms(spark, query)
+    expanded = fuzzy_expand(df_by_term.select("term"), qt)  # (qterm, term)
+    matched = (
+        postings.join(F.broadcast(expanded), "term")
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(n_df))
+        .join(df_by_term, "term")
+    )
+    idf = F.log(F.lit(1.0) + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    tf_part = (
+        F.col("tf") * (K1 + 1.0)
+        / (F.col("tf") + K1 * (1.0 - B + B * F.col("dl") / F.col("avgdl")))
+    )
+    scored = matched.select("doc_id", "qterm", "term", (idf * tf_part).alias("s"))
+    agg = scored.groupBy("doc_id").agg(F.round(F.sum("s"), 6).alias("score"))
+    return _topk(agg, k)

@@ -124,3 +124,30 @@ def test_ngram_jaccard_exact(docs):
         for r in ngram_jaccard_pairs(docs, threshold=0.99).collect()
     }
     assert pairs[(0, 5)] == 1.0
+
+
+def test_ivf_topk_recall(vecs):
+    from linkgraph.pipeline.simsearch import ivf_topk
+
+    q = vecs.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["cand_id"])
+        for r in cosine_topk(vecs, q, k=3).collect()
+    }
+    approx_rows = ivf_topk(vecs, q, k=3, n_cells=6, nprobe=2).collect()
+    approx = {(r["query_id"], r["cand_id"]) for r in approx_rows}
+    # 3 well-separated clusters, 6 cells, 2 probes: same-cluster neighbours
+    # land in the probed cells — demand >=80% recall of the exact top-3
+    assert len(approx_rows) == 30  # k rows per query
+    assert len(exact & approx) >= 24
+
+
+def test_ivf_scores_are_exact_cosines(vecs):
+    from linkgraph.pipeline.simsearch import ivf_topk
+
+    q = vecs.filter(F.col("vec_id") == 0)
+    exact = {
+        r["cand_id"]: r["cosine"] for r in cosine_topk(vecs, q, k=30).collect()
+    }
+    for r in ivf_topk(vecs, q, k=5, n_cells=6, nprobe=3).collect():
+        assert exact[r["cand_id"]] == r["cosine"]

@@ -1,0 +1,138 @@
+"""Full-text search (BM25 + fuzzy) vs pure-Python oracles.
+
+Reference surface: tantivy-backed search_nodes / fuzzy_search_nodes
+(search/mod.rs:583, raphtory-graphql model/graph/graph.rs:241-262).
+"""
+
+import math
+import re
+
+import pytest
+
+from linkgraph.pipeline.textsearch import (
+    B,
+    K1,
+    build_index,
+    fuzzy_expand,
+    fuzzy_search,
+    search,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = [
+        "spark shuffles the hash join across partitions",
+        "the quick brown fox jumps over the lazy dog",
+        "hash partitioning routes rows by key hash",
+        "a broadcast join avoids the shuffle entirely",
+        "quick sort and merge sort trade cache locality",
+        "the dog barks at the quick fox",
+    ]
+    rows = [(i, t) for i, t in enumerate(base)]
+    # padding docs change N/avgdl/df so the stats terms are exercised
+    rows += [(100 + i, f"filler text number {i} about nothing") for i in range(10)]
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def _tokenize(t):
+    return [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w]
+
+
+def _bm25_oracle(corpus, query_terms, fuzzy=False):
+    toks = {d: _tokenize(t) for d, t in corpus}
+    n = len(toks)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    df = {}
+    for ts in toks.values():
+        for t in set(ts):
+            df[t] = df.get(t, 0) + 1
+
+    def lev1(a, b):
+        if a == b:
+            return True
+        if abs(len(a) - len(b)) > 1:
+            return False
+        # distance <= 1 check
+        if len(a) == len(b):
+            return sum(x != y for x, y in zip(a, b)) <= 1
+        if len(a) > len(b):
+            a, b = b, a
+        for i in range(len(b)):
+            if a == b[:i] + b[i + 1:]:
+                return True
+        return False
+
+    scores = {}
+    for d, ts in toks.items():
+        s = 0.0
+        for q in query_terms:
+            terms = [t for t in df if lev1(q, t)] if fuzzy else [q]
+            for term in terms:
+                tf = ts.count(term)
+                if tf == 0:
+                    continue
+                idf = math.log(1 + (n - df[term] + 0.5) / (df[term] + 0.5))
+                s += idf * tf * (K1 + 1) / (tf + K1 * (1 - B + B * len(ts) / avgdl))
+        if s > 0:
+            scores[d] = round(s, 6)
+    return scores
+
+
+def test_index_shapes(docs):
+    ix = build_index(docs)
+    post = ix["postings"].collect()
+    assert all(r["tf"] >= 1 for r in post)
+    # 'hash' appears twice in doc 2 → tf 2
+    assert {(r["term"], r["doc_id"]): r["tf"] for r in post}[("hash", 2)] == 2
+
+
+def test_bm25_matches_oracle(docs):
+    corpus = [(r["doc_id"], r["text"]) for r in docs.collect()]
+    expected = _bm25_oracle(corpus, ["quick", "hash"])
+    got = {r["doc_id"]: r["score"] for r in search(docs, "quick hash", k=50).collect()}
+    assert got == pytest.approx(expected, abs=2e-6)
+    # ranking: descending score, doc_id tiebreak
+    ranked = sorted(got.items(), key=lambda kv: (-kv[1], kv[0]))
+    got_rank = {
+        r["doc_id"]: r["rank"] for r in search(docs, "quick hash", k=50).collect()
+    }
+    for i, (d, _) in enumerate(ranked, start=1):
+        assert got_rank[d] == i
+
+
+def test_top_k_cut(docs):
+    assert search(docs, "the quick", k=2).count() == 2
+
+
+def test_fuzzy_expand_vs_brute(spark, docs):
+    vocab = build_index(docs)["postings"].select("term").distinct()
+    qt = spark.createDataFrame([("quik",), ("hashh",), ("dog",)], "qterm string")
+    got = {(r["qterm"], r["term"]) for r in fuzzy_expand(vocab, qt).collect()}
+    vocab_terms = [r["term"] for r in vocab.collect()]
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[-1]
+
+    expected = {
+        (q, t)
+        for q in ["quik", "hashh", "dog"]
+        for t in vocab_terms
+        if lev(q, t) <= 1
+    }
+    assert got == expected
+    assert ("quik", "quick") in got and ("hashh", "hash") in got
+
+
+def test_fuzzy_search_matches_oracle(docs):
+    corpus = [(r["doc_id"], r["text"]) for r in docs.collect()]
+    expected = _bm25_oracle(corpus, ["quik", "dogs"], fuzzy=True)
+    got = {
+        r["doc_id"]: r["score"] for r in fuzzy_search(docs, "quik dogs", k=50).collect()
+    }
+    assert got == pytest.approx(expected, abs=2e-6)
