@@ -785,6 +785,62 @@ def q_trade_two_hop(spark, sf_dir):
     )
 
 
+# ----------------------------------------------------------- streaming
+
+
+def _stream_ck() -> str:
+    import tempfile
+
+    return tempfile.mkdtemp(prefix="lg_stream_ck_")
+
+
+def _stream_input(sf_dir: str, table: str) -> str:
+    """The streaming file source reads a DIRECTORY that receives files over
+    time; stage the static test parquet as one arrival via symlink."""
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=f"lg_stream_in_{table}_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/{table}.parquet"),
+        os.path.join(d, "part-00000.parquet"),
+    )
+    return d
+
+
+def q_events_hourly_stream(spark, sf_dir):
+    """Watermarked tumbling-window aggregation run as a REAL streaming query
+    (file source → availableNow trigger); deterministic, so oracle-checked
+    against the equivalent batch SQL."""
+    from linkgraph.streaming import (
+        hourly_event_counts,
+        read_event_stream,
+        run_available_now,
+    )
+
+    stream = read_event_stream(spark, _stream_input(sf_dir, "events"))
+    return run_available_now(
+        hourly_event_counts(stream), _stream_ck(), output_mode="complete"
+    )
+
+
+def q_events_user_state_stream(spark, sf_dir):
+    """applyInPandasWithState cumulative per-user totals via availableNow;
+    the final state snapshot equals the batch aggregate."""
+    from linkgraph.streaming import (
+        read_event_stream,
+        run_available_now,
+        running_user_totals,
+    )
+
+    stream = read_event_stream(spark, _stream_input(sf_dir, "events"))
+    out = run_available_now(running_user_totals(stream), _stream_ck())
+    return out.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max_by("total_value", "n_events").alias("total_value"),
+    )
+
+
 # ------------------------------------------------------- full-text search
 
 BM25_QUERY = "spark vector window merge"  # terms present in the synthetic docs
@@ -875,6 +931,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_search_bm25": q_docs_search_bm25,
         "docs_fuzzy_search": q_docs_fuzzy_search,
         "emb_ivf_topk": q_emb_ivf_topk,
+        "events_hourly_stream": q_events_hourly_stream,
+        "events_user_state_stream": q_events_user_state_stream,
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_lsh_topk": q_emb_lsh_topk,
         "emb_neardup": q_emb_neardup,
@@ -1718,6 +1776,18 @@ ranked AS (
   FROM agg
 )
 SELECT doc_id, score, rank FROM ranked WHERE rank <= 20
+"""
+
+    # ----------------------------------------------------------- streaming
+    sqls["events_hourly_stream"] = """
+SELECT cast(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS ws,
+       event_type, count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+    sqls["events_user_state_stream"] = """
+SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM events GROUP BY user_id
 """
 
     return sqls

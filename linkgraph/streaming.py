@@ -1,0 +1,151 @@
+"""Structured Streaming surface — incremental ingest and stateful operators.
+
+The reference is batch-only ("temporal" = stored history + windowed views,
+SURVEY §2.10), so nothing here is required for parity; this module is the
+engine's forward path for continuously-arriving event/edge data at scale:
+
+- :func:`read_event_stream` / :func:`read_edge_stream` — file-source
+  ``readStream`` over a directory that keeps receiving parquet parts (the
+  ``availableNow`` trigger turns any of these into an incremental batch
+  job: process everything new, checkpoint, stop — the classic
+  ingest-cursor pattern).
+- :func:`hourly_event_counts` — watermarked tumbling-window aggregation;
+  late rows beyond the watermark are dropped by Spark's state store
+  instead of growing state forever.
+- :func:`running_user_totals` — a custom stateful operator via
+  ``applyInPandasWithState`` (Arrow-batched per group; state = two
+  numbers per key), emitting cumulative per-user totals each trigger.
+- :func:`edge_ingest_query` — ``foreachBatch`` sink appending exploded
+  edge events to a parquet/Iceberg directory from which ``LinkGraph``
+  snapshots are built; each micro-batch is an atomic append, so graph
+  readers only ever see whole batches.
+
+State, watermarks and sinks all checkpoint under ``checkpoint_location``
+— a restarted query resumes from the last committed offset exactly like
+the batch engine's superstep resume.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENT_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+EDGE_EVENT_SCHEMA = "src string, dst string, time long, layer string"
+
+
+def read_event_stream(
+    spark: SparkSession, path: str, schema: str = EVENT_SCHEMA
+) -> DataFrame:
+    """File-source stream over a parquet directory (or single file). The
+    file source tracks seen files in the checkpoint, so repeated
+    ``availableNow`` runs process only new arrivals."""
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def read_edge_stream(
+    spark: SparkSession, path: str, schema: str = EDGE_EVENT_SCHEMA
+) -> DataFrame:
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def hourly_event_counts(
+    stream: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling 1-hour windows per event type: ``(ws, event_type, n_events,
+    total_value)`` with ``ws`` = window start epoch seconds.  The watermark
+    bounds state: a window closes (and its state is freed) once event time
+    passes its end + watermark."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp("w.start").alias("ws"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def running_user_totals(stream: DataFrame) -> DataFrame:
+    """Cumulative ``(user_id, n_events, total_value)`` per user, emitted on
+    every trigger that sees the user — an ``applyInPandasWithState``
+    stateful operator (the applyInPandasWithState analogue of the batch
+    engine's accumulator supersteps).  State per key is two scalars."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdf_iter, state):
+        import pandas as pd
+
+        n, tot = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            tot += float(pdf["value"].sum())
+        state.update((n, tot))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(tot, 2)]}
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="n long, tot double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_available_now(
+    result: DataFrame,
+    checkpoint_location: str,
+    output_mode: str = "update",
+    timeout_s: int = 600,
+) -> DataFrame:
+    """Execute a streaming DataFrame with the ``availableNow`` trigger and
+    return the rows it emitted this run as a batch DataFrame.  Re-running
+    with the same ``checkpoint_location`` resumes from the committed
+    offsets — only NEW input is processed (the memory sink cannot recover a
+    checkpoint, so the sink is ``foreachBatch``; a production job would
+    append each batch to parquet/Iceberg instead of collecting)."""
+    rows: list = []
+
+    def sink(bdf: DataFrame, batch_id: int) -> None:
+        rows.extend(bdf.collect())
+
+    q = (
+        result.writeStream.foreachBatch(sink)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_location)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    spark = result.sparkSession
+    return spark.createDataFrame(rows, result.schema)
+
+
+def edge_ingest_query(
+    edge_stream: DataFrame, out_dir: str, checkpoint_location: str
+):
+    """Continuous edge ingest: append each micro-batch of edge events to a
+    parquet directory (atomic per batch).  Returns the started query; snap
+    a graph off the sink any time with ``LinkGraph`` over
+    ``spark.read.parquet(out_dir)``."""
+
+    def write_batch(bdf: DataFrame, batch_id: int) -> None:
+        bdf.write.mode("append").parquet(out_dir)
+
+    return (
+        edge_stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_location)
+        .trigger(availableNow=True)
+        .start()
+    )
