@@ -38,9 +38,13 @@ N_NODES = N_EDGES // 8
 # tol 1e-9); 24 fixed supersteps keeps one-time setup under ~15% of wall
 ITERS = int(os.environ.get("SCALING_ITERS", 24))
 REPS = int(os.environ.get("SCALING_REPS", 1))
-LO, HI = 4, 16  # N and 4N parallelism levels (within physical cores:
-# the sandbox VM advertises 32 vCPUs but sustained all-core throughput
-# tops out near ~20 cores-worth, so 8->32 measures the host, not us)
+LO = int(os.environ.get("SCALING_LO", 4))
+HI = int(os.environ.get("SCALING_HI", 4 * LO))
+# N and 4N parallelism levels (within physical cores: the sandbox VM
+# advertises 32 vCPUs but sustained all-core throughput tops out near ~20
+# cores-worth, so 8->32 measures the host, not us).  A second pair at
+# SCALING_LO=2 (2->8) evidences the unsaturated-bandwidth regime — see
+# BENCH.md.
 
 
 def synth_edges(spark, n_edges: int, n_nodes: int):
@@ -206,6 +210,10 @@ def main() -> None:
         return
     result = run_scaling()
     print(json.dumps(result, indent=2))
+    with open(f"/tmp/scaling_{LO}_{HI}.json", "w") as f:
+        json.dump(result, f)
+    if os.environ.get("SCALING_NO_REPORT") == "1":
+        return
     lo, hi = result[f"local[{LO}]"], result[f"local[{HI}]"]
     with open(os.path.join(REPO, "BENCH.md"), "w") as f:
         f.write(
