@@ -78,13 +78,21 @@ def pagerank(
     10M nodes ≈ 160MB, still broadcastable on real executors; tune down on
     memory-poor clusters). Above it, both sides stay co-partitioned.
 
-    ``kernel``: ``"superstep"`` — the distributed BSP loop (the 100-TB
-    path); ``"local"`` — gather the (deduplicated) edge list once and run
-    the whole power iteration as a vectorized numpy kernel on the driver,
-    identical semantics; ``"auto"`` (default) — ``local`` when the graph
-    fits ``DRIVER_KERNEL_MAX`` and no checkpointing was requested, else
-    ``superstep``.  Both kernels implement pagerank.rs:54-183 exactly and
-    are cross-checked in tests/test_pagerank.py.
+    ``kernel``: ``"superstep"`` — the distributed BSP loop over the sorted
+    co-partitioned edge cache; ``"blocks"`` — the distributed BSP loop over
+    hash-partitioned CSR adjacency blocks (Arrow arrays inside a cogrouped
+    pandas kernel — the north-star layout; same superstep dataflow, the
+    join+aggregate replaced by gather+bincount); ``"local"`` — gather the
+    (deduplicated) edge list once and run the whole power iteration as a
+    vectorized numpy kernel on the driver, identical semantics; ``"auto"``
+    (default) — ``local`` when the graph fits ``DRIVER_KERNEL_MAX`` and no
+    checkpointing was requested, else ``superstep`` (the JVM sort-merge
+    path — measured faster than ``blocks`` per superstep on this image; the
+    CSR-block path is the layout the north rule names and stays selectable
+    for clusters where Arrow-batch gather beats the shuffle).  All kernels
+    implement
+    pagerank.rs:54-183 exactly and are cross-checked in
+    tests/test_pagerank.py.
     """
     ids = graph.ids().persist()
     if ids.limit(1).count() == 0:
@@ -158,16 +166,33 @@ def pagerank_on_ids(
     # on get AQE-wrapped plans whose within-partition ordering Catalyst can't
     # see, resurrecting per-superstep sorts.
     with iteration_conf(spark, shuffle_partitions=P):
-        # partition AND pre-sort within partitions: the per-superstep
-        # contribution join is a sort-merge join of two cached co-partitioned
-        # sides — with the cache already sorted on the join key, Catalyst
-        # elides the big-side Sort every iteration (only the small freshly-
-        # aggregated message side sorts)
-        edges = (
-            raw_edges.repartition(P, "src_id").sortWithinPartitions("src_id").persist()
-        )
-        edges.count()
-        raw_edges.unpersist()
+        use_blocks = kernel == "blocks"
+        if use_blocks:
+            # north-star layout: hash-partitioned CSR adjacency blocks as
+            # Arrow arrays — packed ONCE, cached pre-partitioned + pre-sorted
+            # on blk so the per-superstep cogroup never re-exchanges the
+            # (fat) block rows
+            blocks = (
+                _build_pr_blocks(raw_edges, P)
+                .repartition(P, "blk")
+                .sortWithinPartitions("blk")
+                .persist()
+            )
+            blocks.count()
+            edges = raw_edges  # degree/fingerprint source; unpersisted below
+        else:
+            # partition AND pre-sort within partitions: the per-superstep
+            # contribution join is a sort-merge join of two cached
+            # co-partitioned sides — with the cache already sorted on the
+            # join key, Catalyst elides the big-side Sort every iteration
+            # (only the small freshly-aggregated message side sorts)
+            edges = (
+                raw_edges.repartition(P, "src_id")
+                .sortWithinPartitions("src_id")
+                .persist()
+            )
+            edges.count()
+            raw_edges.unpersist()
         deg = (
             edges.groupBy(F.col("src_id").alias("id"))
             .agg(F.count("*").alias("out_degree"))
@@ -203,6 +228,8 @@ def pagerank_on_ids(
             }
             store.validate_meta(meta)
             store.write_meta(meta)
+        if use_blocks:
+            raw_edges.unpersist()  # blocks + static are materialized; done
         loop = SuperstepLoop(
             spark, store=store, resume=resume, checkpoint_every=checkpoint_every
         )
@@ -218,15 +245,127 @@ def pagerank_on_ids(
 
         use_broadcast = n <= broadcast_threshold
 
+        if use_blocks:
+            def msgs_of(state_df, _blocks=blocks, _P=P):
+                state_b = state_df.select(
+                    F.pmod(F.xxhash64("id"), F.lit(_P)).cast("int").alias("blk"),
+                    "id",
+                    "score",
+                )
+                partials = (
+                    state_b.groupBy("blk")
+                    .cogroup(_blocks.groupBy("blk"))
+                    .applyInPandas(_pr_block_step, "id long, msum double")
+                )
+                # per-block bincount already combined per distinct dst, so
+                # this groupBy only merges ≤P partials per id
+                return partials.groupBy("id").agg(F.sum("msum").alias("msum"))
+        else:
+            def msgs_of(state_df, _edges=edges, _bc=use_broadcast):
+                ranks = state_df.filter(F.col("out_degree") > 0).select(
+                    "id", (F.col("score") / F.col("out_degree")).alias("contrib")
+                )
+                if _bc:
+                    ranks = F.broadcast(ranks)
+                return (
+                    _edges.join(ranks, _edges.src_id == ranks.id)
+                    .groupBy(F.col("dst_id").alias("id"))
+                    .agg(F.sum("contrib").alias("msum"))
+                )
+
         if timings_out is not None:
             timings_out.append(("setup", _time.monotonic() - _t_setup))
         state = _run_loop(
-            spark, loop, state, edges, static, n, n_sinks, sink_mass, damping,
-            teleport, norm, tol, max_iter, start_it, use_broadcast, iters_out,
-            timings_out,
+            spark, loop, state, msgs_of, static, n, n_sinks, sink_mass, damping,
+            teleport, norm, tol, max_iter, start_it, iters_out, timings_out,
         )
 
     return state.select("id", "score")
+
+
+def _pack_pr_block(pdf):
+    """Pack one src-hash block of the edge table into CSR Arrow arrays —
+    the distributed analogue of the reference's per-shard sorted adjacency
+    (core/storage/mod.rs:29-33, adjset.rs:16-28): ``src_ids`` sorted unique,
+    ``indptr`` row offsets, ``dst_idx`` an int32 code per edge into the
+    block-local ``dst_uniq`` dictionary.  The dictionary encoding is what
+    makes the per-superstep message fold a ``bincount`` (map-side combine
+    over the block's distinct destinations) instead of a hash aggregation.
+    """
+    import numpy as np
+    import pandas as pd
+
+    src = pdf["src_id"].to_numpy(np.int64)
+    dst = pdf["dst_id"].to_numpy(np.int64)
+    order = np.lexsort((dst, src))
+    src, dst = src[order], dst[order]
+    src_ids, starts = np.unique(src, return_index=True)
+    indptr = np.append(starts, src.size).astype(np.int64)
+    dst_uniq, dst_idx = np.unique(dst, return_inverse=True)
+    return pd.DataFrame(
+        {
+            "blk": [int(pdf["blk"].iloc[0])],
+            "src_ids": [src_ids],
+            "indptr": [indptr],
+            "dst_uniq": [dst_uniq],
+            "dst_idx": [dst_idx.astype(np.int32)],
+        }
+    )
+
+
+def _build_pr_blocks(edge_ids: DataFrame, num_blocks: int) -> DataFrame:
+    """Deduped edges → one CSR row per src-hash block (north-star layout:
+    salted, hash-partitioned CSR adjacency blocks as Arrow arrays inside
+    grouped pandas UDFs).  Blocking by src means every out-edge of a node
+    lands in one block, so out-degrees are block-local facts (``indptr``
+    diffs) and the score vector shards cleanly by the same hash."""
+    return (
+        edge_ids.select(
+            F.pmod(F.xxhash64("src_id"), F.lit(num_blocks)).cast("int").alias("blk"),
+            "src_id",
+            "dst_id",
+        )
+        .groupBy("blk")
+        .applyInPandas(
+            _pack_pr_block,
+            "blk int, src_ids array<long>, indptr array<long>, "
+            "dst_uniq array<long>, dst_idx array<int>",
+        )
+    )
+
+
+def _pr_block_step(state_pdf, block_pdf):
+    """One block's superstep: gather this block's src scores (searchsorted
+    against the co-grouped state shard), scale by out-degree, scatter-add
+    per distinct destination with ``bincount``.  Emits the block's partial
+    message sums ``(id, msum)`` — already combined per dst, so the global
+    merge shuffles at most one row per (block, dst).
+
+    Stray endpoints keep join semantics: a src absent from the state shard
+    contributes 0, an unknown dst still gets a partial (dropped later by the
+    left join onto the node table)."""
+    import numpy as np
+    import pandas as pd
+
+    if block_pdf.shape[0] == 0 or state_pdf.shape[0] == 0:
+        return pd.DataFrame(
+            {"id": pd.Series(dtype="int64"), "msum": pd.Series(dtype="float64")}
+        )
+    row = block_pdf.iloc[0]
+    src_ids = np.asarray(row["src_ids"], dtype=np.int64)
+    indptr = np.asarray(row["indptr"], dtype=np.int64)
+    dst_uniq = np.asarray(row["dst_uniq"], dtype=np.int64)
+    dst_idx = np.asarray(row["dst_idx"], dtype=np.int32)
+    sid = state_pdf["id"].to_numpy(np.int64)
+    sc = state_pdf["score"].to_numpy(np.float64)
+    o = np.argsort(sid)
+    sid, sc = sid[o], sc[o]
+    pos = np.minimum(np.searchsorted(sid, src_ids), sid.size - 1)
+    score_src = np.where(sid[pos] == src_ids, sc[pos], 0.0)
+    counts = np.diff(indptr)
+    per_edge = np.repeat(score_src / counts, counts)
+    msum = np.bincount(dst_idx, weights=per_edge, minlength=dst_uniq.size)
+    return pd.DataFrame({"id": dst_uniq, "msum": msum})
 
 
 def _pagerank_local(
@@ -285,24 +424,15 @@ def _pagerank_local(
 
 
 def _run_loop(
-    spark, loop, state, edges, static, n, n_sinks, sink_mass, damping,
-    teleport, norm, tol, max_iter, start_it, use_broadcast, iters_out=None,
+    spark, loop, state, msgs_of, static, n, n_sinks, sink_mass, damping,
+    teleport, norm, tol, max_iter, start_it, iters_out=None,
     timings_out=None,
 ):
     for it in range(start_it, max_iter + 1):
         _t_it = _time.monotonic()
         if iters_out is not None:
             iters_out["iterations"] = it
-        ranks = state.filter(F.col("out_degree") > 0).select(
-            "id", (F.col("score") / F.col("out_degree")).alias("contrib")
-        )
-        if use_broadcast:
-            ranks = F.broadcast(ranks)
-        msgs = (
-            edges.join(ranks, edges.src_id == ranks.id)
-            .groupBy(F.col("dst_id").alias("id"))
-            .agg(F.sum("contrib").alias("msum"))
-        )
+        msgs = msgs_of(state)
         sink_term = damping * sink_mass / n
         new_state = (
             static.join(msgs, "id", "left")

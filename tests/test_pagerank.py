@@ -27,7 +27,7 @@ def test_five_edge_golden(spark):
     assert_close(got, FX.FIVE_EDGE_PAGERANK, 5)
 
 
-@pytest.mark.parametrize("kernel", ["local", "superstep"])
+@pytest.mark.parametrize("kernel", ["local", "superstep", "blocks"])
 def test_gen_graph_golden(spark, kernel):
     """python/tests/test_algorithms.py:232-246 — allclose 1e-6 gate,
     on BOTH the gathered-CSR kernel and the distributed superstep loop."""
@@ -62,7 +62,10 @@ def test_scores_sum_to_one(spark):
     assert math.isclose(sum(got.values()), 1.0, abs_tol=1e-9)
 
 
-@pytest.mark.parametrize("seed,kernel", [(7, "local"), (7, "superstep"), (101, "local"), (101, "superstep")])
+@pytest.mark.parametrize(
+    "seed,kernel",
+    [(7, "local"), (7, "superstep"), (7, "blocks"), (101, "local"), (101, "superstep"), (101, "blocks")],
+)
 def test_randomized_vs_oracle(spark, seed, kernel):
     """Quickcheck-style: random digraphs must match the numpy oracle that
     replicates pagerank.rs semantics line-for-line — both kernels."""
@@ -110,3 +113,22 @@ def test_checkpoint_resume(spark, tmp_path):
     lin = store.lineage().toPandas()
     assert set(lin.columns) == {"partition_id", "iteration", "rows", "checksum", "wall_ms"}
     assert lin.iteration.max() >= 4  # resumed past the killed run
+
+
+def test_checkpoint_resume_across_kernels(spark, tmp_path):
+    """The CSR-block kernel shares checkpoint layout + meta fingerprint with
+    the superstep kernel: a run killed under "blocks" resumes under
+    "superstep" (and the resumed trajectory converges to the golden)."""
+    g = LinkGraph.from_edge_list(spark, FX.GEN_GRAPH)
+    ckpt = str(tmp_path / "pr_ckpt_blocks")
+    pagerank(g, max_iter=3, tol=0.0, checkpoint_dir=ckpt, kernel="blocks")
+    g2 = LinkGraph.from_edge_list(spark, FX.GEN_GRAPH)
+    resumed = {
+        r.name: r.score
+        for r in pagerank(
+            g2, max_iter=20, norm="l2", checkpoint_dir=ckpt, resume=True,
+            kernel="superstep",
+        ).collect()
+    }
+    for k, v in FX.GEN_GRAPH_PAGERANK.items():
+        assert math.isclose(resumed[k], v, abs_tol=1e-6), (k, resumed[k], v)
