@@ -336,17 +336,28 @@ def _run_loop(loop, state, und, it, max_iter, use_broadcast):
         )
         if use_broadcast:
             labels = F.broadcast(labels)
+        # the self-message row (nbr_id == id) exists for every node, so the
+        # node's PREVIOUS label rides the same aggregate — the changed-count
+        # then needs no second state join per superstep, just a one-row agg
+        # over the cache the stage action is already materializing
         new_state = (
             und.join(labels, "nbr_id")
             .groupBy("id")
-            .agg(F.min("nbr_label").alias("component"))
+            .agg(
+                F.min("nbr_label").alias("component"),
+                F.min(
+                    F.when(F.col("nbr_id") == F.col("id"), F.col("nbr_label"))
+                ).alias("prev_label"),
+            )
         )
         new_state = loop.stage(new_state, it, materialize=False)
         changed = (
-            new_state.alias("n")
-            .join(state.alias("p"), "id")
-            .filter(F.col("n.component") < F.col("p.component"))
-            .count()
+            new_state.agg(
+                F.sum(
+                    F.when(F.col("component") < F.col("prev_label"), 1).otherwise(0)
+                )
+            ).first()[0]
+            or 0
         )
         state = loop.commit(
             it, metrics={"algorithm": "wcc", "changed": changed}
