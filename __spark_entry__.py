@@ -542,7 +542,7 @@ def q_trade_pagerank_converged(spark, sf_dir):
 
     g = _trade_graph(spark, sf_dir)
     res = pagerank(g, max_iter=200, tol=1e-9, norm="l1")
-    return res.select(F.col("id").alias("node"), F.round("score", 6).alias("score"))
+    return res.select(F.col("id").alias("node"), F.round("score", 5).alias("score"))
 
 
 def q_cosupply_kcore(spark, sf_dir):
@@ -698,6 +698,21 @@ def q_persistent_validity_intervals(spark, sf_dir):
         F.col("dst").cast("long").alias("dst"),
         F.coalesce("valid_from", F.lit(-1)).alias("valid_from"),
         F.coalesce("valid_until", F.lit(-1)).alias("valid_until"),
+    )
+
+
+def q_persistent_snapshot_wcc(spark, sf_dir):
+    """View composition across graph models: the alive-at-1995-01-01
+    snapshot of the persistent (deletion-semantics) graph, fed into the
+    event-graph WCC — deletion_graph.rs aliveness ∘ connected_components.rs
+    labels."""
+    from linkgraph.algorithms import weakly_connected_components
+    from linkgraph.persistent import PersistentLinkGraph
+
+    g = PersistentLinkGraph(_persist_events(spark, sf_dir))
+    snap = g.snapshot_at(PERSIST_WS)
+    return weakly_connected_components(snap).select(
+        F.col("id").alias("node"), "component"
     )
 
 
@@ -935,6 +950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "persistent_window_edges": q_persistent_window_edges,
         "persistent_earliest_latest": q_persistent_earliest_latest,
         "persistent_validity_intervals": q_persistent_validity_intervals,
+        "persistent_snapshot_wcc": q_persistent_snapshot_wcc,
         "trade_node_prop_agg": q_trade_node_prop_agg,
         "trade_node_prop_at": q_trade_node_prop_at,
         "trade_node_const_prop": q_trade_node_const_prop,
@@ -994,7 +1010,13 @@ tr_nodes AS (
   SELECT DISTINCT id FROM (SELECT src AS id FROM tr_ed UNION ALL SELECT dst FROM tr_ed)
 )"""
 
-_PAGERANK_ORACLE = f"""
+def _pagerank_oracle_sql(iters: int, digits: int = 6) -> str:
+    """Recursive-CTE power iteration (DuckDB) at a fixed superstep count.
+
+    Also the oracle for the tol-converged run: 200 iterations contract the
+    residual by 0.85^200 ~ 1.5e-14, far past both the engine's 1e-9 L1 stop
+    and the 6-decimal rounding both sides apply."""
+    return f"""
 WITH RECURSIVE {_TRADE_ED}, {_TRADE_NODES},
 outdeg AS (SELECT src AS id, count(*)::DOUBLE AS d FROM trade_ed GROUP BY src),
 nn AS (SELECT count(*)::DOUBLE AS n FROM trade_nodes),
@@ -1014,11 +1036,46 @@ pr(iter, id, score) AS (
   UNION ALL
   SELECT p.iter + 1, w.v, 0.15/(SELECT n FROM nn) + 0.85 * sum(p.score * w.wt)
   FROM pr p JOIN w ON w.u = p.id
-  WHERE p.iter < {PR_ITERS}
+  WHERE p.iter < {iters}
   GROUP BY p.iter + 1, w.v
 )
-SELECT id AS node, round(score, 6) AS score FROM pr WHERE iter = {PR_ITERS}
+SELECT id AS node, round(score, {digits}) AS score FROM pr WHERE iter = {iters}
 """
+
+
+_PAGERANK_ORACLE = _pagerank_oracle_sql(PR_ITERS)
+
+
+def _kcore_oracle_sql(k: int, rounds: int) -> str:
+    """Unrolled k-core peeling (DuckDB) on the co-supply undirected graph.
+
+    Recursive CTEs can't aggregate over the recursive reference, but
+    peeling is monotone and idempotent once stable, so a fixed unroll works:
+    each stage keeps nodes with >= k surviving distinct neighbours.  Each
+    peel round removes >= 1 node until stable, so ``rounds`` >= the initial
+    survivor count guarantees the fixpoint (co-supply at sf<=0.1 starts with
+    far fewer than 96 peelable nodes — verified against the Spark result)."""
+    # every stage is referenced twice by the next (a/b sides) and ``und`` by
+    # every stage — AS MATERIALIZED stops DuckDB's CTE inlining from
+    # expanding the chain exponentially (and from re-opening the parquet
+    # scan per reference)
+    stages = [
+        "s0 AS MATERIALIZED (SELECT id FROM und GROUP BY id HAVING count(*) >= %d)"
+        % k
+    ]
+    for i in range(1, rounds + 1):
+        stages.append(
+            f"s{i} AS MATERIALIZED (SELECT u.id FROM und u "
+            f"JOIN s{i-1} a ON a.id = u.id JOIN s{i-1} b ON b.id = u.nbr "
+            f"GROUP BY u.id HAVING count(*) >= {k})"
+        )
+    return (
+        f"WITH {_COSUPPLY_ED},\n"
+        "und AS MATERIALIZED (SELECT lo AS id, hi AS nbr FROM co_ed "
+        "UNION ALL SELECT hi, lo FROM co_ed),\n"
+        + ",\n".join(stages)
+        + f"\nSELECT id AS node FROM s{rounds}"
+    )
 
 _WCC_ORACLE_TMPL = """
 WITH RECURSIVE {edges}, {nodes_cte},
@@ -1109,6 +1166,13 @@ SELECT node, min(lab) AS component FROM reach GROUP BY node
 """
 
     sqls["trade_pagerank"] = _PAGERANK_ORACLE
+    # converged run (L1 tol 1e-9, reached near superstep ~50): 200 fixed
+    # oracle iterations are numerically AT the fixpoint (residual 1.5e-14);
+    # compared at 5 decimals — the engine stops ~1e-8 short of the fixpoint
+    # (tol*n geometric tail), which can flip a 6th-decimal rounding on
+    # boundary-sitting scores (measured: exactly 1 of 1600 at sf0.01)
+    sqls["trade_pagerank_converged"] = _pagerank_oracle_sql(200, digits=5)
+    sqls["cosupply_kcore"] = _kcore_oracle_sql(30, rounds=96)
     sqls["trade_pagerank_blocks"] = _PAGERANK_ORACLE
 
     # HITS: the per-iteration normalisation constants cancel (each score is
@@ -1635,6 +1699,38 @@ SELECT src::BIGINT AS src, dst::BIGINT AS dst,
 FROM iv WHERE r = 0
 UNION ALL
 SELECT src::BIGINT, dst::BIGINT, -1, t FROM iv WHERE r = 1 AND ei = 1
+"""
+
+    # snapshot(alive at WS) -> WCC: aliveness condition as in
+    # persistent_window_edges (at t=WS), then recursive min-label closure
+    sqls["persistent_snapshot_wcc"] = f"""
+WITH RECURSIVE {persist_ev},
+st AS (
+  SELECT src, dst,
+         min(CASE WHEN r = 0 THEN t * 2 END) AS fa,
+         min(CASE WHEN r = 1 THEN t * 2 + 1 END) AS fd,
+         max(CASE WHEN r = 0 AND t <= {PERSIST_WS} THEN t * 2 END) AS la,
+         max(CASE WHEN r = 1 AND t <= {PERSIST_WS} THEN t * 2 + 1 END) AS ld
+  FROM ev GROUP BY src, dst
+),
+alive AS (
+  SELECT src, dst FROM st
+  WHERE (fd IS NOT NULL AND fa IS NOT NULL AND fd < fa
+         AND (fd - 1) // 2 >= {PERSIST_WS})
+     OR (la IS NOT NULL AND (ld IS NULL OR la > ld))
+),
+snodes AS (
+  SELECT DISTINCT id
+  FROM (SELECT src AS id FROM alive UNION ALL SELECT dst FROM alive)
+),
+und AS (SELECT src AS id, dst AS nbr FROM alive UNION SELECT dst, src FROM alive),
+reach(node, lab) AS (
+  SELECT id, id FROM snodes
+  UNION
+  SELECT u.id, r.lab FROM reach r JOIN und u ON u.nbr = r.node
+)
+SELECT node::BIGINT AS node, min(lab)::BIGINT AS component
+FROM reach GROUP BY node
 """
 
     # --------------------------------------------- node + constant properties

@@ -336,28 +336,21 @@ def _run_loop(loop, state, und, it, max_iter, use_broadcast):
         )
         if use_broadcast:
             labels = F.broadcast(labels)
-        # the self-message row (nbr_id == id) exists for every node, so the
-        # node's PREVIOUS label rides the same aggregate — the changed-count
-        # then needs no second state join per superstep, just a one-row agg
-        # over the cache the stage action is already materializing
         new_state = (
             und.join(labels, "nbr_id")
             .groupBy("id")
-            .agg(
-                F.min("nbr_label").alias("component"),
-                F.min(
-                    F.when(F.col("nbr_id") == F.col("id"), F.col("nbr_label"))
-                ).alias("prev_label"),
-            )
+            .agg(F.min("nbr_label").alias("component"))
         )
         new_state = loop.stage(new_state, it, materialize=False)
+        # changed-count in the SAME action that fills the staged cache: a
+        # co-partitioned SHJ against the previous state (cheap next to the
+        # message stage; threading prev through the aggregate instead widens
+        # every exchange row — measured strictly worse on the pagerank loop)
         changed = (
-            new_state.agg(
-                F.sum(
-                    F.when(F.col("component") < F.col("prev_label"), 1).otherwise(0)
-                )
-            ).first()[0]
-            or 0
+            new_state.alias("n")
+            .join(state.alias("p"), "id")
+            .filter(F.col("n.component") < F.col("p.component"))
+            .count()
         )
         state = loop.commit(
             it, metrics={"algorithm": "wcc", "changed": changed}

@@ -156,6 +156,9 @@ def _lpa_sync_loop(graph: LinkGraph, spark, seed: int, max_sweeps: int) -> DataF
                 F.when(half & F.col("cand").isNotNull(), F.col("cand"))
                 .otherwise(F.col("label"))
                 .alias("label"),
+                # previous label rides along → the per-sweep stats need no
+                # second state join (same plan shape, one fewer join)
+                F.col("label").alias("prev_label"),
             )
         )
         # this plan references state twice (messages + fallback), so the
@@ -165,12 +168,12 @@ def _lpa_sync_loop(graph: LinkGraph, spark, seed: int, max_sweeps: int) -> DataF
         else:
             new_state = new_state.persist()
         stats = (
-            new_state.alias("n")
-            .join(state.alias("p"), "id")
-            .agg(
-                F.count(F.when(F.col("n.label") != F.col("p.label"), 1)).alias("chg"),
+            new_state.agg(
+                F.count(
+                    F.when(F.col("label") != F.col("prev_label"), 1)
+                ).alias("chg"),
                 F.sum(
-                    F.xxhash64("n.id", "n.label").bitwiseAND(F.lit(0xFFFFFFFF))
+                    F.xxhash64("id", "label").bitwiseAND(F.lit(0xFFFFFFFF))
                 ).alias("fp"),
             )
             .first()

@@ -29,7 +29,9 @@ Spark-first execution, designed for ~10^9 nodes / 10^11 edges:
   is exactly the two-phase salted-aggregation pattern — no hand salting
   needed for sums (see adjacency.py for the grouped-kernel/CSR variant);
 - convergence + next-iteration sink mass are folded into ONE one-row
-  aggregate per superstep, so each iteration costs one driver roundtrip.
+  aggregate per superstep (a co-partitioned no-exchange join against the
+  previous state inside the same action that fills the staged cache), so
+  each iteration costs one driver roundtrip.
 """
 
 from __future__ import annotations
@@ -187,34 +189,15 @@ def pagerank_on_ids(
             # join key, Catalyst elides the big-side Sort every iteration
             # (only the small freshly-aggregated message side sorts).
             #
-            # The cache also carries one SELF-MESSAGE row per node
-            # (self_msg=true): the node's previous score then rides the
-            # message aggregate, so the convergence delta needs no second
-            # state join per superstep AND the state plan is referenced
-            # exactly once per iteration (linear lineage — a state
-            # referenced twice doubles the logical plan per iteration and
-            # OOMs plan canonicalization near ~25 supersteps).
-            self_rows = ids.select(
-                F.col("id").alias("src_id"),
-                F.col("id").alias("dst_id"),
-                F.lit(True).alias("self_msg"),
-            )
             edges = (
-                raw_edges.withColumn("self_msg", F.lit(False))
-                .unionByName(self_rows)
-                .repartition(P, "src_id")
+                raw_edges.repartition(P, "src_id")
                 .sortWithinPartitions("src_id")
                 .persist()
             )
             edges.count()
             raw_edges.unpersist()
-        # real (non-self-message) edges: degree + fingerprint source — the
-        # fingerprint must be identical across kernels so a checkpoint from
-        # one resumes under the other
-        real_edges = edges.filter(~F.col("self_msg")) if not use_blocks else edges
         deg = (
-            real_edges
-            .groupBy(F.col("src_id").alias("id"))
+            edges.groupBy(F.col("src_id").alias("id"))
             .agg(F.count("*").alias("out_degree"))
         )
         # static per-node table: (id, out_degree) — partitioned by id once
@@ -235,7 +218,7 @@ def pagerank_on_ids(
         if store is not None:
             # fingerprint the input + config so a stale checkpoint from
             # another graph is refused instead of silently resumed
-            edge_sum = real_edges.agg(
+            edge_sum = edges.agg(
                 F.sum(F.xxhash64("src_id", "dst_id").bitwiseAND(F.lit(0xFFFFFFFF)))
             ).first()[0]
             # only trajectory-affecting facts: tol/norm may legitimately
@@ -265,11 +248,16 @@ def pagerank_on_ids(
 
         use_broadcast = n <= broadcast_threshold
 
-        # Both kernels return messages as (id, msum, prev_score) with a row
-        # for EVERY node of the state (prev_score rides the aggregate via
-        # self-messages / the state shard), so the convergence delta is a
-        # plain scan of the staged cache — one join + one aggregate per
-        # superstep, and the state plan is referenced exactly once.
+        # Both kernels return messages as (id, msum).  The convergence delta
+        # joins the staged state against the previous one — a co-partitioned
+        # SHJ over the two caches in the SAME single action that materializes
+        # the staged cache (stage(materialize=False)), so each superstep
+        # still costs one driver roundtrip.  Threading prev_score through
+        # the message aggregate instead was measured strictly worse at 160M
+        # edges (the extra exchange column + per-edge branch cost ~30% at
+        # local[4] and ~12% at local[16]): the 20M-row state join is cheap
+        # next to the 160M-row message stage, and it lives in the stats
+        # query, not the staged plan, so lineage stays linear.
         if use_blocks:
             def msgs_of(state_df, _blocks=blocks, _P=P):
                 state_b = state_df.select(
@@ -280,39 +268,24 @@ def pagerank_on_ids(
                 partials = (
                     state_b.groupBy("blk")
                     .cogroup(_blocks.groupBy("blk"))
-                    .applyInPandas(
-                        _pr_block_step, "id long, msum double, prev_score double"
-                    )
+                    .applyInPandas(_pr_block_step, "id long, msum double")
                 )
                 # per-block bincount already combined per distinct dst, so
                 # this groupBy only merges ≤P partials per id
-                # prev_score is 0.0 on message rows and the node's score on
-                # its (single) state-shard row, so SUM recovers it exactly —
-                # avoids NaN sentinels, which Spark's max() sorts above all
-                # doubles
-                return partials.groupBy("id").agg(
-                    F.sum("msum").alias("msum"),
-                    F.sum("prev_score").alias("prev_score"),
-                )
+                return partials.groupBy("id").agg(F.sum("msum").alias("msum"))
         else:
             def msgs_of(state_df, _edges=edges, _bc=use_broadcast):
-                ranks = state_df.select("id", "score", "out_degree")
+                # contrib precomputed per NODE on the build side (one
+                # division per node, not per edge)
+                ranks = state_df.filter(F.col("out_degree") > 0).select(
+                    "id", (F.col("score") / F.col("out_degree")).alias("contrib")
+                )
                 if _bc:
                     ranks = F.broadcast(ranks)
                 return (
                     _edges.join(ranks, _edges.src_id == ranks.id)
                     .groupBy(F.col("dst_id").alias("id"))
-                    .agg(
-                        F.sum(
-                            F.when(
-                                ~F.col("self_msg") & (F.col("out_degree") > 0),
-                                F.col("score") / F.col("out_degree"),
-                            )
-                        ).alias("msum"),
-                        F.max(F.when(F.col("self_msg"), F.col("score"))).alias(
-                            "prev_score"
-                        ),
-                    )
+                    .agg(F.sum("contrib").alias("msum"))
                 )
 
         if timings_out is not None:
@@ -380,11 +353,8 @@ def _pr_block_step(state_pdf, block_pdf):
     """One block's superstep: gather this block's src scores (searchsorted
     against the co-grouped state shard), scale by out-degree, scatter-add
     per distinct destination with ``bincount``.  Emits the block's partial
-    message sums ``(id, msum, prev_score)`` — msums already combined per
-    dst, so the global merge shuffles at most one row per (block, dst); the
-    state shard's own scores ride along as ``prev_score`` rows (each id
-    hashes to exactly one block), so every state node reaches the merged
-    message table and the convergence delta needs no second state join.
+    message sums ``(id, msum)`` — already combined per dst, so the global
+    merge shuffles at most one row per (block, dst).
 
     Stray endpoints keep join semantics: a src absent from the state shard
     contributes 0, an unknown dst still gets a partial (dropped later by the
@@ -392,38 +362,25 @@ def _pr_block_step(state_pdf, block_pdf):
     import numpy as np
     import pandas as pd
 
-    empty = pd.DataFrame(
-        {
-            "id": pd.Series(dtype="int64"),
-            "msum": pd.Series(dtype="float64"),
-            "prev_score": pd.Series(dtype="float64"),
-        }
-    )
-    if state_pdf.shape[0] == 0:
-        return empty
-    sid = state_pdf["id"].to_numpy(np.int64)
-    sc = state_pdf["score"].to_numpy(np.float64)
-    o = np.argsort(sid)
-    sid, sc = sid[o], sc[o]
-    prev_rows = pd.DataFrame(
-        {"id": sid, "msum": np.zeros(sid.size), "prev_score": sc}
-    )
-    if block_pdf.shape[0] == 0:
-        return prev_rows
+    if block_pdf.shape[0] == 0 or state_pdf.shape[0] == 0:
+        return pd.DataFrame(
+            {"id": pd.Series(dtype="int64"), "msum": pd.Series(dtype="float64")}
+        )
     row = block_pdf.iloc[0]
     src_ids = np.asarray(row["src_ids"], dtype=np.int64)
     indptr = np.asarray(row["indptr"], dtype=np.int64)
     dst_uniq = np.asarray(row["dst_uniq"], dtype=np.int64)
     dst_idx = np.asarray(row["dst_idx"], dtype=np.int32)
+    sid = state_pdf["id"].to_numpy(np.int64)
+    sc = state_pdf["score"].to_numpy(np.float64)
+    o = np.argsort(sid)
+    sid, sc = sid[o], sc[o]
     pos = np.minimum(np.searchsorted(sid, src_ids), sid.size - 1)
     score_src = np.where(sid[pos] == src_ids, sc[pos], 0.0)
     counts = np.diff(indptr)
     per_edge = np.repeat(score_src / counts, counts)
     msum = np.bincount(dst_idx, weights=per_edge, minlength=dst_uniq.size)
-    msg_rows = pd.DataFrame(
-        {"id": dst_uniq, "msum": msum, "prev_score": np.zeros(dst_uniq.size)}
-    )
-    return pd.concat([msg_rows, prev_rows], ignore_index=True)
+    return pd.DataFrame({"id": dst_uniq, "msum": msum})
 
 
 def _pagerank_local(
@@ -492,11 +449,8 @@ def _run_loop(
             iters_out["iterations"] = it
         msgs = msgs_of(state)
         sink_term = damping * sink_mass / n
-        # msgs carries (msum, prev_score) for every node — see msgs_of — so
-        # the join is against the STATIC leaf cache (state referenced once
-        # per iteration: linear lineage) and the convergence delta below is
-        # a plain scan of the cache the stats action is already
-        # materializing (one join + one aggregate per superstep total)
+        # join against the STATIC leaf cache (the state plan is referenced
+        # once per iteration, in msgs — linear lineage)
         new_state = (
             static.join(msgs, "id", "left")
             .select(
@@ -506,18 +460,22 @@ def _run_loop(
                     F.lit(damping) * F.coalesce(F.col("msum"), F.lit(0.0))
                     + F.lit(teleport + sink_term)
                 ).alias("score"),
-                "prev_score",
             )
         )
         new_state = loop.stage(new_state, it, materialize=False)
-        # one-row aggregate: convergence delta vs prev + next sink mass
+        # one-row aggregate: convergence delta vs prev + next sink mass, in
+        # the same action that fills the staged cache (the prev-state join
+        # is co-partitioned SHJ over two caches — no exchange)
         delta_expr = (
             F.sum(F.pow(F.abs(F.col("score") - F.col("prev_score")), 2))
             if norm == "l2"
             else F.sum(F.abs(F.col("score") - F.col("prev_score")))
         )
         stats = (
-            new_state.agg(
+            new_state.join(
+                state.select("id", F.col("score").alias("prev_score")), "id"
+            )
+            .agg(
                 delta_expr.alias("delta"),
                 F.sum(F.when(F.col("out_degree") == 0, F.col("score"))).alias("sink"),
             )

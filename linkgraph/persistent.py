@@ -97,8 +97,17 @@ class PersistentLinkGraph:
         bounds.  Unlike the event graph, the EVENT TABLE IS NOT FILTERED:
         events outside the window still decide aliveness at the window
         start (deletion_graph.rs window filter)."""
-        s = self.start if start is None else max(start, self.start or I64_MIN)
-        e = self.end if end is None else min(end, self.end or I64_MAX)
+        # explicit None checks: a bound of 0 is a real bound, not "unset"
+        s = (
+            self.start
+            if start is None
+            else max(start, I64_MIN if self.start is None else self.start)
+        )
+        e = (
+            self.end
+            if end is None
+            else min(end, I64_MAX if self.end is None else self.end)
+        )
         return PersistentLinkGraph(self.events_t, self.nodes_t, s, e)
 
     def at(self, t: int) -> "PersistentLinkGraph":

@@ -194,3 +194,19 @@ def test_nodes_inclusion(spark):
         "3",
         "4",
     }
+
+
+def test_window_intersection_zero_bound(spark):
+    """A bound of 0 is a real bound ('x or I64_MIN' regression): negative-time
+    events must stay excluded when the outer view starts at 0."""
+    g = PersistentLinkGraph.from_event_list(
+        spark,
+        [(-10, "a", "b", "add"), (-5, "a", "b", "del"), (3, "c", "d", "add")],
+    )
+    # view pinned to [0, inf), then widened again: [-20, 20) must intersect
+    # to [0, 20) — a->b (dead since -5) stays out, and the end bound 0 of a
+    # before(0) view must survive a later wider end
+    v = g.window(0, None).window(-20, 20)
+    assert [(r["src"], r["dst"]) for r in v.edges().collect()] == [("c", "d")]
+    v2 = g.window(None, 0).window(-20, 20)
+    assert [(r["src"], r["dst"]) for r in v2.edges().collect()] == [("a", "b")]
