@@ -212,19 +212,24 @@ def cosine_neardup_pairs(
     )
     dim = e.select(F.size("v").alias("d")).limit(1).first()["d"]
     signature = _band_signature(dim, bands, planes_per_band, seed)
-    banded = e.select(
-        "id", "v", F.explode(signature(F.col("v"))).alias("bs")
-    )
-    a = banded.select(
-        F.col("id").alias("id_a"), F.col("v").alias("va"), "bs"
-    )
-    b = banded.select(
-        F.col("id").alias("id_b"), F.col("v").alias("vb"), "bs"
-    )
-    return (
-        a.join(b, "bs")
+    # band with IDS ONLY: a low threshold makes buckets fat (few planes per
+    # band), so candidate multiplicity across bands is large — carrying the
+    # full vectors through the band join would shuffle |candidates|·2·dim
+    # floats (measured 60+ GB at 2000×256f/τ=0.35).  Dedup the slim id
+    # pairs first, then join the vectors back once for exact rescoring.
+    banded = e.select("id", F.explode(signature(F.col("v"))).alias("bs"))
+    cand = (
+        banded.select(F.col("id").alias("id_a"), "bs")
+        .join(banded.select(F.col("id").alias("id_b"), "bs"), "bs")
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+    va = e.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    vb = e.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
         .select(
             "id_a",
             "id_b",
