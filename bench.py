@@ -34,6 +34,25 @@ def _force(df) -> int:
     return df.write.format("noop").mode("overwrite").save() or df.count()
 
 
+def _isolate(spark) -> None:
+    """Reset shared-JVM state between queries so a 26-query session measures
+    each query, not the debris of the previous 25 (round-2 finding: three
+    driver-loop queries ran 44-81% slower inside the session than isolated).
+
+    clearCache drops cached relations; the Python gc pass releases DataFrame
+    handles so Spark's ContextCleaner can unpin localCheckpoint RDDs held by
+    frontier-loop algorithms (betweenness/SCC); the explicit JVM GC forces
+    the cleaner's reference queue to drain NOW rather than mid-next-query."""
+    import gc
+
+    spark.catalog.clearCache()
+    gc.collect()
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:
+        pass
+
+
 def main() -> None:
     from pyspark.sql import functions as F
 
@@ -76,9 +95,11 @@ def main() -> None:
         "trade_two_hop",
     ]
     for name in headline:
+        _isolate(spark)
         t0 = time.monotonic()
         _force(qs[name](spark, SF_DIR))
         timings[name] = round(time.monotonic() - t0, 3)
+    _isolate(spark)
 
     # --- headline metric: PageRank to L1 1e-9 on the trade graph ----------
     g = entry._trade_graph(spark, SF_DIR)

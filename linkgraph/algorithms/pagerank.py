@@ -119,6 +119,32 @@ def pagerank(
     return res.join(ids, "id").select("name", "id", "score")
 
 
+def contribution_messages(
+    edges: DataFrame, state_df: DataFrame, use_broadcast: bool = False
+) -> DataFrame:
+    """One superstep's message stage: per-node contribution join against the
+    cached, pre-partitioned edge table + the message aggregate — (id, msum).
+
+    This is THE per-superstep plan the 100-TB design depends on (one
+    co-partitioned join, one exchange for the groupBy); the plan-shape guard
+    in tests/test_plan_shape.py builds its asserted plan through this exact
+    function so a refactor that reintroduces an edge-side exchange fails CI.
+    ``edges`` must be hash-partitioned (and ideally sorted) on ``src_id``;
+    ``state_df`` carries (id, score, out_degree)."""
+    # contrib precomputed per NODE on the build side (one division per
+    # node, not per edge)
+    ranks = state_df.filter(F.col("out_degree") > 0).select(
+        "id", (F.col("score") / F.col("out_degree")).alias("contrib")
+    )
+    if use_broadcast:
+        ranks = F.broadcast(ranks)
+    return (
+        edges.join(ranks, edges.src_id == ranks.id)
+        .groupBy(F.col("dst_id").alias("id"))
+        .agg(F.sum("contrib").alias("msum"))
+    )
+
+
 def pagerank_on_ids(
     spark,
     nodes: DataFrame,
@@ -275,18 +301,7 @@ def pagerank_on_ids(
                 return partials.groupBy("id").agg(F.sum("msum").alias("msum"))
         else:
             def msgs_of(state_df, _edges=edges, _bc=use_broadcast):
-                # contrib precomputed per NODE on the build side (one
-                # division per node, not per edge)
-                ranks = state_df.filter(F.col("out_degree") > 0).select(
-                    "id", (F.col("score") / F.col("out_degree")).alias("contrib")
-                )
-                if _bc:
-                    ranks = F.broadcast(ranks)
-                return (
-                    _edges.join(ranks, _edges.src_id == ranks.id)
-                    .groupBy(F.col("dst_id").alias("id"))
-                    .agg(F.sum("contrib").alias("msum"))
-                )
+                return contribution_messages(_edges, state_df, _bc)
 
         if timings_out is not None:
             timings_out.append(("setup", _time.monotonic() - _t_setup))
@@ -294,6 +309,16 @@ def pagerank_on_ids(
             spark, loop, state, msgs_of, static, n, n_sinks, sink_mass, damping,
             teleport, norm, tol, max_iter, start_it, iters_out, timings_out,
         )
+        # release the loop-scoped caches: the final state cache is already
+        # materialized (the last superstep's stats action filled it), so
+        # dropping its upstream relations only trades a cold recompute for
+        # not accumulating fat cached relations across repeated calls in
+        # one session
+        if use_blocks:
+            blocks.unpersist()
+        else:
+            edges.unpersist()
+        static.unpersist()
 
     return state.select("id", "score")
 

@@ -59,8 +59,10 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # iterated algorithms grow deep plans; the plan STRING rendered per
         # action for listeners/UI grows superlinearly with depth and can OOM
-        # a small driver — cap it (debug-output-only, no semantic effect)
-        .config("spark.sql.maxPlanStringLength", str(512 * 1024))
+        # a small driver — cap it hard (debug-output-only, no semantic
+        # effect; rendering megabytes of plan text per action is pure
+        # driver CPU burned, visible as StringUtils WARN spam)
+        .config("spark.sql.maxPlanStringLength", str(32 * 1024))
     )
     if local_dir:
         builder = builder.config("spark.local.dir", local_dir)

@@ -63,12 +63,17 @@ def iteration_conf(spark: SparkSession, shuffle_partitions: int | None = None):
         "spark.sql.shuffle.partitions",
         "spark.sql.autoBroadcastJoinThreshold",
         "spark.sql.join.preferSortMergeJoin",
+        "spark.sql.maxPlanStringLength",
     ]
     prior = {k: spark.conf.get(k, None) for k in keys}
     try:
         spark.conf.set("spark.sql.adaptive.enabled", "false")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
+        # deep iterated lineages render megabyte plan STRINGS per action for
+        # listeners (pure driver-CPU waste + WARN spam); inside a loop the
+        # rendered plan is debug output only, so cap it hard
+        spark.conf.set("spark.sql.maxPlanStringLength", str(16 * 1024))
         if shuffle_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
         yield

@@ -41,7 +41,12 @@ def _n_exchanges(plan: str) -> int:
 
 def test_superstep_join_reuses_cache_partitioning(spark):
     """One exchange per superstep: the cached, pre-partitioned edge side is
-    never re-shuffled by the contribution join (pagerank.py's loop shape)."""
+    never re-shuffled by the contribution join.  The asserted plan is built
+    through pagerank's OWN message-stage function (contribution_messages),
+    so a pagerank.py refactor that reintroduces a per-superstep exchange
+    fails here, not only as a wall regression at scale."""
+    from linkgraph.algorithms.pagerank import contribution_messages
+
     P = 4
     with iteration_conf(spark, shuffle_partitions=P):
         edges = (
@@ -57,16 +62,16 @@ def test_superstep_join_reuses_cache_partitioning(spark):
         edges.count()
         state = (
             spark.range(97)
-            .select(F.col("id"), F.lit(1.0).alias("score"))
+            .select(
+                F.col("id"),
+                F.lit(1.0).alias("score"),
+                F.lit(2).alias("out_degree"),
+            )
             .repartition(P, "id")
             .persist()
         )
         state.count()
-        msgs = (
-            edges.join(state, edges.src_id == state.id)
-            .groupBy(F.col("dst_id").alias("id"))
-            .agg(F.sum("score").alias("msum"))
-        )
+        msgs = contribution_messages(edges, state, use_broadcast=False)
         plan = _formatted_plan(msgs)
         try:
             # explain() prints the cached relations' BUILD plans too —
