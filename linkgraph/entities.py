@@ -1,0 +1,238 @@
+"""Per-entity views — ``graph.node(name)`` / ``graph.edge(src, dst)`` with
+their own TimeOps.
+
+The reference implements ``TimeOps`` for every one-hop-filterable view, so a
+node or edge can be windowed directly: ``g.node(n).window(s, e)`` is the
+node seen through a windowed graph (db/api/view/time.rs:108-135 — the
+``window`` impl wraps the entity's current filter in a ``WindowedGraph``),
+and ``node.at(t)`` / ``before`` / ``after`` derive from it.  Python surface:
+python/graph/node.rs, python/graph/edge.rs (``history``, ``earliest_time``,
+``latest_time``, ``degree``, ``edges`` / ``in_edges`` / ``out_edges``,
+``explode``).
+
+Spark-first: an entity view is just (graph view, key) — every accessor is
+the graph-level DataFrame with one more pushed-down predicate, so Catalyst
+fuses the entity restriction into the same scan the graph view uses
+(a point lookup on a partitioned/sorted table is a pruned scan, not a new
+execution strategy).
+
+Tie-break note (shared with properties.py): the reference's TimeIndexEntry
+carries an ingestion sequence; a derived table has none, so same-timestamp
+history rows dedup to one entry per time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class _EntityTimeOps:
+    """window/at/before/after, re-deriving the SAME entity over the
+    windowed graph — time.rs:118-135 one_hop_filtered(WindowedGraph)."""
+
+    def window(self, start: int | None, end: int | None):
+        return self._rebind(self.graph.window(start, end))
+
+    def at(self, t: int):
+        return self._rebind(self.graph.at(t))
+
+    def before(self, t: int):
+        return self._rebind(self.graph.before(t))
+
+    def after(self, t: int):
+        return self._rebind(self.graph.after(t))
+
+
+class NodeView(_EntityTimeOps):
+    """One node seen through a graph view (python/graph/node.rs).
+
+    Construct via :meth:`LinkGraph.node`; all accessors are lazy
+    DataFrames/scalars over the view's event tables.
+    """
+
+    def __init__(self, graph, name: str):
+        self.graph = graph
+        self.name = str(name)
+
+    def _rebind(self, g) -> "NodeView":
+        return NodeView(g, self.name)
+
+    # ------------------------------------------------------------- events
+    def _events(self) -> DataFrame:
+        return self.graph.nodes_t.filter(F.col("name") == self.name)
+
+    def exists(self) -> bool:
+        """Whether the node has any event in the view (window_graph.rs
+        node-membership rule: present iff active inside the window)."""
+        return self._events().limit(1).count() > 0
+
+    def history(self) -> list[int]:
+        """Sorted event times of the node in the view — node.rs history();
+        includes add_node upserts and incident-edge events (both land in
+        ``nodes_t``)."""
+        rows = (
+            self._events().select("time").distinct().orderBy("time").collect()
+        )
+        return [r["time"] for r in rows]
+
+    def earliest_time(self) -> int | None:
+        row = self._events().agg(F.min("time")).first()
+        return row[0] if row else None
+
+    def latest_time(self) -> int | None:
+        row = self._events().agg(F.max("time")).first()
+        return row[0] if row else None
+
+    # -------------------------------------------------------------- edges
+    def _incident(self, direction: str) -> DataFrame:
+        e = self.graph.edges_t
+        if direction == "out":
+            cond = F.col("src") == self.name
+        elif direction == "in":
+            cond = F.col("dst") == self.name
+        else:
+            cond = (F.col("src") == self.name) | (F.col("dst") == self.name)
+        return e.filter(cond)
+
+    def edges(self, direction: str = "both") -> DataFrame:
+        """Incident simple edges with their per-edge time bounds in the view
+        — ``(src, dst, earliest_time, latest_time)`` (node.rs edges /
+        in_edges / out_edges; per-edge bounds as edge.rs
+        earliest_time/latest_time)."""
+        return (
+            self._incident(direction)
+            .groupBy("src", "dst")
+            .agg(
+                F.min("time").alias("earliest_time"),
+                F.max("time").alias("latest_time"),
+            )
+        )
+
+    def in_edges(self) -> DataFrame:
+        return self.edges("in")
+
+    def out_edges(self) -> DataFrame:
+        return self.edges("out")
+
+    def degree(self, direction: str = "both") -> int:
+        """Distinct-neighbour degree in the view (AdjSet dedup: BOTH dedups
+        reciprocal pairs; self-loops count once — node_store.rs:245-257)."""
+        inc = self._incident(direction)
+        if direction == "out":
+            nbrs = inc.select(F.col("dst").alias("nbr"))
+        elif direction == "in":
+            nbrs = inc.select(F.col("src").alias("nbr"))
+        else:
+            nbrs = inc.select(
+                F.when(F.col("src") == self.name, F.col("dst"))
+                .otherwise(F.col("src"))
+                .alias("nbr")
+            )
+        return nbrs.distinct().count()
+
+    def in_degree(self) -> int:
+        return self.degree("in")
+
+    def out_degree(self) -> int:
+        return self.degree("out")
+
+    def neighbours(self, direction: str = "both") -> DataFrame:
+        """Distinct neighbour names — (name)."""
+        inc = self._incident(direction)
+        if direction == "out":
+            out = inc.select(F.col("dst").alias("name"))
+        elif direction == "in":
+            out = inc.select(F.col("src").alias("name"))
+        else:
+            out = inc.select(
+                F.when(F.col("src") == self.name, F.col("dst"))
+                .otherwise(F.col("src"))
+                .alias("name")
+            )
+        return out.distinct()
+
+    # --------------------------------------------------------- properties
+    def property_history(self, prop: str) -> DataFrame:
+        """The node's temporal values of one property in the view —
+        ``(time, value)`` (temporal_props.rs values())."""
+        if prop not in self.graph.nodes_t.columns:
+            raise ValueError(f"property {prop!r} not found on nodes")
+        v = F.col(prop).cast("double")
+        return (
+            self._events()
+            .filter(v.isNotNull())
+            .select("time", v.alias("value"))
+            .orderBy("time", "value")
+        )
+
+    def const_property(self, prop: str):
+        """Constant property value (None when unset) — window-independent."""
+        nc = self.graph.node_const
+        if nc is None or prop not in nc.columns:
+            return None
+        row = nc.filter(F.col("name") == self.name).select(prop).first()
+        return row[0] if row else None
+
+
+class EdgeView(_EntityTimeOps):
+    """One logical edge seen through a graph view (python/graph/edge.rs)."""
+
+    def __init__(self, graph, src: str, dst: str):
+        self.graph = graph
+        self.src = str(src)
+        self.dst = str(dst)
+
+    def _rebind(self, g) -> "EdgeView":
+        return EdgeView(g, self.src, self.dst)
+
+    def _events(self) -> DataFrame:
+        return self.graph.edges_t.filter(
+            (F.col("src") == self.src) & (F.col("dst") == self.dst)
+        )
+
+    def exists(self) -> bool:
+        return self._events().limit(1).count() > 0
+
+    def history(self) -> list[int]:
+        """Sorted event times of the edge in the view — edge.rs history()."""
+        rows = (
+            self._events().select("time").distinct().orderBy("time").collect()
+        )
+        return [r["time"] for r in rows]
+
+    def earliest_time(self) -> int | None:
+        row = self._events().agg(F.min("time")).first()
+        return row[0] if row else None
+
+    def latest_time(self) -> int | None:
+        row = self._events().agg(F.max("time")).first()
+        return row[0] if row else None
+
+    def explode(self) -> DataFrame:
+        """Every temporal event of the edge, with its property columns —
+        the per-edge slice of the exploded view (edge.rs explode())."""
+        return self._events().orderBy("time")
+
+    def property_history(self, prop: str) -> DataFrame:
+        """``(time, value)`` history of one temporal property on the edge."""
+        if prop not in self.graph.edges_t.columns:
+            raise ValueError(f"property {prop!r} not found on edges")
+        v = F.col(prop).cast("double")
+        return (
+            self._events()
+            .filter(v.isNotNull())
+            .select("time", v.alias("value"))
+            .orderBy("time", "value")
+        )
+
+    def const_property(self, prop: str):
+        ec = self.graph.edge_const
+        if ec is None or prop not in ec.columns:
+            return None
+        row = (
+            ec.filter((F.col("src") == self.src) & (F.col("dst") == self.dst))
+            .select(prop)
+            .first()
+        )
+        return row[0] if row else None

@@ -258,6 +258,23 @@ class LinkGraph:
             )
         return int(row["n"])
 
+    # ------------------------------------------------------- entity views
+    def node(self, name: str):
+        """Per-node view with its own TimeOps — ``g.node(n).window(s, e)``
+        (python/graph/node.rs; TimeOps for entity views,
+        db/api/view/time.rs:108-135).  Lazy: returns a view even for an
+        absent node; probe with ``.exists()``."""
+        from linkgraph.entities import NodeView
+
+        return NodeView(self, name)
+
+    def edge(self, src: str, dst: str):
+        """Per-edge view with its own TimeOps — ``g.edge(u, v).at(t)``
+        (python/graph/edge.rs)."""
+        from linkgraph.entities import EdgeView
+
+        return EdgeView(self, src, dst)
+
     def paths(self, *names: str):
         """Multi-hop path surface — ``g.paths("a").neighbours().neighbours()``
         (PathFromNode / PathFromGraph, db/graph/path.rs; see hops.py)."""

@@ -111,6 +111,127 @@ def search(
     return _topk(agg, k)
 
 
+# ------------------------------------------------------- graph entities
+#
+# The reference indexes the GRAPH's nodes and edges, not just an external
+# document table: index_nodes (search/mod.rs:320) makes one tantivy document
+# per node — its name plus every property value — and index_edges
+# (search/mod.rs:454) one per edge with src/dst names and properties;
+# search_nodes / search_edges (mod.rs:583,630) run BM25 over them.
+#
+# Spark-first analogue: derive a (id, text) document table from the graph
+# view's event + constant-property tables and reuse the BM25 pipeline
+# above.  Only STRING-typed property columns join the text (tantivy indexes
+# numeric props as numeric fields, which its default text query does not
+# match — mod.rs:288-315 index_prop_value), so the doc construction is
+# deterministic across engines (no float-to-string formatting drift).
+
+
+def _string_prop_cols(df: DataFrame, exclude: set[str]) -> list[str]:
+    return [
+        f.name
+        for f in df.schema.fields
+        if f.dataType.simpleString() == "string" and f.name not in exclude
+    ]
+
+
+def node_documents(graph) -> DataFrame:
+    """One searchable document per node in the view — ``(name, text)``:
+    the node's name, its string-typed constant properties, and its
+    string-typed temporal property values (one occurrence per event, so
+    term frequency reflects the history, as the tantivy doc does)."""
+    parts = graph.names().select("name", F.col("name").alias("text"))
+    tprops = _string_prop_cols(graph.nodes_t, {"name"})
+    if tprops:
+        ev = graph.nodes_t.select(
+            "name",
+            F.concat_ws(" ", *[F.coalesce(F.col(c), F.lit("")) for c in tprops]).alias(
+                "text"
+            ),
+        )
+        parts = parts.unionByName(ev)
+    nc = graph.node_const
+    if nc is not None:
+        cprops = _string_prop_cols(nc, {"name"})
+        if cprops:
+            cp = graph.names().join(
+                nc.select(
+                    "name",
+                    F.concat_ws(
+                        " ", *[F.coalesce(F.col(c), F.lit("")) for c in cprops]
+                    ).alias("text"),
+                ),
+                "name",
+            )
+            parts = parts.unionByName(cp)
+    return parts.groupBy("name").agg(F.concat_ws(" ", F.collect_list("text")).alias("text"))
+
+
+def edge_documents(graph) -> DataFrame:
+    """One searchable document per logical edge — ``(edge_id, text)`` with
+    ``edge_id = src || '->' || dst``: endpoint names, layer names, string
+    temporal property values, and string constant properties."""
+    tprops = _string_prop_cols(graph.edges_t, {"src", "dst", "layer"})
+    tvals = (
+        F.concat_ws(" ", *[F.coalesce(F.col(c), F.lit("")) for c in tprops])
+        if tprops
+        else F.lit("")
+    )
+    ev = graph.edges_t.select(
+        F.concat_ws("->", "src", "dst").alias("edge_id"),
+        "src",
+        "dst",
+        tvals.alias("tvals"),
+    )
+    base = ev.groupBy("edge_id").agg(
+        F.first("src").alias("src"),
+        F.first("dst").alias("dst"),
+        F.concat_ws(" ", F.collect_list(F.col("tvals"))).alias("tvals"),
+    )
+    text = F.concat_ws(" ", "src", "dst", "tvals")
+    ec = graph.edge_const
+    if ec is not None:
+        cprops = _string_prop_cols(ec, {"src", "dst"})
+        if cprops:
+            base = base.join(
+                ec.select(
+                    "src",
+                    "dst",
+                    F.concat_ws(
+                        " ", *[F.coalesce(F.col(c), F.lit("")) for c in cprops]
+                    ).alias("cvals"),
+                ),
+                ["src", "dst"],
+                "left",
+            )
+            text = F.concat_ws(" ", text, F.coalesce(F.col("cvals"), F.lit("")))
+    return base.select("edge_id", text.alias("text"))
+
+
+def search_nodes(graph, query: str, k: int = 10) -> DataFrame:
+    """BM25 top-k nodes of the view — ``(name, score, rank)``
+    (search/mod.rs:583 search_nodes)."""
+    return search(node_documents(graph), query, k, id_col="name").select(
+        F.col("doc_id").alias("name"), "score", "rank"
+    )
+
+
+def search_edges(graph, query: str, k: int = 10) -> DataFrame:
+    """BM25 top-k edges of the view — ``(edge_id, score, rank)``
+    (search/mod.rs:630 search_edges)."""
+    return search(edge_documents(graph), query, k, id_col="edge_id").select(
+        F.col("doc_id").alias("edge_id"), "score", "rank"
+    )
+
+
+def fuzzy_search_nodes(graph, query: str, k: int = 10) -> DataFrame:
+    """Fuzzy (Levenshtein ≤ 1) BM25 node search — fuzzy_search_nodes
+    (raphtory-graphql model/graph/graph.rs:241-262)."""
+    return fuzzy_search(node_documents(graph), query, k, id_col="name").select(
+        F.col("doc_id").alias("name"), "score", "rank"
+    )
+
+
 def _deletion_keys(term) -> Column:
     """The term plus every single-character deletion of it — the SymSpell
     edit-distance-1 candidate key set, as a pure column expression."""

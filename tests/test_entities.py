@@ -1,0 +1,196 @@
+"""Per-entity TimeOps + graph-entity search — goldens transcribed from the
+reference's python/tests/test_graphdb.py (node/edge history, earliest/latest
+under windows, in/out edges) and search surface (search/mod.rs)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from linkgraph.graph import LinkGraph
+
+
+def _node_only_graph(spark, events):
+    """Graph from add_node-style upserts: [(time, name), ...]."""
+    edges = spark.createDataFrame(
+        [], "src string, dst string, time long, layer string"
+    )
+    nodes = spark.createDataFrame(
+        [(str(n), int(t)) for t, n in events], "name string, time long"
+    )
+    return LinkGraph(edges, nodes)
+
+
+# --------------------------- test_graphdb.py:1181-1198 test_node_earliest_time
+def test_node_earliest_time(spark):
+    g = _node_only_graph(spark, [(0, "1"), (1, "1"), (2, "1")])
+
+    view = g.at(1)
+    assert view.node("1").earliest_time() == 1
+    assert view.node("1").latest_time() == 1
+
+    view = g.after(0)
+    assert view.node("1").earliest_time() == 1
+    assert view.node("1").latest_time() == 2
+
+    view = g.before(3)
+    assert view.node("1").earliest_time() == 0
+    assert view.node("1").latest_time() == 2
+
+
+# ------------------------------- test_graphdb.py:1201-1221 test_node_history
+def test_node_history(spark):
+    g = _node_only_graph(
+        spark,
+        [(1, "1"), (2, "1"), (3, "1"), (4, "1"), (8, "1")]
+        + [(4, "Lord Farquaad"), (6, "Lord Farquaad"), (7, "Lord Farquaad"),
+           (8, "Lord Farquaad")],
+    )
+    assert g.node("1").history() == [1, 2, 3, 4, 8]
+    assert g.node("Lord Farquaad").history() == [4, 6, 7, 8]
+
+    view = g.window(1, 8)
+    assert view.node("1").history() == [1, 2, 3, 4]
+    assert view.node("Lord Farquaad").history() == [4, 6, 7]
+
+    # entity-scoped window — same result through node-first composition
+    assert g.node("1").window(1, 8).history() == [1, 2, 3, 4]
+
+
+# ------------------------------- test_graphdb.py:1224-1235 test_edge_history
+def test_edge_history(spark):
+    g = LinkGraph.from_edge_list(
+        spark, [(1, "1", "2"), (2, "1", "3"), (3, "1", "2"), (4, "1", "4")]
+    )
+    assert g.edge("1", "2").history() == [1, 3]
+    assert g.window(1, 5).edge("1", "4").history() == [4]
+    assert g.window(1, 4).edge("1", "4").history() == []
+    assert not g.window(1, 4).edge("1", "4").exists()
+    assert g.edge("1", "4").window(1, 4).history() == []
+
+
+# -------------------- test_graphdb.py:1159-1178 test_edge_earliest_latest_time
+def test_edge_earliest_latest_time(spark):
+    g = LinkGraph.from_edge_list(
+        spark,
+        [(0, "1", "2"), (1, "1", "2"), (2, "1", "2"),
+         (0, "1", "3"), (1, "1", "3"), (2, "1", "3")],
+    )
+    e = g.edge("1", "2")
+    assert e.earliest_time() == 0
+    assert e.latest_time() == 2
+
+    def _bounds(nv):
+        rows = nv.edges().orderBy("src", "dst").collect()
+        return (
+            [r["earliest_time"] for r in rows],
+            [r["latest_time"] for r in rows],
+        )
+
+    v = g.node("1")
+    assert _bounds(v) == ([0, 0], [2, 2])
+    assert _bounds(v.at(1)) == ([1, 1], [1, 1])
+    assert _bounds(v.before(1)) == ([0, 0], [0, 0])
+    assert _bounds(v.after(1)) == ([2, 2], [2, 2])
+
+
+# ------------------------------ test_graphdb.py:1121-1156 test_edge_time_apis
+def test_node_in_out_edges(spark):
+    g = LinkGraph.from_edge_list(
+        spark,
+        [(1, "1", "2"), (2, "2", "4"), (3, "4", "5"), (4, "1", "5")],
+    )
+    v1 = g.node("1")
+    both = sorted(
+        (r["src"], r["dst"]) for r in v1.edges().collect()
+    )
+    assert both == [("1", "2"), ("1", "5")]
+
+    v2 = g.node("2")
+    assert [(r["src"], r["dst"]) for r in v2.in_edges().collect()] == [("1", "2")]
+    assert [(r["src"], r["dst"]) for r in v2.out_edges().collect()] == [("2", "4")]
+    assert v2.in_degree() == 1
+    assert v2.out_degree() == 1
+    assert v2.degree() == 2
+    assert sorted(r["name"] for r in v2.neighbours().collect()) == ["1", "4"]
+
+
+def test_edge_property_history_window(spark):
+    df = spark.createDataFrame(
+        [("a", "b", 0, 1.0), ("a", "b", 5, 2.0), ("a", "b", 9, 3.0)],
+        "src string, dst string, time long, w double",
+    )
+    g = LinkGraph(df)
+    hist = g.edge("a", "b").window(1, 9).property_history("w").collect()
+    assert [(r["time"], r["value"]) for r in hist] == [(5, 2.0)]
+    ex = g.edge("a", "b").explode().collect()
+    assert [r["time"] for r in ex] == [0, 5, 9]
+
+
+# --------------------------------------------------------- entity search
+
+
+def _search_graph(spark):
+    edges = spark.createDataFrame(
+        [("a", "b", 0, "_default"), ("b", "c", 1, "_default"),
+         ("c", "a", 2, "_default")],
+        "src string, dst string, time long, layer string",
+    )
+    const = spark.createDataFrame(
+        [("a", "shrek the ogre swamp"), ("b", "donkey the noble steed"),
+         ("c", "fiona of the swamp")],
+        "name string, bio string",
+    )
+    return LinkGraph(edges, node_const=const)
+
+
+def test_search_nodes_ranks_by_bm25(spark):
+    from linkgraph.pipeline.textsearch import search_nodes
+
+    res = search_nodes(_search_graph(spark), "swamp ogre", k=3).collect()
+    assert [r["name"] for r in res][0] == "a"  # both terms, rarer one too
+    names = {r["name"] for r in res}
+    assert names == {"a", "c"}  # donkey has neither term
+    assert [r["rank"] for r in res] == [1, 2]
+    assert res[0]["score"] > res[1]["score"]
+
+
+def test_search_nodes_windowed_view(spark):
+    from linkgraph.pipeline.textsearch import search_nodes
+
+    g = _search_graph(spark).window(0, 1)  # only edge (a,b): nodes a, b
+    res = search_nodes(g, "swamp", k=3).collect()
+    assert [r["name"] for r in res] == ["a"]  # c is outside the view
+
+
+def test_fuzzy_search_nodes(spark):
+    from linkgraph.pipeline.textsearch import fuzzy_search_nodes
+
+    res = fuzzy_search_nodes(_search_graph(spark), "swomp", k=3).collect()
+    assert {r["name"] for r in res} == {"a", "c"}
+
+
+def test_search_edges_endpoint_text(spark):
+    from linkgraph.pipeline.textsearch import search_edges
+
+    # endpoint NAMES are the text ("a"/"b"/"c"), so query against names
+    res = search_edges(_search_graph(spark), "a b", k=5).collect()
+    ids = [r["edge_id"] for r in res]
+    assert ids[0] in {"a->b"}  # the only edge containing both tokens
+    assert set(ids) == {"a->b", "b->c", "c->a"}
+
+
+def test_edge_documents_include_string_props(spark):
+    from linkgraph.pipeline.textsearch import edge_documents, search_edges
+
+    edges = spark.createDataFrame(
+        [("u", "v", 0, "wire transfer"), ("u", "w", 1, "card payment"),
+         ("u", "v", 2, "wire refund")],
+        "src string, dst string, time long, memo string",
+    )
+    g = LinkGraph(edges)
+    docs = {r["edge_id"]: r["text"] for r in edge_documents(g).collect()}
+    toks = set(docs["u->v"].split())
+    assert {"wire", "transfer", "refund", "u", "v"} <= toks
+    res = search_edges(g, "wire", k=5).collect()
+    assert res[0]["edge_id"] == "u->v"  # tf 2 beats tf 0
+    assert [r["edge_id"] for r in res] == ["u->v"]
