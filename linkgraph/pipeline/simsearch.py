@@ -52,9 +52,26 @@ def cosine_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_pairs: int | None = 100_000_000,
 ) -> DataFrame:
     """Exact top-k cosine neighbours per query — ``(query_id, cand_id,
-    cosine, rank)``; self-matches excluded; ties broken by candidate id."""
+    cosine, rank)``; self-matches excluded; ties broken by candidate id.
+
+    This is the EXACT BASELINE: cost is |queries| × |corpus| (a crossJoin),
+    so it refuses to run past ``max_pairs`` (default 1e8 ≈ one executor-hour
+    of dot products) instead of silently becoming the job.  At scale use
+    :func:`ivf_topk` (probed cells, ~corpus·nprobe/n_cells) or
+    :func:`lsh_topk`; keep this as the recall oracle on sampled queries
+    (``max_pairs=None`` disables the guard for tests)."""
+    if max_pairs is not None:
+        n_pairs = queries.count() * embeddings.count()
+        if n_pairs > max_pairs:
+            raise ValueError(
+                f"cosine_topk is the exact O(|q|x|corpus|) baseline: "
+                f"{n_pairs:,} pairs exceeds max_pairs={max_pairs:,}; use "
+                f"ivf_topk/lsh_topk at this scale, or sample queries, or "
+                f"pass max_pairs=None to force"
+            )
     cand = _as_double(
         embeddings.select(
             F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cvec")

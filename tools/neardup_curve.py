@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""emb_neardup banding cost curve — wall + candidate volume per threshold.
+
+The round-2 claim was that the 28-36s sf0.1 wall at tau=0.35 is intrinsic
+candidate density (2 planes/band at a low threshold makes fat buckets), not
+a plan defect.  This records the numbers: for each threshold, the auto band
+parameters, the candidate-pair count the band join generates, the surviving
+pair count, and the wall — so BENCH.md can show cost ~ candidate density.
+
+Usage: python tools/neardup_curve.py [sf_dir] [tau ...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
+    taus = [float(t) for t in args[1:]] or [0.35, 0.5, 0.7]
+
+    from pyspark.sql import functions as F
+
+    from linkgraph.pipeline.simsearch import (
+        _as_double,
+        _band_signature,
+        cosine_neardup_pairs,
+        neardup_band_params,
+    )
+    from linkgraph.session import get_spark
+
+    spark = get_spark(cores=os.environ.get("SPARK_GRAFT_CPUS", "32"),
+                      driver_memory="16g")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    rows = []
+    for tau in taus:
+        bands, r = neardup_band_params(tau)
+        # candidate volume of the band self-join (slim ids), pre-dedup:
+        # sum over buckets of C(size, 2)
+        e = _as_double(
+            emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("v")),
+            "v",
+        )
+        dim = e.select(F.size("v").alias("d")).limit(1).first()["d"]
+        sig = _band_signature(dim, bands, r, 42)
+        banded = e.select("id", F.explode(sig(F.col("v"))).alias("bs"))
+        cand_rows = (
+            banded.groupBy("bs")
+            .agg(F.count("*").alias("c"))
+            .agg(F.sum(F.col("c") * (F.col("c") - 1) / 2))
+            .first()[0]
+        )
+        t0 = time.monotonic()
+        pairs = cosine_neardup_pairs(emb, threshold=tau)
+        n_pairs = pairs.count()
+        wall = time.monotonic() - t0
+        rows.append(
+            {
+                "tau": tau,
+                "bands": bands,
+                "planes_per_band": r,
+                "corpus": n,
+                "band_candidates": int(cand_rows or 0),
+                "surviving_pairs": n_pairs,
+                "wall_s": round(wall, 2),
+            }
+        )
+        spark.catalog.clearCache()
+        print(json.dumps(rows[-1]), flush=True)
+    print("CURVE " + json.dumps(rows))
+
+
+if __name__ == "__main__":
+    main()

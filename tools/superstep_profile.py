@@ -1,0 +1,68 @@
+#!/usr/bin/env python
+"""Per-superstep latency decomposition for the distributed PageRank loop.
+
+Answers the round-2 question: is the sf0.1 superstep figure (92s for 52
+supersteps) growing plan-overhead or a constant per-action driver latency?
+Runs the superstep kernel on the trade graph at a given sf with
+``timings_out`` enabled and prints setup time, per-superstep walls (first /
+median / last / trend), and the fixed-vs-data split implied by comparing two
+scale factors (same supersteps, 400x data).
+
+Usage: python tools/superstep_profile.py [sf_dir] [max_iter]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    max_iter = int(sys.argv[2]) if len(sys.argv) > 2 else 30
+
+    import __spark_entry__ as entry
+    from linkgraph.algorithms import pagerank
+    from linkgraph.session import get_spark
+
+    spark = get_spark(cores=os.environ.get("SPARK_GRAFT_CPUS", "32"),
+                      driver_memory="16g")
+    g = entry._trade_graph(spark, sf_dir)
+    g.materialize()
+    n_edges = g.count_edges()
+
+    timings: list = []
+    res = pagerank(
+        g, max_iter=max_iter, tol=0.0, norm="l1", kernel="superstep",
+        timings_out=timings,
+    )
+    res.write.format("noop").mode("overwrite").save()
+
+    setup = [t for k, t in timings if k == "setup"]
+    its = [(k, t) for k, t in timings if isinstance(k, int)]
+    walls = [t for _, t in its]
+    half = len(walls) // 2
+    out = {
+        "sf_dir": sf_dir,
+        "n_edges": n_edges,
+        "supersteps": len(walls),
+        "setup_s": round(setup[0], 3) if setup else None,
+        "per_superstep": {
+            "first": round(walls[0], 3),
+            "median": round(statistics.median(walls), 3),
+            "last": round(walls[-1], 3),
+            "mean_first_half": round(statistics.mean(walls[:half]), 3),
+            "mean_second_half": round(statistics.mean(walls[half:]), 3),
+        },
+        "walls": [round(w, 3) for w in walls],
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
