@@ -72,6 +72,7 @@ def pagerank(
     checkpoint_every: int = 1,
     iters_out: dict | None = None,
     kernel: str = "auto",
+    timings_out: list | None = None,
 ) -> DataFrame:
     """Run PageRank; returns ``(name, id, score)``.
 
@@ -115,6 +116,7 @@ def pagerank(
         iters_out=iters_out,
         pre_deduped=True,
         kernel=kernel,
+        timings_out=timings_out,
     )
     return res.join(ids, "id").select("name", "id", "score")
 

@@ -213,6 +213,29 @@ class CheckpointStore:
         return self.spark.read.parquet(self._lineage_path)
 
 
+# Lineage-cut (localCheckpoint rebase) cadence is a LATENCY-vs-BANDWIDTH
+# trade, measured on Spark 4 at sf0.1 (16k-row state, 60 supersteps) and at
+# 160M edges / 20M-row state (8 pinned cores, 12 supersteps):
+#
+#   cadence        16k-row state     20M-row state
+#   every iter     0.40 s/superstep  3.64M e/s  (29% SLOWER — the rebase
+#                  (flat; total 26.5s)           re-materializes the state
+#                                                and the next join re-sorts
+#                                                the RDD-scan side)
+#   every 32       0.35s right after the cut, then +0.27 s/superstep of
+#                  driver-side growth — 145s total for 60 (worst of all)
+#   never          +0.01-0.02 s/superstep analysis growth over nested
+#                  caches — 60.4s total for 60; negligible next to the
+#                  ~30 s/superstep compute of a 160M-edge run
+#
+# So: SMALL state → cut every superstep (copy is free, analysis stays
+# flat); LARGE state → never cut inside a normal run (the in-loop
+# spark.sql.maxPlanStringLength cap bounds the plan-text render that the
+# old cadence-32 guarded against).  The mixed cadence-32 policy is strictly
+# dominated and gone.
+TRUNCATE_SMALL_ROWS = 5_000_000
+
+
 class SuperstepLoop:
     """State-buffer management for iterated DataFrame algorithms.
 
@@ -235,32 +258,33 @@ class SuperstepLoop:
         spark: SparkSession,
         store: CheckpointStore | None = None,
         resume: bool = False,
-        truncate_every: int = 32,  # lineage cut cadence. Measured (Spark 4):
-        # per-superstep analysis cost stays flat for 40+ uncut supersteps
-        # with single-reference linear lineage, but the PLAN TEXT (rendered
-        # per action for execution listeners) grows superlinearly and OOMs a
-        # default-1g spark-submit driver near ~60 uncut supersteps — cut
-        # every 32, costing one cache→checkpoint copy (~3% overhead)
+        truncate_every: int | str = "auto",  # see the cadence table above
         checkpoint_every: int = 1,
     ):
         self.spark = spark
         self.store = store
         self.resume = resume
-        self.truncate_every = max(1, truncate_every)
+        self.truncate_every = (
+            truncate_every if truncate_every == "auto" else max(1, truncate_every)
+        )
         self.checkpoint_every = max(1, checkpoint_every)
         self._live: DataFrame | None = None
         self._staged: DataFrame | None = None
+
+    def _resolve_cadence(self, state_rows: int) -> None:
+        if self.truncate_every == "auto":
+            self.truncate_every = 1 if state_rows <= TRUNCATE_SMALL_ROWS else 10**9
 
     def begin(self, initial: DataFrame) -> tuple[DataFrame, int]:
         if self.store is not None and self.resume:
             last = self.store.last_completed()
             if last is not None:
                 state = self.store.load(last).persist()
-                state.count()
+                self._resolve_cadence(state.count())
                 self._live = state
                 return state, last + 1
         state = initial.persist()
-        state.count()
+        self._resolve_cadence(state.count())
         self._live = state
         return state, 1
 
