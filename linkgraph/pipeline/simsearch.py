@@ -98,48 +98,79 @@ def cosine_topk(
     )
 
 
-def _band_signature(dim: int, bands: int, planes_per_band: int, seed: int):
-    """Random-hyperplane band signatures as a pure column expression.
+def _hyperplane_matrix(spark, dim: int, bands: int, planes_per_band: int, seed: int):
+    """Random-hyperplane matrix ``(bands·planes_per_band, dim)`` as numpy.
 
-    Hyperplanes are derived deterministically from xxhash64(seed, band,
-    plane, dim) — no driver-side randomness, reproducible at any
-    parallelism.  Returns a function vec → array<struct<band,sig>>.
-    """
+    Component (band b, plane p, element j) = (pmod(xxhash64(seed, b, p, j),
+    2,000,001) − 1,000,000) / 1e6 ∈ [−1, 1) — derived deterministically from
+    the hash, no driver-side randomness, reproducible at any parallelism.
+    Evaluated ONCE by Spark itself (one tiny job over bands·planes·dim
+    rows; 60 planes × 256 dims = 15k rows) so the derivation stays the
+    engine's own xxhash64, then collected — the matrix is KB-sized and
+    rides the task closure to the banding kernel."""
+    import numpy as np
 
-    def signature(vec) -> Column:
-        # per band: a bit per hyperplane; hyperplane h component j =
-        # hash-derived value in [-1, 1)
-        sigs = []
-        for b in range(bands):
-            bits = None
-            for p in range(planes_per_band):
-                comp = F.aggregate(
-                    F.zip_with(
-                        vec,
-                        F.sequence(F.lit(0), F.lit(dim - 1)),
-                        lambda x, j: x
-                        * (
-                            (
-                                F.pmod(
-                                    F.xxhash64(
-                                        F.lit(seed), F.lit(b), F.lit(p), j
-                                    ),
-                                    F.lit(2_000_001),
-                                )
-                                - 1_000_000
-                            )
-                            / 1_000_000.0
-                        ),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
+    n_planes = bands * planes_per_band
+    comps = (
+        spark.range(n_planes * dim)
+        .select(
+            F.floor(F.col("id") / (planes_per_band * dim)).cast("int").alias("b"),
+            F.pmod(F.floor(F.col("id") / dim), F.lit(planes_per_band))
+            .cast("int")
+            .alias("p"),
+            F.pmod(F.col("id"), F.lit(dim)).cast("int").alias("j"),
+        )
+        .select(
+            "b",
+            "p",
+            "j",
+            (
+                (
+                    F.pmod(
+                        F.xxhash64(F.lit(seed), F.col("b"), F.col("p"), F.col("j")),
+                        F.lit(2_000_001),
+                    )
+                    - 1_000_000
                 )
-                bit = F.when(comp >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
-                bits = bit if bits is None else F.shiftleft(bits, 1).bitwiseXOR(bit)
-            sigs.append(F.struct(F.lit(b).alias("band"), bits.alias("sig")))
-        return F.array(*sigs)
+                / 1_000_000.0
+            ).alias("c"),
+        )
+        .collect()
+    )
+    h = np.zeros((n_planes, dim), dtype=np.float64)
+    for r in comps:
+        h[r["b"] * planes_per_band + r["p"], r["j"]] = r["c"]
+    return h
 
-    return signature
+
+def _banded_rows(
+    df: DataFrame, hyper, bands: int, planes_per_band: int, id_name: str
+) -> DataFrame:
+    """``(id, v)`` → exploded ``(id, band, sig)`` band-signature rows via one
+    Arrow-batched matmul per batch (no per-row Python, no per-plane
+    expression evaluation).  Bit order matches shiftleft-fold packing:
+    plane 0 is the most significant bit of each band's signature."""
+    import pandas as pd
+
+    id_type = df.schema[id_name].dataType.simpleString()
+
+    def kernel(batches):
+        import numpy as np
+
+        weights = (2 ** np.arange(planes_per_band - 1, -1, -1)).astype(np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vecs = np.stack(pdf["v"].to_numpy())
+            bits = (vecs @ hyper.T >= 0).astype(np.int64)  # (batch, n_planes)
+            sigs = bits.reshape(len(pdf), bands, planes_per_band) @ weights
+            ids = np.repeat(pdf[id_name].to_numpy(), bands)
+            band_idx = np.tile(np.arange(bands, dtype=np.int32), len(pdf))
+            yield pd.DataFrame(
+                {id_name: ids, "band": band_idx, "sig": sigs.ravel()}
+            )
+
+    return df.mapInPandas(kernel, f"{id_name} {id_type}, band int, sig long")
 
 
 def lsh_topk(
@@ -159,26 +190,41 @@ def lsh_topk(
     """
     dim_df = embeddings.select(F.size(vec_col).alias("d")).limit(1)
     dim = dim_df.first()["d"]
-    signature = _band_signature(dim, bands, planes_per_band, seed)
+    hyper = _hyperplane_matrix(
+        embeddings.sparkSession, dim, bands, planes_per_band, seed
+    )
 
     cand = _as_double(
         embeddings.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cvec")),
         "cvec",
-    ).select("cand_id", "cvec", F.explode(signature(F.col("cvec"))).alias("bs"))
+    )
     q = _as_double(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")),
         "qvec",
-    ).select("query_id", "qvec", F.explode(signature(F.col("qvec"))).alias("bs"))
+    )
+    cand_b = _banded_rows(
+        cand.select("cand_id", F.col("cvec").alias("v")),
+        hyper, bands, planes_per_band, "cand_id",
+    )
+    q_b = _banded_rows(
+        q.select("query_id", F.col("qvec").alias("v")),
+        hyper, bands, planes_per_band, "query_id",
+    )
+    # slim-id candidate pairs, deduped across bands, then one vector re-join
     pairs = (
-        q.join(cand, ["bs"])
+        q_b.join(cand_b, ["band", "sig"])
         .filter(F.col("query_id") != F.col("cand_id"))
-        .select("query_id", "cand_id", "qvec", "cvec")
+        .select("query_id", "cand_id")
         .dropDuplicates(["query_id", "cand_id"])
     )
-    scored = pairs.select(
-        "query_id",
-        "cand_id",
-        F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cosine"),
+    scored = (
+        pairs.join(q.select("query_id", "qvec"), "query_id")
+        .join(cand.select("cand_id", "cvec"), "cand_id")
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cosine"),
+        )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -228,16 +274,16 @@ def cosine_neardup_pairs(
         embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")), "v"
     )
     dim = e.select(F.size("v").alias("d")).limit(1).first()["d"]
-    signature = _band_signature(dim, bands, planes_per_band, seed)
+    hyper = _hyperplane_matrix(e.sparkSession, dim, bands, planes_per_band, seed)
     # band with IDS ONLY: a low threshold makes buckets fat (few planes per
     # band), so candidate multiplicity across bands is large — carrying the
     # full vectors through the band join would shuffle |candidates|·2·dim
     # floats (measured 60+ GB at 2000×256f/τ=0.35).  Dedup the slim id
     # pairs first, then join the vectors back once for exact rescoring.
-    banded = e.select("id", F.explode(signature(F.col("v"))).alias("bs"))
+    banded = _banded_rows(e, hyper, bands, planes_per_band, "id")
     cand = (
-        banded.select(F.col("id").alias("id_a"), "bs")
-        .join(banded.select(F.col("id").alias("id_b"), "bs"), "bs")
+        banded.select(F.col("id").alias("id_a"), "band", "sig")
+        .join(banded.select(F.col("id").alias("id_b"), "band", "sig"), ["band", "sig"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])

@@ -30,7 +30,8 @@ def main() -> None:
 
     from linkgraph.pipeline.simsearch import (
         _as_double,
-        _band_signature,
+        _banded_rows,
+        _hyperplane_matrix,
         cosine_neardup_pairs,
         neardup_band_params,
     )
@@ -50,10 +51,10 @@ def main() -> None:
             "v",
         )
         dim = e.select(F.size("v").alias("d")).limit(1).first()["d"]
-        sig = _band_signature(dim, bands, r, 42)
-        banded = e.select("id", F.explode(sig(F.col("v"))).alias("bs"))
+        hyper = _hyperplane_matrix(spark, dim, bands, r, 42)
+        banded = _banded_rows(e, hyper, bands, r, "id")
         cand_rows = (
-            banded.groupBy("bs")
+            banded.groupBy("band", "sig")
             .agg(F.count("*").alias("c"))
             .agg(F.sum(F.col("c") * (F.col("c") - 1) / 2))
             .first()[0]
