@@ -175,10 +175,17 @@ def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
             F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), 0)
         ).alias("token"),
     ).withColumn("h", F.xxhash64("token"))
-    votes = tok.groupBy("doc_id").agg(
+    # Pre-count (doc, hash) occurrences so the 64 bit-vote sums run over the
+    # per-doc DISTINCT hashes (vocabulary), not every token occurrence —
+    # natural text repeats tokens heavily, and the cheap 2-column count
+    # reduces map-side before the wide aggregate.  Σ_tokens (2b−1) =
+    # Σ_hashes cnt·(2b−1), so the fingerprint is bit-identical.
+    counted = tok.groupBy("doc_id", "h").agg(F.count("*").alias("cnt"))
+    votes = counted.groupBy("doc_id").agg(
         *[
             F.sum(
-                F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+                F.col("cnt")
+                * (F.shiftright("h", i).bitwiseAND(F.lit(1)) * 2 - 1)
             ).alias(f"b{i}")
             for i in range(64)
         ]
@@ -210,7 +217,9 @@ def simhash_pairs(
     if nb > 64:
         raise ValueError("max_distance must be < 64")
     width = 64 // nb
-    fps = simhash(docs, text_col=text_col)
+    # materialize once: both sides of the band self-join read fps, and the
+    # fingerprint aggregate is the expensive part (16 bytes/doc stored)
+    fps = simhash(docs, text_col=text_col).localCheckpoint(eager=False)
     slices = []
     for i in range(nb):
         w = width + (64 - width * nb if i == nb - 1 else 0)
