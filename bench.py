@@ -94,6 +94,10 @@ def main() -> None:
         "trade_monthly_rolling",
         "trade_two_hop",
     ]
+    # one untimed pass of the first query warms the JVM (codegen compiler,
+    # parquet reader, shuffle paths) so the first TIMED wall measures the
+    # query, not JIT — r02 showed trade_edges 2x slower only when first
+    _force(qs[headline[0]](spark, SF_DIR))
     for name in headline:
         _isolate(spark)
         t0 = time.monotonic()

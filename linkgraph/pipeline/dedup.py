@@ -114,10 +114,16 @@ def minhash_lsh_pairs(
     threshold are returned as ``(doc_a, doc_b, est_jaccard)``.
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(docs, n=n, num_hashes=num_hashes, text_col=text_col)
+    # materialize signatures once (256 B/doc at 32 hashes): both sides of
+    # the band self-join and the final estimation read them, and the
+    # shingle × num_hashes expression is the expensive part
+    sigs = minhash_signatures(
+        docs, n=n, num_hashes=num_hashes, text_col=text_col
+    ).localCheckpoint(eager=False)
+    # band with IDS ONLY (same shape as cosine_neardup_pairs): dedup the
+    # slim id pairs across bands, then join the signatures back once
     banded = sigs.select(
         "doc_id",
-        "sig",
         F.explode(
             F.array(
                 *[
@@ -137,18 +143,24 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    cand = (
-        banded.alias("a")
-        .join(banded.alias("b"), ["band", "bucket"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sig").alias("siga"),
-            F.col("b.sig").alias("sigb"),
-        )
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    cand_ids = (
+        banded.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
+        .join(banded.select(F.col("doc_id").alias("doc_b"), "band", "bucket"),
+              ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+    cand = (
+        cand_ids.join(
+            sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("siga")),
+            "doc_a",
+        )
+        .join(
+            sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sigb")),
+            "doc_b",
+        )
     )
     est = F.round(
         F.size(F.filter(F.zip_with("siga", "sigb", lambda x, y: x == y), lambda m: m))
