@@ -224,44 +224,64 @@ def search_edges(graph, query: str, k: int = 10) -> DataFrame:
     )
 
 
-def fuzzy_search_nodes(graph, query: str, k: int = 10) -> DataFrame:
-    """Fuzzy (Levenshtein ≤ 1) BM25 node search — fuzzy_search_nodes
-    (raphtory-graphql model/graph/graph.rs:241-262)."""
-    return fuzzy_search(node_documents(graph), query, k, id_col="name").select(
-        F.col("doc_id").alias("name"), "score", "rank"
-    )
+def fuzzy_search_nodes(graph, query: str, k: int = 10, max_dist: int = 1) -> DataFrame:
+    """Fuzzy (Levenshtein ≤ ``max_dist``) BM25 node search —
+    fuzzy_search_nodes (raphtory-graphql model/graph/graph.rs:241-262)."""
+    return fuzzy_search(
+        node_documents(graph), query, k, id_col="name", max_dist=max_dist
+    ).select(F.col("doc_id").alias("name"), "score", "rank")
 
 
-def _deletion_keys(term) -> Column:
-    """The term plus every single-character deletion of it — the SymSpell
-    edit-distance-1 candidate key set, as a pure column expression."""
-    n = F.length(term)
-    dels = F.transform(
+def _deletions_of(t) -> Column:
+    """Every single-character deletion of ``t`` (non-empty) as an array."""
+    n = F.length(t)
+    return F.transform(
         F.sequence(F.lit(1), n),
-        lambda i: F.concat(F.substring(term, F.lit(1), i - 1), term.substr(i + 1, n)),
+        lambda i: F.concat(F.substring(t, F.lit(1), i - 1), t.substr(i + 1, n)),
     )
-    return F.array_distinct(F.concat(F.array(term), dels))
+
+
+def _deletion_keys(term, max_dist: int = 1) -> Column:
+    """The term plus every deletion of up to ``max_dist`` characters — the
+    SymSpell candidate key set, as a pure column expression.  If
+    lev(a, b) ≤ d then some ≤d-deletion of a equals some ≤d-deletion of b,
+    so joining on these keys is a complete candidate generator."""
+    keys = F.array(term)
+    frontier = F.array(term)
+    for _ in range(max_dist):
+        # guard zero-length frontier entries: sequence(1, 0) would count
+        # DOWN in Spark, manufacturing phantom deletions of ""
+        frontier = F.array_distinct(
+            F.flatten(
+                F.transform(
+                    F.filter(frontier, lambda t: F.length(t) > 0), _deletions_of
+                )
+            )
+        )
+        keys = F.concat(keys, frontier)
+    return F.array_distinct(keys)
 
 
 def fuzzy_expand(
     vocab: DataFrame, query_terms: DataFrame, max_dist: int = 1
 ) -> DataFrame:
     """Map each query term to every vocab term within Levenshtein
-    ``max_dist`` (=1) — ``(qterm, term)``.
+    ``max_dist`` — ``(qterm, term)``.
 
-    Scale path: deletion-neighbourhood join.  Each side emits its ≤len
-    single-deletion keys; an edit-distance-≤1 pair ALWAYS shares a key
-    (equal, one insert, one delete, or one substitution → the deletion at
-    the edited position matches), so the join is a complete candidate
-    generator and the exact ``levenshtein`` filter only verifies.  Cost is
-    linear in Σ term length, never |vocab| × |query|."""
-    if max_dist != 1:
-        raise NotImplementedError("deletion-neighbourhood join covers distance 1")
+    Scale path: deletion-neighbourhood join (SymSpell).  Each side emits
+    its ≤``max_dist``-character deletion keys; an edit-distance-≤d pair
+    ALWAYS shares a key (delete the edited positions from both sides), so
+    the join is a complete candidate generator and the exact
+    ``levenshtein`` filter only verifies.  Cost is O(Σ term_len^d), never
+    |vocab| × |query|.  Capped at 2 — tantivy's fuzzy queries stop there
+    too (the key sets go cubic beyond it)."""
+    if not 1 <= max_dist <= 2:
+        raise ValueError("max_dist must be 1 or 2 (tantivy fuzzy cap)")
     v = vocab.select(
-        F.col("term"), F.explode(_deletion_keys(F.col("term"))).alias("key")
+        F.col("term"), F.explode(_deletion_keys(F.col("term"), max_dist)).alias("key")
     )
     q = query_terms.select(
-        F.col("qterm"), F.explode(_deletion_keys(F.col("qterm"))).alias("key")
+        F.col("qterm"), F.explode(_deletion_keys(F.col("qterm"), max_dist)).alias("key")
     )
     return (
         v.join(q, "key")
@@ -277,11 +297,12 @@ def fuzzy_search(
     k: int = 10,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_dist: int = 1,
 ) -> DataFrame:
     """BM25 top-k where each query term also matches vocab terms at
-    Levenshtein distance ≤ 1 (the reference's fuzzy_search_nodes with
-    levenshtein_distance=1, graph.rs:241-262).  A vocab term matched by
-    several query terms scores once per query term, each with the vocab
+    Levenshtein distance ≤ ``max_dist`` (the reference's fuzzy_search_nodes
+    with levenshtein_distance=1..2, graph.rs:241-262).  A vocab term matched
+    by several query terms scores once per query term, each with the vocab
     term's own idf (tantivy fuzzy expands to a union of term queries)."""
     spark = docs.sparkSession
     ix = build_index(docs, id_col, text_col)
@@ -290,7 +311,7 @@ def fuzzy_search(
     df_by_term = postings.groupBy("term").agg(F.count("*").alias("df"))
 
     qt = _query_terms(spark, query)
-    expanded = fuzzy_expand(df_by_term.select("term"), qt)  # (qterm, term)
+    expanded = fuzzy_expand(df_by_term.select("term"), qt, max_dist)  # (qterm, term)
     matched = (
         postings.join(F.broadcast(expanded), "term")
         .join(doclen, "doc_id")

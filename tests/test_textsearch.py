@@ -128,6 +128,23 @@ def test_fuzzy_expand_vs_brute(spark, docs):
     assert got == expected
     assert ("quik", "quick") in got and ("hashh", "hash") in got
 
+    # distance 2: two edits anywhere (including transposition-as-2-edits,
+    # pure inserts/deletes, and 1-char terms whose deletions hit "")
+    queries2 = ["qick", "shfle", "ky", "a", "brodcst"]
+    qt2 = spark.createDataFrame([(q,) for q in queries2], "qterm string")
+    got2 = {
+        (r["qterm"], r["term"])
+        for r in fuzzy_expand(vocab, qt2, max_dist=2).collect()
+    }
+    expected2 = {
+        (q, t) for q in queries2 for t in vocab_terms if lev(q, t) <= 2
+    }
+    assert got2 == expected2
+    assert ("shfle", "shuffle") in got2 and ("brodcst", "broadcast") in got2
+
+    with pytest.raises(ValueError):
+        fuzzy_expand(vocab, qt2, max_dist=3)
+
 
 def test_fuzzy_search_matches_oracle(docs):
     corpus = [(r["doc_id"], r["text"]) for r in docs.collect()]
