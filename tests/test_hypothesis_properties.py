@@ -1,0 +1,125 @@
+"""Hypothesis property tests — the analogue of the reference's 22
+``#[quickcheck]`` sites (e.g. connected_components.rs:252-308,
+triangle_count quickchecks) with shrinking: arbitrary small graphs and
+vocabularies are cross-checked against the pure-python oracles in
+tests/oracles.py.
+
+Examples are kept small (each one is a full Spark roundtrip) and
+``deadline=None`` because Spark job latency is not the property under
+test.
+"""
+
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from linkgraph.graph import LinkGraph
+from linkgraph.synth import source_table
+from tests.oracles import pagerank_oracle, triangle_oracle, wcc_oracle
+
+SETTINGS = dict(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+    derandomize=True,  # CI-stable: the suite must not flake on a new seed
+)
+
+edges_strategy = st.lists(
+    st.tuples(st.integers(0, 18), st.integers(0, 18)),
+    min_size=1,
+    max_size=40,
+)
+
+
+def _graph(spark, pairs):
+    rows = [(t, str(s), str(d)) for t, (s, d) in enumerate(pairs)]
+    return LinkGraph.from_source_table(source_table(spark, rows)), [
+        (str(s), str(d)) for s, d in pairs
+    ]
+
+
+@given(pairs=edges_strategy)
+@settings(**SETTINGS)
+def test_wcc_matches_oracle(spark, pairs):
+    from linkgraph.algorithms import weakly_connected_components
+
+    g, named = _graph(spark, pairs)
+    got = {r.name: r.component for r in weakly_connected_components(g).collect()}
+    assert got == wcc_oracle(named)
+
+
+@given(pairs=edges_strategy)
+@settings(**SETTINGS)
+def test_pagerank_matches_oracle_and_sums_to_one(spark, pairs):
+    from linkgraph.algorithms import pagerank
+
+    g, named = _graph(spark, pairs)
+    got = {r.name: r.score for r in pagerank(g, max_iter=40, norm="l1", tol=1e-12).collect()}
+    want = pagerank_oracle(named, max_iter=40, norm="l1", tol=1e-12)
+    assert set(got) == set(want)
+    for k in want:
+        assert math.isclose(got[k], want[k], abs_tol=1e-9), (k, got[k], want[k])
+    assert math.isclose(sum(got.values()), 1.0, abs_tol=1e-6)
+
+
+@given(pairs=edges_strategy)
+@settings(**SETTINGS)
+def test_triangle_count_matches_oracle(spark, pairs):
+    from linkgraph.algorithms import global_triangle_count
+
+    g, named = _graph(spark, pairs)
+    assert global_triangle_count(g) == triangle_oracle(named)
+
+
+@given(
+    pairs=edges_strategy,
+    lo=st.integers(0, 30),
+    width=st.integers(1, 30),
+)
+@settings(**SETTINGS)
+def test_window_count_matches_filter(spark, pairs, lo, width):
+    """window(lo, hi) is the half-open [lo, hi) restriction of the event
+    table (time.rs half-open semantics)."""
+    g, _ = _graph(spark, pairs)
+    hi = lo + width
+    got = g.window(lo, hi).count_temporal_edges()
+    want = sum(1 for t in range(len(pairs)) if lo <= t < hi)
+    assert got == want
+
+
+@given(
+    vocab=st.lists(
+        st.text(alphabet="abcde", min_size=1, max_size=6),
+        min_size=1,
+        max_size=12,
+        unique=True,
+    ),
+    queries=st.lists(
+        st.text(alphabet="abcde", min_size=1, max_size=6),
+        min_size=1,
+        max_size=4,
+        unique=True,
+    ),
+    max_dist=st.integers(1, 2),
+)
+@settings(**SETTINGS)
+def test_fuzzy_expand_complete_and_exact(spark, vocab, queries, max_dist):
+    """SymSpell deletion-join is a COMPLETE Levenshtein-≤d candidate
+    generator with an exact verify — output must equal the brute-force
+    cross-product filter for any vocabulary."""
+    from linkgraph.pipeline.textsearch import fuzzy_expand
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[-1]
+
+    v = spark.createDataFrame([(t,) for t in vocab], "term string")
+    q = spark.createDataFrame([(t,) for t in queries], "qterm string")
+    got = {(r["qterm"], r["term"]) for r in fuzzy_expand(v, q, max_dist).collect()}
+    want = {(qt, t) for qt in queries for t in vocab if lev(qt, t) <= max_dist}
+    assert got == want
