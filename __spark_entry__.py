@@ -297,6 +297,15 @@ def q_docs_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(docs, n=5, threshold=0.2)
 
 
+def q_docs_dedup_clusters(spark, sf_dir):
+    """Near-duplicate clustering: ngram-Jaccard pair graph → WCC →
+    keep-first canonical per cluster (the standard corpus dedup policy)."""
+    from linkgraph.pipeline.dedup import near_dup_clusters
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    return near_dup_clusters(docs, n=5, threshold=0.2)
+
+
 def q_emb_cosine_topk(spark, sf_dir):
     from linkgraph.pipeline.simsearch import cosine_topk
 
@@ -1037,6 +1046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trade_edge_window_history": q_trade_edge_window_history,
         "trade_search_nodes": q_trade_search_nodes,
         "transition_search_edges": q_transition_search_edges,
+        "docs_dedup_clusters": q_docs_dedup_clusters,
         # core oracle set (driver-green r01+r02)
         "trade_edges": q_trade_edges,
         "trade_degrees": q_trade_degrees,
@@ -1701,6 +1711,43 @@ FROM inter
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.2
+"""
+
+    # near-dup clustering = the jaccard pair graph above + connected
+    # components (recursive reach, min label) + keep-first canonical pick;
+    # the pair CTEs are byte-identical to docs_ngram_jaccard's so the two
+    # oracles can't drift apart
+    sqls["docs_dedup_clusters"] = """
+WITH RECURSIVE docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(length(text) - 4, 1) + 1),
+                               i -> substr(text, i::INT, 5))) AS shingle
+  FROM docs
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.2
+),
+und AS (SELECT doc_a AS id, doc_b AS nbr FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+reach(node, lab) AS (
+  SELECT doc_id, doc_id FROM docs
+  UNION
+  SELECT u.id, r.lab FROM reach r JOIN und u ON u.nbr = r.node
+),
+comp AS (SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node),
+szs AS (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id)
+SELECT c.doc_id, c.cluster_id, s.cluster_size, c.doc_id = c.cluster_id AS keep
+FROM comp c JOIN szs s USING (cluster_id)
 """
 
     # multimodal fakes are closed-form in (utf8 byte length, doc_id), so the

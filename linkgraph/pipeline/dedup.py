@@ -259,3 +259,64 @@ def simhash_pairs(
         )
         .filter(F.col("hamming") <= max_distance)
     )
+
+
+def near_dup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame | None = None,
+    n: int = 3,
+    threshold: float = 0.8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level near-duplicate clustering —
+    ``(doc_id, cluster_id, cluster_size, keep)``.
+
+    The standard training-data dedup policy: connect near-duplicate pairs
+    into a similarity graph, take its connected components, and keep ONE
+    canonical document per component (the minimum ``doc_id`` — "keep
+    first").  ``cluster_id`` is that minimum id, so the output is stable
+    across runs and partitionings; singleton documents form their own
+    cluster with ``keep = true``.
+
+    ``pairs`` defaults to exact :func:`ngram_jaccard_pairs` (small corpora /
+    candidate buckets); pass :func:`minhash_lsh_pairs` or
+    ``simsearch.cosine_neardup_pairs`` output for the approximate scale
+    path — anything with ``(doc_a, doc_b)`` columns works.
+
+    Scale notes: the component step is the engine's distributed min-label
+    WCC superstep (algorithms/components.py) over a graph whose edge count
+    is the PAIR count — at 100 TB that's the LSH candidate volume, orders
+    of magnitude below corpus², and the per-superstep shuffle is one
+    co-partitioned join.  Singletons ride along as self-loop events so no
+    driver-side anti-join over the corpus is needed.
+    """
+    from linkgraph.algorithms import weakly_connected_components
+    from linkgraph.graph import LinkGraph
+
+    if pairs is None:
+        pairs = ngram_jaccard_pairs(docs, n=n, threshold=threshold, text_col=text_col)
+    # numeric names parse to their own id (graph.name_to_id), so component
+    # labels ARE min doc_ids — no hash indirection to undo
+    edges = (
+        pairs.select(
+            F.col("doc_a").cast("string").alias("src"),
+            F.col("doc_b").cast("string").alias("dst"),
+        )
+        .unionByName(
+            docs.select(
+                F.col("doc_id").cast("string").alias("src"),
+                F.col("doc_id").cast("string").alias("dst"),
+            )
+        )
+        .withColumn("time", F.lit(0).cast("long"))
+    )
+    comp = weakly_connected_components(LinkGraph(edges)).select(
+        F.col("id").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+    sizes = comp.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return comp.join(sizes, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        (F.col("doc_id") == F.col("cluster_id")).alias("keep"),
+    )

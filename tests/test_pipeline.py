@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 from linkgraph.pipeline.dedup import (
     exact_duplicates,
     minhash_lsh_pairs,
+    near_dup_clusters,
     ngram_jaccard_pairs,
     simhash,
     simhash_pairs,
@@ -151,3 +152,53 @@ def test_ivf_scores_are_exact_cosines(vecs):
     }
     for r in ivf_topk(vecs, q, k=5, n_cells=6, nprobe=3).collect():
         assert exact[r["cand_id"]] == r["cosine"]
+
+
+def _brute_clusters(pairs, all_ids):
+    """Python union-find oracle: min-id component labels over the pair graph."""
+    parent = {i: i for i in all_ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # fully collapse, then label by the component's min id (roots are mins
+    # because we always attach the larger root under the smaller)
+    return {i: find(i) for i in all_ids}
+
+
+def test_near_dup_clusters_matches_union_find(docs):
+    pairs_df = ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    pairs = [(r["doc_a"], r["doc_b"]) for r in pairs_df.collect()]
+    ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    expect = _brute_clusters(pairs, ids)
+
+    out = near_dup_clusters(docs, n=3, threshold=0.5).collect()
+    assert len(out) == len(ids)
+    got = {r["doc_id"]: r["cluster_id"] for r in out}
+    assert got == expect
+    # canonical: keep iff doc_id == cluster_id, exactly one per cluster
+    for r in out:
+        assert r["keep"] == (r["doc_id"] == r["cluster_id"])
+    sizes = {}
+    for r in out:
+        sizes[r["cluster_id"]] = sizes.get(r["cluster_id"], 0) + 1
+    for r in out:
+        assert r["cluster_size"] == sizes[r["cluster_id"]]
+
+
+def test_near_dup_clusters_accepts_external_pairs(spark, docs):
+    """The approximate scale path: feed minhash-LSH candidate pairs in;
+    singletons (docs in no pair) must still come out as their own cluster."""
+    pairs = minhash_lsh_pairs(docs, n=3, threshold=0.9)
+    out = near_dup_clusters(docs, pairs=pairs).collect()
+    assert len(out) == docs.count()
+    singles = [r for r in out if r["cluster_size"] == 1]
+    for r in singles:
+        assert r["keep"] and r["cluster_id"] == r["doc_id"]
