@@ -306,6 +306,27 @@ def q_docs_dedup_clusters(spark, sf_dir):
     return near_dup_clusters(docs, n=5, threshold=0.2)
 
 
+def q_docs_hash_split(spark, sf_dir):
+    """Deterministic train/val/test assignment — a pure function of doc_id
+    (md5 thresholds), so the oracle replays it bit-for-bit."""
+    from linkgraph.pipeline.sampling import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return hash_split(
+        docs, {"train": 0.9, "val": 0.05, "test": 0.05}
+    ).select("doc_id", "split")
+
+
+def q_docs_stratified_sample(spark, sf_dir):
+    """Deterministic 3-per-(lang, source) stratified sample."""
+    from linkgraph.pipeline.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_sample(docs, ["lang", "source"], 3).select(
+        "doc_id", "lang", "source"
+    )
+
+
 def q_emb_cosine_topk(spark, sf_dir):
     from linkgraph.pipeline.simsearch import cosine_topk
 
@@ -1047,6 +1068,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trade_search_nodes": q_trade_search_nodes,
         "transition_search_edges": q_transition_search_edges,
         "docs_dedup_clusters": q_docs_dedup_clusters,
+        "docs_hash_split": q_docs_hash_split,
+        "docs_stratified_sample": q_docs_stratified_sample,
         # core oracle set (driver-green r01+r02)
         "trade_edges": q_trade_edges,
         "trade_degrees": q_trade_degrees,
@@ -1711,6 +1734,38 @@ FROM inter
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.2
+"""
+
+    # hash_split thresholds: EXACTLY the engine's arithmetic (same float
+    # accumulation order) so the oracle's CASE bounds are bit-identical
+    _cum1 = 0.0 + 0.9
+    _cum2 = _cum1 + 0.05
+    _b1, _b2 = int(_cum1 * (1 << 60)), int(_cum2 * (1 << 60))
+    sqls["docs_hash_split"] = f"""
+WITH h AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 15))::BIGINT AS hv
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN hv < {_b1} THEN 'train'
+            WHEN hv < {_b2} THEN 'val'
+            ELSE 'test' END AS split
+FROM h
+"""
+
+    sqls["docs_stratified_sample"] = """
+WITH h AS (
+  SELECT doc_id, lang, source,
+         ('0x' || substr(md5('sample:' || doc_id::VARCHAR), 1, 15))::BIGINT AS hv
+  FROM documents
+),
+r AS (
+  SELECT doc_id, lang, source,
+         row_number() OVER (PARTITION BY lang, source ORDER BY hv, doc_id) AS rk
+  FROM h
+)
+SELECT doc_id, lang, source FROM r WHERE rk <= 3
 """
 
     # near-dup clustering = the jaccard pair graph above + connected

@@ -1,0 +1,89 @@
+"""Deterministic sampling / splitting for training-data pipelines.
+
+Everything here is keyed on a stable per-row hash of ``md5(salt:key)`` —
+NOT ``rand()`` — so assignments are reproducible across runs, partitionings
+and engines (md5 is bit-identical everywhere, which is what makes the
+DuckDB oracles exact), and a document keeps its split forever as the corpus
+grows: re-running ingestion never moves rows between train and eval, the
+property a training pipeline actually needs from its splitter.
+
+Scale notes (the 100 TB view):
+
+- ``hash_split`` is MAP-ONLY — a projection, no shuffle, no state; it
+  composes with any scan and Catalyst pushes it into the same stage.
+- ``stratified_sample`` shuffles once on the group key for the per-group
+  rank. For top-heavy group skew, the rank is bounded per partition first
+  (partial top-n via the window over a salted pre-pass is unnecessary
+  here because n_per_group is small and Spark's WindowExec spills; for
+  n in the millions prefer a per-partition ``mapInPandas`` pre-trim).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+# 15 hex chars = 60 bits: fits a signed 64-bit long losslessly on both
+# engines (DuckDB oracle: ('0x' || substr(md5(..),1,15))::BIGINT)
+_HASH_BITS = 60
+_HASH_MOD = 1 << _HASH_BITS
+
+
+def hash_key(key: Column, salt: str) -> Column:
+    """Uniform 60-bit deterministic hash of ``salt:key`` (md5-based)."""
+    h = F.md5(F.concat(F.lit(salt + ":"), key.cast("string")))
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+
+
+def hash_split(
+    df: DataFrame,
+    weights: dict[str, float],
+    key: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Assign every row to a named split — adds a ``split`` column.
+
+    ``weights`` maps split name → fraction (need not sum to 1; a remainder
+    falls into the LAST split).  Assignment is by cumulative thresholds
+    over the hash of ``salt:key``: a row's split is a pure function of its
+    key, so growing the corpus or changing partitioning never reassigns
+    existing rows, and disjointness/coverage hold by construction.
+    """
+    if not weights:
+        raise ValueError("weights must name at least one split")
+    names = list(weights)
+    h = hash_key(F.col(key), salt)
+    expr = F.lit(names[-1])
+    cum = 0.0
+    bounds = []
+    for name in names[:-1]:
+        cum += weights[name]
+        bounds.append((name, int(cum * _HASH_MOD)))
+    for name, bound in reversed(bounds):
+        expr = F.when(h < F.lit(bound), F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    group_cols: list[str],
+    n_per_group: int,
+    key: str = "doc_id",
+    salt: str = "sample",
+) -> DataFrame:
+    """Deterministic ``n_per_group`` rows per group.
+
+    Rows are ranked inside each group by ``(hash(salt:key), key)`` — a
+    uniform, reproducible order — and the first ``n_per_group`` survive.
+    Equivalent in distribution to per-group reservoir sampling but with a
+    stable outcome: the same rows are chosen on every run and on any
+    engine (the DuckDB oracle replays the identical ranking).
+    """
+    h = hash_key(F.col(key), salt)
+    w = Window.partitionBy(*group_cols).orderBy(h.asc(), F.col(key).asc())
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n_per_group)
+        .drop("_rk")
+    )

@@ -1,0 +1,97 @@
+"""Deterministic split / stratified-sample operators (pipeline.sampling)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from linkgraph.pipeline.sampling import hash_key, hash_split, stratified_sample
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 3).cast("string").alias("lang"),
+        (F.col("id") % 5).cast("string").alias("source"),
+    ).cache()
+
+
+def test_hash_split_partitions_every_row_once(corpus):
+    out = hash_split(corpus, {"train": 0.8, "val": 0.1, "test": 0.1})
+    assert out.count() == 2000
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 2000
+    # uniform hash: fractions within a loose binomial band
+    assert 0.74 <= counts["train"] / 2000 <= 0.86
+    assert counts["val"] / 2000 <= 0.16 and counts["test"] / 2000 <= 0.16
+
+
+def test_hash_split_stable_under_repartition_and_growth(corpus):
+    """A doc's split is a pure function of its key: reshuffling the input or
+    appending new rows must not move any existing row."""
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = {r["doc_id"]: r["split"] for r in hash_split(corpus, w).collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(corpus.repartition(13, "lang"), w).collect()
+    }
+    assert a == b
+    grown = corpus.unionByName(
+        corpus.sparkSession.range(2000, 3000).select(
+            F.col("id").alias("doc_id"),
+            F.lit("x").alias("lang"),
+            F.lit("y").alias("source"),
+        )
+    )
+    c = {r["doc_id"]: r["split"] for r in hash_split(grown, w).collect()}
+    assert all(c[k] == v for k, v in a.items())
+
+
+def test_hash_split_remainder_goes_to_last(corpus):
+    out = hash_split(corpus, {"a": 0.5, "b": 0.1})  # 0.4 unassigned -> "b"
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert counts["b"] > counts["a"] * 0.5  # ~0.5 vs ~0.5 incl. remainder
+    assert sum(counts.values()) == 2000
+
+
+def test_hash_split_rejects_empty():
+    with pytest.raises(ValueError):
+        hash_split(None, {})
+
+
+def test_stratified_sample_exact_n_per_group(corpus):
+    out = stratified_sample(corpus, ["lang", "source"], 4)
+    counts = out.groupBy("lang", "source").agg(F.count("*").alias("n")).collect()
+    assert len(counts) == 15  # 3 langs x 5 sources
+    assert all(r["n"] == 4 for r in counts)
+
+
+def test_stratified_sample_deterministic_and_hash_ordered(corpus):
+    a = sorted(r["doc_id"] for r in stratified_sample(corpus, ["lang"], 7).collect())
+    b = sorted(
+        r["doc_id"]
+        for r in stratified_sample(corpus.repartition(17), ["lang"], 7).collect()
+    )
+    assert a == b
+    # matches the explicit rank replay (the oracle's formulation)
+    ranked = (
+        corpus.withColumn("hv", hash_key(F.col("doc_id"), "sample"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"]).Window
+                .partitionBy("lang")
+                .orderBy(F.col("hv").asc(), F.col("doc_id").asc())
+            ),
+        )
+        .filter(F.col("rk") <= 7)
+    )
+    assert a == sorted(r["doc_id"] for r in ranked.collect())
+
+
+def test_stratified_sample_small_groups_kept_whole(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "doc_id long, grp string"
+    )
+    out = stratified_sample(df, ["grp"], 10)
+    assert out.count() == 3
