@@ -93,6 +93,10 @@ def main() -> None:
         "trade_node_prop_agg",
         "trade_monthly_rolling",
         "trade_two_hop",
+        # round 3: corpus dedup clustering + deterministic sampling
+        "docs_dedup_clusters",
+        "docs_hash_split",
+        "docs_stratified_sample",
     ]
     # untimed warmup at the smallest scale factor: run every headline query
     # once over sf0.001 so whole-stage-codegen compilation, the parquet
