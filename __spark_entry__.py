@@ -327,6 +327,17 @@ def q_docs_stratified_sample(spark, sf_dir):
     )
 
 
+def q_docs_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk sequence packing: every doc's (seq_id, offset) in a
+    deterministic 512-token-budget layout (two-pass distributed cumsum)."""
+    from linkgraph.pipeline.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_sequences(docs, budget=512).select(
+        "doc_id", F.col("n_tokens").cast("long").alias("n_tokens"), "seq_id", "offset"
+    )
+
+
 def q_emb_cosine_topk(spark, sf_dir):
     from linkgraph.pipeline.simsearch import cosine_topk
 
@@ -1070,6 +1081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_dedup_clusters": q_docs_dedup_clusters,
         "docs_hash_split": q_docs_hash_split,
         "docs_stratified_sample": q_docs_stratified_sample,
+        "docs_pack_sequences": q_docs_pack_sequences,
         # core oracle set (driver-green r01+r02)
         "trade_edges": q_trade_edges,
         "trade_degrees": q_trade_degrees,
@@ -1766,6 +1778,26 @@ r AS (
   FROM h
 )
 SELECT doc_id, lang, source FROM r WHERE rk <= 3
+"""
+
+    # packing: one ORDER BY replays the engine's (bucket, hash, key) layout
+    # exactly (the two-pass prefix sum is algebraically a single cumsum in
+    # bucket-major order)
+    sqls["docs_pack_sequences"] = r"""
+WITH t AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_tokens,
+         ('0x' || substr(md5('pack:' || doc_id::VARCHAR), 1, 15))::BIGINT AS hv
+  FROM documents
+),
+o AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (
+           ORDER BY hv % 256, hv, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+  FROM t
+)
+SELECT doc_id, n_tokens, start // 512 AS seq_id, start % 512 AS offset FROM o
 """
 
     # near-dup clustering = the jaccard pair graph above + connected

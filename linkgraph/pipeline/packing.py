@@ -1,0 +1,91 @@
+"""Sequence packing — concat-and-chunk documents into training sequences.
+
+The last table-side step of an LLM data pipeline: after dedup and
+filtering, documents are laid end-to-end in a deterministic shuffled order
+and chopped into fixed token-budget sequences; each document lands at a
+``(seq_id, offset)`` and long documents straddle sequence boundaries (the
+standard GPT-style "concat and chunk" regime — no padding waste).
+
+Determinism: the layout order is ``(bucket, hash(salt:key), key)`` with
+``bucket = hash % n_buckets`` — a pure function of the keys, so the
+packing is reproducible across runs/partitionings and exactly replayable
+by a single ORDER BY in the DuckDB oracle.
+
+Scale notes (the 100 TB view): a naive global cumulative sum is a
+single-partition window — a driver-sized bottleneck.  This is the classic
+two-pass distributed prefix sum instead:
+
+1. per-bucket window cumsum — ``partitionBy(bucket)``, P-way parallel, one
+   shuffle on the bucket key;
+2. bucket totals (P rows, one tiny aggregate) → ordered prefix offsets →
+   broadcast join back.
+
+Cost: one shuffle over the docs + one P-row broadcast; no stage sees more
+than a bucket of data, and P scales with the cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from linkgraph.pipeline.sampling import hash_key
+from linkgraph.pipeline.textstats import TOKEN_RE
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int,
+    n_buckets: int = 256,
+    text_col: str = "text",
+    key: str = "doc_id",
+    salt: str = "pack",
+) -> DataFrame:
+    """Assign every document a position in the packed token stream —
+    ``(doc_id, n_tokens, seq_id, offset)``.
+
+    ``seq_id``/``offset`` locate the document's FIRST token in sequences of
+    exactly ``budget`` tokens; a document with ``offset + n_tokens >
+    budget`` continues into the following sequence(s).  Tokens are the
+    engine's BPE-ish pre-tokenisation (textstats.TOKEN_RE) — swap
+    ``text_col`` for a real token-count column when one exists.
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    hv = hash_key(F.col(key), salt)
+    toks = F.size(F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), 0))
+    base = docs.select(
+        F.col(key).alias("doc_id"),
+        toks.alias("n_tokens"),
+        hv.alias("_hv"),
+        (hv % n_buckets).alias("_bucket"),
+    )
+    # pass 1: token-count prefix inside each bucket (exclusive: sum over
+    # rows strictly before this one in (hv, key) order)
+    w = (
+        Window.partitionBy("_bucket")
+        .orderBy(F.col("_hv").asc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = base.withColumn("_local_start", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    # pass 2: bucket totals -> exclusive prefix over bucket ids (P rows)
+    bw = (
+        Window.orderBy("_bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        base.groupBy("_bucket")
+        .agg(F.sum("n_tokens").alias("_tot"))
+        .withColumn("_bucket_start", F.coalesce(F.sum("_tot").over(bw), F.lit(0)))
+        .select("_bucket", "_bucket_start")
+    )
+    start = F.col("_bucket_start") + F.col("_local_start")
+    return (
+        local.join(F.broadcast(offsets), "_bucket")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (start / budget).cast("long").alias("seq_id"),
+            (start % budget).alias("offset"),
+        )
+    )

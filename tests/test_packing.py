@@ -1,0 +1,69 @@
+"""Sequence packing (pipeline.packing) vs an independent Python oracle."""
+
+import hashlib
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from linkgraph.pipeline.packing import pack_sequences
+
+TOKEN_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+BUDGET = 64
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (i, " ".join(f"w{j}" for j in range((i * 7) % 23 + 1)))
+        for i in range(300)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def _hv(key, salt="pack"):
+    return int(hashlib.md5(f"{salt}:{key}".encode()).hexdigest()[:15], 16)
+
+
+def _oracle(rows, budget, n_buckets=256):
+    docs = [
+        (r["doc_id"], len(TOKEN_RE.findall(r["text"])), _hv(r["doc_id"]))
+        for r in rows
+    ]
+    docs.sort(key=lambda d: (d[2] % n_buckets, d[2], d[0]))
+    out, start = {}, 0
+    for doc_id, n, _ in docs:
+        out[doc_id] = (n, start // budget, start % budget)
+        start += n
+    return out, start
+
+
+def test_pack_matches_python_oracle(corpus):
+    expect, total = _oracle(corpus.collect(), BUDGET)
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["seq_id"], r["offset"])
+        for r in pack_sequences(corpus, BUDGET).collect()
+    }
+    assert got == expect
+    # conservation: max start + its tokens == total token count
+    assert total == sum(n for n, _, _ in expect.values())
+
+
+def test_pack_deterministic_under_repartition(corpus):
+    a = sorted(map(tuple, pack_sequences(corpus, BUDGET).collect()))
+    b = sorted(map(tuple, pack_sequences(corpus.repartition(11), BUDGET).collect()))
+    assert a == b
+
+
+def test_pack_offsets_within_budget(corpus):
+    out = pack_sequences(corpus, BUDGET)
+    assert out.filter((F.col("offset") < 0) | (F.col("offset") >= BUDGET)).count() == 0
+    # seq ids form a contiguous 0..max range (no empty sequences: budget
+    # exceeds the max doc length here, so every sequence gets a doc start)
+    seqs = sorted(r["seq_id"] for r in out.select("seq_id").distinct().collect())
+    assert seqs == list(range(seqs[-1] + 1))
+
+
+def test_pack_rejects_bad_budget(corpus):
+    with pytest.raises(ValueError):
+        pack_sequences(corpus, 0)
