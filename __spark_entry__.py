@@ -338,6 +338,16 @@ def q_docs_pack_sequences(spark, sf_dir):
     )
 
 
+def q_docs_repetition(spark, sf_dir):
+    """Gopher-style repetition quality signals: top/dup n-gram fractions."""
+    from linkgraph.pipeline.textstats import repetition_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_stats(docs).withColumn(
+        "n_tokens", F.col("n_tokens").cast("long")
+    )
+
+
 def q_emb_cosine_topk(spark, sf_dir):
     from linkgraph.pipeline.simsearch import cosine_topk
 
@@ -1082,6 +1092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_hash_split": q_docs_hash_split,
         "docs_stratified_sample": q_docs_stratified_sample,
         "docs_pack_sequences": q_docs_pack_sequences,
+        "docs_repetition": q_docs_repetition,
         # core oracle set (driver-green r01+r02)
         "trade_edges": q_trade_edges,
         "trade_degrees": q_trade_degrees,
@@ -1798,6 +1809,58 @@ o AS (
   FROM t
 )
 SELECT doc_id, n_tokens, start // 512 AS seq_id, start % 512 AS offset FROM o
+"""
+
+    sqls["docs_repetition"] = r"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]') AS toks
+  FROM documents
+),
+g2 AS (
+  SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks)-1, 0)+1),
+         i -> array_to_string(list_slice(toks, i, i+1), ' '))) AS gram
+  FROM t
+),
+a2 AS (
+  SELECT doc_id, max(c) AS top_c, sum(c) AS total,
+         coalesce(sum(CASE WHEN c >= 2 THEN c END), 0) AS dup_c
+  FROM (SELECT doc_id, gram, count(*) AS c FROM g2 GROUP BY 1, 2)
+  GROUP BY 1
+),
+g3 AS (
+  SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks)-2, 0)+1),
+         i -> array_to_string(list_slice(toks, i, i+2), ' '))) AS gram
+  FROM t
+),
+a3 AS (
+  SELECT doc_id, max(c) AS top_c, sum(c) AS total,
+         coalesce(sum(CASE WHEN c >= 2 THEN c END), 0) AS dup_c
+  FROM (SELECT doc_id, gram, count(*) AS c FROM g3 GROUP BY 1, 2)
+  GROUP BY 1
+),
+g4 AS (
+  SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks)-3, 0)+1),
+         i -> array_to_string(list_slice(toks, i, i+3), ' '))) AS gram
+  FROM t
+),
+a4 AS (
+  SELECT doc_id, max(c) AS top_c, sum(c) AS total,
+         coalesce(sum(CASE WHEN c >= 2 THEN c END), 0) AS dup_c
+  FROM (SELECT doc_id, gram, count(*) AS c FROM g4 GROUP BY 1, 2)
+  GROUP BY 1
+)
+SELECT t.doc_id, len(t.toks) AS n_tokens,
+       coalesce(round(a2.top_c::DOUBLE / a2.total, 6), 0.0) AS top2_frac,
+       coalesce(round(a2.dup_c::DOUBLE / a2.total, 6), 0.0) AS dup2_frac,
+       coalesce(round(a3.top_c::DOUBLE / a3.total, 6), 0.0) AS top3_frac,
+       coalesce(round(a3.dup_c::DOUBLE / a3.total, 6), 0.0) AS dup3_frac,
+       coalesce(round(a4.top_c::DOUBLE / a4.total, 6), 0.0) AS top4_frac,
+       coalesce(round(a4.dup_c::DOUBLE / a4.total, 6), 0.0) AS dup4_frac
+FROM t
+LEFT JOIN a2 ON a2.doc_id = t.doc_id
+LEFT JOIN a3 ON a3.doc_id = t.doc_id
+LEFT JOIN a4 ON a4.doc_id = t.doc_id
 """
 
     # near-dup clustering = the jaccard pair graph above + connected

@@ -98,6 +98,7 @@ def main() -> None:
         "docs_hash_split",
         "docs_stratified_sample",
         "docs_pack_sequences",
+        "docs_repetition",
     ]
     # untimed warmup at the smallest scale factor: run every headline query
     # once over sf0.001 so whole-stage-codegen compilation, the parquet

@@ -105,3 +105,80 @@ def fingerprint(docs: DataFrame, text_col: str = "text", k: int = 5) -> DataFram
     )
     fp = F.array_min(F.transform(shingles, lambda s: F.xxhash64(s)))
     return docs.select("doc_id", fp.alias("fingerprint"))
+
+
+def _word_ngrams(tokens, n: int):
+    """Sliding word n-grams of an array column (space-joined), [] if short."""
+    idx = F.sequence(F.lit(1), F.size(tokens) - n + 1)
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tokens, i, n)))
+    return F.when(F.size(tokens) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def repetition_stats(
+    docs: DataFrame, ns: tuple[int, ...] = (2, 3, 4), text_col: str = "text"
+) -> DataFrame:
+    """Per-document repetition signals — the Gopher-style quality filters.
+
+    For each n in ``ns``, over the document's word n-grams:
+
+    - ``top{n}_frac`` — fraction of n-gram occurrences belonging to the
+      single most frequent n-gram (1.0 = the doc is one phrase on repeat);
+    - ``dup{n}_frac`` — fraction of occurrences whose n-gram appears ≥2×.
+
+    Both are 0.0 for documents shorter than n tokens.  Columns:
+    ``(doc_id, n_tokens, top2_frac, dup2_frac, ...)``, fractions rounded
+    to 6 decimals (oracle-exact).
+
+    Scale notes: the text is scanned and tokenised ONCE — every n-gram
+    size rides a single explode tagged with its ``n`` — then two hash
+    aggregates: ``(doc_id, n, gram)`` counts (map-side combine collapses
+    each doc's repeats before the shuffle, so shuffled volume ≈ distinct
+    grams per doc) and a conditional-aggregation rollup to one row per
+    doc.  One doc_id-keyed left join attaches ``n_tokens``; everything
+    stays in whole-stage codegen (no UDF, no pivot).
+    """
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), 0)
+    base = docs.select("doc_id", toks.alias("toks"))
+    # all n-gram sizes in one pass over the tokens: explode (n, gram) pairs.
+    # NB: the tagger must be built by a factory — a two-parameter lambda
+    # (even with a default) makes F.transform pass the array INDEX as the
+    # second argument.
+    def _tag(n: int):
+        return lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram"))
+
+    tagged = F.flatten(
+        F.array(
+            *[F.transform(_word_ngrams(F.col("toks"), n), _tag(n)) for n in ns]
+        )
+    )
+    grams = base.select(
+        "doc_id", F.explode(tagged).alias("g")
+    ).select("doc_id", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+    counts = grams.groupBy("doc_id", "n", "gram").agg(F.count("*").alias("c"))
+
+    def _frac(n: int, num) -> list:
+        total = F.sum(F.when(F.col("n") == n, F.col("c")))
+        return F.round(F.coalesce(num / total, F.lit(0.0)), 6)
+
+    agg = counts.groupBy("doc_id").agg(
+        *[
+            expr
+            for n in ns
+            for expr in (
+                _frac(n, F.max(F.when(F.col("n") == n, F.col("c")))).alias(
+                    f"top{n}_frac"
+                ),
+                _frac(
+                    n,
+                    F.sum(
+                        F.when((F.col("n") == n) & (F.col("c") >= 2), F.col("c"))
+                    ),
+                ).alias(f"dup{n}_frac"),
+            )
+        ]
+    )
+    out = base.select("doc_id", F.size("toks").alias("n_tokens"))
+    frac_cols = [f"{kind}{n}_frac" for n in ns for kind in ("top", "dup")]
+    return out.join(agg, "doc_id", "left").fillna(0.0, frac_cols)

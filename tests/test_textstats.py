@@ -1,0 +1,81 @@
+"""Repetition / quality-signal operators (pipeline.textstats) vs a
+pure-Python n-gram oracle."""
+
+import re
+from collections import Counter
+
+import pytest
+
+from linkgraph.pipeline.textstats import TOKEN_RE, repetition_stats
+
+DOCS = [
+    (0, "the cat sat on the mat the cat sat on the mat"),  # heavy repeat
+    (1, "one two three four five six seven eight nine ten"),  # all unique
+    (2, "spam spam spam spam spam"),  # single token repeated
+    (3, "ab"),  # shorter than every n
+    (4, ""),  # empty
+    (5, "alpha beta alpha beta gamma alpha beta"),  # partial repeats
+]
+
+
+def _oracle(text: str, n: int) -> tuple[float, float]:
+    toks = re.findall(TOKEN_RE, text)
+    grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+    if not grams:
+        return 0.0, 0.0
+    c = Counter(grams)
+    total = len(grams)
+    top = max(c.values()) / total
+    dup = sum(v for v in c.values() if v >= 2) / total
+    return round(top, 6), round(dup, 6)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string").cache()
+
+
+def test_repetition_matches_python_oracle(docs):
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in repetition_stats(docs, ns=(2, 3, 4)).collect()
+    }
+    assert set(out) == {d[0] for d in DOCS}
+    for doc_id, text in DOCS:
+        row = out[doc_id]
+        assert row["n_tokens"] == len(re.findall(TOKEN_RE, text))
+        for n in (2, 3, 4):
+            top, dup = _oracle(text, n)
+            assert row[f"top{n}_frac"] == pytest.approx(top, abs=1e-6), (
+                doc_id,
+                n,
+            )
+            assert row[f"dup{n}_frac"] == pytest.approx(dup, abs=1e-6), (
+                doc_id,
+                n,
+            )
+
+
+def test_repetition_bounds_and_degenerate_docs(docs):
+    rows = repetition_stats(docs).collect()
+    for r in rows:
+        for n in (2, 3, 4):
+            assert 0.0 <= r[f"top{n}_frac"] <= 1.0
+            assert r[f"top{n}_frac"] <= r[f"dup{n}_frac"] or r[
+                f"dup{n}_frac"
+            ] == 0.0
+    by_id = {r["doc_id"]: r for r in rows}
+    # doc 2: "spam"x5 -> every bigram identical -> top2 == dup2 == 1.0
+    assert by_id[2]["top2_frac"] == 1.0 and by_id[2]["dup2_frac"] == 1.0
+    # doc 1: all-unique tokens -> no duplicated n-gram at any n
+    for n in (2, 3, 4):
+        assert by_id[1][f"dup{n}_frac"] == 0.0
+    # docs shorter than n (3, 4) -> zeros, not nulls
+    for doc_id in (3, 4):
+        for n in (2, 3, 4):
+            assert by_id[doc_id][f"top{n}_frac"] == 0.0
+
+
+def test_repetition_is_udf_free(docs):
+    plan = repetition_stats(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
