@@ -348,6 +348,19 @@ def q_docs_repetition(spark, sf_dir):
     )
 
 
+def q_docs_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: train docs sharing any 5-gram with the
+    deterministic eval split (doc_id % 37 == 0)."""
+    from linkgraph.pipeline.textstats import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    benchmark = docs.filter(F.col("doc_id") % 37 == 0)
+    train = docs.filter(F.col("doc_id") % 37 != 0)
+    return decontaminate(train, benchmark, n=5).withColumn(
+        "n_matched_grams", F.col("n_matched_grams").cast("long")
+    )
+
+
 def q_emb_cosine_topk(spark, sf_dir):
     from linkgraph.pipeline.simsearch import cosine_topk
 
@@ -1093,6 +1106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_stratified_sample": q_docs_stratified_sample,
         "docs_pack_sequences": q_docs_pack_sequences,
         "docs_repetition": q_docs_repetition,
+        "docs_decontaminate": q_docs_decontaminate,
         # core oracle set (driver-green r01+r02)
         "trade_edges": q_trade_edges,
         "trade_degrees": q_trade_degrees,
@@ -1861,6 +1875,34 @@ FROM t
 LEFT JOIN a2 ON a2.doc_id = t.doc_id
 LEFT JOIN a3 ON a3.doc_id = t.doc_id
 LEFT JOIN a4 ON a4.doc_id = t.doc_id
+"""
+
+    sqls["docs_decontaminate"] = r"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]') AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(toks)-4, 0)+1),
+           i -> array_to_string(list_slice(toks, i, i+4), ' ')))) AS gram
+  FROM t
+),
+bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 37 = 0),
+hits AS (
+  SELECT g.doc_id, count(*) AS n_matched_grams
+  FROM g JOIN bg USING (gram)
+  WHERE g.doc_id % 37 <> 0
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(h.n_matched_grams, 0) AS n_matched_grams,
+       coalesce(h.n_matched_grams, 0) > 0 AS contaminated
+FROM documents d
+LEFT JOIN hits h ON h.doc_id = d.doc_id
+WHERE d.doc_id % 37 <> 0
 """
 
     # near-dup clustering = the jaccard pair graph above + connected

@@ -182,3 +182,48 @@ def repetition_stats(
     out = base.select("doc_id", F.size("toks").alias("n_tokens"))
     frac_cols = [f"{kind}{n}_frac" for n in ns for kind in ("top", "dup")]
     return out.join(agg, "doc_id", "left").fillna(0.0, frac_cols)
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag training docs that share any word
+    n-gram with an evaluation corpus (the GPT-3/Llama 13-gram-overlap
+    procedure, with ``n`` as the knob).
+
+    Returns one row per ``docs`` row: ``(doc_id, n_matched_grams,
+    contaminated)`` where ``n_matched_grams`` counts the doc's DISTINCT
+    n-grams that appear anywhere in ``benchmark`` and ``contaminated`` is
+    ``n_matched_grams > 0``.
+
+    Scale shape: an eval suite is tiny (MBs) next to a 100 TB training
+    corpus, so the distinct benchmark-gram set is **broadcast** — the only
+    join is a map-side broadcast left join over the training side; the
+    corpus is never shuffled for a join.  Per-doc grams are deduped with
+    ``array_distinct`` *before* the explode (``explode_outer`` keeps docs
+    shorter than ``n`` alive with a null gram), and the per-doc count is a
+    single hash aggregate with map-side combine.
+    """
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), 0)
+    bench_grams = benchmark.select(
+        F.explode(_word_ngrams(toks, n)).alias("gram")
+    ).distinct()
+    doc_grams = docs.select(
+        "doc_id",
+        F.explode_outer(F.array_distinct(_word_ngrams(toks, n))).alias("gram"),
+    )
+    hits = doc_grams.join(
+        F.broadcast(bench_grams.withColumn("_hit", F.lit(1))), "gram", "left"
+    )
+    return (
+        hits.groupBy("doc_id")
+        .agg(
+            F.coalesce(F.sum("_hit"), F.lit(0))
+            .cast("long")
+            .alias("n_matched_grams")
+        )
+        .withColumn("contaminated", F.col("n_matched_grams") > 0)
+    )

@@ -79,3 +79,65 @@ def test_repetition_bounds_and_degenerate_docs(docs):
 def test_repetition_is_udf_free(docs):
     plan = repetition_stats(docs)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# --- decontamination ------------------------------------------------------
+
+from linkgraph.pipeline.textstats import decontaminate  # noqa: E402
+
+EVAL = [
+    (100, "what is the capital of france paris is the answer"),
+    (101, "solve for x in the quadratic equation below"),
+]
+TRAIN = [
+    # contains eval 5-gram "what is the capital of" verbatim
+    (0, "someone asked what is the capital of france yesterday"),
+    # shares only shorter overlaps (<5 tokens) with the eval set
+    (1, "the capital of a company is not a city"),
+    (2, "completely unrelated text about gardening and soil"),
+    (3, "tiny"),
+]
+
+
+@pytest.fixture(scope="module")
+def decontam(spark):
+    bench = spark.createDataFrame(EVAL, "doc_id long, text string")
+    train = spark.createDataFrame(TRAIN, "doc_id long, text string")
+    return train, bench
+
+
+def test_decontaminate_flags_exact_ngram_overlap(decontam):
+    train, bench = decontam
+    out = {r["doc_id"]: r for r in decontaminate(train, bench, n=5).collect()}
+    assert set(out) == {0, 1, 2, 3}
+    assert out[0]["contaminated"] and out[0]["n_matched_grams"] >= 1
+    for clean in (1, 2, 3):
+        assert not out[clean]["contaminated"], clean
+        assert out[clean]["n_matched_grams"] == 0
+
+
+def test_decontaminate_counts_distinct_grams_once(spark):
+    # the same contaminated 5-gram repeated in one doc counts ONCE
+    bench = spark.createDataFrame(
+        [(0, "a b c d e")], "doc_id long, text string"
+    )
+    train = spark.createDataFrame(
+        [(1, "a b c d e and again a b c d e")], "doc_id long, text string"
+    )
+    row = decontaminate(train, bench, n=5).collect()[0]
+    assert row["contaminated"] and row["n_matched_grams"] == 1
+
+
+def test_decontaminate_broadcasts_benchmark_grams(decontam):
+    train, bench = decontam
+    plan = (
+        decontaminate(train, bench, n=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the ONLY join is the broadcast gram join: the training corpus is
+    # never shuffled into a sort-merge or shuffled-hash join
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
