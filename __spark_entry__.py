@@ -361,6 +361,27 @@ def q_docs_decontaminate(spark, sf_dir):
     )
 
 
+def q_docs_quality_gate(spark, sf_dir):
+    """Composed corpus filter: length/charset -> repetition -> benchmark
+    decontamination -> exact-dup keep-first, with per-doc reject_reason."""
+    from linkgraph.pipeline.quality import quality_gate
+
+    docs = _t(spark, sf_dir, "documents")
+    benchmark = docs.filter(F.col("doc_id") % 37 == 0)
+    train = docs.filter(F.col("doc_id") % 37 != 0)
+    # thresholds at the synthetic corpus's tail quantiles so every rule
+    # actually fires here (the defaults are tuned for web text, which is
+    # far dirtier than this generator)
+    return quality_gate(
+        train,
+        benchmark,
+        min_words=16,
+        min_alpha_ratio=0.81,
+        max_dup2_frac=0.16,
+        max_top3_frac=0.07,
+    )
+
+
 def q_emb_cosine_topk(spark, sf_dir):
     from linkgraph.pipeline.simsearch import cosine_topk
 
@@ -1107,6 +1128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_pack_sequences": q_docs_pack_sequences,
         "docs_repetition": q_docs_repetition,
         "docs_decontaminate": q_docs_decontaminate,
+        "docs_quality_gate": q_docs_quality_gate,
         # core oracle set (driver-green r01+r02)
         "trade_edges": q_trade_edges,
         "trade_degrees": q_trade_degrees,
@@ -1903,6 +1925,95 @@ SELECT d.doc_id,
 FROM documents d
 LEFT JOIN hits h ON h.doc_id = d.doc_id
 WHERE d.doc_id % 37 <> 0
+"""
+
+    # composed quality gate over the train split (doc_id % 37 <> 0):
+    # short -> charset -> repetitive -> contaminated -> duplicate, first
+    # failing rule wins; thresholds mirror quality_gate() defaults
+    sqls["docs_quality_gate"] = r"""
+WITH d AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 37 <> 0
+),
+t AS (
+  SELECT doc_id, text,
+         regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]') AS toks
+  FROM d
+),
+stats AS (
+  SELECT doc_id, len(toks) AS n_words,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+         length(text) AS n_chars
+  FROM t
+),
+g2 AS (
+  SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks)-1, 0)+1),
+         i -> array_to_string(list_slice(toks, i, i+1), ' '))) AS gram
+  FROM t
+),
+a2 AS (
+  SELECT doc_id, sum(c) AS total,
+         coalesce(sum(CASE WHEN c >= 2 THEN c END), 0) AS dup_c
+  FROM (SELECT doc_id, gram, count(*) AS c FROM g2 GROUP BY 1, 2)
+  GROUP BY 1
+),
+g3 AS (
+  SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks)-2, 0)+1),
+         i -> array_to_string(list_slice(toks, i, i+2), ' '))) AS gram
+  FROM t
+),
+a3 AS (
+  SELECT doc_id, max(c) AS top_c, sum(c) AS total
+  FROM (SELECT doc_id, gram, count(*) AS c FROM g3 GROUP BY 1, 2)
+  GROUP BY 1
+),
+rep AS (
+  SELECT t.doc_id,
+         coalesce(round(a2.dup_c::DOUBLE / a2.total, 6), 0.0) AS dup2_frac,
+         coalesce(round(a3.top_c::DOUBLE / a3.total, 6), 0.0) AS top3_frac
+  FROM t
+  LEFT JOIN a2 ON a2.doc_id = t.doc_id
+  LEFT JOIN a3 ON a3.doc_id = t.doc_id
+),
+bt AS (
+  SELECT regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]') AS toks
+  FROM documents WHERE doc_id % 37 = 0
+),
+bg AS (
+  SELECT DISTINCT unnest(list_transform(range(1, greatest(len(toks)-4, 0)+1),
+         i -> array_to_string(list_slice(toks, i, i+4), ' '))) AS gram
+  FROM bt
+),
+dg AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(toks)-4, 0)+1),
+           i -> array_to_string(list_slice(toks, i, i+4), ' ')))) AS gram
+  FROM t
+),
+cont AS (SELECT DISTINCT dg.doc_id FROM dg JOIN bg USING (gram)),
+canon AS (
+  SELECT md5(text) AS h, min(doc_id) AS keep_id FROM d GROUP BY 1
+),
+dup AS (
+  SELECT d.doc_id, d.doc_id <> c.keep_id AS is_dup
+  FROM d JOIN canon c ON md5(d.text) = c.h
+),
+verdict AS (
+  SELECT s.doc_id,
+    CASE
+      WHEN s.n_words < 16 OR s.n_words > 100000 THEN 'short'
+      WHEN coalesce(round(s.n_alpha::DOUBLE / s.n_chars, 6), 0.0) < 0.81
+        THEN 'charset'
+      WHEN r.dup2_frac > 0.16 OR r.top3_frac > 0.07 THEN 'repetitive'
+      WHEN cont.doc_id IS NOT NULL THEN 'contaminated'
+      WHEN dup.is_dup THEN 'duplicate'
+    END AS reject_reason
+  FROM stats s
+  JOIN rep r ON r.doc_id = s.doc_id
+  LEFT JOIN cont ON cont.doc_id = s.doc_id
+  JOIN dup ON dup.doc_id = s.doc_id
+)
+SELECT doc_id, reject_reason IS NULL AS keep, reject_reason FROM verdict
 """
 
     # near-dup clustering = the jaccard pair graph above + connected

@@ -100,6 +100,7 @@ def main() -> None:
         "docs_pack_sequences",
         "docs_repetition",
         "docs_decontaminate",
+        "docs_quality_gate",
     ]
     # untimed warmup at the smallest scale factor: run every headline query
     # once over sf0.001 so whole-stage-codegen compilation, the parquet

@@ -1,0 +1,107 @@
+"""End-to-end corpus quality gate — the composed training-data filter.
+
+One operator chaining the individually-verified pieces into the pipeline a
+real pretraining-data run executes (C4/Gopher-style):
+
+1. **length/charset thresholds** (the :func:`textstats.doc_stats` signals);
+2. **repetition cut** over :func:`textstats.repetition_stats`;
+3. **benchmark decontamination** via :func:`textstats.decontaminate`;
+4. **exact-dedup keep-first** (md5(text) groups, min doc_id survives).
+
+Returns EVERY input doc with its verdict — ``(doc_id, keep,
+reject_reason)`` where ``reject_reason`` is the FIRST failing rule in the
+order above (``short``/``charset``/``repetitive``/``contaminated``/
+``duplicate``) or NULL for kept docs — so downstream stages can both
+filter and audit per-rule loss rates.
+
+Scale shape (4 columnar scans of ``(doc_id, text)`` total):
+
+- stage 1 + 4 share ONE scan: the length/charset flags are plain row
+  expressions, and keep-first dedup is a ``min(doc_id) over (partition by
+  md5(text))`` window — windows preserve rows, so the flags ride through
+  the single md5-keyed exchange with no canonical-side join;
+- stage 2 is one scan feeding two hash aggregates (map-side combine);
+- stage 3 is one corpus scan broadcast-joined against the (tiny, one
+  scan) distinct eval-gram set — the corpus is never shuffled for a join;
+- verdict assembly joins slim ``(doc_id, flag)`` relations; the text
+  column never rides a shuffle or a join.
+
+Re-scanning columnar parquet 4× is the deliberate trade at 100 TB: each
+scan reads only the pruned ``(doc_id, text)`` columns, which is cheaper
+than pinning a 100 TB projection in cache.  Callers iterating on
+thresholds over a hot corpus can still ``docs.persist()`` before calling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from linkgraph.pipeline.textstats import (
+    TOKEN_RE,
+    decontaminate,
+    repetition_stats,
+)
+
+
+def quality_gate(
+    docs: DataFrame,
+    benchmark: DataFrame | None = None,
+    min_words: int = 5,
+    max_words: int = 100_000,
+    min_alpha_ratio: float = 0.6,
+    max_dup2_frac: float = 0.9,
+    max_top3_frac: float = 0.5,
+    decontam_n: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Composed quality verdict per doc — see module docstring."""
+    t = F.col(text_col)
+    # stats expressions mirror textstats.doc_stats (n_words / alpha_ratio,
+    # try_divide so empty docs flag rather than ANSI-crash) fused with the
+    # dedup window into a single scan
+    n_words = F.size(F.regexp_extract_all(t, F.lit(TOKEN_RE), 0))
+    alpha_ratio = F.round(
+        F.try_divide(F.length(F.regexp_replace(t, r"[^A-Za-z]", "")), F.length(t)),
+        6,
+    )
+    flagged = docs.select(
+        "doc_id",
+        ((n_words < min_words) | (n_words > max_words)).alias("_short"),
+        (F.coalesce(alpha_ratio, F.lit(0.0)) < min_alpha_ratio).alias("_charset"),
+        F.md5(t).alias("_h"),
+    ).select(
+        "doc_id",
+        "_short",
+        "_charset",
+        (
+            F.col("doc_id") != F.min("doc_id").over(Window.partitionBy("_h"))
+        ).alias("_duplicate"),
+    )
+    rep = repetition_stats(docs, ns=(2, 3), text_col=text_col).select(
+        "doc_id",
+        (
+            (F.col("dup2_frac") > max_dup2_frac)
+            | (F.col("top3_frac") > max_top3_frac)
+        ).alias("_repetitive"),
+    )
+    out = flagged.join(rep, "doc_id")
+    if benchmark is not None:
+        cont = decontaminate(docs, benchmark, n=decontam_n, text_col=text_col)
+        out = out.join(
+            cont.select("doc_id", F.col("contaminated").alias("_contaminated")),
+            "doc_id",
+        )
+    else:
+        out = out.withColumn("_contaminated", F.lit(False))
+    reason = F.coalesce(
+        F.when(F.col("_short"), F.lit("short")),
+        F.when(F.col("_charset"), F.lit("charset")),
+        F.when(F.col("_repetitive"), F.lit("repetitive")),
+        F.when(F.col("_contaminated"), F.lit("contaminated")),
+        F.when(F.col("_duplicate"), F.lit("duplicate")),
+    )
+    return out.select(
+        "doc_id", reason.isNull().alias("keep"), reason.alias("reject_reason")
+    )

@@ -44,8 +44,10 @@ def doc_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         n_words.alias("n_words"),
         n_alpha.alias("n_alpha"),
         n_digit.alias("n_digit"),
-        F.round(n_alpha / n_chars, 6).alias("alpha_ratio"),
-        F.round(n_chars / n_tokens, 6).alias("mean_token_len"),
+        # try_divide: empty docs (n_chars 0) must yield NULL, not an ANSI
+        # DIVIDE_BY_ZERO crash mid-100TB-job
+        F.round(F.try_divide(n_alpha, n_chars), 6).alias("alpha_ratio"),
+        F.round(F.try_divide(n_chars, n_tokens), 6).alias("mean_token_len"),
     )
 
 

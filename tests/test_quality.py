@@ -1,0 +1,65 @@
+"""Composed quality gate (pipeline.quality) — rule firing + precedence."""
+
+import pytest
+
+from linkgraph.pipeline.quality import quality_gate
+
+GOOD = (
+    "a perfectly reasonable training document with plenty of distinct "
+    "words about many different interesting topics and ideas"
+)
+DOCS = [
+    (0, GOOD),  # keep
+    (1, "too short"),  # short
+    (2, "1 2 3 4 5 6 7 8 9 10 11 12 13 !!! ??? ... ###"),  # charset
+    (3, "buy now " * 20),  # repetitive
+    (4, "students must answer the secret benchmark question七 about rivers"),
+    (5, GOOD),  # duplicate of 0 (keep-first: 0 survives)
+    (6, ""),  # short (empty -> try_divide NULL alpha_ratio)
+]
+BENCH = [(100, "the secret benchmark question七 about rivers and lakes")]
+
+
+@pytest.fixture(scope="module")
+def verdicts(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    bench = spark.createDataFrame(BENCH, "doc_id long, text string")
+    out = quality_gate(docs, bench)
+    return {r["doc_id"]: r for r in out.collect()}
+
+
+def test_every_rule_fires_once(verdicts):
+    expect = {
+        0: None,
+        1: "short",
+        2: "charset",
+        3: "repetitive",
+        4: "contaminated",
+        5: "duplicate",
+        6: "short",
+    }
+    assert {k: v["reject_reason"] for k, v in verdicts.items()} == expect
+    assert {k for k, v in verdicts.items() if v["keep"]} == {0}
+
+
+def test_precedence_short_beats_duplicate(spark):
+    # two identical too-short docs: both rejected as 'short', not 'duplicate'
+    docs = spark.createDataFrame(
+        [(0, "tiny text"), (1, "tiny text")], "doc_id long, text string"
+    )
+    rows = quality_gate(docs).collect()
+    assert {r["reject_reason"] for r in rows} == {"short"}
+
+
+def test_no_benchmark_skips_contamination(spark):
+    docs = spark.createDataFrame([(0, GOOD)], "doc_id long, text string")
+    row = quality_gate(docs).collect()[0]
+    assert row["keep"] and row["reject_reason"] is None
+
+
+def test_keep_first_duplicate_uses_min_doc_id(spark):
+    docs = spark.createDataFrame(
+        [(7, GOOD), (3, GOOD), (9, GOOD)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r["reject_reason"] for r in quality_gate(docs).collect()}
+    assert out == {3: None, 7: "duplicate", 9: "duplicate"}
