@@ -390,6 +390,46 @@ def q_emb_cosine_topk(spark, sf_dir):
     return cosine_topk(emb, queries, k=5)
 
 
+def q_emb_kmeans(spark, sf_dir):
+    """Spherical k-means assignments (md5-seeded deterministic Lloyd) —
+    checked against a fully unrolled DuckDB power-iteration oracle."""
+    from linkgraph.pipeline.simsearch import kmeans
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return kmeans(emb, k=10, iters=2, seed=42).select(
+        "vec_id", F.col("cluster").cast("long").alias("cluster")
+    )
+
+
+def q_emb_knn_components(spark, sf_dir):
+    """Connected components of the exact 3-NN graph (cosine ≥ 0.3 floor so
+    the corpus fragments into real clusters) — the vector twin of near-dup
+    clustering."""
+    from linkgraph.pipeline.simsearch import knn_components
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return knn_components(emb, k=3, min_cosine=0.3).select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("component").cast("long").alias("component"),
+        "component_size",
+    )
+
+
+def q_docs_scrub(spark, sf_dir):
+    """PII/secret redaction pass (map-only regexp pipeline) with per-doc
+    match counts taken on the original text."""
+    from linkgraph.pipeline.textstats import scrub
+
+    docs = _t(spark, sf_dir, "documents")
+    return scrub(docs).select(
+        "doc_id",
+        "scrubbed",
+        F.col("n_emails").cast("long").alias("n_emails"),
+        F.col("n_ips").cast("long").alias("n_ips"),
+        F.col("n_keys").cast("long").alias("n_keys"),
+    )
+
+
 def _assets(spark, sf_dir):
     from linkgraph.pipeline.multimodal import assets_from_documents
 
@@ -1109,6 +1149,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     queries already driver-verified in earlier rounds and the no-oracle
     (golden-gated) ones.  Rotation policy documented in COVERAGE.md."""
     return {
+        # new in this session (in-repo oracles; never driver-sampled)
+        "emb_kmeans": q_emb_kmeans,
+        "emb_knn_components": q_emb_knn_components,
+        "docs_scrub": q_docs_scrub,
         # never driver-sampled before round 3 (in-repo oracles green)
         "trade_monthly_rolling": q_trade_monthly_rolling,
         "trade_two_hop": q_trade_two_hop,
@@ -1307,6 +1351,68 @@ def _kcore_oracle_sql(k: int, rounds: int) -> str:
         + f"WHERE (SELECT count(*) FROM s{rounds}) <> "
         + f"(SELECT count(*) FROM s{rounds - 1})"
     )
+
+def _kmeans_oracle_sql(k: int, iters: int, dim: int = 64, seed: int = 42) -> str:
+    """Fully unrolled spherical k-means (DuckDB), mirroring
+    ``simsearch.kmeans``: md5-seeded centroids (rank in ``(hash, id)``
+    order), then ``iters`` Lloyd steps of assignment + per-cluster mean +
+    L2 renorm, then a final assignment.  The discrete output is
+    engine-stable because BOTH sides round the dot product to 9 decimals
+    before the argmax and break ties on the smallest centroid index, which
+    absorbs summation-order float noise (numpy matmul / shuffled Spark
+    partials vs sequential ``list_dot_product``)."""
+
+    def _nrm(v: str) -> str:
+        return (
+            f"list_transform({v}, x -> x / "
+            f"sqrt(list_sum(list_transform({v}, y -> y * y))))"
+        )
+
+    def _assign(name: str, cents: str) -> str:
+        return f"""{name} AS (
+  SELECT id, c FROM (
+    SELECT p.id, c.c,
+           row_number() OVER (PARTITION BY p.id
+             ORDER BY round(list_dot_product(p.v, c.v), 9) DESC, c.c) AS rn
+    FROM pts p CROSS JOIN {cents} c) WHERE rn = 1
+)"""
+
+    parts = [
+        f"""pts AS (
+  SELECT vec_id AS id, {_nrm('embedding::DOUBLE[]')} AS v FROM embeddings
+),
+seeds AS (
+  SELECT row_number() OVER (ORDER BY h, id) - 1 AS c, v
+  FROM (SELECT id, v,
+          ('0x' || substr(md5('kmeans{seed}:' || id::VARCHAR), 1, 15))::BIGINT AS h
+        FROM pts)
+  ORDER BY h, id LIMIT {k}
+),
+c0 AS (SELECT c::INT AS c, v FROM seeds)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(_assign(f"a{i}", f"c{i - 1}"))
+        parts.append(
+            f"""m{i} AS (
+  SELECT a.c, t.i AS pos, avg(p.v[t.i]) AS m
+  FROM a{i} a JOIN pts p USING (id)
+  CROSS JOIN generate_series(1, {dim}) t(i)
+  GROUP BY a.c, t.i
+),
+u{i} AS (SELECT c, list(m ORDER BY pos) AS mv FROM m{i} GROUP BY c),
+c{i} AS (
+  SELECT cp.c,
+         CASE WHEN u{i}.c IS NULL THEN cp.v ELSE {_nrm(f'u{i}.mv')} END AS v
+  FROM c{i - 1} cp LEFT JOIN u{i} USING (c)
+)"""
+        )
+    parts.append(_assign("afin", f"c{iters}"))
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + "\nSELECT id AS vec_id, c::BIGINT AS cluster FROM afin"
+    )
+
 
 _WCC_ORACLE_TMPL = """
 WITH RECURSIVE {edges}, {nodes_cte},
@@ -2102,6 +2208,52 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
+"""
+
+    sqls["emb_kmeans"] = _kmeans_oracle_sql(10, iters=2)
+
+    sqls["emb_knn_components"] = """
+WITH RECURSIVE c AS (SELECT vec_id AS cand_id, embedding::DOUBLE[] AS cv FROM embeddings),
+scored AS (
+  SELECT q.vec_id AS query_id, c.cand_id,
+         round(list_cosine_similarity(q.embedding::DOUBLE[], c.cv), 6) AS cosine
+  FROM embeddings q CROSS JOIN c WHERE q.vec_id <> c.cand_id
+),
+topk AS (
+  SELECT query_id, cand_id FROM (
+    SELECT query_id, cand_id, cosine,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, cand_id) AS rank
+    FROM scored) WHERE rank <= 3 AND cosine >= 0.3
+),
+und AS (SELECT query_id AS id, cand_id AS nbr FROM topk
+        UNION SELECT cand_id, query_id FROM topk),
+reach(node, lab) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT u.id, r.lab FROM reach r JOIN und u ON u.nbr = r.node
+),
+comp AS (SELECT node AS vec_id, min(lab) AS component FROM reach GROUP BY node),
+szs AS (SELECT component, count(*) AS component_size FROM comp GROUP BY component)
+SELECT co.vec_id, co.component, s.component_size
+FROM comp co JOIN szs s USING (component)
+"""
+
+    # same patterns the Spark op uses (textstats.EMAIL_RE/IPV4_RE/KEY_RE) —
+    # imported, not re-typed, so the two sides cannot drift; 'g' replicates
+    # Spark's replace-all default
+    from linkgraph.pipeline.textstats import EMAIL_RE, IPV4_RE, KEY_RE
+
+    sqls["docs_scrub"] = f"""
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(text,
+         '{EMAIL_RE}', '<EMAIL>', 'g'),
+         '{IPV4_RE}', '<IP>', 'g'),
+         '{KEY_RE}', '<KEY>', 'g') AS scrubbed,
+       len(regexp_extract_all(text, '{EMAIL_RE}')) AS n_emails,
+       len(regexp_extract_all(text, '{IPV4_RE}')) AS n_ips,
+       len(regexp_extract_all(text, '{KEY_RE}')) AS n_keys
+FROM documents
 """
 
     # ------------------------------------------------------ persistent graph

@@ -101,6 +101,10 @@ def main() -> None:
         "docs_repetition",
         "docs_decontaminate",
         "docs_quality_gate",
+        # round 3 (cont.): clustering, kNN-graph components, PII scrub
+        "emb_kmeans",
+        "emb_knn_components",
+        "docs_scrub",
     ]
     # untimed warmup at the smallest scale factor: run every headline query
     # once over sf0.001 so whole-stage-codegen compilation, the parquet

@@ -455,3 +455,173 @@ def ivf_topk(
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def _assign_clusters(df, cents, id_name: str):
+    """``(id, v)`` → ``(id, cluster)``: nearest centroid by cosine, with the
+    dot product **rounded to 9 decimals** before the argmax and ties broken
+    by the smallest centroid index.  The rounding makes the assignment
+    reproducible across summation orders (numpy matmul here, sequential
+    ``list_dot_product`` in the DuckDB oracle, shuffled partials in the
+    centroid means) — the discrete argmax is then engine-independent.
+    One Arrow-batched matmul per batch; ``cents`` rides the task closure
+    (k × dim × 8 bytes)."""
+    import pandas as pd
+
+    def kernel(batches):
+        import numpy as np
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vecs = _normalize_rows(np.stack(pdf["v"].to_numpy()))
+            sims = np.round(vecs @ cents.T, 9)  # (batch, k)
+            # np.argmax returns the FIRST maximal index == min-index tiebreak
+            yield pd.DataFrame(
+                {id_name: pdf[id_name].to_numpy(), "cluster": np.argmax(sims, axis=1)}
+            )
+
+    return df.mapInPandas(kernel, f"{id_name} long, cluster int")
+
+
+def kmeans_centroids(
+    embeddings: DataFrame,
+    k: int,
+    iters: int = 2,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Deterministic spherical k-means codebook (Lloyd over cosine).
+
+    Seeds are the ``k`` vectors with the smallest ``md5("kmeans{seed}:id")``
+    — a seeded, driver-randomness-free sample that an ANSI-SQL oracle can
+    replicate bit-for-bit (unlike xxhash64, md5 is identical in every
+    engine); centroid index = rank in ``(hash, id)`` order.  Each Lloyd
+    step: distributed Arrow-matmul assignment (round-9 argmax, see
+    :func:`_assign_clusters`), then per-cluster mean via one ``posexplode``
+    hash aggregate (map-side combine; the collected update is k × dim,
+    driver-tiny), re-normalised; clusters that lose every member keep their
+    centroid.  At 100 TB the corpus is never collected — only the k × dim
+    codebook moves through the driver, once per iteration.
+
+    Returns an L2-normalised ``k × dim`` numpy matrix.
+    """
+    import numpy as np
+
+    from linkgraph.pipeline.sampling import hash_key
+
+    e = _as_double(
+        embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")), "v"
+    )
+    seed_rows = (
+        e.withColumn("h", hash_key(F.col("id"), f"kmeans{seed}"))
+        .orderBy("h", "id")
+        .limit(k)
+        .select("v")
+        .collect()
+    )
+    cents = _normalize_rows(np.stack([r["v"] for r in seed_rows]))
+    for _ in range(iters):
+        assigned = _assign_clusters(e, cents, "id").join(e, "id")
+        means = (
+            assigned.select("cluster", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        new = cents.copy()  # empty clusters keep their centroid
+        touched = sorted({r["cluster"] for r in means})
+        for r in means:
+            new[r["cluster"], r["pos"]] = r["m"]
+        cents = cents.copy()
+        upd = _normalize_rows(new)
+        for c in touched:
+            cents[c] = upd[c]
+    return cents
+
+
+def kmeans(
+    embeddings: DataFrame,
+    k: int,
+    iters: int = 2,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Spherical k-means cluster assignments — ``(id_col, cluster)``.
+
+    The first-class clustering op the IVF index trains internally
+    (:func:`train_ivf_centroids`), exposed with a deterministic md5-seeded
+    init so results are reproducible across engines and partitionings.
+    Output is the argmax-cosine assignment against the codebook after
+    ``iters`` Lloyd updates.
+    """
+    cents = kmeans_centroids(embeddings, k, iters, seed, id_col, vec_col)
+    e = _as_double(
+        embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")), "v"
+    )
+    return _assign_clusters(e, cents, "id").select(
+        F.col("id").alias(id_col), "cluster"
+    )
+
+
+def knn_components(
+    embeddings: DataFrame,
+    k: int = 5,
+    queries: DataFrame | None = None,
+    pairs: DataFrame | None = None,
+    min_cosine: float | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Connected components of the k-nearest-neighbour graph —
+    ``(id_col, component, component_size)``.
+
+    The vector-side twin of :func:`~linkgraph.pipeline.dedup.near_dup_clusters`:
+    build the kNN graph (an undirected edge per (query, neighbour) pair),
+    then run the engine's distributed min-label WCC superstep over it.
+    Classic corpus-structure primitive: semantic dedup groups, topic
+    islands, weak cluster discovery without choosing k.
+
+    ``pairs`` defaults to exact :func:`cosine_topk` (the correctness
+    baseline — quadratic, fine for candidate buckets / test scale); pass
+    :func:`ivf_topk` or :func:`lsh_topk` output for the 100 TB path —
+    anything with ``(query_id, cand_id)`` columns works.  ``min_cosine``
+    drops kNN edges below a similarity floor (the SemDeDup-style knob that
+    keeps a dense corpus from collapsing into one giant component; applies
+    to the default pairs, which carry a round-6 ``cosine`` column).
+    Component labels are min vector ids, so the output is stable across
+    partitionings; singletons keep their own id.
+    """
+    from linkgraph.algorithms import weakly_connected_components
+    from linkgraph.graph import LinkGraph
+
+    if pairs is None:
+        pairs = cosine_topk(
+            embeddings,
+            queries if queries is not None else embeddings,
+            k=k,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+        if min_cosine is not None:
+            pairs = pairs.filter(F.col("cosine") >= min_cosine)
+    edges = (
+        pairs.select(
+            F.col("query_id").cast("string").alias("src"),
+            F.col("cand_id").cast("string").alias("dst"),
+        )
+        .unionByName(
+            embeddings.select(
+                F.col(id_col).cast("string").alias("src"),
+                F.col(id_col).cast("string").alias("dst"),
+            )
+        )
+        .withColumn("time", F.lit(0).cast("long"))
+    )
+    comp = weakly_connected_components(LinkGraph(edges)).select(
+        F.col("id").alias(id_col), F.col("component")
+    )
+    sizes = comp.groupBy("component").agg(F.count("*").alias("component_size"))
+    return comp.join(sizes, "component").select(id_col, "component", "component_size")

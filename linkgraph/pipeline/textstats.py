@@ -229,3 +229,41 @@ def decontaminate(
         )
         .withColumn("contaminated", F.col("n_matched_grams") > 0)
     )
+
+
+# PII / secret patterns — deliberately restricted to syntax with identical
+# semantics in Java regex (Spark) and RE2 (the DuckDB oracle): character
+# classes, bounded repetition, non-capturing groups, ASCII \b.  No
+# lookaround, no backreferences.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+# long hex blobs (sha/api tokens) or AWS-style access-key ids
+KEY_RE = r"\b(?:[A-Fa-f0-9]{32,}|AKIA[0-9A-Z]{16})\b"
+
+
+def scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII / secret redaction for code corpora — map-only, codegen'd.
+
+    Returns ``(doc_id, scrubbed, n_emails, n_ips, n_keys)``: the text with
+    emails → ``<EMAIL>``, IPv4 literals → ``<IP>``, and long hex / AWS-style
+    key blobs → ``<KEY>``, plus per-doc match counts (taken on the ORIGINAL
+    text, so the counts are independent of replacement order).  Emails are
+    replaced first so their dotted domains can't be half-eaten by the IP
+    pass.  Pure ``regexp_replace`` / ``regexp_extract_all`` expressions —
+    no UDF, no shuffle; at 100 TB this is one whole-stage-codegen'd scan.
+    """
+    t = F.col(text_col)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), IPV4_RE, "<IP>"
+        ),
+        KEY_RE,
+        "<KEY>",
+    )
+    return docs.select(
+        "doc_id",
+        scrubbed.alias("scrubbed"),
+        F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(IPV4_RE), 0)).alias("n_ips"),
+        F.size(F.regexp_extract_all(t, F.lit(KEY_RE), 0)).alias("n_keys"),
+    )

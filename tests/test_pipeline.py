@@ -202,3 +202,110 @@ def test_near_dup_clusters_accepts_external_pairs(spark, docs):
     singles = [r for r in out if r["cluster_size"] == 1]
     for r in singles:
         assert r["keep"] and r["cluster_id"] == r["doc_id"]
+
+
+def _md5_rank_seeds(ids_vecs, k, seed=42):
+    """Replicate kmeans' md5 seeding: k rows with smallest (hash, id)."""
+    import hashlib
+
+    def h(i):
+        return int(hashlib.md5(f"kmeans{seed}:{i}".encode()).hexdigest()[:15], 16)
+
+    ranked = sorted(ids_vecs, key=lambda t: (h(t[0]), t[0]))
+    return np.stack([v for _, v in ranked[:k]])
+
+
+def _np_kmeans(ids_vecs, k, iters, seed=42):
+    """Driver-side numpy replica of simsearch.kmeans (spherical Lloyd,
+    round-9 argmax, min-index ties, empty clusters keep centroids)."""
+
+    def nrm(m):
+        n = np.linalg.norm(m, axis=1, keepdims=True)
+        n[n == 0.0] = 1.0
+        return m / n
+
+    ids = np.array([i for i, _ in ids_vecs])
+    pts = nrm(np.stack([v for _, v in ids_vecs]).astype(np.float64))
+    cents = nrm(_md5_rank_seeds(list(zip(ids, pts)), k, seed))
+    for _ in range(iters):
+        a = np.argmax(np.round(pts @ cents.T, 9), axis=1)
+        new = cents.copy()
+        for c in range(k):
+            members = pts[a == c]
+            if len(members):
+                new[c] = members.mean(axis=0)
+        cents = nrm(new)
+    final = np.argmax(np.round(pts @ cents.T, 9), axis=1)
+    return dict(zip(ids.tolist(), final.tolist()))
+
+
+def test_kmeans_matches_numpy_lloyd(vecs):
+    from linkgraph.pipeline.simsearch import kmeans
+
+    ids_vecs = [
+        (r["vec_id"], np.array(r["embedding"])) for r in vecs.collect()
+    ]
+    expect = _np_kmeans(ids_vecs, k=3, iters=3)
+    got = {r["vec_id"]: r["cluster"] for r in kmeans(vecs, 3, iters=3).collect()}
+    assert got == expect
+
+
+def test_kmeans_recovers_planted_clusters(vecs):
+    """3 well-separated planted clusters (vec_id % 3) must map 1:1 onto the
+    3 kmeans clusters."""
+    from linkgraph.pipeline.simsearch import kmeans
+
+    out = kmeans(vecs, 3, iters=4).collect()
+    assert len(out) == 90
+    planted_to_km = {}
+    for r in out:
+        planted_to_km.setdefault(r["vec_id"] % 3, set()).add(r["cluster"])
+    assert all(len(s) == 1 for s in planted_to_km.values())
+    assert len(set.union(*planted_to_km.values())) == 3
+
+
+def test_knn_components_matches_union_find(vecs):
+    from linkgraph.pipeline.simsearch import knn_components
+
+    rows = [(r["vec_id"], np.array(r["embedding"])) for r in vecs.collect()]
+    ids = [i for i, _ in rows]
+    m = np.stack([v for _, v in rows])
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = np.round(m @ m.T, 6)
+    pairs = []
+    for qi, q in enumerate(ids):
+        order = sorted(
+            (c for ci, c in enumerate(ids) if ci != qi),
+            key=lambda c: (-sims[qi, ids.index(c)], c),
+        )
+        pairs.extend((q, c) for c in order[:3])
+    expect = _brute_clusters(pairs, ids)
+
+    out = knn_components(vecs, k=3).collect()
+    assert len(out) == len(ids)
+    got = {r["vec_id"]: r["component"] for r in out}
+    assert {k: int(v) for k, v in got.items()} == expect
+    sizes = {}
+    for r in out:
+        sizes[r["component"]] = sizes.get(r["component"], 0) + 1
+    for r in out:
+        assert r["component_size"] == sizes[r["component"]]
+
+
+def test_knn_components_min_cosine_fragments(vecs):
+    """A similarity floor must split the planted-cluster corpus into MORE
+    components than the unfloored kNN graph, never merge any: every floored
+    component must be a subset of an unfloored one."""
+    from linkgraph.pipeline.simsearch import knn_components
+
+    free = {r["vec_id"]: r["component"] for r in knn_components(vecs, k=3).collect()}
+    floored = {
+        r["vec_id"]: r["component"]
+        for r in knn_components(vecs, k=3, min_cosine=0.9).collect()
+    }
+    assert len(set(floored.values())) >= len(set(free.values()))
+    # refinement: same floored component => same free component
+    by_floor = {}
+    for vid, comp in floored.items():
+        by_floor.setdefault(comp, set()).add(free[vid])
+    assert all(len(s) == 1 for s in by_floor.values())
