@@ -85,6 +85,33 @@ def _cosupply_graph(spark: SparkSession, sf_dir: str):
     return LinkGraph(e)
 
 
+def _copurchase_graph(spark: SparkSession, sf_dir: str):
+    """Parts co-occurring in the same order (lineitem self-join on
+    l_orderkey).  Sparser than the near-complete cosupply graph, so
+    non-adjacent pairs with shared neighbours — link-prediction
+    candidates — actually exist at small scale factors."""
+    from linkgraph.graph import LinkGraph
+
+    li = _t(spark, sf_dir, "lineitem")
+    # dedup (order, part) BEFORE the self-join, same shape as _cosupply_graph
+    op = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a = op.select("ok", F.col("p").alias("pa"))
+    b = op.select("ok", F.col("p").alias("pb"))
+    e = (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .select(
+            F.col("pa").cast("string").alias("src"),
+            F.col("pb").cast("string").alias("dst"),
+        )
+        .distinct()
+        .withColumn("time", F.lit(0).cast("long"))
+    )
+    return LinkGraph(e)
+
+
 def _transition_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
@@ -427,6 +454,38 @@ def q_docs_scrub(spark, sf_dir):
         F.col("n_emails").cast("long").alias("n_emails"),
         F.col("n_ips").cast("long").alias("n_ips"),
         F.col("n_keys").cast("long").alias("n_keys"),
+    )
+
+
+def q_trade_assortativity(spark, sf_dir):
+    """Newman degree assortativity over the trade graph (scalar corr of
+    endpoint BOTH-degrees, both orientations per undirected edge)."""
+    from linkgraph.algorithms import degree_assortativity
+
+    return degree_assortativity(_trade_graph(spark, sf_dir)).select(
+        F.round("assortativity", 6).alias("assortativity")
+    )
+
+
+def q_copurchase_link_prediction(spark, sf_dir):
+    """Common-neighbours / Jaccard / Adamic-Adar link-prediction scores for
+    non-adjacent co-purchased-part pairs, top 500 by AA (rounded-value
+    tiebreak on the pair ids keeps the cut deterministic across engines).
+    The co-supply graph is complete at sf0.01 (no missing links), so the
+    fixture is the sparser parts-per-order co-occurrence graph."""
+    from linkgraph.algorithms import link_prediction_scores
+
+    lp = link_prediction_scores(_copurchase_graph(spark, sf_dir))
+    return (
+        lp.select(
+            "src_id",
+            "dst_id",
+            "cn",
+            F.round("jaccard", 6).alias("jaccard"),
+            F.round("adamic_adar", 6).alias("adamic_adar"),
+        )
+        .orderBy(F.desc("adamic_adar"), "src_id", "dst_id")
+        .limit(500)
     )
 
 
@@ -1150,6 +1209,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (golden-gated) ones.  Rotation policy documented in COVERAGE.md."""
     return {
         # new in this session (in-repo oracles; never driver-sampled)
+        "trade_assortativity": q_trade_assortativity,
+        "copurchase_link_prediction": q_copurchase_link_prediction,
         "emb_kmeans": q_emb_kmeans,
         "emb_knn_components": q_emb_knn_components,
         "docs_scrub": q_docs_scrub,
@@ -1264,6 +1325,13 @@ co_ed AS (
   SELECT DISTINCT a.l_suppkey AS lo, b.l_suppkey AS hi
   FROM lineitem a JOIN lineitem b
     ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+)"""
+
+_COPURCHASE_ED = """
+cp_ed AS (
+  SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
 )"""
 
 _TRANSITION_ED = """
@@ -1473,6 +1541,41 @@ deg AS (
 )
 SELECT id AS node, round(d::DOUBLE / (SELECT max(d) FROM deg), 6) AS centrality
 FROM deg
+"""
+
+    sqls["trade_assortativity"] = f"""
+WITH {_TRADE_ED}, {_TRADE_UND},
+undn AS (SELECT id, nbr FROM trade_und WHERE id <> nbr),
+deg AS (SELECT id, count(*) AS d FROM undn GROUP BY id)
+SELECT round(corr(dx.d, dy.d), 6) AS assortativity
+FROM undn u JOIN deg dx ON dx.id = u.id JOIN deg dy ON dy.id = u.nbr
+"""
+
+    sqls["copurchase_link_prediction"] = f"""
+WITH {_COPURCHASE_ED},
+undn AS (SELECT lo AS id, hi AS nbr FROM cp_ed UNION ALL SELECT hi, lo FROM cp_ed),
+deg AS (SELECT id, count(*) AS d FROM undn GROUP BY id),
+thru AS (
+  SELECT u.id AS w, u.nbr AS uu, g.d AS dw
+  FROM undn u JOIN deg g ON g.id = u.id
+),
+pairs AS (
+  SELECT a.uu AS src_id, b.uu AS dst_id, count(*) AS cn,
+         sum(1.0 / ln(a.dw)) AS aa
+  FROM thru a JOIN thru b ON a.w = b.w AND a.uu < b.uu
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT p.* FROM pairs p
+  LEFT JOIN cp_ed e ON e.lo = p.src_id AND e.hi = p.dst_id
+  WHERE e.lo IS NULL
+)
+SELECT c.src_id, c.dst_id, c.cn,
+       round(c.cn::DOUBLE / (du.d + dv.d - c.cn), 6) AS jaccard,
+       round(c.aa, 6) AS adamic_adar
+FROM cand c JOIN deg du ON du.id = c.src_id JOIN deg dv ON dv.id = c.dst_id
+ORDER BY round(c.aa, 6) DESC, c.src_id, c.dst_id
+LIMIT 500
 """
 
     sqls["trade_wcc"] = _WCC_ORACLE_TMPL.format(

@@ -9,6 +9,10 @@ from linkgraph.algorithms.components import (
 )
 from linkgraph.algorithms.hits import hits
 from linkgraph.algorithms.kcore import k_core_ids, k_core_subgraph
+from linkgraph.algorithms.linkpred import (
+    degree_assortativity,
+    link_prediction_scores,
+)
 from linkgraph.algorithms.lpa import label_propagation
 from linkgraph.algorithms.motifs import (
     global_temporal_three_node_motif,
@@ -35,6 +39,7 @@ from linkgraph.algorithms.triangles import (
 __all__ = [
     "betweenness_centrality",
     "clustering_coefficient",
+    "degree_assortativity",
     "dijkstra_single_source_shortest_paths",
     "global_temporal_three_node_motif",
     "global_triangle_count",
@@ -44,6 +49,7 @@ __all__ = [
     "k_core_ids",
     "k_core_subgraph",
     "label_propagation",
+    "link_prediction_scores",
     "louvain",
     "modularity",
     "local_temporal_three_node_motifs",

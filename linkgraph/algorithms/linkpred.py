@@ -1,0 +1,125 @@
+"""Link-prediction scores and degree assortativity.
+
+Beyond-reference link-graph operators (the reference stops at reciprocity /
+clustering — metrics/reciprocity.rs, motifs/triangle_count.rs — but any
+user of a repo-dependency graph asks "which links are likely missing?" and
+"do hubs link to hubs?").  Semantics follow the standard definitions
+(Liben-Nowell & Kleinberg 2003; Newman 2002), computed on the BOTH-direction
+deduplicated simple graph with self-loops excluded, the same neighbour
+semantics as ``NodeStore::degree`` BOTH (node_store.rs:245-257) minus the
+self-loop, since u ∈ N(u) is meaningless for "who is u similar to".
+
+Scale shape
+-----------
+``link_prediction_scores`` is the classic inverted-index pair join: for each
+shared neighbour ``w``, every pair of w's neighbours is a candidate, so the
+intermediate volume is Σ_w C(deg(w), 2) — quadratic in hub degree, exactly
+like the n-gram Jaccard dedup (pipeline/dedup.py).  At 100 TB the knob is
+``max_hub_degree``: common-neighbour evidence through a hub of degree d
+carries Adamic-Adar weight 1/ln(d) → 0, so dropping super-hubs bounds the
+join at a documented, tiny recall cost (the standard practice).  Everything
+is built-in exprs: one self-join shuffle on ``w`` + one hash aggregate
+(map-side partial), then two broadcast-size degree joins and an anti-join
+against existing edges.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from linkgraph.graph import LinkGraph
+
+
+def _simple_neighbours(graph: LinkGraph) -> DataFrame:
+    """(id, nbr_id) BOTH-direction distinct, self-loops dropped."""
+    u = graph.undirected_edge_ids()
+    return u.filter(F.col("id") != F.col("nbr_id"))
+
+
+def degree_assortativity(graph: LinkGraph) -> DataFrame:
+    """One row ``(assortativity,)``: Newman's degree assortativity r.
+
+    Pearson correlation of BOTH-degrees across the endpoints of every
+    undirected non-self edge, each edge contributing both orientations
+    (which is what makes the correlation symmetric — Newman 2002 eq. 4).
+    Degrees are the distinct-neighbour BOTH-degrees *excluding self-loops*,
+    consistent with the edge set being correlated over.
+
+    One shuffle to build degrees + two id-keyed joins + a single scalar
+    aggregate; ``F.corr`` is identical under sample/population conventions
+    because the n-1 factors cancel in the ratio.
+    """
+    und = _simple_neighbours(graph)
+    deg = und.groupBy("id").agg(F.count("*").alias("d"))
+    pairs = (
+        und.join(deg, "id")
+        .withColumnRenamed("d", "dx")
+        .join(
+            deg.select(F.col("id").alias("nbr_id"), F.col("d").alias("dy")),
+            "nbr_id",
+        )
+    )
+    return pairs.agg(F.corr("dx", "dy").alias("assortativity"))
+
+
+def link_prediction_scores(
+    graph: LinkGraph,
+    max_hub_degree: int | None = None,
+) -> DataFrame:
+    """Candidate-pair link-prediction scores over the simple graph.
+
+    Returns ``(src_id, dst_id, cn, jaccard, adamic_adar)`` for every
+    non-adjacent pair ``src_id < dst_id`` sharing at least one neighbour:
+
+    - ``cn``          — common-neighbour count |N(u) ∩ N(v)|;
+    - ``jaccard``     — cn / (|N(u)| + |N(v)| − cn);
+    - ``adamic_adar`` — Σ_{w ∈ N(u)∩N(v)} 1 / ln(deg(w)).
+
+    ``max_hub_degree`` drops shared neighbours with degree above the cap
+    before the pair join (see module docstring); ``None`` = exact.
+    Shared neighbours of degree 1 cannot exist (they'd have only u), and
+    ln(deg)=0 only at deg=1, so the AA term is always finite.
+    """
+    und = _simple_neighbours(graph)
+    deg = und.groupBy("id").agg(F.count("*").alias("d"))
+
+    # (w, u): u is a neighbour of w — carry deg(w) into the pair join once
+    thru = und.select(F.col("id").alias("w"), F.col("nbr_id").alias("u")).join(
+        deg.select(F.col("id").alias("w"), F.col("d").alias("dw")), "w"
+    )
+    if max_hub_degree is not None:
+        thru = thru.filter(F.col("dw") <= F.lit(int(max_hub_degree)))
+
+    a = thru.select("w", F.col("u").alias("src_id"), "dw")
+    b = thru.select("w", F.col("u").alias("dst_id"))
+    pairs = (
+        a.join(b, "w")
+        .filter(F.col("src_id") < F.col("dst_id"))
+        .groupBy("src_id", "dst_id")
+        .agg(
+            F.count("*").alias("cn"),
+            F.sum(1.0 / F.log(F.col("dw").cast("double"))).alias("adamic_adar"),
+        )
+    )
+
+    existing = graph.canonical_edge_ids().select(
+        F.col("lo").alias("src_id"), F.col("hi").alias("dst_id")
+    )
+    candidates = pairs.join(existing, ["src_id", "dst_id"], "left_anti")
+
+    du = deg.select(F.col("id").alias("src_id"), F.col("d").alias("du"))
+    dv = deg.select(F.col("id").alias("dst_id"), F.col("d").alias("dv"))
+    return (
+        candidates.join(du, "src_id")
+        .join(dv, "dst_id")
+        .select(
+            "src_id",
+            "dst_id",
+            "cn",
+            (F.col("cn") / (F.col("du") + F.col("dv") - F.col("cn"))).alias(
+                "jaccard"
+            ),
+            "adamic_adar",
+        )
+    )

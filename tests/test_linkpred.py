@@ -1,0 +1,117 @@
+"""Link prediction (CN / Jaccard / Adamic-Adar) and degree assortativity.
+
+Beyond-reference operators (the reference's metric surface stops at
+reciprocity/clustering — metrics/reciprocity.rs); semantics are the
+standard Liben-Nowell & Kleinberg / Newman definitions over the same
+BOTH-deduplicated simple graph the reference algorithms use.
+"""
+
+import math
+import random
+from collections import defaultdict
+
+from linkgraph.algorithms import degree_assortativity, link_prediction_scores
+from linkgraph.graph import LinkGraph
+
+# 1-2, 2-3, 3-4, 1-3: N(1)={2,3} N(2)={1,3} N(3)={1,2,4} N(4)={3}
+PATHY = [(0, "1", "2"), (1, "2", "3"), (2, "3", "4"), (3, "1", "3")]
+
+
+def _linkpred_oracle(pairs):
+    """Brute-force CN/Jaccard/AA over an undirected edge list of id ints."""
+    nbrs = defaultdict(set)
+    for s, d in pairs:
+        if s != d:
+            nbrs[s].add(d)
+            nbrs[d].add(s)
+    out = {}
+    nodes = sorted(nbrs)
+    for i, u in enumerate(nodes):
+        for v in nodes[i + 1 :]:
+            if v in nbrs[u]:
+                continue
+            common = nbrs[u] & nbrs[v]
+            if not common:
+                continue
+            cn = len(common)
+            out[(u, v)] = (
+                cn,
+                cn / (len(nbrs[u]) + len(nbrs[v]) - cn),
+                sum(1.0 / math.log(len(nbrs[w])) for w in common),
+            )
+    return out
+
+
+def test_linkpred_tiny_exact(spark):
+    g = LinkGraph.from_edge_list(spark, PATHY)
+    got = {
+        (r.src_id, r.dst_id): (r.cn, r.jaccard, r.adamic_adar)
+        for r in link_prediction_scores(g).collect()
+    }
+    # only (1,4) and (2,4) are non-adjacent with a shared neighbour (3)
+    assert set(got) == {(1, 4), (2, 4)}
+    for k in got:
+        cn, jac, aa = got[k]
+        assert cn == 1
+        assert abs(jac - 0.5) < 1e-12
+        assert abs(aa - 1.0 / math.log(3)) < 1e-12
+
+
+def test_linkpred_hub_cap_drops_all(spark):
+    g = LinkGraph.from_edge_list(spark, PATHY)
+    # every candidate's only witness is node 3 (degree 3); cap at 2 → empty
+    assert link_prediction_scores(g, max_hub_degree=2).count() == 0
+
+
+def test_linkpred_randomized_vs_oracle(spark):
+    rng = random.Random(7)
+    edges = [(t, str(rng.randrange(18)), str(rng.randrange(18))) for t in range(60)]
+    g = LinkGraph.from_edge_list(spark, edges)
+    got = {
+        (r.src_id, r.dst_id): (r.cn, r.jaccard, r.adamic_adar)
+        for r in link_prediction_scores(g).collect()
+    }
+    want = _linkpred_oracle(
+        [(int(s), int(d)) for _, s, d in edges]
+    )
+    assert set(got) == set(want)
+    for k, (cn, jac, aa) in want.items():
+        assert got[k][0] == cn
+        assert abs(got[k][1] - jac) < 1e-9
+        assert abs(got[k][2] - aa) < 1e-9
+
+
+def _assortativity_oracle(pairs):
+    nbrs = defaultdict(set)
+    for s, d in pairs:
+        if s != d:
+            nbrs[s].add(d)
+            nbrs[d].add(s)
+    xs, ys = [], []
+    for u, ns in nbrs.items():
+        for v in ns:
+            xs.append(len(nbrs[u]))
+            ys.append(len(nbrs[v]))
+    n = len(xs)
+    mx, my = sum(xs) / n, sum(ys) / n
+    cov = sum((x - mx) * (y - my) for x, y in zip(xs, ys))
+    vx = sum((x - mx) ** 2 for x in xs)
+    vy = sum((y - my) ** 2 for y in ys)
+    return cov / math.sqrt(vx * vy)
+
+
+def test_assortativity_star_is_negative(spark):
+    # star 0-{1..5}: perfectly disassortative, r = -1
+    star = [(t, "0", str(i)) for t, i in enumerate(range(1, 6))]
+    g = LinkGraph.from_edge_list(spark, star)
+    r = degree_assortativity(g).first()["assortativity"]
+    assert abs(r - (-1.0)) < 1e-12
+
+
+def test_assortativity_randomized_vs_oracle(spark):
+    rng = random.Random(13)
+    edges = [(t, str(rng.randrange(20)), str(rng.randrange(20))) for t in range(70)]
+    g = LinkGraph.from_edge_list(spark, edges)
+    r = degree_assortativity(g).first()["assortativity"]
+    want = _assortativity_oracle([(int(s), int(d)) for _, s, d in edges])
+    assert abs(r - want) < 1e-9
