@@ -105,6 +105,9 @@ def main() -> None:
         "emb_kmeans",
         "emb_knn_components",
         "docs_scrub",
+        # round 3 (cont.): link prediction + assortativity
+        "copurchase_link_prediction",
+        "trade_assortativity",
     ]
     # untimed warmup at the smallest scale factor: run every headline query
     # once over sf0.001 so whole-stage-codegen compilation, the parquet

@@ -32,8 +32,17 @@ from linkgraph.graph import LinkGraph
 
 
 def _simple_neighbours(graph: LinkGraph) -> DataFrame:
-    """(id, nbr_id) BOTH-direction distinct, self-loops dropped."""
+    """(id, nbr_id) BOTH-direction distinct, self-loops dropped.
+
+    Persists the graph's memoized undirected view: both operators below
+    reference it 3-6 times (degrees, the pair join's two sides, the final
+    degree joins), and without the cache each reference re-derives it from
+    the source scan — 6 source scans at 100 TB instead of one.  Same
+    discipline as the triangle family (triangles.py); the bench harness
+    clears cache between queries.
+    """
     u = graph.undirected_edge_ids()
+    u.persist()
     return u.filter(F.col("id") != F.col("nbr_id"))
 
 
