@@ -457,6 +457,22 @@ def q_docs_scrub(spark, sf_dir):
     )
 
 
+def q_trade_random_walks(spark, sf_dir):
+    """Deterministic DeepWalk corpus over the undirected trade graph —
+    quenched md5 neighbour choice (walks.py) makes every walk bit-exactly
+    replayable by the recursive-CTE oracle; walks that hit an isolated
+    endpoint terminate early, like the original DeepWalk."""
+    from linkgraph.algorithms import random_walks
+
+    return random_walks(
+        _trade_graph(spark, sf_dir),
+        walk_length=6,
+        walks_per_node=2,
+        seed=7,
+        direction="both",
+    )
+
+
 def q_trade_assortativity(spark, sf_dir):
     """Newman degree assortativity over the trade graph (scalar corr of
     endpoint BOTH-degrees, both orientations per undirected edge)."""
@@ -1209,6 +1225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (golden-gated) ones.  Rotation policy documented in COVERAGE.md."""
     return {
         # new in this session (in-repo oracles; never driver-sampled)
+        "trade_random_walks": q_trade_random_walks,
         "trade_assortativity": q_trade_assortativity,
         "copurchase_link_prediction": q_copurchase_link_prediction,
         "emb_kmeans": q_emb_kmeans,
@@ -1541,6 +1558,31 @@ deg AS (
 )
 SELECT id AS node, round(d::DOUBLE / (SELECT max(d) FROM deg), 6) AS centrality
 FROM deg
+"""
+
+    # replays the quenched-randomness walks exactly: same sorted neighbour
+    # arrays, same md5('walks:<seed>:<walk_id>:<step>') % degree choice
+    # (sampling.hash_key <-> ('0x'||substr(md5,1,15))::BIGINT equivalence)
+    sqls["trade_random_walks"] = f"""
+WITH RECURSIVE {_TRADE_ED}, {_TRADE_NODES}, {_TRADE_UND},
+walk_adj AS (
+  SELECT id AS node, list(nbr ORDER BY nbr) AS nbrs FROM trade_und GROUP BY id
+),
+walk_starts AS (
+  SELECT tn.id::VARCHAR || ':' || r.r::VARCHAR AS walk_id, tn.id AS node
+  FROM trade_nodes tn CROSS JOIN (SELECT unnest(range(2)) AS r) r
+),
+walk(walk_id, step, node) AS (
+  SELECT walk_id, 0::INT AS step, node FROM walk_starts
+  UNION ALL
+  SELECT w.walk_id, (w.step + 1)::INT,
+         a.nbrs[1 + (('0x' || substr(md5(
+             'walks:7:' || w.walk_id || ':' || (w.step + 1)::VARCHAR
+         ), 1, 15))::BIGINT % len(a.nbrs))::INT]
+  FROM walk w JOIN walk_adj a ON a.node = w.node
+  WHERE w.step < 6
+)
+SELECT walk_id, step, node FROM walk
 """
 
     sqls["trade_assortativity"] = f"""

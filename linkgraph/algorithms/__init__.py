@@ -26,6 +26,7 @@ from linkgraph.algorithms.paths import (
     single_source_shortest_path,
     temporally_reachable_nodes,
 )
+from linkgraph.algorithms.walks import random_walks, walk_sequences
 from linkgraph.algorithms.triangles import (
     clustering_coefficient,
     global_triangle_count,
@@ -59,10 +60,12 @@ __all__ = [
     "pagerank",
     "pagerank_on_ids",
     "per_edge_triangles",
+    "random_walks",
     "single_source_shortest_path",
     "temporal_seir",
     "temporally_reachable_nodes",
     "triangles_df",
     "triplet_count",
+    "walk_sequences",
     "weakly_connected_components",
 ]

@@ -1,0 +1,127 @@
+"""Deterministic random-walk corpus generation (DeepWalk-style, p=q=1).
+
+Beyond-reference operator: the reference ships graph algorithms but no
+walk-corpus generator, yet the first thing a user of a 100 TB link graph
+does with it for ML is sample walks to train embeddings (DeepWalk,
+node2vec with p=q=1).  Randomness here is QUENCHED, not sampled: the
+neighbour choice at step ``s`` of walk ``w`` is a pure function
+``md5(salt:walk_id:step) % degree`` of the walk identity — the same
+discipline as the SEIR kernel (seir.py) and the md5 split/sample family
+(pipeline/sampling.py) — so a walk corpus is reproducible across runs,
+partitionings, retries AND engines (the DuckDB oracle replays the walks
+bit-exactly), and regenerating after a corpus grows never rewires
+existing walks.
+
+Scale shape (the 100 TB view)
+-----------------------------
+The adjacency is packed ONCE into sorted per-node neighbour arrays
+(one ``collect_list`` shuffle — the CSR-row layout every neighbour-sampling
+system stores), cached pre-partitioned on ``node``.  Each step is then ONE
+co-partitioned hash join of the walk frontier against that cache plus a
+constant-time ``element_at`` — no per-row Python, no driver round-trips;
+``walk_length`` steps = ``walk_length`` joins, each shuffling only the
+frontier (``n_nodes × walks_per_node`` slim rows), never the edges.  Walks
+that reach a node with no neighbours in the chosen direction terminate
+(shorter sequences, like the original DeepWalk).  Super-hub rows are fat
+(one array holds the full neighbour list); at billions-of-edges scale cap
+them upstream the same way linkpred.py documents ``max_hub_degree`` — a
+uniform sample of a capped hub neighbour list is still uniform.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from linkgraph.graph import LinkGraph
+from linkgraph.pipeline.sampling import hash_key
+
+
+def _adjacency(graph: LinkGraph, direction: str) -> DataFrame:
+    """(node, nbrs) — SORTED distinct-neighbour arrays (AdjSet dedup), the
+    deterministic indexable layout the hash choice needs."""
+    if direction == "out":
+        pairs = graph.edge_ids().select(
+            F.col("src_id").alias("node"), F.col("dst_id").alias("nb")
+        )
+    elif direction == "in":
+        pairs = graph.edge_ids().select(
+            F.col("dst_id").alias("node"), F.col("src_id").alias("nb")
+        )
+    elif direction == "both":
+        pairs = graph.undirected_edge_ids().select(
+            F.col("id").alias("node"), F.col("nbr_id").alias("nb")
+        )
+    else:  # pragma: no cover - arg guard
+        raise ValueError(f"direction must be out/in/both, got {direction!r}")
+    return pairs.groupBy("node").agg(F.sort_array(F.collect_list("nb")).alias("nbrs"))
+
+
+def random_walks(
+    graph: LinkGraph,
+    walk_length: int = 8,
+    walks_per_node: int = 1,
+    seed: int = 7,
+    direction: str = "both",
+) -> DataFrame:
+    """Walk corpus as rows ``(walk_id, step, node)``.
+
+    ``walks_per_node`` walks start at every node; ``walk_id`` is
+    ``"<start_id>:<r>"``.  Step 0 is the start node; each later step moves
+    to ``nbrs[md5("walks:<seed>:<walk_id>:<step>") % len(nbrs)]`` over the
+    sorted distinct-neighbour array — uniform per step, deterministic per
+    (seed, walk, step), replayable bit-exactly in SQL (see the
+    ``trade_random_walks`` oracle in ``__spark_entry__.py``).
+    """
+    if walk_length < 0 or walks_per_node < 1:
+        raise ValueError("walk_length must be >= 0 and walks_per_node >= 1")
+    spark = graph.edges_t.sparkSession
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    adj = _adjacency(graph, direction).repartition(shuffle_n, "node").persist()
+
+    salt = f"walks:{seed}"
+    cur = (
+        graph.ids()
+        .select(
+            "id",
+            F.explode(F.sequence(F.lit(0), F.lit(walks_per_node - 1))).alias("r"),
+        )
+        .select(
+            F.concat_ws(":", "id", "r").alias("walk_id"),
+            F.col("id").alias("node"),
+        )
+        .persist()
+    )
+    frames = [cur.select("walk_id", F.lit(0).cast("int").alias("step"), "node")]
+    for s in range(1, walk_length + 1):
+        choice = F.pmod(
+            hash_key(F.concat_ws(":", F.col("walk_id"), F.lit(str(s))), salt),
+            F.size("nbrs"),
+        )
+        # inner join: frontier rows whose node has no neighbours drop out
+        # (walk terminated).  adj is cached pre-partitioned on the join key,
+        # so only the slim frontier shuffles.
+        cur = (
+            cur.join(adj, "node")
+            .select(
+                "walk_id",
+                F.element_at("nbrs", (choice + F.lit(1)).cast("int")).alias("node"),
+            )
+            .persist()
+        )
+        frames.append(cur.select("walk_id", F.lit(s).cast("int").alias("step"), "node"))
+    return reduce(DataFrame.unionByName, frames)
+
+
+def walk_sequences(walks: DataFrame) -> DataFrame:
+    """Fold walk rows into training sequences — ``(walk_id, nodes)`` with
+    ``nodes`` step-ordered.  One hash aggregate; the array sort is per-walk
+    (walk_length+1 elements), not global."""
+    return walks.groupBy("walk_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("step", "node"))),
+            lambda x: x["node"],
+        ).alias("nodes")
+    )

@@ -1,0 +1,118 @@
+"""Deterministic random walks (walks.py) vs a local replay of the same
+quenched-randomness rule, plus structural walk invariants.
+
+The md5-choice rule is engine-independent, so the strongest check is a
+pure-Python replay: build the sorted neighbour arrays locally, walk with
+``md5("walks:<seed>:<walk_id>:<step>") % degree``, and demand bit-equality
+with the Spark corpus (the driver-side DuckDB oracle in __spark_entry__.py
+is the same replay in SQL).
+"""
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from linkgraph.algorithms import random_walks, walk_sequences
+from linkgraph.graph import LinkGraph
+
+
+def _g(spark):
+    #  1→2, 2→3, 3→1 cycle plus a pendant 3→4; 5 isolated-ish sink via 4→5
+    edges = [
+        (0, "1", "2"),
+        (1, "2", "3"),
+        (2, "3", "1"),
+        (3, "3", "4"),
+        (4, "4", "5"),
+        (5, "1", "2"),  # duplicate event: AdjSet dedup must hold
+    ]
+    return LinkGraph.from_edge_list(spark, edges)
+
+
+def _hash_choice(salt: str, walk_id: str, step: int, deg: int) -> int:
+    h = hashlib.md5(f"{salt}:{walk_id}:{step}".encode()).hexdigest()
+    return int(h[:15], 16) % deg
+
+
+def _replay(adj: dict, starts: list, walk_length: int, seed: int) -> set:
+    rows = set()
+    for wid, node in starts:
+        rows.add((wid, 0, node))
+        cur = node
+        for s in range(1, walk_length + 1):
+            nbrs = adj.get(cur)
+            if not nbrs:
+                break
+            cur = nbrs[_hash_choice(f"walks:{seed}", wid, s, len(nbrs))]
+            rows.add((wid, s, cur))
+    return rows
+
+
+def _local_adj(g, direction):
+    pairs = []
+    for r in g.edge_ids().collect():
+        if direction in ("out", "both"):
+            pairs.append((r["src_id"], r["dst_id"]))
+        if direction in ("in", "both"):
+            pairs.append((r["dst_id"], r["src_id"]))
+    adj: dict = {}
+    for a, b in set(pairs):
+        adj.setdefault(a, []).append(b)
+    return {k: sorted(v) for k, v in adj.items()}
+
+
+def test_out_walks_match_local_replay(spark):
+    g = _g(spark)
+    got = {
+        (r["walk_id"], r["step"], r["node"])
+        for r in random_walks(g, walk_length=5, walks_per_node=3, seed=11, direction="out").collect()
+    }
+    adj = _local_adj(g, "out")
+    starts = [(f"{n}:{r}", n) for n in (1, 2, 3, 4, 5) for r in range(3)]
+    assert got == _replay(adj, starts, 5, 11)
+    # node 5 is a sink: its walks must terminate at step 0
+    assert {(w, s) for (w, s, _) in got if w.startswith("5:")} == {
+        (f"5:{r}", 0) for r in range(3)
+    }
+
+
+def test_both_walks_match_local_replay_and_traverse_edges(spark):
+    g = _g(spark)
+    walks = random_walks(g, walk_length=4, walks_per_node=2, seed=7, direction="both")
+    got = {(r["walk_id"], r["step"], r["node"]) for r in walks.collect()}
+    adj = _local_adj(g, "both")
+    starts = [(f"{n}:{r}", n) for n in (1, 2, 3, 4, 5) for r in range(2)]
+    assert got == _replay(adj, starts, 4, 7)
+    # undirected graph is connected: every walk runs the full length
+    assert len(got) == 5 * 2 * 5
+    # every consecutive (step, step+1) pair is an undirected edge
+    und = {(a, b) for a, nbrs in adj.items() for b in nbrs}
+    byw: dict = {}
+    for wid, s, n in got:
+        byw.setdefault(wid, {})[s] = n
+    for steps in byw.values():
+        for s in range(len(steps) - 1):
+            assert (steps[s], steps[s + 1]) in und
+
+
+def test_seed_changes_corpus(spark):
+    g = _g(spark)
+    a = {(r["walk_id"], r["step"], r["node"])
+         for r in random_walks(g, walk_length=6, seed=1).collect()}
+    b = {(r["walk_id"], r["step"], r["node"])
+         for r in random_walks(g, walk_length=6, seed=2).collect()}
+    assert a != b
+
+
+def test_walk_sequences_fold(spark):
+    g = _g(spark)
+    walks = random_walks(g, walk_length=3, walks_per_node=1, seed=7, direction="both")
+    seqs = {r["walk_id"]: r["nodes"] for r in walk_sequences(walks).collect()}
+    rows = walks.collect()
+    byw: dict = {}
+    for r in rows:
+        byw.setdefault(r["walk_id"], []).append((r["step"], r["node"]))
+    assert seqs == {w: [n for _, n in sorted(v)] for w, v in byw.items()}
+    # sequences are step-ordered and start at the start node
+    for wid, nodes in seqs.items():
+        assert nodes[0] == int(wid.split(":")[0])
