@@ -473,6 +473,27 @@ def q_trade_random_walks(spark, sf_dir):
     )
 
 
+def q_trade_node2vec_walks(spark, sf_dir):
+    """Second-order biased walks (node2vec p=2, q=0.5) from every 20th
+    node of the undirected trade graph — dyadic p/q make every weight,
+    prefix sum and pick an exact double, so the recursive-CTE oracle
+    replays the biased walks bit-exactly (walks.py node2vec_walks)."""
+    from linkgraph.algorithms import node2vec_walks
+
+    g = _trade_graph(spark, sf_dir)
+    starts = g.ids().select("id").filter(F.col("id") % 20 == 0)
+    return node2vec_walks(
+        g,
+        walk_length=5,
+        walks_per_node=1,
+        seed=11,
+        p=2.0,
+        q=0.5,
+        direction="both",
+        starts=starts,
+    )
+
+
 def q_trade_assortativity(spark, sf_dir):
     """Newman degree assortativity over the trade graph (scalar corr of
     endpoint BOTH-degrees, both orientations per undirected edge)."""
@@ -1226,6 +1247,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # new in this session (in-repo oracles; never driver-sampled)
         "trade_random_walks": q_trade_random_walks,
+        "trade_node2vec_walks": q_trade_node2vec_walks,
         "trade_assortativity": q_trade_assortativity,
         "copurchase_link_prediction": q_copurchase_link_prediction,
         "emb_kmeans": q_emb_kmeans,
@@ -1581,6 +1603,46 @@ walk(walk_id, step, node) AS (
          ), 1, 15))::BIGINT % len(a.nbrs))::INT]
   FROM walk w JOIN walk_adj a ON a.node = w.node
   WHERE w.step < 6
+)
+SELECT walk_id, step, node FROM walk
+"""
+
+    # node2vec replay: weights are DYADIC (1, 1/p=0.5, 1/q=2.0), so every
+    # prefix sum and the scaled 53-bit md5 fraction are exact doubles on
+    # both engines — the inverse-CDF pick is bit-reproducible
+    _n2v_wl = (
+        "list_transform(a.nbrs, x -> CASE WHEN w.prev IS NULL THEN 1.0::DOUBLE"
+        " WHEN x = w.prev THEN 0.5::DOUBLE"
+        " WHEN list_contains(coalesce(ap.nbrs, []), x) THEN 1.0::DOUBLE"
+        " ELSE 2.0::DOUBLE END)"
+    )
+    _n2v_r = (
+        "((('0x' || substr(md5('n2v:11:' || w.walk_id || ':' ||"
+        " (w.step + 1)::VARCHAR), 1, 15))::BIGINT % 9007199254740992)::DOUBLE"
+        f" / 9007199254740992.0) * list_aggregate({_n2v_wl}, 'sum')"
+    )
+    _n2v_pick = (
+        f"coalesce(list_filter(range(1, len(a.nbrs) + 1),"
+        f" i -> list_aggregate(({_n2v_wl})[1:i], 'sum') > {_n2v_r})[1],"
+        " len(a.nbrs))"
+    )
+    sqls["trade_node2vec_walks"] = f"""
+WITH RECURSIVE {_TRADE_ED}, {_TRADE_NODES}, {_TRADE_UND},
+n2v_adj AS (
+  SELECT id AS node, list(nbr ORDER BY nbr) AS nbrs FROM trade_und GROUP BY id
+),
+n2v_starts AS (
+  SELECT id::VARCHAR || ':0' AS walk_id, NULL::BIGINT AS prev, id AS node
+  FROM trade_nodes WHERE id % 20 = 0
+),
+walk(walk_id, step, prev, node) AS (
+  SELECT walk_id, 0::INT AS step, prev, node FROM n2v_starts
+  UNION ALL
+  SELECT w.walk_id, (w.step + 1)::INT, w.node, a.nbrs[{_n2v_pick}]
+  FROM walk w
+  JOIN n2v_adj a ON a.node = w.node
+  LEFT JOIN n2v_adj ap ON ap.node = w.prev
+  WHERE w.step < 5
 )
 SELECT walk_id, step, node FROM walk
 """

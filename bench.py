@@ -108,6 +108,9 @@ def main() -> None:
         # round 3 (cont.): link prediction + assortativity
         "copurchase_link_prediction",
         "trade_assortativity",
+        # round 3 (cont.): deterministic walk-corpus generation
+        "trade_random_walks",
+        "trade_node2vec_walks",
     ]
     # untimed warmup at the smallest scale factor: run every headline query
     # once over sf0.001 so whole-stage-codegen compilation, the parquet

@@ -26,7 +26,7 @@ from linkgraph.algorithms.paths import (
     single_source_shortest_path,
     temporally_reachable_nodes,
 )
-from linkgraph.algorithms.walks import random_walks, walk_sequences
+from linkgraph.algorithms.walks import node2vec_walks, random_walks, walk_sequences
 from linkgraph.algorithms.triangles import (
     clustering_coefficient,
     global_triangle_count,
@@ -53,6 +53,7 @@ __all__ = [
     "link_prediction_scores",
     "louvain",
     "modularity",
+    "node2vec_walks",
     "local_temporal_three_node_motifs",
     "local_clustering_coefficient",
     "local_triangle_count",

@@ -115,6 +115,127 @@ def random_walks(
     return reduce(DataFrame.unionByName, frames)
 
 
+_DYADIC = float(1 << 53)
+
+
+def node2vec_walks(
+    graph: LinkGraph,
+    walk_length: int = 8,
+    walks_per_node: int = 1,
+    seed: int = 7,
+    p: float = 2.0,
+    q: float = 0.5,
+    direction: str = "both",
+    starts: DataFrame | None = None,
+) -> DataFrame:
+    """Second-order biased walks (node2vec; Grover & Leskovec 2016) as rows
+    ``(walk_id, step, node)``.  ``starts`` (one node-id column) restricts
+    the walk seeds; default is every node.
+
+    At step ``s`` the candidate weight of neighbour ``x`` of the current
+    node (given the previous node ``t``) is ``1/p`` if ``x == t`` (return),
+    ``1`` if ``x`` is adjacent to ``t`` (BFS-ish), else ``1/q`` (DFS-ish);
+    step 1 is uniform.  The pick is by quenched inverse-CDF sampling: a
+    53-bit md5 fraction of ``(seed, walk_id, step)`` scaled by the total
+    weight, walked down the prefix sums of the sorted neighbour array.
+
+    Determinism across engines: with DYADIC ``1/p``/``1/q`` (defaults 0.5
+    and 2.0) every weight, prefix sum and total is an exact double, so the
+    DuckDB oracle replays the picks bit-exactly no matter how either engine
+    associates the sums.  Non-dyadic p/q stay deterministic within Spark
+    (same accumulation order every run) but are not oracle-exact.
+
+    Scale shape: like :func:`random_walks` — ONE co-partitioned frontier
+    join per step — with the previous node's neighbour array CARRIED in the
+    walk state (this step's fetched ``nbrs`` is exactly next step's
+    ``prev_nbrs``), so the second-order bias costs no extra join and no
+    self-join of the adjacency cache (a second join of the same cached
+    relation is also where Spark's ambiguous-self-join resolution can
+    silently null the match).  Frontier rows are fat by one neighbour
+    array; the per-row weight pass is ``O(deg(cur) · deg(prev))`` built-in
+    array exprs (``array_contains`` per candidate) — the standard node2vec
+    cost; cap super-hubs upstream as linkpred.py documents.
+    """
+    if walk_length < 0 or walks_per_node < 1:
+        raise ValueError("walk_length must be >= 0 and walks_per_node >= 1")
+    spark = graph.edges_t.sparkSession
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    adj = _adjacency(graph, direction).repartition(shuffle_n, "node").persist()
+
+    salt = f"n2v:{seed}"
+    base = (
+        graph.ids().select("id")
+        if starts is None
+        else starts.select(F.col(starts.columns[0]).alias("id"))
+    )
+    cur = (
+        base
+        .select(
+            "id",
+            F.explode(F.sequence(F.lit(0), F.lit(walks_per_node - 1))).alias("r"),
+        )
+        .select(
+            F.concat_ws(":", "id", "r").alias("walk_id"),
+            F.lit(None).cast("long").alias("prev"),
+            F.lit(None).cast("array<long>").alias("prev_nbrs"),
+            F.col("id").alias("node"),
+        )
+        .persist()
+    )
+    frames = [cur.select("walk_id", F.lit(0).cast("int").alias("step"), "node")]
+    for s in range(1, walk_length + 1):
+        j = cur.join(adj, "node")
+        prev_col, pnbrs = F.col("prev"), F.coalesce("prev_nbrs", F.array())
+        weights = F.transform(
+            F.col("nbrs"),
+            lambda x: F.when(prev_col.isNull(), F.lit(1.0))
+            .when(x == prev_col, F.lit(1.0 / p))
+            .when(F.array_contains(pnbrs, x), F.lit(1.0))
+            .otherwise(F.lit(1.0 / q)),
+        )
+        total = F.aggregate(weights, F.lit(0.0), lambda a, x: a + x)
+        h = hash_key(F.concat_ws(":", F.col("walk_id"), F.lit(str(s))), salt)
+        r_scaled = (
+            F.pmod(h, F.lit(1 << 53)).cast("double") / F.lit(_DYADIC)
+        ) * total
+        idxw = F.zip_with(
+            weights,
+            F.sequence(F.lit(1), F.size("nbrs")),
+            lambda w, i: F.struct(w.alias("w"), i.alias("i")),
+        )
+        pick = F.aggregate(
+            idxw,
+            F.struct(F.lit(0.0).alias("cum"), F.lit(0).alias("pick")),
+            lambda acc, e: F.struct(
+                (acc["cum"] + e["w"]).alias("cum"),
+                F.when(acc["pick"] > 0, acc["pick"])
+                .when(acc["cum"] + e["w"] > r_scaled, e["i"])
+                .otherwise(F.lit(0))
+                .alias("pick"),
+            ),
+            lambda acc: F.when(acc["pick"] > 0, acc["pick"]).otherwise(
+                F.size("nbrs")
+            ),
+        )
+        # pick MUST be projected before the prev/prev_nbrs rename: Spark 4
+        # lateral column aliases would otherwise resolve pick's references
+        # to `prev`/`prev_nbrs` against the aliases defined earlier in the
+        # SAME select list (i.e. the current node and its own neighbours),
+        # silently degrading the walk to first-order.
+        stepped = j.select("walk_id", "node", "nbrs", pick.cast("int").alias("pick"))
+        cur = (
+            stepped.select(
+                "walk_id",
+                F.col("node").alias("prev"),
+                F.col("nbrs").alias("prev_nbrs"),
+                F.element_at("nbrs", F.col("pick")).alias("node"),
+            )
+            .persist()
+        )
+        frames.append(cur.select("walk_id", F.lit(s).cast("int").alias("step"), "node"))
+    return reduce(DataFrame.unionByName, frames)
+
+
 def walk_sequences(walks: DataFrame) -> DataFrame:
     """Fold walk rows into training sequences — ``(walk_id, nodes)`` with
     ``nodes`` step-ordered.  One hash aggregate; the array sort is per-walk

@@ -12,7 +12,7 @@ import hashlib
 
 from pyspark.sql import functions as F
 
-from linkgraph.algorithms import random_walks, walk_sequences
+from linkgraph.algorithms import node2vec_walks, random_walks, walk_sequences
 from linkgraph.graph import LinkGraph
 
 
@@ -93,6 +93,73 @@ def test_both_walks_match_local_replay_and_traverse_edges(spark):
     for steps in byw.values():
         for s in range(len(steps) - 1):
             assert (steps[s], steps[s + 1]) in und
+
+
+def _n2v_replay(adj: dict, starts: list, walk_length: int, seed: int,
+                p: float, q: float) -> set:
+    rows = set()
+    for wid, node in starts:
+        rows.add((wid, 0, node))
+        prev, cur = None, node
+        for s in range(1, walk_length + 1):
+            nbrs = adj.get(cur)
+            if not nbrs:
+                break
+            if prev is None:
+                w = [1.0] * len(nbrs)
+            else:
+                pn = set(adj.get(prev, []))
+                w = [1.0 / p if x == prev else (1.0 if x in pn else 1.0 / q)
+                     for x in nbrs]
+            h = hashlib.md5(f"n2v:{seed}:{wid}:{s}".encode()).hexdigest()
+            r = (int(h[:15], 16) % (1 << 53)) / float(1 << 53) * sum(w)
+            cum, pick = 0.0, len(nbrs)
+            for i, wi in enumerate(w):
+                cum += wi
+                if cum > r:
+                    pick = i + 1
+                    break
+            prev, cur = cur, nbrs[pick - 1]
+            rows.add((wid, s, cur))
+    return rows
+
+
+def test_node2vec_walks_match_local_replay(spark):
+    g = _g(spark)
+    got = {
+        (r["walk_id"], r["step"], r["node"])
+        for r in node2vec_walks(
+            g, walk_length=6, walks_per_node=3, seed=3, p=2.0, q=0.5,
+            direction="both",
+        ).collect()
+    }
+    adj = _local_adj(g, "both")
+    starts = [(f"{n}:{r}", n) for n in (1, 2, 3, 4, 5) for r in range(3)]
+    assert got == _n2v_replay(adj, starts, 6, 3, 2.0, 0.5)
+    assert len(got) == 5 * 3 * 7  # undirected graph: full-length walks
+
+
+def test_node2vec_bias_is_felt(spark):
+    # high return weight (p small) vs low: walks with p=1/8 must revisit
+    # the previous node more often than with p=8 on the same seed
+    g = _g(spark)
+
+    def backtrack_fraction(p):
+        rows = node2vec_walks(
+            g, walk_length=8, walks_per_node=8, seed=5, p=p, q=1.0,
+            direction="both",
+        ).collect()
+        byw: dict = {}
+        for r in rows:
+            byw.setdefault(r["walk_id"], {})[r["step"]] = r["node"]
+        back = tot = 0
+        for steps in byw.values():
+            for s in range(2, len(steps)):
+                tot += 1
+                back += steps[s] == steps[s - 2]
+        return back / tot
+
+    assert backtrack_fraction(0.125) > backtrack_fraction(8.0)
 
 
 def test_seed_changes_corpus(spark):
