@@ -103,13 +103,17 @@ def random_walks(
         # inner join: frontier rows whose node has no neighbours drop out
         # (walk terminated).  adj is cached pre-partitioned on the join key,
         # so only the slim frontier shuffles.
+        # localCheckpoint (lazy) instead of persist: the frontier is slim,
+        # and cutting lineage keeps the plan O(1) per step — a bare persist
+        # leaves an O(steps^2) logical plan under the final union, which
+        # costs megabytes of plan-string render per UI/explain event
         cur = (
             cur.join(adj, "node")
             .select(
                 "walk_id",
                 F.element_at("nbrs", (choice + F.lit(1)).cast("int")).alias("node"),
             )
-            .persist()
+            .localCheckpoint(eager=False)
         )
         frames.append(cur.select("walk_id", F.lit(s).cast("int").alias("step"), "node"))
     return reduce(DataFrame.unionByName, frames)
@@ -223,6 +227,7 @@ def node2vec_walks(
         # SAME select list (i.e. the current node and its own neighbours),
         # silently degrading the walk to first-order.
         stepped = j.select("walk_id", "node", "nbrs", pick.cast("int").alias("pick"))
+        # lazy localCheckpoint: cut lineage per step (see random_walks note)
         cur = (
             stepped.select(
                 "walk_id",
@@ -230,7 +235,7 @@ def node2vec_walks(
                 F.col("nbrs").alias("prev_nbrs"),
                 F.element_at("nbrs", F.col("pick")).alias("node"),
             )
-            .persist()
+            .localCheckpoint(eager=False)
         )
         frames.append(cur.select("walk_id", F.lit(s).cast("int").alias("step"), "node"))
     return reduce(DataFrame.unionByName, frames)
