@@ -89,10 +89,18 @@ def _copurchase_graph(spark: SparkSession, sf_dir: str):
     """Parts co-occurring in the same order (lineitem self-join on
     l_orderkey).  Sparser than the near-complete cosupply graph, so
     non-adjacent pairs with shared neighbours — link-prediction
-    candidates — actually exist at small scale factors."""
+    candidates — actually exist at small scale factors.
+
+    Scoped to every 4th order: the co-purchase graph is DENSE, not skewed
+    (sf0.1: 20k parts, mean degree ~120, max only 222), so exact
+    common-neighbour evidence is Σ deg² ≈ 298M join rows and no hub cap
+    helps; the deterministic order subsample divides degrees by ~4 and the
+    pair-join volume by ~16 while exercising the identical plan.  The full
+    graph stays one argument away (`link_prediction_scores` on an
+    unscoped graph, `max_hub_degree` for skewed inputs)."""
     from linkgraph.graph import LinkGraph
 
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 4 == 0)
     # dedup (order, part) BEFORE the self-join, same shape as _cosupply_graph
     op = li.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p")
@@ -431,10 +439,13 @@ def q_emb_kmeans(spark, sf_dir):
 def q_emb_knn_components(spark, sf_dir):
     """Connected components of the exact 3-NN graph (cosine ≥ 0.3 floor so
     the corpus fragments into real clusters) — the vector twin of near-dup
-    clustering."""
+    clustering.  Scoped to every 4th vector: the default pairs are the
+    EXACT quadratic baseline (the oracle's semantics), so corpus cost is
+    n²·dim; the 100 TB path passes ivf_topk/lsh_topk candidate pairs to
+    knn_components instead (documented in simsearch.py)."""
     from linkgraph.pipeline.simsearch import knn_components
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 4 == 0)
     return knn_components(emb, k=3, min_cosine=0.3).select(
         F.col("vec_id").cast("long").alias("vec_id"),
         F.col("component").cast("long").alias("component"),
@@ -1371,6 +1382,7 @@ cp_ed AS (
   SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
   FROM lineitem a JOIN lineitem b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  WHERE a.l_orderkey % 4 = 0
 )"""
 
 _TRANSITION_ED = """
@@ -2420,11 +2432,12 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.
     sqls["emb_kmeans"] = _kmeans_oracle_sql(10, iters=2)
 
     sqls["emb_knn_components"] = """
-WITH RECURSIVE c AS (SELECT vec_id AS cand_id, embedding::DOUBLE[] AS cv FROM embeddings),
+WITH RECURSIVE emb4 AS (SELECT * FROM embeddings WHERE vec_id % 4 = 0),
+c AS (SELECT vec_id AS cand_id, embedding::DOUBLE[] AS cv FROM emb4),
 scored AS (
   SELECT q.vec_id AS query_id, c.cand_id,
          round(list_cosine_similarity(q.embedding::DOUBLE[], c.cv), 6) AS cosine
-  FROM embeddings q CROSS JOIN c WHERE q.vec_id <> c.cand_id
+  FROM emb4 q CROSS JOIN c WHERE q.vec_id <> c.cand_id
 ),
 topk AS (
   SELECT query_id, cand_id FROM (
@@ -2436,7 +2449,7 @@ topk AS (
 und AS (SELECT query_id AS id, cand_id AS nbr FROM topk
         UNION SELECT cand_id, query_id FROM topk),
 reach(node, lab) AS (
-  SELECT vec_id, vec_id FROM embeddings
+  SELECT vec_id, vec_id FROM emb4
   UNION
   SELECT u.id, r.lab FROM reach r JOIN und u ON u.nbr = r.node
 ),
