@@ -505,6 +505,26 @@ def q_trade_node2vec_walks(spark, sf_dir):
     )
 
 
+def q_trade_temporal_walks(spark, sf_dir):
+    """Time-respecting walks (CTDNE) over the trade event stream from
+    every 20th node — each step's order-date must be >= the previous
+    step's, so walks are causally valid; the quenched md5 choice over the
+    time-filtered candidate suffix is replayed bit-exactly by the
+    recursive-CTE oracle (walks.py temporal_walks)."""
+    from linkgraph.algorithms import temporal_walks
+
+    g = _trade_graph(spark, sf_dir)
+    starts = g.ids().select("id").filter(F.col("id") % 20 == 0)
+    return temporal_walks(
+        g,
+        walk_length=4,
+        walks_per_node=1,
+        seed=13,
+        direction="both",
+        starts=starts,
+    )
+
+
 def q_trade_assortativity(spark, sf_dir):
     """Newman degree assortativity over the trade graph (scalar corr of
     endpoint BOTH-degrees, both orientations per undirected edge)."""
@@ -1259,6 +1279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in this session (in-repo oracles; never driver-sampled)
         "trade_random_walks": q_trade_random_walks,
         "trade_node2vec_walks": q_trade_node2vec_walks,
+        "trade_temporal_walks": q_trade_temporal_walks,
         "trade_assortativity": q_trade_assortativity,
         "copurchase_link_prediction": q_copurchase_link_prediction,
         "emb_kmeans": q_emb_kmeans,
@@ -1657,6 +1678,44 @@ walk(walk_id, step, prev, node) AS (
   WHERE w.step < 5
 )
 SELECT walk_id, step, node FROM walk
+"""
+
+    # temporal (CTDNE) walk replay: candidates are the time-filtered suffix
+    # of the node's time-sorted distinct event array; pick is the quenched
+    # md5 index — all-integer arithmetic, bit-exact by construction
+    _tw_cands = "list_filter(a.nbrs, e -> e.time >= w.t)"
+    _tw_pick = (
+        f"{_tw_cands}[1 + (('0x' || substr(md5('twalk:13:' || w.walk_id ||"
+        f" ':' || (w.step + 1)::VARCHAR), 1, 15))::BIGINT"
+        f" % len({_tw_cands}))::INT]"
+    )
+    sqls["trade_temporal_walks"] = f"""
+WITH RECURSIVE {_TRADE_ED}, {_TRADE_NODES},
+tw_ev AS (
+  SELECT DISTINCT o_custkey AS a, 1000000 + l_suppkey AS b,
+         epoch_ms(o_orderdate) AS t
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+tw_pairs AS (SELECT a AS node, b AS nb, t FROM tw_ev UNION SELECT b, a, t FROM tw_ev),
+tw_adj AS (
+  SELECT node, list({{'time': t, 'nb': nb}} ORDER BY t, nb) AS nbrs
+  FROM tw_pairs GROUP BY node
+),
+tw_starts AS (
+  SELECT id::VARCHAR || ':0' AS walk_id, (-9223372036854775807 - 1)::BIGINT AS t,
+         id AS node
+  FROM trade_nodes WHERE id % 20 = 0
+),
+walk(walk_id, step, t, node) AS (
+  SELECT walk_id, 0::INT AS step, t, node FROM tw_starts
+  UNION ALL
+  SELECT w.walk_id, (w.step + 1)::INT, ({_tw_pick}).time, ({_tw_pick}).nb
+  FROM walk w JOIN tw_adj a ON a.node = w.node
+  WHERE w.step < 4 AND len({_tw_cands}) > 0
+)
+SELECT walk_id, step, node,
+       CASE WHEN step = 0 THEN NULL::BIGINT ELSE t END AS t
+FROM walk
 """
 
     sqls["trade_assortativity"] = f"""

@@ -111,6 +111,7 @@ def main() -> None:
         # round 3 (cont.): deterministic walk-corpus generation
         "trade_random_walks",
         "trade_node2vec_walks",
+        "trade_temporal_walks",
     ]
     # untimed warmup at the smallest scale factor: run every headline query
     # once over sf0.001 so whole-stage-codegen compilation, the parquet

@@ -26,7 +26,12 @@ from linkgraph.algorithms.paths import (
     single_source_shortest_path,
     temporally_reachable_nodes,
 )
-from linkgraph.algorithms.walks import node2vec_walks, random_walks, walk_sequences
+from linkgraph.algorithms.walks import (
+    node2vec_walks,
+    random_walks,
+    temporal_walks,
+    walk_sequences,
+)
 from linkgraph.algorithms.triangles import (
     clustering_coefficient,
     global_triangle_count,
@@ -64,6 +69,7 @@ __all__ = [
     "random_walks",
     "single_source_shortest_path",
     "temporal_seir",
+    "temporal_walks",
     "temporally_reachable_nodes",
     "triangles_df",
     "triplet_count",

@@ -241,6 +241,122 @@ def node2vec_walks(
     return reduce(DataFrame.unionByName, frames)
 
 
+_LONG_MIN = -(1 << 63)
+
+
+def temporal_walks(
+    graph: LinkGraph,
+    walk_length: int = 8,
+    walks_per_node: int = 1,
+    seed: int = 7,
+    direction: str = "both",
+    strict: bool = False,
+    starts: DataFrame | None = None,
+) -> DataFrame:
+    """Time-respecting walks (CTDNE; Nguyen et al. 2018) as rows
+    ``(walk_id, step, node, t)`` — each step traverses a temporal EVENT
+    whose timestamp is ``>=`` the previous step's (``>`` when ``strict``),
+    so every walk is a causally valid path through the event stream, the
+    walk-corpus analogue of ``temporally_reachable_nodes`` (paths.py).
+
+    The step choice is uniform over the VALID candidate events (the
+    time-filtered suffix of the node's time-sorted event array), quenched
+    on ``md5(salt:walk_id:step)`` like :func:`random_walks`, so the corpus
+    is deterministic and SQL-replayable.  ``t`` is the timestamp of the
+    event taken to arrive at ``node`` (null at step 0).  Walks terminate
+    at nodes with no event at-or-after the current time.
+
+    Scale shape: the temporal adjacency packs each node's DISTINCT
+    ``(time, neighbour)`` events once into a sorted array (one shuffle),
+    cached pre-partitioned; each step is one co-partitioned frontier join
+    + an O(deg) array filter — no per-row Python, no event-table
+    reshuffle.  Hot nodes carry their full event array; cap upstream as
+    with the other walk kernels.
+    """
+    if walk_length < 0 or walks_per_node < 1:
+        raise ValueError("walk_length must be >= 0 and walks_per_node >= 1")
+    from linkgraph.graph import name_to_id
+
+    spark = graph.edges_t.sparkSession
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ev = graph.edges_t.select(
+        name_to_id(F.col("src")).alias("a"),
+        name_to_id(F.col("dst")).alias("b"),
+        F.col("time").cast("long").alias("t"),
+    )
+    if direction == "out":
+        pairs = ev.select(F.col("a").alias("node"), F.col("b").alias("nb"), "t")
+    elif direction == "in":
+        pairs = ev.select(F.col("b").alias("node"), F.col("a").alias("nb"), "t")
+    elif direction == "both":
+        pairs = ev.select(F.col("a").alias("node"), F.col("b").alias("nb"), "t").unionByName(
+            ev.select(F.col("b").alias("node"), F.col("a").alias("nb"), "t")
+        )
+    else:  # pragma: no cover - arg guard
+        raise ValueError(f"direction must be out/in/both, got {direction!r}")
+    tadj = (
+        pairs.distinct()
+        .groupBy("node")
+        .agg(F.sort_array(F.collect_list(F.struct(F.col("t").alias("time"), F.col("nb").alias("nb")))).alias("nbrs"))
+        .repartition(shuffle_n, "node")
+        .persist()
+    )
+
+    salt = f"twalk:{seed}"
+    base = (
+        graph.ids().select("id")
+        if starts is None
+        else starts.select(F.col(starts.columns[0]).alias("id"))
+    )
+    cur = (
+        base.select(
+            "id",
+            F.explode(F.sequence(F.lit(0), F.lit(walks_per_node - 1))).alias("r"),
+        )
+        .select(
+            F.concat_ws(":", "id", "r").alias("walk_id"),
+            F.lit(_LONG_MIN).cast("long").alias("t"),
+            F.col("id").alias("node"),
+        )
+        .persist()
+    )
+    frames = [
+        cur.select(
+            "walk_id",
+            F.lit(0).cast("int").alias("step"),
+            "node",
+            F.lit(None).cast("long").alias("t"),
+        )
+    ]
+    for s in range(1, walk_length + 1):
+        j = cur.join(tadj, "node")
+        t_col = F.col("t")
+        if strict:
+            cands = F.filter(F.col("nbrs"), lambda e: e["time"] > t_col)
+        else:
+            cands = F.filter(F.col("nbrs"), lambda e: e["time"] >= t_col)
+        h = hash_key(F.concat_ws(":", F.col("walk_id"), F.lit(str(s))), salt)
+        picked = F.element_at(
+            cands, (F.pmod(h, F.size(cands)) + F.lit(1)).cast("int")
+        )
+        # two-stage select: `picked` references t/nbrs, which the rename
+        # below shadows (lateral-column-alias hazard, see node2vec note)
+        stepped = j.filter(F.size(cands) > 0).select(
+            "walk_id", picked.alias("chosen")
+        )
+        cur = stepped.select(
+            "walk_id",
+            F.col("chosen")["time"].alias("t"),
+            F.col("chosen")["nb"].alias("node"),
+        ).localCheckpoint(eager=False)
+        frames.append(
+            cur.select(
+                "walk_id", F.lit(s).cast("int").alias("step"), "node", "t"
+            )
+        )
+    return reduce(DataFrame.unionByName, frames)
+
+
 def walk_sequences(walks: DataFrame) -> DataFrame:
     """Fold walk rows into training sequences — ``(walk_id, nodes)`` with
     ``nodes`` step-ordered.  One hash aggregate; the array sort is per-walk

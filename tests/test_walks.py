@@ -12,7 +12,12 @@ import hashlib
 
 from pyspark.sql import functions as F
 
-from linkgraph.algorithms import node2vec_walks, random_walks, walk_sequences
+from linkgraph.algorithms import (
+    node2vec_walks,
+    random_walks,
+    temporal_walks,
+    walk_sequences,
+)
 from linkgraph.graph import LinkGraph
 
 
@@ -169,6 +174,68 @@ def test_seed_changes_corpus(spark):
     b = {(r["walk_id"], r["step"], r["node"])
          for r in random_walks(g, walk_length=6, seed=2).collect()}
     assert a != b
+
+
+def _temporal_replay(tadj: dict, starts: list, walk_length: int, seed: int,
+                     strict: bool) -> set:
+    rows = set()
+    for wid, node in starts:
+        rows.add((wid, 0, node, None))
+        t, cur = -(1 << 63), node
+        for s in range(1, walk_length + 1):
+            cands = [e for e in tadj.get(cur, [])
+                     if (e[0] > t if strict else e[0] >= t)]
+            if not cands:
+                break
+            h = hashlib.md5(f"twalk:{seed}:{wid}:{s}".encode()).hexdigest()
+            t, cur = cands[int(h[:15], 16) % len(cands)]
+            rows.add((wid, s, cur, t))
+    return rows
+
+
+def test_temporal_walks_match_local_replay_and_respect_time(spark):
+    #  times force direction: late events can't precede early ones
+    edges = [
+        (10, "1", "2"),
+        (20, "2", "3"),
+        (5, "3", "1"),
+        (30, "3", "4"),
+        (40, "4", "5"),
+        (10, "1", "2"),  # duplicate event: distinct (time, nb) dedup
+        (15, "1", "3"),
+    ]
+    g = LinkGraph.from_edge_list(spark, edges)
+    got = {
+        (r["walk_id"], r["step"], r["node"], r["t"])
+        for r in temporal_walks(
+            g, walk_length=5, walks_per_node=2, seed=13, direction="both"
+        ).collect()
+    }
+    # local temporal adjacency (both directions, distinct, sorted)
+    tadj: dict = {}
+    for t, s_, d_ in [(e[0], int(e[1]), int(e[2])) for e in edges]:
+        tadj.setdefault(s_, set()).add((t, d_))
+        tadj.setdefault(d_, set()).add((t, s_))
+    tadj = {k: sorted(v) for k, v in tadj.items()}
+    starts = [(f"{n}:{r}", n) for n in (1, 2, 3, 4, 5) for r in range(2)]
+    assert got == _temporal_replay(tadj, starts, 5, 13, strict=False)
+    # every walk's event times are non-decreasing
+    byw: dict = {}
+    for wid, s, n, t in got:
+        if s > 0:
+            byw.setdefault(wid, []).append((s, t))
+    for steps in byw.values():
+        ts = [t for _, t in sorted(steps)]
+        assert ts == sorted(ts)
+
+
+def test_temporal_walks_strict_is_stricter(spark):
+    edges = [(10, "1", "2"), (10, "2", "3"), (10, "3", "1"), (20, "1", "3")]
+    g = LinkGraph.from_edge_list(spark, edges)
+    lax = temporal_walks(g, walk_length=6, seed=2, strict=False).count()
+    hard = temporal_walks(g, walk_length=6, seed=2, strict=True).count()
+    # equal-time chains are allowed only in lax mode
+    assert hard < lax
 
 
 def test_walk_sequences_fold(spark):
