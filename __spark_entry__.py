@@ -505,6 +505,22 @@ def q_trade_node2vec_walks(spark, sf_dir):
     )
 
 
+def q_trade_skipgram_pairs(spark, sf_dir):
+    """Skip-gram co-occurrence counts (window 2) over the deterministic
+    DeepWalk corpus — the word2vec training table; exact because the walks
+    themselves replay bit-exactly (see trade_random_walks)."""
+    from linkgraph.algorithms import random_walks, skipgram_pairs
+
+    walks = random_walks(
+        _trade_graph(spark, sf_dir),
+        walk_length=6,
+        walks_per_node=2,
+        seed=7,
+        direction="both",
+    )
+    return skipgram_pairs(walks, window=2)
+
+
 def q_trade_temporal_walks(spark, sf_dir):
     """Time-respecting walks (CTDNE) over the trade event stream from
     every 20th node — each step's order-date must be >= the previous
@@ -1280,6 +1296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trade_random_walks": q_trade_random_walks,
         "trade_node2vec_walks": q_trade_node2vec_walks,
         "trade_temporal_walks": q_trade_temporal_walks,
+        "trade_skipgram_pairs": q_trade_skipgram_pairs,
         "trade_assortativity": q_trade_assortativity,
         "copurchase_link_prediction": q_copurchase_link_prediction,
         "emb_kmeans": q_emb_kmeans,
@@ -1617,9 +1634,9 @@ FROM deg
 
     # replays the quenched-randomness walks exactly: same sorted neighbour
     # arrays, same md5('walks:<seed>:<walk_id>:<step>') % degree choice
-    # (sampling.hash_key <-> ('0x'||substr(md5,1,15))::BIGINT equivalence)
-    sqls["trade_random_walks"] = f"""
-WITH RECURSIVE {_TRADE_ED}, {_TRADE_NODES}, {_TRADE_UND},
+    # (sampling.hash_key <-> ('0x'||substr(md5,1,15))::BIGINT equivalence).
+    # Shared by trade_random_walks and trade_skipgram_pairs.
+    _rw_ctes = f"""{_TRADE_ED}, {_TRADE_NODES}, {_TRADE_UND},
 walk_adj AS (
   SELECT id AS node, list(nbr ORDER BY nbr) AS nbrs FROM trade_und GROUP BY id
 ),
@@ -1636,8 +1653,19 @@ walk(walk_id, step, node) AS (
          ), 1, 15))::BIGINT % len(a.nbrs))::INT]
   FROM walk w JOIN walk_adj a ON a.node = w.node
   WHERE w.step < 6
-)
+)"""
+    sqls["trade_random_walks"] = f"""
+WITH RECURSIVE {_rw_ctes}
 SELECT walk_id, step, node FROM walk
+"""
+
+    sqls["trade_skipgram_pairs"] = f"""
+WITH RECURSIVE {_rw_ctes}
+SELECT a.node AS center, b.node AS context, count(*) AS n
+FROM walk a JOIN walk b
+  ON a.walk_id = b.walk_id AND a.step <> b.step
+ AND abs(a.step - b.step) <= 2
+GROUP BY 1, 2
 """
 
     # node2vec replay: weights are DYADIC (1, 1/p=0.5, 1/q=2.0), so every

@@ -112,6 +112,7 @@ def main() -> None:
         "trade_random_walks",
         "trade_node2vec_walks",
         "trade_temporal_walks",
+        "trade_skipgram_pairs",
     ]
     # untimed warmup at the smallest scale factor: run every headline query
     # once over sf0.001 so whole-stage-codegen compilation, the parquet

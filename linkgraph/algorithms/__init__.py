@@ -29,6 +29,7 @@ from linkgraph.algorithms.paths import (
 from linkgraph.algorithms.walks import (
     node2vec_walks,
     random_walks,
+    skipgram_pairs,
     temporal_walks,
     walk_sequences,
 )
@@ -68,6 +69,7 @@ __all__ = [
     "per_edge_triangles",
     "random_walks",
     "single_source_shortest_path",
+    "skipgram_pairs",
     "temporal_seir",
     "temporal_walks",
     "temporally_reachable_nodes",

@@ -367,3 +367,32 @@ def walk_sequences(walks: DataFrame) -> DataFrame:
             lambda x: x["node"],
         ).alias("nodes")
     )
+
+
+def skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
+    """Skip-gram co-occurrence counts from a walk corpus — ``(center,
+    context, n)`` for every ordered pair of nodes within ``window`` steps
+    of each other inside a walk (the training table DeepWalk/node2vec feed
+    to word2vec; aggregated counts rather than repeated rows, which is
+    what a negative-sampling trainer consumes).
+
+    One self-join on ``walk_id`` with a bounded step-distance predicate
+    (co-partitioned: both sides are the same relation keyed on walk_id —
+    walks are short, so per-key fan-out is ≤ 2·window per row) and one
+    map-side-combining hash aggregate.  Self-pairs at distance 0 are
+    excluded; a node co-occurring with itself at distance ≥ 1 (a cycle
+    revisit) counts, as in word2vec.
+    """
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    a = walks.select("walk_id", F.col("step").alias("sa"), F.col("node").alias("center"))
+    b = walks.select("walk_id", F.col("step").alias("sb"), F.col("node").alias("context"))
+    return (
+        a.join(b, "walk_id")
+        .filter(
+            (F.col("sa") != F.col("sb"))
+            & (F.abs(F.col("sa") - F.col("sb")) <= F.lit(int(window)))
+        )
+        .groupBy("center", "context")
+        .agg(F.count("*").alias("n"))
+    )

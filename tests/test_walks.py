@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from linkgraph.algorithms import (
     node2vec_walks,
     random_walks,
+    skipgram_pairs,
     temporal_walks,
     walk_sequences,
 )
@@ -236,6 +237,25 @@ def test_temporal_walks_strict_is_stricter(spark):
     hard = temporal_walks(g, walk_length=6, seed=2, strict=True).count()
     # equal-time chains are allowed only in lax mode
     assert hard < lax
+
+
+def test_skipgram_pairs_match_brute(spark):
+    g = _g(spark)
+    walks = random_walks(g, walk_length=4, walks_per_node=2, seed=7, direction="both")
+    got = {(r["center"], r["context"]): r["n"]
+           for r in skipgram_pairs(walks, window=2).collect()}
+    byw: dict = {}
+    for r in walks.collect():
+        byw.setdefault(r["walk_id"], {})[r["step"]] = r["node"]
+    exp: dict = {}
+    for steps in byw.values():
+        for sa, ca in steps.items():
+            for sb, cb in steps.items():
+                if sa != sb and abs(sa - sb) <= 2:
+                    exp[(ca, cb)] = exp.get((ca, cb), 0) + 1
+    assert got == exp
+    # symmetric by construction of the distance predicate
+    assert all(got[(b, a)] == n for (a, b), n in got.items())
 
 
 def test_walk_sequences_fold(spark):
