@@ -505,6 +505,21 @@ def q_trade_node2vec_walks(spark, sf_dir):
     )
 
 
+def q_trade_windowed_lpa_sync(spark, sf_dir):
+    """Distributed synchronous LPA on the 1995-window trade graph — the
+    fragmented window yields many communities, so the oracle discriminates
+    the full sweep dynamics.  The half-update schedule's parity hash is
+    md5-based (lpa.py), so every sweep — mode-with-largest-label tiebreak,
+    parity gating, fixpoint — is replayed exactly by the unrolled SQL
+    oracle (guard arm errors loudly if the unroll is too short)."""
+    from linkgraph.algorithms import label_propagation
+
+    g = _trade_graph(spark, sf_dir).window(788918400000, 820454400000)
+    return label_propagation(g, seed=2, mode="sync").select(
+        F.col("id").alias("node"), "label"
+    )
+
+
 def q_trade_skipgram_pairs(spark, sf_dir):
     """Skip-gram co-occurrence counts (window 2) over the deterministic
     DeepWalk corpus — the word2vec training table; exact because the walks
@@ -1297,6 +1312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trade_node2vec_walks": q_trade_node2vec_walks,
         "trade_temporal_walks": q_trade_temporal_walks,
         "trade_skipgram_pairs": q_trade_skipgram_pairs,
+        "trade_windowed_lpa_sync": q_trade_windowed_lpa_sync,
         "trade_assortativity": q_trade_assortativity,
         "copurchase_link_prediction": q_copurchase_link_prediction,
         "emb_kmeans": q_emb_kmeans,
@@ -1433,6 +1449,67 @@ tr_ed AS (SELECT DISTINCT src, dst FROM tr_ev),
 tr_nodes AS (
   SELECT DISTINCT id FROM (SELECT src AS id FROM tr_ed UNION ALL SELECT dst FROM tr_ed)
 )"""
+
+def _lpa_sync_oracle_sql(seed: int, sweeps: int) -> str:
+    """Unrolled synchronous-LPA replay on the 1995-window trade graph.
+
+    Mirrors lpa._lpa_sync_loop exactly: per sweep, every node whose
+    md5('lpa:<seed>:<id>') parity matches the sweep parity adopts the most
+    frequent neighbour label (ties -> largest label); others keep theirs.
+    The engine stops after a full even+odd pair with no movement, so any
+    unroll >= that sweep equals its output; the error() arm fires if the
+    last two unrolled sweeps still moved (oracle bug, not engine bug)."""
+    parts = [
+        f"""
+WITH wed AS MATERIALIZED (
+  SELECT DISTINCT o_custkey AS src, 1000000 + l_suppkey AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  WHERE epoch_ms(o_orderdate) >= 788918400000 AND epoch_ms(o_orderdate) < 820454400000
+),
+wnodes AS MATERIALIZED (
+  SELECT DISTINCT id FROM (SELECT src AS id FROM wed UNION ALL SELECT dst FROM wed)
+),
+wund AS MATERIALIZED (SELECT src AS id, nbr FROM (SELECT src, dst AS nbr FROM wed UNION SELECT dst, src FROM wed) t(src, nbr)),
+par AS MATERIALIZED (
+  SELECT id, (('0x' || substr(md5('lpa:{seed}:' || id::VARCHAR), 1, 15))::BIGINT % 2) AS h
+  FROM wnodes
+),
+s0 AS MATERIALIZED (SELECT id, id AS label FROM wnodes)"""
+    ]
+    for i in range(sweeps):
+        parts.append(
+            f""",
+s{i + 1} AS MATERIALIZED (
+  SELECT s.id,
+         CASE WHEN p.h = {i % 2} AND m.cand IS NOT NULL THEN m.cand
+              ELSE s.label END AS label
+  FROM s{i} s JOIN par p USING (id)
+  LEFT JOIN (
+    SELECT id, nl AS cand FROM (
+      SELECT u.id AS id, sl.label AS nl,
+             row_number() OVER (PARTITION BY u.id
+                                ORDER BY count(*) DESC, sl.label DESC) AS rn
+      FROM wund u JOIN s{i} sl ON sl.id = u.nbr
+      GROUP BY u.id, sl.label
+    ) WHERE rn = 1
+  ) m ON m.id = s.id
+)"""
+        )
+    n = sweeps
+    parts.append(
+        f"""
+SELECT id AS node, label FROM s{n}
+UNION ALL
+SELECT CAST(error('lpa sync oracle: {n}-sweep unroll insufficient') AS BIGINT),
+       CAST(NULL AS BIGINT)
+WHERE (SELECT count(*) FROM s{n} a JOIN s{n - 1} b USING (id)
+       WHERE a.label <> b.label) > 0
+   OR (SELECT count(*) FROM s{n - 1} a JOIN s{n - 2} b USING (id)
+       WHERE a.label <> b.label) > 0
+"""
+    )
+    return "".join(parts)
+
 
 def _pagerank_oracle_sql(iters: int, digits: int = 6) -> str:
     """Recursive-CTE power iteration (DuckDB) at a fixed superstep count.
@@ -1658,6 +1735,8 @@ walk(walk_id, step, node) AS (
 WITH RECURSIVE {_rw_ctes}
 SELECT walk_id, step, node FROM walk
 """
+
+    sqls["trade_windowed_lpa_sync"] = _lpa_sync_oracle_sql(2, sweeps=16)
 
     sqls["trade_skipgram_pairs"] = f"""
 WITH RECURSIVE {_rw_ctes}

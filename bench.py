@@ -113,6 +113,7 @@ def main() -> None:
         "trade_node2vec_walks",
         "trade_temporal_walks",
         "trade_skipgram_pairs",
+        "trade_windowed_lpa_sync",
     ]
     # untimed warmup at the smallest scale factor: run every headline query
     # once over sf0.001 so whole-stage-codegen compilation, the parquet

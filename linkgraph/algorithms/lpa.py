@@ -137,7 +137,14 @@ def _lpa_sync_loop(graph: LinkGraph, spark, seed: int, max_sweeps: int) -> DataF
     stable_rounds = 0
     fingerprints: list[int] = []  # per-sweep state hashes: period-2 cycle guard
     for sweep_i in range(max_sweeps):
-        half = F.pmod(F.xxhash64("id", F.lit(seed)), F.lit(2)) == F.lit(sweep_i % 2)
+        # md5-based parity (not xxhash64): engine-reproducible, so the sync
+        # schedule — and therefore the final labels — can be replayed by a
+        # SQL oracle (see trade/transition LPA oracle in __spark_entry__.py)
+        from linkgraph.pipeline.sampling import hash_key
+
+        half = F.pmod(hash_key(F.col("id"), f"lpa:{seed}"), F.lit(2)) == F.lit(
+            sweep_i % 2
+        )
         msgs = (
             und.join(
                 state.select(F.col("id").alias("nbr_id"), F.col("label").alias("nl")),

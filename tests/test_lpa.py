@@ -37,6 +37,49 @@ def test_lpa_disjoint_cliques_exact_and_sync(spark):
         assert set(comms) == {frozenset("abcd"), frozenset("wxyz")}
 
 
+def test_lpa_sync_matches_md5_replay(spark):
+    """The sync schedule is engine-reproducible: parity gate is
+    md5('lpa:<seed>:<id>') %% 2, update is mode-with-largest-label.  A pure
+    Python replay must match label-for-label (this is what makes the
+    trade_windowed_lpa_sync SQL oracle possible)."""
+    import hashlib
+
+    # two clusters bridged by one edge, plus a pendant — numeric names so
+    # ids are the names themselves
+    edges = (
+        [(0, a, b) for a in "123" for b in "123" if a < b]
+        + [(0, a, b) for a in ("7", "8", "9") for b in ("7", "8", "9") if a < b]
+        + [(0, "3", "7"), (0, "9", "11")]
+    )
+    g = LinkGraph.from_edge_list(spark, edges)
+    seed = 2
+    engine = {r.id: r.label for r in label_propagation(g, seed=seed, mode="sync").collect()}
+
+    und: dict = {}
+    for t, a, b in edges:
+        und.setdefault(int(a), set()).add(int(b))
+        und.setdefault(int(b), set()).add(int(a))
+    und = {k: sorted(v) for k, v in und.items()}
+    lab = {n: n for n in und}
+
+    def parity(i):
+        return int(hashlib.md5(f"lpa:{seed}:{i}".encode()).hexdigest()[:15], 16) % 2
+
+    for s in range(100):
+        new = dict(lab)
+        for v, nbrs in und.items():
+            if parity(v) != s % 2:
+                continue
+            cnt: dict = {}
+            for u in nbrs:
+                cnt[lab[u]] = cnt.get(lab[u], 0) + 1
+            new[v] = max(cnt.items(), key=lambda kv: (kv[1], kv[0]))[0]
+        if new == lab and s % 2 == 1:
+            break
+        lab = new
+    assert engine == lab
+
+
 def test_lpa_isolated_node_keeps_own_label(spark):
     g = LinkGraph.from_edge_list(spark, [(0, "1", "2")]).subgraph(["1", "2", "3"])
     # build a graph with an isolated node via node_only source rows instead
