@@ -899,6 +899,10 @@ def q_transition_motifs(spark, sf_dir):
 
 
 def q_docs_minhash_lsh(spark, sf_dir):
+    """MinHash-LSH near-dup candidates — md5 Kirsch–Mitzenmacher
+    signatures (dedup.py), so the whole pipeline (shingles → signatures →
+    band buckets → candidate join → estimate) replays bit-exactly in the
+    DuckDB oracle; was xxhash64-dependent (golden-only) before round 3."""
     from linkgraph.pipeline.dedup import minhash_lsh_pairs
 
     docs = _t(spark, sf_dir, "documents")
@@ -1737,6 +1741,53 @@ SELECT walk_id, step, node FROM walk
 """
 
     sqls["trade_windowed_lpa_sync"] = _lpa_sync_oracle_sql(2, sweeps=16)
+
+    # md5 K-M minhash replay: one md5 per distinct 5-gram -> h1, h2|1;
+    # sig[i] = min(h1 + i*h2); band buckets = md5 of the comma-joined band
+    # rows; estimate = matching positions / 32 (exact dyadic)
+    sqls["docs_minhash_lsh"] = """
+WITH sh AS MATERIALIZED (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, greatest(len(text) - 4, 1) + 1),
+           i -> substr(text, i::INT, 5)))) AS s
+  FROM documents
+),
+hp AS MATERIALIZED (
+  SELECT doc_id,
+         ('0x' || substr(md5(s), 1, 8))::BIGINT AS h1,
+         (('0x' || substr(md5(s), 9, 8))::BIGINT | 1) AS h2
+  FROM sh
+),
+sigv AS MATERIALIZED (
+  SELECT doc_id, p.i AS i, min(h1 + p.i * h2) AS v
+  FROM hp CROSS JOIN (SELECT unnest(range(32)) AS i) p
+  GROUP BY doc_id, p.i
+),
+sig AS MATERIALIZED (
+  SELECT doc_id, list(v ORDER BY i) AS sig FROM sigv GROUP BY doc_id
+),
+banded AS MATERIALIZED (
+  SELECT doc_id, b.b AS band,
+         ('0x' || substr(md5(
+            sig[(b.b*4+1)::INT]::VARCHAR || ',' || sig[(b.b*4+2)::INT]::VARCHAR || ',' ||
+            sig[(b.b*4+3)::INT]::VARCHAR || ',' || sig[(b.b*4+4)::INT]::VARCHAR
+         ), 1, 15))::BIGINT AS bucket
+  FROM sig CROSS JOIN (SELECT unnest(range(8)) AS b) b
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+  FROM banded a JOIN banded c
+    ON a.band = c.band AND a.bucket = c.bucket AND a.doc_id < c.doc_id
+)
+SELECT doc_a, doc_b,
+       round(len(list_filter(range(1, 33),
+             i -> sa.sig[i::INT] = sb.sig[i::INT])) / 32.0, 6) AS est_jaccard
+FROM cand
+JOIN sig sa ON sa.doc_id = doc_a
+JOIN sig sb ON sb.doc_id = doc_b
+WHERE round(len(list_filter(range(1, 33),
+            i -> sa.sig[i::INT] = sb.sig[i::INT])) / 32.0, 6) >= 0.4
+"""
 
     sqls["trade_skipgram_pairs"] = f"""
 WITH RECURSIVE {_rw_ctes}
