@@ -1742,6 +1742,59 @@ SELECT walk_id, step, node FROM walk
 
     sqls["trade_windowed_lpa_sync"] = _lpa_sync_oracle_sql(2, sweeps=16)
 
+    # md5 simhash replay: bit i of a token's 64-bit hash = nibble
+    # (16 - i//4) of its md5, position i%4; bit-63 term is the min-long
+    # constant (1<<63 overflows a checked signed shift); sum == the
+    # engine's xor of disjoint bit terms
+    _SIMHASH_FP = r"""
+stok AS MATERIALIZED (
+  SELECT doc_id,
+         unnest(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS token
+  FROM documents
+),
+scnt AS MATERIALIZED (
+  SELECT doc_id, substr(md5(token), 1, 16) AS h16, count(*) AS cnt
+  FROM stok GROUP BY doc_id, h16
+),
+svotes AS MATERIALIZED (
+  SELECT doc_id, b.i AS i,
+         sum(cnt * (((('0x' || substr(h16, (16 - b.i // 4)::INT, 1))::BIGINT
+                      >> (b.i % 4)::INT) & 1) * 2 - 1)) AS v
+  FROM scnt CROSS JOIN (SELECT unnest(range(64)) AS i) b
+  GROUP BY doc_id, b.i
+),
+sfp AS MATERIALIZED (
+  SELECT doc_id,
+         sum(CASE WHEN v > 0 THEN
+               CASE WHEN i = 63 THEN (-9223372036854775807 - 1)
+                    ELSE (1::BIGINT << i::INT) END
+             ELSE 0 END)::BIGINT AS simhash
+  FROM svotes GROUP BY doc_id
+)"""
+
+    sqls["docs_simhash"] = f"""
+WITH {_SIMHASH_FP}
+SELECT doc_id, simhash FROM sfp
+"""
+
+    # pigeonhole slices for max_distance=6: 7 slices of 9 bits (top one 10);
+    # DuckDB's arithmetic >> matches Spark's unsigned shift here because the
+    # slice mask is never wider than 64 - shift
+    sqls["docs_simhash_pairs"] = f"""
+WITH {_SIMHASH_FP},
+sl AS MATERIALIZED (
+  SELECT doc_id, simhash, s.i AS slice,
+         ((simhash >> (s.i * 9)::INT)
+          & CASE WHEN s.i = 6 THEN 1023 ELSE 511 END) AS bits
+  FROM sfp CROSS JOIN (SELECT unnest(range(7)) AS i) s
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+FROM sl a JOIN sl b
+  ON a.slice = b.slice AND a.bits = b.bits AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+"""
+
     # md5 K-M minhash replay: one md5 per distinct 5-gram -> h1, h2|1;
     # sig[i] = min(h1 + i*h2); band buckets = md5 of the comma-joined band
     # rows; estimate = matching positions / 32 (exact dyadic)

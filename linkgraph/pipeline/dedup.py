@@ -240,9 +240,12 @@ def minhash_lsh_pairs(
 def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """64-bit SimHash over word tokens — ``(doc_id, simhash)``.
 
-    Per token, xxhash64 supplies 64 bits; each bit votes ±1; the sign of
-    each bit's vote sum forms the fingerprint. Pure expressions (explode +
-    64 conditional sums), no UDF.
+    Per token, the first 16 hex chars of md5 supply 64 bits — md5 is
+    engine-identical, so the fingerprints (and the pigeonhole pair join
+    built on them) replay bit-exactly in the ``docs_simhash`` /
+    ``docs_simhash_pairs`` DuckDB oracles (xxhash64-based and golden-only
+    through r02).  Each bit votes ±1; the sign of the vote sum forms the
+    fingerprint.  Pure expressions, no UDF.
     """
     from linkgraph.pipeline.textstats import TOKEN_RE
 
@@ -251,28 +254,48 @@ def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.explode(
             F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), 0)
         ).alias("token"),
-    ).withColumn("h", F.xxhash64("token"))
+    ).withColumn("h16", F.substring(F.md5("token"), 1, 16))
     # Pre-count (doc, hash) occurrences so the 64 bit-vote sums run over the
     # per-doc DISTINCT hashes (vocabulary), not every token occurrence —
     # natural text repeats tokens heavily, and the cheap 2-column count
     # reduces map-side before the wide aggregate.  Σ_tokens (2b−1) =
     # Σ_hashes cnt·(2b−1), so the fingerprint is bit-identical.
-    counted = tok.groupBy("doc_id", "h").agg(F.count("*").alias("cnt"))
-    votes = counted.groupBy("doc_id").agg(
+    counted = tok.groupBy("doc_id", "h16").agg(F.count("*").alias("cnt"))
+    # hex nibbles projected ONCE per row; the 64 vote sums then read int
+    # columns (inlining the conv into each sum re-evaluates it per bit —
+    # same expression-layout trap as minhash_signatures)
+    nib = counted.select(
+        "doc_id",
+        "cnt",
+        *[
+            F.conv(F.substring("h16", k + 1, 1), 16, 10).cast("int").alias(f"n{k}")
+            for k in range(16)
+        ],
+    )
+    # bit i (LSB = 0) lives in hex char 15 - i//4, nibble position i%4
+    votes = nib.groupBy("doc_id").agg(
         *[
             F.sum(
                 F.col("cnt")
-                * (F.shiftright("h", i).bitwiseAND(F.lit(1)) * 2 - 1)
+                * (
+                    F.shiftright(F.col(f"n{15 - i // 4}"), i % 4).bitwiseAND(
+                        F.lit(1)
+                    )
+                    * 2
+                    - 1
+                )
             ).alias(f"b{i}")
             for i in range(64)
         ]
     )
     fp = None
     for i in range(64):
-        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        term = F.shiftleft(bit, i)
+        pos = F.col(f"b{i}") > 0
+        # bit 63 as the min-long constant: 1<<63 is unrepresentable in a
+        # signed 64-bit literal on engines that check overflow (DuckDB)
+        term = F.when(
+            pos, F.lit(-(1 << 63) if i == 63 else (1 << i)).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
         fp = term if fp is None else fp.bitwiseXOR(term)
     return votes.select("doc_id", fp.alias("simhash"))
 
