@@ -1772,6 +1772,23 @@ sfp AS MATERIALIZED (
   FROM svotes GROUP BY doc_id
 )"""
 
+    # winnowing fingerprint replay: min 60-bit md5 over the k=5-token
+    # rolling shingles (joined on the \\x1f separator, chr(31))
+    sqls["docs_fingerprint"] = r"""
+SELECT doc_id,
+       list_min(list_transform(
+         range(0, greatest(len(toks) - 5, 0) + 1),
+         i -> ('0x' || substr(md5(
+                array_to_string(toks[(i + 1)::INT : (i + 5)::INT], chr(31))
+              ), 1, 15))::BIGINT
+       )) AS fingerprint
+FROM (
+  SELECT doc_id,
+         regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]') AS toks
+  FROM documents
+)
+"""
+
     sqls["docs_simhash"] = f"""
 WITH {_SIMHASH_FP}
 SELECT doc_id, simhash FROM sfp

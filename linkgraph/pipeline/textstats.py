@@ -95,9 +95,11 @@ def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def fingerprint(docs: DataFrame, text_col: str = "text", k: int = 5) -> DataFrame:
     """Document fingerprint — ``(doc_id, fingerprint)``.
 
-    Winnowing-style: min xxhash64 over the k-token rolling shingles of the
-    word sequence (order-sensitive, robust to whitespace changes). Built-in
-    expressions only; verified against a Python oracle in tests.
+    Winnowing-style: min 60-bit md5 over the k-token rolling shingles of
+    the word sequence (order-sensitive, robust to whitespace changes).
+    Built-in expressions only; md5 (engine-identical, like the rest of the
+    dedup family) makes the ``docs_fingerprint`` DuckDB oracle bit-exact —
+    the xxhash64 variant through r02 was pytest-golden only.
     """
     words = F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), 0)
     n = F.size(words)
@@ -105,7 +107,12 @@ def fingerprint(docs: DataFrame, text_col: str = "text", k: int = 5) -> DataFram
     shingles = F.transform(
         idx, lambda i: F.concat_ws("\x1f", F.slice(words, i + 1, k))
     )
-    fp = F.array_min(F.transform(shingles, lambda s: F.xxhash64(s)))
+    fp = F.array_min(
+        F.transform(
+            shingles,
+            lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+        )
+    )
     return docs.select("doc_id", fp.alias("fingerprint"))
 
 
