@@ -810,11 +810,32 @@ def q_trade_rolling_counts(spark, sf_dir):
 
 
 def q_trade_betweenness(spark, sf_dir):
+    """Batched Brandes on the trade graph (k=16 smallest sources).  The
+    trade graph is bipartite customer→supplier with OUT-neighbour BFS
+    (reference semantics), so every shortest path is one hop and no node
+    is intermediate: betweenness is identically 0.0 — now stated by an
+    exact oracle rather than hidden behind a rows-only check; the
+    non-trivial dynamics are oracle-checked by transition_betweenness."""
     from linkgraph.algorithms import betweenness_centrality
 
     g = _trade_graph(spark, sf_dir)
     return betweenness_centrality(g, k=16, normalized=False).select(
         F.col("name").cast("long").alias("node"),
+        F.round("betweenness", 6).alias("betweenness"),
+    )
+
+
+def q_transition_betweenness(spark, sf_dir):
+    """Brandes betweenness (all sources, unnormalized) on the event-type
+    transition digraph — multi-hop directed paths, so σ/δ dynamics are
+    real; with k=None the result is independent of internal id values, so
+    the level-unrolled SQL oracle replays forward σ and backward δ
+    exactly on the name-keyed graph."""
+    from linkgraph.algorithms import betweenness_centrality
+
+    g = _transition_graph(spark, sf_dir)
+    return betweenness_centrality(g, k=None, normalized=False).select(
+        F.col("name").alias("node"),
         F.round("betweenness", 6).alias("betweenness"),
     )
 
@@ -1317,6 +1338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trade_temporal_walks": q_trade_temporal_walks,
         "trade_skipgram_pairs": q_trade_skipgram_pairs,
         "trade_windowed_lpa_sync": q_trade_windowed_lpa_sync,
+        "transition_betweenness": q_transition_betweenness,
         "trade_assortativity": q_trade_assortativity,
         "copurchase_link_prediction": q_copurchase_link_prediction,
         "emb_kmeans": q_emb_kmeans,
@@ -1741,6 +1763,62 @@ SELECT walk_id, step, node FROM walk
 """
 
     sqls["trade_windowed_lpa_sync"] = _lpa_sync_oracle_sql(2, sweeps=16)
+
+    # bipartite + out-BFS => no intermediate nodes anywhere: exactly 0.0
+    # (see q_trade_betweenness docstring; the Brandes dynamics oracle is
+    # transition_betweenness below)
+    sqls["trade_betweenness"] = f"""
+WITH {_TRADE_ED}, {_TRADE_NODES}
+SELECT id AS node, 0.0 AS betweenness FROM trade_nodes
+"""
+
+    # level-unrolled Brandes replay on the 5-node transition digraph:
+    # forward BFS levels carry sigma (path counts), the backward sweep
+    # accumulates delta deepest-first; the error arm fires if the graph
+    # outgrows the unroll depth
+    _bw_levels = 5
+    _bw = [f"""
+bw_adj AS (SELECT src AS u, dst AS v FROM tr_ed),
+bwl0 AS (SELECT id AS src, id AS node, 1.0::DOUBLE AS sigma FROM tr_nodes),
+bws0 AS (SELECT src, node FROM bwl0)"""]
+    for l in range(1, _bw_levels + 1):
+        _bw.append(f""",
+bwl{l} AS MATERIALIZED (
+  SELECT f.src AS src, a.v AS node, sum(f.sigma) AS sigma
+  FROM bwl{l - 1} f JOIN bw_adj a ON a.u = f.node
+  WHERE NOT EXISTS (SELECT 1 FROM bws{l - 1} s
+                    WHERE s.src = f.src AND s.node = a.v)
+  GROUP BY f.src, a.v
+),
+bws{l} AS MATERIALIZED (
+  SELECT * FROM bws{l - 1} UNION SELECT src, node FROM bwl{l}
+)""")
+    _bw.append(f""",
+bwd{_bw_levels} AS (SELECT src, node, sigma, 0.0::DOUBLE AS delta FROM bwl{_bw_levels})""")
+    for l in range(_bw_levels - 1, -1, -1):
+        _bw.append(f""",
+bwd{l} AS MATERIALIZED (
+  SELECT c.src AS src, c.node AS node, c.sigma AS sigma,
+         coalesce((SELECT sum(c.sigma / w.sigma * (1.0 + w.delta))
+                   FROM bw_adj a JOIN bwd{l + 1} w
+                     ON w.src = c.src AND w.node = a.v
+                   WHERE a.u = c.node), 0.0) AS delta
+  FROM bwl{l} c
+)""")
+    _bw_union = "\nUNION ALL\n".join(
+        f"SELECT node, delta FROM bwd{l}" for l in range(1, _bw_levels + 1)
+    )
+    sqls["transition_betweenness"] = f"""
+WITH {_TRANSITION_ED},{"".join(_bw)[1:]},
+bc AS (SELECT node, sum(delta) AS s FROM ({_bw_union}) GROUP BY node)
+SELECT n.id AS node, round(coalesce(bc.s, 0.0), 6) AS betweenness
+FROM tr_nodes n LEFT JOIN bc ON bc.node = n.id
+UNION ALL
+SELECT CAST(error('brandes oracle: {_bw_levels}-level unroll insufficient')
+            AS VARCHAR),
+       NULL
+WHERE (SELECT count(*) FROM bwl{_bw_levels}) > 0
+"""
 
     # md5 simhash replay: bit i of a token's 64-bit hash = nibble
     # (16 - i//4) of its md5, position i%4; bit-63 term is the min-long
