@@ -468,6 +468,15 @@ def q_docs_scrub(spark, sf_dir):
     )
 
 
+def q_docs_chunks(spark, sf_dir):
+    """Overlapping fixed-width chunking (800 chars, 100 overlap) — the
+    retrieval/training splitter; integer stride arithmetic + substring,
+    map-only, exactly replayed by the SQL oracle."""
+    from linkgraph.pipeline.packing import chunk_text
+
+    return chunk_text(_t(spark, sf_dir, "documents"), chunk_chars=800, overlap=100)
+
+
 def q_trade_random_walks(spark, sf_dir):
     """Deterministic DeepWalk corpus over the undirected trade graph —
     quenched md5 neighbour choice (walks.py) makes every walk bit-exactly
@@ -1333,6 +1342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (golden-gated) ones.  Rotation policy documented in COVERAGE.md."""
     return {
         # new in this session (in-repo oracles; never driver-sampled)
+        "docs_chunks": q_docs_chunks,
         "trade_random_walks": q_trade_random_walks,
         "trade_node2vec_walks": q_trade_node2vec_walks,
         "trade_temporal_walks": q_trade_temporal_walks,
@@ -1849,6 +1859,18 @@ sfp AS MATERIALIZED (
              ELSE 0 END)::BIGINT AS simhash
   FROM svotes GROUP BY doc_id
 )"""
+
+    # chunking replay: stride = 800 - 100; n_chunks = max(ceil((len -
+    # overlap)/stride), 1); chunk i = substr(text, i*stride + 1, 800)
+    sqls["docs_chunks"] = """
+SELECT doc_id, c.i::INT AS chunk_id,
+       substr(text, (c.i * 700 + 1)::INT, 800) AS chunk,
+       len(substr(text, (c.i * 700 + 1)::INT, 800))::INT AS n_chars
+FROM documents
+CROSS JOIN LATERAL (
+  SELECT unnest(range(greatest((len(text) - 100 + 699) // 700, 1))) AS i
+) c
+"""
 
     # winnowing fingerprint replay: min 60-bit md5 over the k=5-token
     # rolling shingles (joined on the \\x1f separator, chr(31))

@@ -89,3 +89,46 @@ def pack_sequences(
             (start % budget).alias("offset"),
         )
     )
+
+
+def chunk_text(
+    docs: DataFrame,
+    chunk_chars: int = 800,
+    overlap: int = 100,
+    text_col: str = "text",
+) -> DataFrame:
+    """Overlapping fixed-width character chunks — ``(doc_id, chunk_id,
+    chunk, n_chars)``.
+
+    The retrieval/training-prep splitter: chunk ``i`` covers characters
+    ``[i·stride, i·stride + chunk_chars)`` with ``stride = chunk_chars −
+    overlap``, so consecutive chunks share ``overlap`` characters and no
+    character is dropped; every document yields at least one chunk (the
+    last may be short).  Pure integer arithmetic + ``substring`` — a
+    MAP-ONLY explode that fuses into the source scan (no shuffle, no UDF),
+    and exactly replayable in SQL (``docs_chunks`` oracle).
+    """
+    if not 0 <= overlap < chunk_chars:
+        raise ValueError("need 0 <= overlap < chunk_chars")
+    stride = chunk_chars - overlap
+    t = F.col(text_col)
+    # smallest m with m*stride + overlap >= len, at least 1
+    n_chunks = F.greatest(
+        F.floor((F.length(t) - overlap + stride - 1) / stride).cast("int"),
+        F.lit(1),
+    )
+    return (
+        docs.select(
+            "doc_id",
+            t.alias("_t"),
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.substring(
+                F.col("_t"), F.col("chunk_id") * stride + 1, chunk_chars
+            ).alias("chunk"),
+        )
+        .withColumn("n_chars", F.length("chunk"))
+    )

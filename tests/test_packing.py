@@ -67,3 +67,24 @@ def test_pack_offsets_within_budget(corpus):
 def test_pack_rejects_bad_budget(corpus):
     with pytest.raises(ValueError):
         pack_sequences(corpus, 0)
+
+
+def test_chunk_text_reconstructs_and_overlaps(spark):
+    from linkgraph.pipeline.packing import chunk_text
+
+    rows = [(i, "x" * n) for i, n in enumerate([0, 5, 700, 800, 801, 1500, 2500])]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_text(docs, chunk_chars=800, overlap=100).collect()
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], {})[r["chunk_id"]] = r["chunk"]
+    for doc_id, text in rows:
+        chunks = by_doc[doc_id]
+        assert sorted(chunks) == list(range(len(chunks)))
+        # stitching chunks (dropping each successor's 100-char overlap)
+        # reconstructs the document exactly
+        stitched = chunks[0] + "".join(chunks[i][100:] for i in range(1, len(chunks)))
+        assert stitched == text or (text == "" and stitched == "")
+        # consecutive chunks share the overlap
+        for i in range(1, len(chunks)):
+            assert chunks[i - 1][-100:] == chunks[i][:100] or len(chunks[i - 1]) < 800
