@@ -1343,6 +1343,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # new in this session (in-repo oracles; never driver-sampled)
         "docs_chunks": q_docs_chunks,
+        # oracle-upgraded this round — outputs changed to md5-based hashes
+        # (or gained a first oracle), so prior driver rows no longer
+        # attest; must sit inside the driver's 50-query sample window
+        "docs_minhash_lsh": q_docs_minhash_lsh,
+        "docs_simhash": q_docs_simhash,
+        "docs_simhash_pairs": q_docs_simhash_pairs,
+        "docs_fingerprint": q_docs_fingerprint,
+        "trade_betweenness": q_trade_betweenness,
+        "transition_lpa_sync": q_transition_lpa_sync,
         "trade_random_walks": q_trade_random_walks,
         "trade_node2vec_walks": q_trade_node2vec_walks,
         "trade_temporal_walks": q_trade_temporal_walks,
@@ -1421,15 +1430,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transition_local_reciprocity": q_transition_local_reciprocity,
         "cosupply_local_triangles": q_cosupply_local_triangles,
         # no SQL oracle (rows-only in the driver; golden-gated in pytest)
-        "trade_betweenness": q_trade_betweenness,
-        "transition_lpa_sync": q_transition_lpa_sync,
         "transition_motifs": q_transition_motifs,
         "trade_louvain": q_trade_louvain,
-        "docs_minhash_lsh": q_docs_minhash_lsh,
-        "docs_simhash": q_docs_simhash,
-        "docs_simhash_pairs": q_docs_simhash_pairs,
-        # driver-green in r01 (sf0.01), unchanged since
-        "docs_fingerprint": q_docs_fingerprint,
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_lsh_topk": q_emb_lsh_topk,
         "emb_neardup": q_emb_neardup,
