@@ -477,6 +477,24 @@ def q_docs_chunks(spark, sf_dir):
     return chunk_text(_t(spark, sf_dir, "documents"), chunk_chars=800, overlap=100)
 
 
+PPR_SEEDS = [str(10 * i) for i in range(1, 16)]  # custkeys 10..150, all SFs
+
+
+def q_trade_personalized_pagerank(spark, sf_dir):
+    """Personalized PageRank (random-walk-with-restart) from 15 seed
+    customers, run to L1 1e-9 — teleport AND dangling mass return to the
+    seed distribution; the oracle is a 200-iteration recursive-CTE power
+    iteration over the same seed-teleport transition matrix (contraction
+    0.85^200 ≈ 1e-14, far past both the stop and the 6-dp rounding)."""
+    from linkgraph.algorithms import personalized_pagerank
+
+    g = _trade_graph(spark, sf_dir)
+    res = personalized_pagerank(g, PPR_SEEDS, max_iter=100, tol=1e-9)
+    return res.select(
+        F.col("id").alias("node"), F.round("score", 6).alias("score")
+    )
+
+
 def q_trade_random_walks(spark, sf_dir):
     """Deterministic DeepWalk corpus over the undirected trade graph —
     quenched md5 neighbour choice (walks.py) makes every walk bit-exactly
@@ -1343,6 +1361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # new in this session (in-repo oracles; never driver-sampled)
         "docs_chunks": q_docs_chunks,
+        "trade_personalized_pagerank": q_trade_personalized_pagerank,
         # oracle-upgraded this round — outputs changed to md5-based hashes
         # (or gained a first oracle), so prior driver rows no longer
         # attest; must sit inside the driver's 50-query sample window
@@ -1861,6 +1880,43 @@ sfp AS MATERIALIZED (
              ELSE 0 END)::BIGINT AS simhash
   FROM svotes GROUP BY doc_id
 )"""
+
+    # personalized-pagerank replay: power iteration over the seed-teleport
+    # transition matrix — sinks row-teleport to the seeds (wt 1/|S|), the
+    # zero-weight self-loops keep every node present each iteration
+    _ppr_seed_list = ", ".join(PPR_SEEDS)
+    sqls["trade_personalized_pagerank"] = f"""
+WITH RECURSIVE {_TRADE_ED}, {_TRADE_NODES},
+sd AS (SELECT unnest([{_ppr_seed_list}]) AS id),
+outdeg AS (SELECT src AS id, count(*)::DOUBLE AS d FROM trade_ed GROUP BY src),
+pv AS (
+  SELECT tn.id,
+         CASE WHEN tn.id IN (SELECT id FROM sd) THEN 1.0 / 15 ELSE 0.0 END AS p
+  FROM trade_nodes tn
+),
+w AS (
+  SELECT e.src AS u, e.dst AS v, 1.0 / od.d AS wt
+  FROM trade_ed e JOIN outdeg od ON od.id = e.src
+  UNION ALL
+  SELECT s.id, t.id, 1.0 / 15
+  FROM (SELECT tn.id FROM trade_nodes tn LEFT JOIN outdeg od ON od.id = tn.id
+        WHERE od.id IS NULL) s
+  CROSS JOIN sd t
+  UNION ALL
+  SELECT id, id, 0.0 FROM trade_nodes
+),
+pr(iter, id, score) AS (
+  SELECT 0, id, p FROM pv
+  UNION ALL
+  SELECT p.iter + 1, w.v, 0.15 * pv2.p + 0.85 * sum(p.score * w.wt)
+  FROM pr p
+  JOIN w ON w.u = p.id
+  JOIN pv pv2 ON pv2.id = w.v
+  WHERE p.iter < 200
+  GROUP BY p.iter + 1, w.v, pv2.p
+)
+SELECT id AS node, round(score, 6) AS score FROM pr WHERE iter = 200
+"""
 
     # chunking replay: stride = 800 - 100; n_chunks = max(ceil((len -
     # overlap)/stride), 1); chunk i = substr(text, i*stride + 1, 800)

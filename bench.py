@@ -116,6 +116,7 @@ def main() -> None:
         "trade_windowed_lpa_sync",
         "transition_betweenness",
         "docs_chunks",
+        "trade_personalized_pagerank",
     ]
     # untimed warmup at the smallest scale factor: run every headline query
     # once over sf0.001 so whole-stage-codegen compilation, the parquet

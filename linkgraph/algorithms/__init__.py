@@ -19,7 +19,11 @@ from linkgraph.algorithms.motifs import (
     local_temporal_three_node_motifs,
     temporal_three_node_motif_multi,
 )
-from linkgraph.algorithms.pagerank import pagerank, pagerank_on_ids
+from linkgraph.algorithms.pagerank import (
+    pagerank,
+    pagerank_on_ids,
+    personalized_pagerank,
+)
 from linkgraph.algorithms.seir import temporal_seir
 from linkgraph.algorithms.paths import (
     dijkstra_single_source_shortest_paths,
@@ -66,6 +70,7 @@ __all__ = [
     "out_components",
     "pagerank",
     "pagerank_on_ids",
+    "personalized_pagerank",
     "per_edge_triangles",
     "random_walks",
     "single_source_shortest_path",

@@ -519,3 +519,110 @@ def _run_loop(
         if diff <= tol * n:
             break
     return state
+
+
+def personalized_pagerank(
+    graph: LinkGraph,
+    seeds: list[str],
+    damping: float = DAMPING_DEFAULT,
+    max_iter: int = 100,
+    tol: float = 1e-9,
+    partitions: int | None = None,
+) -> DataFrame:
+    """PageRank with teleport restricted to a seed set — ``(name, id,
+    score)``: importance RELATIVE to the seeds (random-walk-with-restart).
+
+    Update: ``s' = (1-d)·p + d·(Aᵀ(s/deg) + sink_mass·p)`` with ``p``
+    uniform over the seeds — both the teleport and the dangling-node mass
+    return to the seed distribution, the standard personalized semantics
+    (the global variant in :func:`pagerank` is the special case p =
+    uniform).  L1 convergence at ``tol·n`` like the global kernel.
+
+    Scale shape: identical to the superstep kernel — the per-iteration
+    plan is :func:`contribution_messages` (ONE co-partitioned join + one
+    aggregate over the cached pre-partitioned edge table) plus the static
+    join carrying the per-node teleport column; state is cut per
+    superstep (PPR runs are seed-query-sized; for 100 TB checkpointed
+    runs use ``pagerank`` + a post-hoc seed projection or extend the
+    CheckpointStore path the same way).
+    """
+    from linkgraph.graph import name_to_id
+    from linkgraph.superstep import pick_partitions
+
+    spark = graph.spark
+    ids = graph.ids().persist()
+    n = ids.count()
+    if n == 0 or not seeds:
+        return ids.select("name", "id", F.lit(0.0).alias("score")).limit(0)
+    edge_ids = graph.edge_ids().persist()
+    n_edges = edge_ids.count()
+    P = partitions or pick_partitions(spark, n_edges)
+
+    seed_lits = F.array(*[name_to_id(F.lit(s)) for s in seeds])
+    with iteration_conf(spark, shuffle_partitions=P):
+        edges = (
+            edge_ids.repartition(P, "src_id")
+            .sortWithinPartitions("src_id")
+            .persist()
+        )
+        outdeg = edge_ids.groupBy(F.col("src_id").alias("id")).agg(
+            F.count("*").alias("out_degree")
+        )
+        n_seeds = len(set(seeds))
+        static = (
+            ids.select("id")
+            .join(outdeg, "id", "left")
+            .select(
+                "id",
+                F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+                F.when(
+                    F.array_contains(seed_lits, F.col("id")),
+                    F.lit(1.0 / n_seeds),
+                )
+                .otherwise(F.lit(0.0))
+                .alias("pvec"),
+            )
+            .repartition(P, "id")
+            .sortWithinPartitions("id")
+            .persist()
+        )
+        state = static.select(
+            "id", "out_degree", F.col("pvec").alias("score"), "pvec"
+        ).localCheckpoint(eager=True)
+        sink_mass = (
+            state.filter(F.col("out_degree") == 0)
+            .agg(F.sum("score"))
+            .first()[0]
+            or 0.0
+        )
+        for _ in range(max_iter):
+            msgs = contribution_messages(edges, state)
+            new_state = static.join(msgs, "id", "left").select(
+                "id",
+                "out_degree",
+                (
+                    F.lit(damping) * F.coalesce(F.col("msum"), F.lit(0.0))
+                    + F.lit(1.0 - damping + damping * sink_mass) * F.col("pvec")
+                ).alias("score"),
+                "pvec",
+            ).localCheckpoint(eager=True)
+            stats = (
+                new_state.join(
+                    state.select("id", F.col("score").alias("prev_score")), "id"
+                )
+                .agg(
+                    F.sum(F.abs(F.col("score") - F.col("prev_score"))).alias("d"),
+                    F.sum(
+                        F.when(F.col("out_degree") == 0, F.col("score"))
+                    ).alias("sink"),
+                )
+                .first()
+            )
+            state = new_state
+            sink_mass = stats["sink"] or 0.0
+            if (stats["d"] or 0.0) <= tol * n:
+                break
+        edges.unpersist()
+        static.unpersist()
+    edge_ids.unpersist()
+    return ids.join(state.select("id", "score"), "id").select("name", "id", "score")

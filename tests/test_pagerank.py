@@ -132,3 +132,33 @@ def test_checkpoint_resume_across_kernels(spark, tmp_path):
     }
     for k, v in FX.GEN_GRAPH_PAGERANK.items():
         assert math.isclose(resumed[k], v, abs_tol=1e-6), (k, resumed[k], v)
+
+
+def test_personalized_pagerank_matches_local_power_iteration(spark):
+    from linkgraph.algorithms import personalized_pagerank
+    from linkgraph.graph import LinkGraph
+
+    #  1→2→3→1 cycle, 3→4 (4 is a sink), 5→1 feeder
+    edges = [(0, "1", "2"), (1, "2", "3"), (2, "3", "1"), (3, "3", "4"), (4, "5", "1")]
+    g = LinkGraph.from_edge_list(spark, edges)
+    seeds = ["1"]
+    got = {r["id"]: r["score"]
+           for r in personalized_pagerank(g, seeds, max_iter=300, tol=0.0).collect()}
+
+    adj = {1: [2], 2: [3], 3: [1, 4], 5: [1]}
+    nodes = [1, 2, 3, 4, 5]
+    p = {v: (1.0 if v == 1 else 0.0) for v in nodes}
+    s = dict(p)
+    d = 0.85
+    for _ in range(300):
+        sink = sum(s[v] for v in nodes if v not in adj)
+        msum = {v: 0.0 for v in nodes}
+        for u, nbrs in adj.items():
+            for v in nbrs:
+                msum[v] += s[u] / len(nbrs)
+        s = {v: d * msum[v] + (1 - d + d * sink) * p[v] for v in nodes}
+    for v in nodes:
+        assert abs(got[v] - s[v]) < 1e-9, (v, got[v], s[v])
+    # restart mass concentrates at/near the seed; total mass is 1
+    assert got[1] == max(got.values())
+    assert abs(sum(got.values()) - 1.0) < 1e-9
