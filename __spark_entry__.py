@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 PR_ITERS = 30  # fixed superstep count for the PageRank comparison
+KTRUSS_K = 6  # co-purchase 6-truss: 17,677 of 30,580 edges survive at sf0.01
 
 # --------------------------------------------------------------------------
 # derived graphs (Spark side)
@@ -492,6 +493,110 @@ def q_trade_personalized_pagerank(spark, sf_dir):
     res = personalized_pagerank(g, PPR_SEEDS, max_iter=100, tol=1e-9)
     return res.select(
         F.col("id").alias("node"), F.round("score", 6).alias("score")
+    )
+
+
+def q_trade_eigenvector(spark, sf_dir):
+    """Eigenvector centrality on the undirected trade graph — 20 fixed
+    power-iteration supersteps with a single end normalisation (the
+    iterate is exactly A^20·1, so the recursive-CTE oracle replays it;
+    centrality.py determinism contract)."""
+    from linkgraph.algorithms import eigenvector_centrality
+
+    g = _trade_graph(spark, sf_dir)
+    return eigenvector_centrality(g, max_iter=20).select(
+        F.col("id").alias("node"), F.round("score", 6).alias("score")
+    )
+
+
+def q_copurchase_katz(spark, sf_dir):
+    """Katz centrality (α=0.01, β=1, 10 fixed iterations) on the undirected
+    co-purchase graph — the truncated series Σ αᵏAᵏβ, replayed by a
+    recursive CTE."""
+    from linkgraph.algorithms import katz_centrality
+
+    g = _copurchase_graph(spark, sf_dir)
+    return katz_centrality(
+        g, alpha=0.01, beta=1.0, max_iter=10, direction="both"
+    ).select(F.col("id").alias("node"), F.round("score", 6).alias("score"))
+
+
+def q_copurchase_ktruss(spark, sf_dir):
+    """6-truss of the co-purchase graph (every surviving edge closes ≥ 4
+    triangles inside the truss) — iterative support peel; the oracle is
+    the unrolled peel with a loud fixpoint guard (the k-core pattern)."""
+    from linkgraph.algorithms import k_truss_edges
+
+    g = _copurchase_graph(spark, sf_dir)
+    return k_truss_edges(g, KTRUSS_K).select("lo", "hi")
+
+
+def q_trade_weighted_pagerank(spark, sf_dir):
+    """PageRank weighted by summed l_quantity per edge, 20 fixed
+    supersteps — contribution = score·w/out_strength, sink mass (all
+    suppliers — they have no out-edges) redistributed uniformly.  The
+    oracle gives sinks explicit 1/n edges to every node; the engine never
+    materialises that product (sink mass rides as a broadcast one-row
+    aggregate, centrality.weighted_pagerank)."""
+    from linkgraph.algorithms import weighted_pagerank
+
+    g = _trade_graph_weighted(spark, sf_dir)
+    return weighted_pagerank(g, "l_quantity", max_iter=20).select(
+        F.col("id").alias("node"), F.round("score", 6).alias("score")
+    )
+
+
+def q_trade_harmonic(spark, sf_dir):
+    """Harmonic centrality of the 8 smallest-id trade nodes (the
+    deterministic first-k seed convention of sampled Brandes) — one
+    multi-source BFS over the undirected graph; oracle = level-unrolled
+    BFS with a depth guard."""
+    from linkgraph.algorithms import harmonic_centrality
+
+    g = _trade_graph(spark, sf_dir)
+    return harmonic_centrality(g, first_k=8).select(
+        F.col("id").alias("node"),
+        F.round("harmonic", 6).alias("harmonic"),
+        F.col("n_reached").cast("long").alias("n_reached"),
+    )
+
+
+def q_trade_rich_club(spark, sf_dir):
+    """Rich-club coefficient at degree thresholds 2/5/10/20/40 — one pass
+    over canonical edges carrying min(endpoint degree), every threshold a
+    conditional sum."""
+    from linkgraph.algorithms.metrics import rich_club
+
+    g = _trade_graph(spark, sf_dir)
+    return rich_club(g, ks=[2, 5, 10, 20, 40]).select(
+        "k", "n_nodes", "n_edges", F.round("phi", 6).alias("phi")
+    )
+
+
+def q_events_sessions(spark, sf_dir):
+    """Per-user session windows (30-min inclusive gap) over the events
+    table — ``F.session_window`` merge-on-aggregate; the oracle is the
+    classic gaps-and-islands replay.  Same operator runs incrementally on
+    a watermarked stream (test_centrality.py)."""
+    from linkgraph.streaming import user_sessions
+
+    ev = _t(spark, sf_dir, "events")
+    return user_sessions(ev, gap="30 minutes")
+
+
+def q_docs_domain_mix(spark, sf_dir):
+    """Domain-mixture reweighting: per-language token shares and the
+    multiplicative sampling weight to reach a uniform target mixture —
+    one map-side-combined aggregate over the corpus."""
+    from linkgraph.pipeline.sampling import domain_mix
+
+    docs = _t(spark, sf_dir, "documents")
+    return domain_mix(docs, domain_col="lang").select(
+        "domain",
+        "n_docs",
+        "n_tokens",
+        F.round("token_share", 6).alias("token_share"),
+        F.round("weight", 6).alias("weight"),
     )
 
 
@@ -1360,6 +1465,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (golden-gated) ones.  Rotation policy documented in COVERAGE.md."""
     return {
         # new in this session (in-repo oracles; never driver-sampled)
+        "trade_eigenvector": q_trade_eigenvector,
+        "copurchase_katz": q_copurchase_katz,
+        "copurchase_ktruss": q_copurchase_ktruss,
+        "trade_weighted_pagerank": q_trade_weighted_pagerank,
+        "trade_harmonic": q_trade_harmonic,
+        "trade_rich_club": q_trade_rich_club,
+        "events_sessions": q_events_sessions,
+        "docs_domain_mix": q_docs_domain_mix,
         "docs_chunks": q_docs_chunks,
         "trade_personalized_pagerank": q_trade_personalized_pagerank,
         # oracle-upgraded this round — outputs changed to md5-based hashes
@@ -1642,6 +1755,74 @@ def _kcore_oracle_sql(k: int, rounds: int) -> str:
         + f"WHERE (SELECT count(*) FROM s{rounds}) <> "
         + f"(SELECT count(*) FROM s{rounds - 1})"
     )
+
+def _ktruss_oracle_sql(k: int, rounds: int) -> str:
+    """Unrolled k-truss peel (DuckDB) on the co-purchase graph: each stage
+    recomputes per-edge support (common-neighbour count via the two-sided
+    adjacency join) on the previous stage's surviving edges and keeps
+    support ≥ k-2.  Peeling is monotone, so a sufficient unroll reaches
+    the fixpoint; the error() arm fires loudly if the last two stages
+    still differ (oracle bug, not engine bug) — empirically sf0.01 needs
+    6 rounds for k=6."""
+    stages = [f"s0 AS MATERIALIZED (SELECT lo, hi FROM cp_ed)"]
+    for i in range(1, rounds + 1):
+        stages.append(
+            f"u{i-1} AS MATERIALIZED (SELECT lo AS id, hi AS nbr FROM s{i-1} "
+            f"UNION ALL SELECT hi, lo FROM s{i-1})"
+        )
+        stages.append(
+            f"s{i} AS MATERIALIZED (SELECT e.lo, e.hi FROM s{i-1} e "
+            f"JOIN u{i-1} a ON a.id = e.lo "
+            f"JOIN u{i-1} b ON b.id = e.hi AND b.nbr = a.nbr "
+            f"GROUP BY e.lo, e.hi HAVING count(*) >= {k - 2})"
+        )
+    return (
+        f"WITH {_COPURCHASE_ED},\n"
+        + ",\n".join(stages)
+        + f"\nSELECT lo, hi FROM s{rounds}"
+        + "\nUNION ALL\n"
+        + "SELECT CAST(error('ktruss oracle: peeling unroll insufficient "
+        + f"(rounds={rounds})') AS BIGINT), CAST(NULL AS BIGINT)\n"
+        + f"WHERE (SELECT count(*) FROM s{rounds}) <> "
+        + f"(SELECT count(*) FROM s{rounds - 1})"
+    )
+
+
+def _harmonic_oracle_sql(first_k: int, levels: int) -> str:
+    """Level-unrolled multi-source BFS over the undirected trade graph:
+    b_i = newly-reached (seed, node) pairs at distance i, v_i = all pairs
+    seen so far.  The error() arm fires if the last unrolled level still
+    discovered nodes (insufficient depth — trade's bipartite diameter is
+    ~4-6 at the test scale factors)."""
+    stages = [
+        f"seeds AS MATERIALIZED (SELECT id FROM trade_nodes ORDER BY id LIMIT {first_k})",
+        "b0 AS MATERIALIZED (SELECT id AS seed, id AS node, 0 AS dist FROM seeds)",
+        "v0 AS MATERIALIZED (SELECT * FROM b0)",
+    ]
+    for i in range(1, levels + 1):
+        stages.append(
+            f"b{i} AS MATERIALIZED (SELECT DISTINCT f.seed, u.id AS node, {i} AS dist "
+            f"FROM b{i-1} f JOIN trade_und u ON u.nbr = f.node "
+            f"WHERE NOT EXISTS (SELECT 1 FROM v{i-1} x "
+            f"WHERE x.seed = f.seed AND x.node = u.id))"
+        )
+        stages.append(
+            f"v{i} AS MATERIALIZED (SELECT * FROM v{i-1} UNION ALL SELECT * FROM b{i})"
+        )
+    return (
+        f"WITH {_TRADE_ED}, {_TRADE_NODES}, {_TRADE_UND},\n"
+        + ",\n".join(stages)
+        + f"""
+SELECT seed AS node, round(sum(1.0 / dist), 6) AS harmonic,
+       count(*) AS n_reached
+FROM v{levels} WHERE dist > 0 GROUP BY seed
+UNION ALL
+SELECT CAST(error('harmonic oracle: {levels}-level unroll insufficient') AS BIGINT),
+       CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT)
+WHERE (SELECT count(*) FROM b{levels}) <> 0
+"""
+    )
+
 
 def _kmeans_oracle_sql(k: int, iters: int, dim: int = 64, seed: int = 42) -> str:
     """Fully unrolled spherical k-means (DuckDB), mirroring
@@ -3303,5 +3484,137 @@ ndoc AS (
     sqls["transition_search_edges"] = _bm25_over(
         _EDGE_DOCS, _bm25_terms_sql(EDGE_SEARCH_QUERY), 10, "edge_id"
     )
+
+    # -- spectral / distance centralities, truss, rich-club ----------------
+
+    sqls["trade_eigenvector"] = f"""
+WITH RECURSIVE {_TRADE_ED}, {_TRADE_NODES}, {_TRADE_UND},
+ev(iter, id, score) AS (
+  SELECT 0, id, 1.0::DOUBLE FROM trade_nodes
+  UNION ALL
+  SELECT p.iter + 1, u.id, sum(p.score)
+  FROM ev p JOIN trade_und u ON u.nbr = p.id
+  WHERE p.iter < 20
+  GROUP BY p.iter + 1, u.id
+)
+SELECT id AS node, round(score / max(score) OVER (), 6) AS score
+FROM ev WHERE iter = 20
+"""
+
+    _CP_NODES_UND = """
+cp_nodes AS (
+  SELECT DISTINCT id FROM (SELECT lo AS id FROM cp_ed UNION ALL SELECT hi FROM cp_ed)
+),
+cp_und AS (SELECT lo AS id, hi AS nbr FROM cp_ed UNION ALL SELECT hi, lo FROM cp_ed)"""
+
+    sqls["copurchase_katz"] = f"""
+WITH RECURSIVE {_COPURCHASE_ED}, {_CP_NODES_UND},
+kz(iter, id, score) AS (
+  SELECT 0, id, 1.0::DOUBLE FROM cp_nodes
+  UNION ALL
+  SELECT p.iter + 1, u.id, 1.0 + 0.01 * sum(p.score)
+  FROM kz p JOIN cp_und u ON u.nbr = p.id
+  WHERE p.iter < 10
+  GROUP BY p.iter + 1, u.id
+)
+SELECT id AS node, round(score, 6) AS score FROM kz WHERE iter = 10
+"""
+
+    sqls["copurchase_ktruss"] = _ktruss_oracle_sql(KTRUSS_K, rounds=12)
+
+    sqls["trade_weighted_pagerank"] = """
+WITH RECURSIVE trade_wed AS (
+  SELECT o_custkey AS src, 1000000 + l_suppkey AS dst,
+         sum(CAST(l_quantity AS DOUBLE)) AS w
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY 1, 2
+),
+trade_nodes AS (
+  SELECT DISTINCT id FROM (SELECT src AS id FROM trade_wed UNION ALL SELECT dst FROM trade_wed)
+),
+outw AS (SELECT src AS id, sum(w) AS s FROM trade_wed GROUP BY src),
+nn AS (SELECT count(*)::DOUBLE AS n FROM trade_nodes),
+wm AS (
+  SELECT e.src AS u, e.dst AS v, e.w / ow.s AS wt
+  FROM trade_wed e JOIN outw ow ON ow.id = e.src
+  UNION ALL
+  SELECT s.id, t.id, 1.0/(SELECT n FROM nn)
+  FROM (SELECT tn.id FROM trade_nodes tn LEFT JOIN outw ow ON ow.id = tn.id
+        WHERE ow.id IS NULL) s
+  CROSS JOIN trade_nodes t
+  UNION ALL
+  SELECT id, id, 0.0 FROM trade_nodes
+),
+pr(iter, id, score) AS (
+  SELECT 0, id, 1.0/(SELECT n FROM nn) FROM trade_nodes
+  UNION ALL
+  SELECT p.iter + 1, wm.v, 0.15/(SELECT n FROM nn) + 0.85 * sum(p.score * wm.wt)
+  FROM pr p JOIN wm ON wm.u = p.id
+  WHERE p.iter < 20
+  GROUP BY p.iter + 1, wm.v
+)
+SELECT id AS node, round(score, 6) AS score FROM pr WHERE iter = 20
+"""
+
+    sqls["trade_harmonic"] = _harmonic_oracle_sql(8, levels=12)
+
+    sqls["trade_rich_club"] = f"""
+WITH {_TRADE_ED}, {_TRADE_NODES}, {_TRADE_UND},
+deg AS (SELECT id, count(*) AS degree FROM trade_und GROUP BY id),
+can AS (
+  SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi
+  FROM trade_ed WHERE src <> dst
+),
+emin AS (
+  SELECT least(dl.degree, dh.degree) AS min_deg
+  FROM can JOIN deg dl ON dl.id = can.lo JOIN deg dh ON dh.id = can.hi
+),
+ks AS (SELECT unnest([2, 5, 10, 20, 40]) AS k)
+SELECT CAST(k AS BIGINT) AS k,
+       (SELECT count(*) FROM deg WHERE degree > k) AS n_nodes,
+       (SELECT count(*) FROM emin WHERE min_deg > k) AS n_edges,
+       CASE WHEN (SELECT count(*) FROM deg WHERE degree > k) > 1
+            THEN round(2.0 * (SELECT count(*) FROM emin WHERE min_deg > k)
+                 / ((SELECT count(*) FROM deg WHERE degree > k)
+                    * ((SELECT count(*) FROM deg WHERE degree > k) - 1.0)), 6)
+            ELSE 0.0 END AS phi
+FROM ks
+"""
+
+    sqls["events_sessions"] = """
+WITH x AS (
+  SELECT user_id, ts, event_id, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+  FROM events
+),
+y AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN pts IS NULL OR ts > pts + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS ns
+  FROM x
+),
+z AS (
+  SELECT user_id, ts, value,
+         sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS sid
+  FROM y
+)
+SELECT user_id, CAST(epoch_ms(min(ts)) AS BIGINT) AS session_start,
+       count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM z GROUP BY user_id, sid
+"""
+
+    sqls["docs_domain_mix"] = r"""
+WITH per AS (
+  SELECT lang AS domain, count(*) AS n_docs,
+         sum(len(regexp_split_to_array(trim(text), '\s+'))) AS n_tokens
+  FROM documents GROUP BY lang
+),
+tot AS (SELECT sum(n_tokens)::DOUBLE AS tt, count(*) AS nd FROM per)
+SELECT domain, n_docs, n_tokens,
+       round(n_tokens / tt, 6) AS token_share,
+       round((1.0 / nd) / (n_tokens / tt), 6) AS weight
+FROM per, tot
+"""
 
     return sqls

@@ -117,6 +117,15 @@ def main() -> None:
         "transition_betweenness",
         "docs_chunks",
         "trade_personalized_pagerank",
+        # round 3 (cont.): spectral/distance centralities, truss, sessions
+        "trade_eigenvector",
+        "copurchase_katz",
+        "copurchase_ktruss",
+        "trade_weighted_pagerank",
+        "trade_harmonic",
+        "trade_rich_club",
+        "events_sessions",
+        "docs_domain_mix",
     ]
     # untimed warmup at the smallest scale factor: run every headline query
     # once over sf0.001 so whole-stage-codegen compilation, the parquet

@@ -1,6 +1,12 @@
 """Packaged graph algorithms (SURVEY.md §2.6)."""
 
 from linkgraph.algorithms.betweenness import betweenness_centrality
+from linkgraph.algorithms.centrality import (
+    eigenvector_centrality,
+    harmonic_centrality,
+    katz_centrality,
+    weighted_pagerank,
+)
 from linkgraph.algorithms.community import louvain, modularity
 from linkgraph.algorithms.components import (
     in_components,
@@ -8,7 +14,7 @@ from linkgraph.algorithms.components import (
     weakly_connected_components,
 )
 from linkgraph.algorithms.hits import hits
-from linkgraph.algorithms.kcore import k_core_ids, k_core_subgraph
+from linkgraph.algorithms.kcore import k_core_ids, k_core_subgraph, k_truss_edges
 from linkgraph.algorithms.linkpred import (
     degree_assortativity,
     link_prediction_scores,
@@ -52,6 +58,11 @@ __all__ = [
     "clustering_coefficient",
     "degree_assortativity",
     "dijkstra_single_source_shortest_paths",
+    "eigenvector_centrality",
+    "harmonic_centrality",
+    "katz_centrality",
+    "k_truss_edges",
+    "weighted_pagerank",
     "global_temporal_three_node_motif",
     "global_triangle_count",
     "hits",

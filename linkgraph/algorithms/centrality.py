@@ -1,0 +1,367 @@
+"""Spectral / distance centralities beyond the reference's set.
+
+The reference ships degree, PageRank, HITS, and Brandes betweenness
+(raphtory/src/algorithms/centrality/); eigenvector, Katz, and harmonic
+centrality are the standard next three a graph-analytics user reaches
+for, so they are provided as first-class engine operators with the same
+superstep discipline (pre-partitioned message edges, one driver action
+per superstep at most, linear lineage).
+
+Determinism contract (the DuckDB-oracle requirement): every kernel runs a
+FIXED number of supersteps with no data-dependent normalisation inside
+the loop — eigenvector normalises once at the end, Katz and harmonic
+never do — so Spark and a SQL replay produce identical values up to
+float-summation noise, absorbed by rounding at the query layer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from linkgraph.graph import LinkGraph
+from linkgraph.superstep import SuperstepLoop, iteration_conf, pick_partitions
+
+
+def _message_edges(graph: LinkGraph, direction: str) -> DataFrame:
+    """``(from_id, to_id, w)`` message-edge table for a score push along
+    ``direction`` (in | out | both), plus zero-weight self-messages so every
+    node survives the aggregate (the HITS pattern, hits.py)."""
+    e = graph.edge_ids()
+    if direction == "both":
+        und = graph.undirected_edge_ids()
+        msgs = und.select(
+            F.col("nbr_id").alias("from_id"),
+            F.col("id").alias("to_id"),
+            F.lit(1.0).alias("w"),
+        )
+    elif direction == "in":
+        msgs = e.select(
+            F.col("src_id").alias("from_id"),
+            F.col("dst_id").alias("to_id"),
+            F.lit(1.0).alias("w"),
+        )
+    elif direction == "out":
+        msgs = e.select(
+            F.col("dst_id").alias("from_id"),
+            F.col("src_id").alias("to_id"),
+            F.lit(1.0).alias("w"),
+        )
+    else:
+        raise ValueError(f"direction must be in/out/both, got {direction!r}")
+    keep_alive = graph.ids().select(
+        F.col("id").alias("from_id"),
+        F.col("id").alias("to_id"),
+        F.lit(0.0).alias("w"),
+    )
+    return msgs.unionByName(keep_alive)
+
+
+def _linear_push_loop(
+    graph: LinkGraph,
+    msgs: DataFrame,
+    init_score: float,
+    combine,
+    max_iter: int,
+    partitions: int | None,
+) -> DataFrame:
+    """Run ``x_{t+1}(v) = combine(Σ_{u→v} w·x_t(u))`` for ``max_iter``
+    supersteps; returns ``(id, score)``.
+
+    One co-partitioned join + hash aggregate per superstep: ``msgs`` is
+    repartitioned and sorted on ``from_id`` once and cached, state arrives
+    hash(from_id)-partitioned from the previous aggregate, so no
+    per-superstep exchange of the big side (the pagerank plan shape,
+    asserted by tests/test_plan_shape.py for the shared join pattern).
+    """
+    spark = graph.spark
+    raw = msgs.persist()
+    P = partitions or pick_partitions(spark, raw.count())
+    with iteration_conf(spark, shuffle_partitions=P):
+        msgs = raw.repartition(P, "from_id").sortWithinPartitions("from_id").persist()
+        msgs.count()
+        raw.unpersist()
+
+        init = graph.ids().select(
+            "id", F.lit(float(init_score)).alias("score")
+        ).repartition(P, "id")
+        loop = SuperstepLoop(spark)
+        state, start_it = loop.begin(init)
+        for it in range(start_it, max_iter + 1):
+            recv = (
+                msgs.join(state.select(F.col("id").alias("from_id"), "score"), "from_id")
+                .groupBy(F.col("to_id").alias("id"))
+                .agg(F.sum(F.col("w") * F.col("score")).alias("recv"))
+                .select("id", combine(F.col("recv")).alias("score"))
+            )
+            recv = loop.stage(recv, it)
+            state = loop.commit(it)
+        out = state.select("id", "score")
+        # detach the result from the loop's cache before it is unpersisted
+        out = out.localCheckpoint(eager=True)
+        msgs.unpersist()
+    return out
+
+
+def eigenvector_centrality(
+    graph: LinkGraph,
+    max_iter: int = 20,
+    direction: str = "both",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Power-iteration eigenvector centrality — ``(name, id, score)``,
+    score scaled so max = 1.
+
+    Fixed ``max_iter`` supersteps with NO per-iteration normalisation:
+    the iterate is exactly ``A^T^k · 1``, normalised once at the end by its
+    maximum.  Skipping in-loop normalisation removes a driver action per
+    superstep AND makes the values an exact polynomial in the adjacency
+    matrix — replayable by a recursive SQL CTE.  Magnitude is bounded by
+    ``λ_max^k ≤ max_degree^k``; doubles overflow only past 1e308, i.e.
+    max_degree^20 safe to degree ~2e15 — far beyond any real graph.
+    """
+    scores = _linear_push_loop(
+        graph,
+        _message_edges(graph, direction),
+        init_score=1.0,
+        combine=lambda recv: recv,
+        max_iter=max_iter,
+        partitions=partitions,
+    )
+    mx = scores.agg(F.max(F.abs("score"))).first()[0] or 0.0
+    denom = mx if mx > 0 else 1.0
+    return (
+        graph.ids()
+        .join(scores, "id", "left")
+        .select(
+            "name", "id", (F.coalesce("score", F.lit(0.0)) / F.lit(denom)).alias("score")
+        )
+    )
+
+
+def katz_centrality(
+    graph: LinkGraph,
+    alpha: float = 0.005,
+    beta: float = 1.0,
+    max_iter: int = 10,
+    direction: str = "in",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Katz centrality — ``(name, id, score)``.
+
+    ``x_{t+1}(v) = β + α · Σ_{u ∈ N_direction(v)} x_t(u)`` from ``x_0 = β``,
+    run a fixed ``max_iter`` supersteps (the truncated Katz series
+    ``Σ_k α^k A^k β``).  Converges iff ``α < 1/λ_max``; with fixed
+    iterations the output is well-defined and oracle-replayable either way.
+    """
+    return (
+        graph.ids()
+        .join(
+            _linear_push_loop(
+                graph,
+                _message_edges(graph, direction),
+                init_score=beta,
+                combine=lambda recv: F.lit(float(beta))
+                + F.lit(float(alpha)) * recv,
+                max_iter=max_iter,
+                partitions=partitions,
+            ),
+            "id",
+            "left",
+        )
+        .select("name", "id", F.coalesce("score", F.lit(float(beta))).alias("score"))
+    )
+
+
+def weighted_pagerank(
+    graph: LinkGraph,
+    weight: str,
+    max_iter: int = 20,
+    damping: float = 0.85,
+    partitions: int | None = None,
+) -> DataFrame:
+    """PageRank with edge weights — ``(name, id, score)``.
+
+    The reference's PageRank is unweighted (pagerank.rs:54-183); this is
+    the natural weighted extension with the SAME structural semantics:
+    per-edge weight = Σ of the temporal property ``weight`` over the
+    edge's events, contribution = score · w(u,v) / out_strength(u),
+    teleport ``(1-d)/n``, and sink redistribution ``d·Σ_sinks score/n``
+    (pagerank.rs:104-123) — sinks here are nodes with zero out-strength.
+
+    Fixed ``max_iter`` supersteps (deterministic, SQL-replayable).  The
+    sink mass rides the superstep plan as a broadcast one-row aggregate of
+    the SAME cached state — no extra driver action, and no sink×n message
+    blow-up (the SQL oracle at test scale uses the explicit sink→all-nodes
+    arm; the engine never materialises it).
+    """
+    if weight not in graph.edges_t.columns:
+        raise ValueError(f"weight property {weight!r} not found on edges")
+    from linkgraph.graph import name_to_id
+
+    spark = graph.spark
+    ids = graph.ids().persist()
+    n = ids.count()
+    if n == 0:
+        return ids.select("name", "id", F.lit(0.0).alias("score"))
+
+    e_w = (
+        graph.edges_t.groupBy("src", "dst")
+        .agg(F.sum(F.col(weight).cast("double")).alias("w"))
+        .select(
+            name_to_id(F.col("src")).alias("src_id"),
+            name_to_id(F.col("dst")).alias("dst_id"),
+            "w",
+        )
+    )
+    strength = e_w.groupBy(F.col("src_id").alias("id")).agg(F.sum("w").alias("s"))
+    wmsgs = (
+        e_w.join(strength.withColumnRenamed("id", "src_id"), "src_id")
+        .select(
+            F.col("src_id").alias("from_id"),
+            F.col("dst_id").alias("to_id"),
+            (F.col("w") / F.col("s")).alias("wt"),
+        )
+        .unionByName(
+            ids.select(
+                F.col("id").alias("from_id"),
+                F.col("id").alias("to_id"),
+                F.lit(0.0).alias("wt"),
+            )
+        )
+        .persist()
+    )
+    sinks = ids.select("id").join(strength, "id", "left_anti").persist()
+    sinks.count()
+
+    P = partitions or pick_partitions(spark, wmsgs.count())
+    d = float(damping)
+    with iteration_conf(spark, shuffle_partitions=P):
+        raw = wmsgs
+        wmsgs = raw.repartition(P, "from_id").sortWithinPartitions("from_id").persist()
+        wmsgs.count()
+        raw.unpersist()
+
+        init = ids.select("id", F.lit(1.0 / n).alias("score")).repartition(P, "id")
+        loop = SuperstepLoop(spark)
+        state, start_it = loop.begin(init)
+        for it in range(start_it, max_iter + 1):
+            sink_mass = state.join(F.broadcast(sinks), "id", "left_semi").agg(
+                F.coalesce(F.sum("score"), F.lit(0.0)).alias("sm")
+            )
+            recv = (
+                wmsgs.join(
+                    state.select(F.col("id").alias("from_id"), "score"), "from_id"
+                )
+                .groupBy(F.col("to_id").alias("id"))
+                .agg(F.sum(F.col("wt") * F.col("score")).alias("recv"))
+                .crossJoin(F.broadcast(sink_mass))
+                .select(
+                    "id",
+                    (
+                        F.lit((1.0 - d) / n)
+                        + F.lit(d) * (F.col("recv") + F.col("sm") / F.lit(float(n)))
+                    ).alias("score"),
+                )
+            )
+            recv = loop.stage(recv, it)
+            state = loop.commit(it)
+        out = state.select("id", "score").localCheckpoint(eager=True)
+        wmsgs.unpersist()
+        sinks.unpersist()
+    res = ids.join(out, "id", "left").select(
+        "name", "id", F.coalesce("score", F.lit(0.0)).alias("score")
+    )
+    ids.unpersist()
+    return res
+
+
+def harmonic_centrality(
+    graph: LinkGraph,
+    seeds: list[str] | None = None,
+    first_k: int = 8,
+    direction: str = "both",
+    max_depth: int = 64,
+) -> DataFrame:
+    """Harmonic centrality ``Σ_{u ≠ v} 1/d(v,u)`` for a seed set —
+    ``(name, id, harmonic, n_reached)``.
+
+    Seeds default to the ``first_k`` smallest node ids (the deterministic
+    first-k convention the reference's Brandes uses for sampled sources,
+    betweenness.rs:21-145).  All seeds run in ONE multi-source BFS: state
+    is ``(seed_id, id, dist)``, each level is a single frontier join +
+    min-aggregate, so the wall is O(diameter) supersteps regardless of how
+    many seeds ride along.
+    """
+    spark = graph.spark
+    ids = graph.ids()
+    if seeds is not None:
+        seed_ids = ids.join(
+            spark.createDataFrame([(s,) for s in seeds], "name string"), "name"
+        ).select("id")
+    else:
+        seed_ids = ids.select("id").orderBy("id").limit(first_k)
+
+    if direction == "both":
+        nbrs = graph.undirected_edge_ids().select(
+            F.col("id").alias("from_id"), F.col("nbr_id").alias("to_id")
+        )
+    elif direction == "out":
+        nbrs = graph.edge_ids().select(
+            F.col("src_id").alias("from_id"), F.col("dst_id").alias("to_id")
+        )
+    elif direction == "in":
+        nbrs = graph.edge_ids().select(
+            F.col("dst_id").alias("from_id"), F.col("src_id").alias("to_id")
+        )
+    else:
+        raise ValueError(f"direction must be in/out/both, got {direction!r}")
+
+    with iteration_conf(spark):
+        nbrs = nbrs.persist()
+        visited = (
+            seed_ids.select(
+                F.col("id").alias("seed"), F.col("id"), F.lit(0).alias("dist")
+            )
+            .persist()
+        )
+        frontier = visited
+        depth = 0
+        while depth < max_depth:
+            depth += 1
+            nxt = (
+                frontier.join(nbrs, frontier.id == nbrs.from_id)
+                .select("seed", F.col("to_id").alias("id"), F.lit(depth).alias("dist"))
+                .join(visited.select("seed", "id"), ["seed", "id"], "left_anti")
+                .distinct()
+            )
+            if depth % 4 == 0:
+                nxt = nxt.localCheckpoint(eager=True)
+            else:
+                nxt = nxt.persist()
+            if nxt.isEmpty():
+                break
+            new_visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+            visited.unpersist()
+            visited = new_visited
+            frontier = nxt
+        nbrs.unpersist()
+
+    agg = (
+        visited.filter(F.col("dist") > 0)
+        .groupBy(F.col("seed").alias("id"))
+        .agg(
+            F.sum(1.0 / F.col("dist")).alias("harmonic"),
+            F.count("*").alias("n_reached"),
+        )
+    )
+    return (
+        seed_ids.join(ids, "id")
+        .join(agg, "id", "left")
+        .select(
+            "name",
+            "id",
+            F.coalesce("harmonic", F.lit(0.0)).alias("harmonic"),
+            F.coalesce("n_reached", F.lit(0)).alias("n_reached"),
+        )
+    )

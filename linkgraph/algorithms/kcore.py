@@ -56,6 +56,54 @@ def _peel(graph: LinkGraph, k: int, max_iter: int) -> DataFrame:
     return alive
 
 
+def k_truss_edges(graph: LinkGraph, k: int, max_iter: int = sys.maxsize) -> DataFrame:
+    """Edges of the k-truss — ``(lo, hi)``, canonical lo<hi orientation.
+
+    The k-truss is the maximal subgraph where every edge closes ≥ k-2
+    triangles *within the subgraph* — the edge analogue of the reference's
+    k-core peel (k_core.rs:43-118), one rung up the cohesion ladder.
+    Peeling loop: recompute per-edge support on the surviving edge set
+    (one self-join per round, the triangle-intersection primitive,
+    triangle_count.rs:82-107), drop edges below k-2, repeat to fixpoint.
+
+    Support counting uses the BOTH-direction view of the surviving
+    canonical edges; an inner join means zero-support edges drop
+    implicitly for k ≥ 3.  Each round's output is localCheckpoint'd —
+    round r's plan would otherwise nest r triangle joins.
+    """
+    if k < 3:
+        raise ValueError("k-truss requires k >= 3")
+    from linkgraph.superstep import iteration_conf
+
+    with iteration_conf(graph.spark):
+        edges = graph.canonical_edge_ids().persist()
+        n_edges = edges.count()
+        it = 0
+        while it < max_iter:
+            it += 1
+            und = edges.select(F.col("lo").alias("id"), F.col("hi").alias("nbr")).unionByName(
+                edges.select(F.col("hi").alias("id"), F.col("lo").alias("nbr"))
+            )
+            a = und.select(F.col("id").alias("lo"), F.col("nbr").alias("w"))
+            b = und.select(F.col("id").alias("hi"), F.col("nbr").alias("w"))
+            survivors = (
+                edges.join(a, "lo")
+                .join(b, ["hi", "w"])
+                .groupBy("lo", "hi")
+                .agg(F.count("*").alias("support"))
+                .filter(F.col("support") >= k - 2)
+                .select("lo", "hi")
+                .localCheckpoint(eager=True)
+            )
+            n_new = survivors.count()
+            edges.unpersist()
+            edges = survivors
+            if n_new == n_edges:
+                break
+            n_edges = n_new
+    return edges
+
+
 def k_core_subgraph(graph: LinkGraph, k: int) -> LinkGraph:
     """Induced subgraph on the k-core node set."""
     ids = k_core_ids(graph, k)

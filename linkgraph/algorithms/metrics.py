@@ -110,6 +110,50 @@ def directed_graph_density(graph: LinkGraph) -> float:
     return graph.count_edges() / (n * (n - 1.0))
 
 
+def rich_club(graph: LinkGraph, ks: list[int]) -> DataFrame:
+    """Rich-club coefficient per degree threshold — ``(k, n_nodes, n_edges,
+    phi)`` with ``phi(k) = 2·E_k / (N_k·(N_k−1))`` over the undirected
+    simple graph restricted to nodes of BOTH-degree > k.
+
+    One pass regardless of ``len(ks)``: canonical edges join the degree
+    table twice (broadcast — it is one row per node), every edge carries
+    ``min(deg_lo, deg_hi)``, and each threshold is a conditional sum in a
+    single aggregate.  No per-k scan.
+    """
+    deg = graph.degrees().select("id", "degree")
+    e = (
+        graph.canonical_edge_ids()
+        .join(F.broadcast(deg.withColumnRenamed("id", "lo")), "lo")
+        .withColumnRenamed("degree", "deg_lo")
+        .join(F.broadcast(deg.withColumnRenamed("id", "hi")), "hi")
+        .withColumnRenamed("degree", "deg_hi")
+        .select(F.least("deg_lo", "deg_hi").alias("min_deg"))
+    )
+    edge_counts = e.agg(
+        *[
+            F.sum((F.col("min_deg") > k).cast("long")).alias(f"e{k}")
+            for k in ks
+        ]
+    )
+    node_counts = deg.agg(
+        *[
+            F.sum((F.col("degree") > k).cast("long")).alias(f"n{k}")
+            for k in ks
+        ]
+    )
+    row_e = edge_counts.first()
+    row_n = node_counts.first()
+    rows = []
+    for k in ks:
+        nk = row_n[f"n{k}"] or 0
+        ek = row_e[f"e{k}"] or 0
+        phi = (2.0 * ek / (nk * (nk - 1.0))) if nk > 1 else 0.0
+        rows.append((k, nk, ek, phi))
+    return graph.spark.createDataFrame(
+        rows, "k int, n_nodes long, n_edges long, phi double"
+    )
+
+
 def balance(graph: LinkGraph, weight: str, direction: str = "both") -> DataFrame:
     """Per-node signed sum of temporal edge-property values — the reference's
     weight accumulation (metrics/balance.rs:100-132, per-node semantics at

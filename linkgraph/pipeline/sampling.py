@@ -65,6 +65,51 @@ def hash_split(
     return df.withColumn("split", expr)
 
 
+def domain_mix(
+    docs: DataFrame,
+    domain_col: str = "lang",
+    target: dict[str, float] | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-domain mixture statistics and resampling weights —
+    ``(domain, n_docs, n_tokens, token_share, weight)``.
+
+    The domain-reweighting primitive of a training-data pipeline: measure
+    each domain's share of the corpus in TOKENS (whitespace tokens — the
+    unit mixtures are specified in), then emit the multiplicative sampling
+    weight ``target_share / token_share`` that a sampler applies per
+    domain to hit the target mixture.  ``target`` defaults to uniform over
+    the observed domains (computed from the aggregate itself — no second
+    scan).  Domains absent from ``target`` get weight 0.0 (drop).
+
+    One map-side-combined hash aggregate over the corpus; the weight math
+    happens on the per-domain rows (dozens), driver-free.
+    """
+    n_tok = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    per = docs.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(n_tok).cast("long").alias("n_tokens"),
+    )
+    tot = per.agg(
+        F.sum("n_tokens").alias("tt"), F.count("*").alias("nd")
+    )
+    per = per.crossJoin(F.broadcast(tot))
+    if target is None:
+        tgt = F.lit(1.0) / F.col("nd")
+    else:
+        tgt = F.lit(0.0)
+        for name, share in target.items():
+            tgt = F.when(F.col("domain") == name, F.lit(float(share))).otherwise(tgt)
+    share = F.col("n_tokens") / F.col("tt")
+    return per.select(
+        "domain",
+        "n_docs",
+        "n_tokens",
+        share.alias("token_share"),
+        F.when(share > 0, tgt / share).otherwise(F.lit(0.0)).alias("weight"),
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     group_cols: list[str],

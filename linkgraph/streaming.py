@@ -75,6 +75,41 @@ def hourly_event_counts(
     )
 
 
+def user_sessions(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Per-user session windows — ``(user_id, session_start, n_events,
+    total_value)`` with ``session_start`` = epoch ms of the first event.
+
+    ``F.session_window``: consecutive events of a user belong to one
+    session while each inter-event gap is ≤ ``gap`` (INCLUSIVE — an event
+    exactly ``gap`` later still merges; verified by
+    test_user_sessions_gap_boundary); the window closes at
+    ``last_ts + gap``.  Works identically on a batch DataFrame and a
+    watermarked stream — callers pass either; on a stream add
+    ``.withWatermark("ts", ...)`` first so session state is bounded.
+
+    This is merge-on-aggregate (Spark's state-store merges overlapping
+    per-event intervals), not a window-function scan — on a stream it is
+    incremental, and in batch it is one hash-aggregate per user group.
+    """
+    # batch parquet reads infer TIMESTAMP_NTZ; normalise to TIMESTAMP (the
+    # session runs in UTC, so this is the UTC wall-clock interpretation —
+    # identical to DuckDB's epoch_ms on a naive timestamp)
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        events.groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_millis("w.start").alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def running_user_totals(stream: DataFrame) -> DataFrame:
     """Cumulative ``(user_id, n_events, total_value)`` per user, emitted on
     every trigger that sees the user — an ``applyInPandasWithState``

@@ -1,0 +1,290 @@
+"""Eigenvector / Katz / harmonic / weighted-PageRank centralities, k-truss,
+rich-club, domain mixing, session windows — numpy/hand oracles.
+
+These operators extend the reference's centrality set (SURVEY §2.6); the
+correctness bar is an independent dense-math replay (numpy) or a
+hand-computed golden on a graph small enough to verify by eye.
+"""
+
+import datetime as dt
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from linkgraph.graph import LinkGraph
+from linkgraph.algorithms import (
+    eigenvector_centrality,
+    harmonic_centrality,
+    k_truss_edges,
+    katz_centrality,
+    pagerank,
+    weighted_pagerank,
+)
+from linkgraph.algorithms.metrics import rich_club
+
+
+DIAMOND = [
+    # 4-cycle with a chord: genuinely non-uniform eigenvector scores
+    (0, "1", "2"), (1, "2", "3"), (2, "3", "4"), (3, "4", "1"), (4, "1", "3"),
+]
+
+
+def _und_adj(edges, nodes):
+    idx = {n: i for i, n in enumerate(nodes)}
+    A = np.zeros((len(nodes), len(nodes)))
+    for _, s, d in edges:
+        A[idx[s], idx[d]] = 1.0
+        A[idx[d], idx[s]] = 1.0
+    return A, idx
+
+
+def test_eigenvector_matches_numpy_power_iteration(spark):
+    g = LinkGraph.from_edge_list(spark, DIAMOND)
+    nodes = ["1", "2", "3", "4"]
+    A, idx = _und_adj(DIAMOND, nodes)
+    x = np.ones(len(nodes))
+    for _ in range(20):
+        x = A @ x
+    x = x / x.max()
+    got = {r["name"]: r["score"] for r in eigenvector_centrality(g, max_iter=20).collect()}
+    for n in nodes:
+        assert got[n] == pytest.approx(x[idx[n]], rel=1e-9)
+    # hubs ("1", "3", degree 3) outrank the others; max is scaled to 1
+    assert max(got.values()) == pytest.approx(1.0)
+    assert got["1"] == pytest.approx(got["3"])
+    assert got["1"] > got["2"] == pytest.approx(got["4"])
+
+
+def test_katz_matches_numpy_series(spark):
+    g = LinkGraph.from_edge_list(spark, DIAMOND)
+    nodes = ["1", "2", "3", "4"]
+    A, idx = _und_adj(DIAMOND, nodes)
+    alpha, beta, iters = 0.1, 1.0, 10
+    x = np.full(len(nodes), beta)
+    for _ in range(iters):
+        x = beta + alpha * (A @ x)
+    got = {
+        r["name"]: r["score"]
+        for r in katz_centrality(
+            g, alpha=alpha, beta=beta, max_iter=iters, direction="both"
+        ).collect()
+    }
+    for n in nodes:
+        assert got[n] == pytest.approx(x[idx[n]], rel=1e-12)
+
+
+def test_katz_directed_in_chain(spark):
+    # 1 -> 2 -> 3: in-direction Katz accumulates along the chain
+    g = LinkGraph.from_edge_list(spark, [(0, "1", "2"), (1, "2", "3")])
+    got = {
+        r["name"]: r["score"]
+        for r in katz_centrality(g, alpha=0.5, beta=1.0, max_iter=10).collect()
+    }
+    assert got["1"] == pytest.approx(1.0)          # no in-edges: stays at beta
+    assert got["2"] == pytest.approx(1.5)          # beta + alpha*x1
+    assert got["3"] == pytest.approx(1.75)         # beta + alpha*x2
+
+
+def test_weighted_pagerank_matches_numpy(spark):
+    edges = [
+        ("1", "2", 0, 3.0), ("1", "3", 1, 1.0), ("2", "3", 2, 2.0),
+        ("3", "1", 3, 5.0), ("2", "3", 4, 4.0),  # repeated edge: weights sum
+        ("4", "1", 5, 1.0),  # and node 5 below is a pure sink target
+        ("3", "5", 6, 1.0),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string, time long, qty double")
+    g = LinkGraph(df)
+    nodes = ["1", "2", "3", "4", "5"]
+    idx = {n: i for i, n in enumerate(nodes)}
+    W = np.zeros((5, 5))
+    for s, d, _, q in edges:
+        W[idx[s], idx[d]] += q
+    strength = W.sum(axis=1)
+    n = 5
+    x = np.full(n, 1.0 / n)
+    for _ in range(20):
+        sink_mass = x[strength == 0].sum()
+        contrib = np.zeros(n)
+        for i in range(n):
+            if strength[i] > 0:
+                contrib += x[i] * W[i] / strength[i]
+        x = 0.15 / n + 0.85 * (contrib + sink_mass / n)
+    got = {
+        r["name"]: r["score"]
+        for r in weighted_pagerank(g, "qty", max_iter=20).collect()
+    }
+    for m in nodes:
+        assert got[m] == pytest.approx(x[idx[m]], rel=1e-12)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_weighted_pagerank_uniform_weights_equals_pagerank(spark):
+    # all weights equal -> identical to the unweighted engine on a simple
+    # graph (no repeated edges, so per-edge sums stay equal too)
+    edges = [(t, s, d) for t, s, d in DIAMOND]
+    df = spark.createDataFrame(
+        [(s, d, t, 1.0) for t, s, d in edges],
+        "src string, dst string, time long, qty double",
+    )
+    wg = LinkGraph(df)
+    g = LinkGraph.from_edge_list(spark, edges)
+    ref = {r["name"]: r["score"] for r in pagerank(g, max_iter=25, tol=0.0).collect()}
+    got = {r["name"]: r["score"] for r in weighted_pagerank(wg, "qty", max_iter=25).collect()}
+    for m in ref:
+        assert got[m] == pytest.approx(ref[m], rel=1e-9)
+
+
+def test_harmonic_centrality_path(spark):
+    # path 1-2-3-4-5, seeds = two smallest ids
+    g = LinkGraph.from_edge_list(
+        spark, [(0, "1", "2"), (1, "2", "3"), (2, "3", "4"), (3, "4", "5")]
+    )
+    got = {
+        r["name"]: (r["harmonic"], r["n_reached"])
+        for r in harmonic_centrality(g, first_k=2).collect()
+    }
+    assert set(got) == {"1", "2"}
+    assert got["1"][0] == pytest.approx(1 + 1 / 2 + 1 / 3 + 1 / 4)
+    assert got["1"][1] == 4
+    assert got["2"][0] == pytest.approx(1 + 1 + 1 / 2 + 1 / 3)
+    assert got["2"][1] == 4
+
+
+def test_harmonic_explicit_seeds_and_direction(spark):
+    g = LinkGraph.from_edge_list(spark, [(0, "1", "2"), (1, "2", "3")])
+    got = {
+        r["name"]: r["harmonic"]
+        for r in harmonic_centrality(g, seeds=["1"], direction="out").collect()
+    }
+    assert got == {"1": pytest.approx(1 + 1 / 2)}
+
+
+K4_PLUS_TAIL = [
+    (0, "1", "2"), (1, "1", "3"), (2, "1", "4"),
+    (3, "2", "3"), (4, "2", "4"), (5, "3", "4"),
+    (6, "4", "5"),  # pendant edge: support 0
+]
+
+
+def test_k_truss_k4(spark):
+    g = LinkGraph.from_edge_list(spark, K4_PLUS_TAIL)
+    t3 = {(r["lo"], r["hi"]) for r in k_truss_edges(g, 3).collect()}
+    assert t3 == {(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)}
+    t4 = {(r["lo"], r["hi"]) for r in k_truss_edges(g, 4).collect()}
+    assert t4 == t3  # K4 edges all have support 2
+    assert k_truss_edges(g, 5).count() == 0
+
+
+def test_k_truss_cascade(spark):
+    # two triangles sharing an edge: 3-truss keeps all 5 edges, 4-truss
+    # keeps none (the shared edge has support 2 but its neighbours die,
+    # which kills it on the SECOND peel round — exercises the iteration)
+    edges = [(0, "1", "2"), (1, "1", "3"), (2, "2", "3"), (3, "2", "4"), (4, "3", "4")]
+    g = LinkGraph.from_edge_list(spark, edges)
+    assert k_truss_edges(g, 3).count() == 5
+    assert k_truss_edges(g, 4).count() == 0
+
+
+def test_rich_club(spark):
+    # star 1-{2,3,4} plus edge 2-3 making a triangle among {1,2,3}
+    g = LinkGraph.from_edge_list(
+        spark, [(0, "1", "2"), (1, "1", "3"), (2, "1", "4"), (3, "2", "3")]
+    )
+    rows = {r["k"]: r for r in rich_club(g, ks=[0, 1, 2]).collect()}
+    # k=0: all 4 nodes, 4 edges -> 2*4/(4*3)
+    assert rows[0]["n_nodes"] == 4 and rows[0]["n_edges"] == 4
+    assert rows[0]["phi"] == pytest.approx(8 / 12)
+    # k=1: nodes {1,2,3} (deg 3,2,2), edges among them = 3 -> phi 1.0
+    assert rows[1]["n_nodes"] == 3 and rows[1]["n_edges"] == 3
+    assert rows[1]["phi"] == pytest.approx(1.0)
+    # k=2: only node 1 -> undefined, reported 0
+    assert rows[2]["n_nodes"] == 1 and rows[2]["phi"] == 0.0
+
+
+def test_domain_mix_uniform_target(spark):
+    from linkgraph.pipeline.sampling import domain_mix
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c", "en"),
+            (1, "d e f", "en"),
+            (2, "x y", "fr"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    rows = {r["domain"]: r for r in domain_mix(docs).collect()}
+    assert rows["en"]["n_docs"] == 2 and rows["en"]["n_tokens"] == 6
+    assert rows["fr"]["n_tokens"] == 2
+    assert rows["en"]["token_share"] == pytest.approx(0.75)
+    # uniform target 0.5 each: weight = target/share
+    assert rows["en"]["weight"] == pytest.approx(0.5 / 0.75)
+    assert rows["fr"]["weight"] == pytest.approx(0.5 / 0.25)
+
+
+def test_domain_mix_explicit_target_drops_unlisted(spark):
+    from linkgraph.pipeline.sampling import domain_mix
+
+    docs = spark.createDataFrame(
+        [(0, "a b", "en"), (1, "c d", "fr")],
+        "doc_id long, text string, lang string",
+    )
+    rows = {r["domain"]: r for r in domain_mix(docs, target={"en": 1.0}).collect()}
+    assert rows["en"]["weight"] == pytest.approx(1.0 / 0.5)
+    assert rows["fr"]["weight"] == 0.0
+
+
+def test_user_sessions_gap_boundary(spark):
+    from linkgraph.streaming import user_sessions
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def at(s):
+        return base + dt.timedelta(seconds=s)
+
+    events = spark.createDataFrame(
+        [
+            (0, at(0), 1, "click", 1.0, "{}"),
+            (1, at(10), 1, "click", 2.0, "{}"),
+            (2, at(40), 1, "click", 4.0, "{}"),   # exactly gap after 10 -> MERGES
+            (3, at(71), 1, "click", 8.0, "{}"),   # 31s after 40 -> new session
+            (4, at(5), 2, "buy", 1.0, "{}"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    rows = {
+        (r["user_id"], r["session_start"]): (r["n_events"], r["total_value"])
+        for r in user_sessions(events, gap="30 seconds").collect()
+    }
+    base_ms = int(base.replace(tzinfo=dt.timezone.utc).timestamp()) * 1000
+    assert rows == {
+        (1, base_ms): (3, 7.0),
+        (1, base_ms + 71_000): (1, 8.0),
+        (2, base_ms + 5_000): (1, 1.0),
+    }
+
+
+def test_user_sessions_streaming_available_now(spark, tmp_path):
+    from linkgraph.streaming import read_event_stream, run_available_now, user_sessions
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    p = str(tmp_path / "sess_in")
+    spark.createDataFrame(
+        [
+            (0, base, 1, "click", 1.0, "{}"),
+            (1, base + dt.timedelta(seconds=10), 1, "click", 2.0, "{}"),
+            (2, base + dt.timedelta(hours=2), 1, "click", 4.0, "{}"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.mode("append").parquet(p)
+    stream = read_event_stream(spark, p).withWatermark("ts", "1 hour")
+    out = run_available_now(
+        user_sessions(stream, gap="30 seconds"),
+        str(tmp_path / "ck_sess"),
+        output_mode="complete",
+    )
+    got = {r["session_start"]: r["n_events"] for r in out.collect()}
+    base_ms = int(base.replace(tzinfo=dt.timezone.utc).timestamp()) * 1000
+    assert got == {base_ms: 2, base_ms + 7_200_000: 1}
