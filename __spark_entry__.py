@@ -531,6 +531,29 @@ def q_copurchase_ktruss(spark, sf_dir):
     return k_truss_edges(g, KTRUSS_K).select("lo", "hi")
 
 
+def q_copurchase_coreness(spark, sf_dir):
+    """Full core decomposition of the co-purchase graph via the
+    distributed h-index fixpoint (== sequential peel, proven in Lü et al.
+    2016 and asserted against the peel in test_centrality.py); oracle =
+    unrolled h-index stages with a loud fixpoint guard."""
+    from linkgraph.algorithms.kcore import coreness
+
+    g = _copurchase_graph(spark, sf_dir)
+    return coreness(g).select(
+        F.col("id").alias("node"), F.col("coreness").cast("long").alias("coreness")
+    )
+
+
+def q_docs_c4_rules(spark, sf_dir):
+    """C4-style line+document cleaning over the corpus — map-only array
+    lambdas, no shuffle; the oracle replays the identical rules with
+    DuckDB list lambdas."""
+    from linkgraph.pipeline.quality import c4_rules
+
+    docs = _t(spark, sf_dir, "documents")
+    return c4_rules(docs)
+
+
 def q_trade_weighted_pagerank(spark, sf_dir):
     """PageRank weighted by summed l_quantity per edge, 20 fixed
     supersteps — contribution = score·w/out_strength, sink mass (all
@@ -1473,6 +1496,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trade_rich_club": q_trade_rich_club,
         "events_sessions": q_events_sessions,
         "docs_domain_mix": q_docs_domain_mix,
+        "copurchase_coreness": q_copurchase_coreness,
+        "docs_c4_rules": q_docs_c4_rules,
         "docs_chunks": q_docs_chunks,
         "trade_personalized_pagerank": q_trade_personalized_pagerank,
         # oracle-upgraded this round — outputs changed to md5-based hashes
@@ -1608,6 +1633,12 @@ cp_ed AS (
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
   WHERE a.l_orderkey % 4 = 0
 )"""
+
+_CP_NODES_UND_FRAG = """
+cp_nodes AS (
+  SELECT DISTINCT id FROM (SELECT lo AS id FROM cp_ed UNION ALL SELECT hi FROM cp_ed)
+),
+cp_und AS (SELECT lo AS id, hi AS nbr FROM cp_ed UNION ALL SELECT hi, lo FROM cp_ed)"""
 
 _TRANSITION_ED = """
 tr_raw AS (
@@ -1821,6 +1852,39 @@ SELECT CAST(error('harmonic oracle: {levels}-level unroll insufficient') AS BIGI
        CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT)
 WHERE (SELECT count(*) FROM b{levels}) <> 0
 """
+    )
+
+
+def _coreness_oracle_sql(rounds: int) -> str:
+    """Unrolled h-index iteration (DuckDB) to the coreness fixpoint on the
+    co-purchase graph: h0 = degree, h_{i+1}(u) = max(least(rn, v)) over
+    the neighbours' values sorted descending (rn = row_number).  Values
+    are non-increasing, so ``rounds`` past the empirical fixpoint (16 at
+    sf0.01) suffices; the error() arm fires if the last two stages still
+    differ."""
+    stages = [
+        "h0 AS MATERIALIZED (SELECT id, count(*)::INT AS v FROM cp_und GROUP BY id)"
+    ]
+    for i in range(1, rounds + 1):
+        stages.append(
+            f"""h{i} AS MATERIALIZED (
+  SELECT id, max(least(rn, val))::INT AS v FROM (
+    SELECT u.id,
+           row_number() OVER (PARTITION BY u.id ORDER BY p.v DESC) AS rn,
+           p.v AS val
+    FROM cp_und u JOIN h{i-1} p ON p.id = u.nbr
+  ) GROUP BY id
+)"""
+        )
+    return (
+        f"WITH {_COPURCHASE_ED}, {_CP_NODES_UND_FRAG},\n"
+        + ",\n".join(stages)
+        + f"\nSELECT id AS node, v::BIGINT AS coreness FROM h{rounds}"
+        + "\nUNION ALL\n"
+        + "SELECT CAST(error('coreness oracle: h-index unroll insufficient "
+        + f"(rounds={rounds})') AS BIGINT), CAST(NULL AS BIGINT)\n"
+        + f"WHERE (SELECT count(*) FROM h{rounds} a JOIN h{rounds - 1} b "
+        + "ON a.id = b.id AND a.v <> b.v) <> 0"
     )
 
 
@@ -3501,14 +3565,8 @@ SELECT id AS node, round(score / max(score) OVER (), 6) AS score
 FROM ev WHERE iter = 20
 """
 
-    _CP_NODES_UND = """
-cp_nodes AS (
-  SELECT DISTINCT id FROM (SELECT lo AS id FROM cp_ed UNION ALL SELECT hi FROM cp_ed)
-),
-cp_und AS (SELECT lo AS id, hi AS nbr FROM cp_ed UNION ALL SELECT hi, lo FROM cp_ed)"""
-
     sqls["copurchase_katz"] = f"""
-WITH RECURSIVE {_COPURCHASE_ED}, {_CP_NODES_UND},
+WITH RECURSIVE {_COPURCHASE_ED}, {_CP_NODES_UND_FRAG},
 kz(iter, id, score) AS (
   SELECT 0, id, 1.0::DOUBLE FROM cp_nodes
   UNION ALL
@@ -3602,6 +3660,37 @@ z AS (
 SELECT user_id, CAST(epoch_ms(min(ts)) AS BIGINT) AS session_start,
        count(*) AS n_events, round(sum(value), 2) AS total_value
 FROM z GROUP BY user_id, sid
+"""
+
+    sqls["copurchase_coreness"] = _coreness_oracle_sql(rounds=20)
+
+    sqls["docs_c4_rules"] = r"""
+WITH split AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(text, chr(10)) AS lines,
+         list_filter(regexp_split_to_array(text, chr(10)),
+           l -> len(regexp_split_to_array(trim(l), '\s+')) >= 3
+                AND regexp_matches(rtrim(l), '[.!?"]$')
+                AND NOT regexp_matches(lower(l), 'javascript')) AS kept
+  FROM documents
+),
+clean AS (
+  SELECT doc_id, text, len(lines) AS n_lines, len(kept) AS n_kept_lines,
+         coalesce(array_to_string(kept, chr(10)), '') AS clean_text
+  FROM split
+),
+verdict AS (
+  SELECT doc_id, n_lines, n_kept_lines, clean_text,
+         CASE WHEN contains(text, '{') THEN 'brace'
+              WHEN contains(lower(text), 'lorem ipsum') THEN 'lorem'
+              WHEN len(regexp_extract_all(clean_text, '[.!?]')) < 3
+                   THEN 'too_few_sentences'
+         END AS reject_reason
+  FROM clean
+)
+SELECT doc_id, reject_reason IS NULL AS keep, reject_reason,
+       n_lines, n_kept_lines, clean_text
+FROM verdict
 """
 
     sqls["docs_domain_mix"] = r"""

@@ -126,6 +126,8 @@ def main() -> None:
         "trade_rich_club",
         "events_sessions",
         "docs_domain_mix",
+        "copurchase_coreness",
+        "docs_c4_rules",
     ]
     # untimed warmup at the smallest scale factor: run every headline query
     # once over sf0.001 so whole-stage-codegen compilation, the parquet

@@ -104,6 +104,60 @@ def k_truss_edges(graph: LinkGraph, k: int, max_iter: int = sys.maxsize) -> Data
     return edges
 
 
+def coreness(graph: LinkGraph, max_iter: int = sys.maxsize) -> DataFrame:
+    """Full core decomposition — ``(id, coreness)`` for every node.
+
+    Distributed h-index fixpoint (Lü et al., "The H-index of a network
+    node and its relation to degree and coreness", Nat. Commun. 2016):
+    start from BOTH-degree and repeatedly set each node's value to the
+    h-index of its neighbours' values (``max_i min(i, v_i)`` over values
+    sorted descending); the fixpoint is exactly the peel-based coreness,
+    with no sequential peel.  Values are non-increasing, so the one-row
+    ``sum`` aggregate doubles as the convergence check (one driver action
+    per iteration); the per-node h-index is a window ``row_number`` +
+    hash aggregate — both shuffle on ``id`` only.
+
+    Consistency with the reference's k-core (k_core.rs:43-118):
+    ``coreness >= k``  ⇔  membership in ``k_core_ids(graph, k)``
+    (asserted in test_centrality.py).
+    """
+    from pyspark.sql import Window as W
+
+    from linkgraph.superstep import iteration_conf
+
+    spark = graph.spark
+    with iteration_conf(spark):
+        und = graph.undirected_edge_ids().persist()
+        state = (
+            und.groupBy("id").agg(F.count("*").cast("int").alias("v")).persist()
+        )
+        total = state.agg(F.sum("v")).first()[0] or 0
+        it = 0
+        while it < max_iter:
+            it += 1
+            nbr_vals = und.join(
+                state.select(F.col("id").alias("nbr_id"), "v"), "nbr_id"
+            ).select("id", "v")
+            w = W.partitionBy("id").orderBy(F.col("v").desc())
+            new_state = (
+                nbr_vals.withColumn("rn", F.row_number().over(w))
+                .groupBy("id")
+                .agg(F.max(F.least(F.col("rn"), F.col("v"))).cast("int").alias("v"))
+            )
+            if it % 4 == 0:
+                new_state = new_state.localCheckpoint(eager=True)
+            else:
+                new_state = new_state.persist()
+            new_total = new_state.agg(F.sum("v")).first()[0] or 0
+            state.unpersist()
+            state = new_state
+            if new_total == total:
+                break
+            total = new_total
+        und.unpersist()
+    return state.withColumnRenamed("v", "coreness")
+
+
 def k_core_subgraph(graph: LinkGraph, k: int) -> LinkGraph:
     """Induced subgraph on the k-core node set."""
     ids = k_core_ids(graph, k)

@@ -45,6 +45,58 @@ from linkgraph.pipeline.textstats import (
 )
 
 
+def c4_rules(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """C4-style line + document cleaning (Raffel et al. 2020, §2.2) —
+    ``(doc_id, keep, reject_reason, n_lines, n_kept_lines, clean_text)``.
+
+    Line rules (a line survives iff ALL hold):
+
+    - ends in terminal punctuation (``. ! ?`` or a closing quote) after
+      right-trim;
+    - has ≥ 3 whitespace-separated words;
+    - does not contain the word "javascript" (case-insensitive).
+
+    Document rules on the surviving text: reject when the ORIGINAL text
+    contains ``{`` (code), contains "lorem ipsum" (boilerplate), or the
+    cleaned text has < 3 sentence terminators; ``reject_reason`` is the
+    first failing rule (``brace``/``lorem``/``too_few_sentences``).
+
+    Map-only: array lambdas over the line split, no shuffle, no UDF —
+    the whole operator fuses into the scan (whole-stage codegen), which
+    is what lets it run as a pre-filter in the same pass as ingestion at
+    corpus scale.
+    """
+    t = F.col(text_col)
+    lines = F.split(t, "\n")
+
+    def _line_ok(line):
+        return (
+            (F.size(F.split(F.trim(line), r"\s+")) >= 3)
+            & F.rtrim(line).rlike('[.!?"]$')
+            & ~F.lower(line).rlike("javascript")
+        )
+
+    kept = F.filter(lines, _line_ok)
+    clean = F.array_join(kept, "\n")
+    n_sentences = F.size(F.regexp_extract_all(clean, F.lit(r"[.!?]"), 0))
+    has_brace = t.contains("{")
+    has_lorem = F.lower(t).contains("lorem ipsum")
+    reason = (
+        F.when(has_brace, F.lit("brace"))
+        .when(has_lorem, F.lit("lorem"))
+        .when(n_sentences < 3, F.lit("too_few_sentences"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return docs.select(
+        "doc_id",
+        reason.isNull().alias("keep"),
+        reason.alias("reject_reason"),
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_kept_lines"),
+        clean.alias("clean_text"),
+    )
+
+
 def quality_gate(
     docs: DataFrame,
     benchmark: DataFrame | None = None,

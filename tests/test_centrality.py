@@ -186,6 +186,59 @@ def test_k_truss_cascade(spark):
     assert k_truss_edges(g, 4).count() == 0
 
 
+def test_coreness_k4_tail(spark):
+    from linkgraph.algorithms.kcore import coreness
+
+    g = LinkGraph.from_edge_list(spark, K4_PLUS_TAIL)
+    got = {r["id"]: r["coreness"] for r in coreness(g).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3, 5: 1}
+
+
+def test_coreness_matches_peel_and_kcore(spark):
+    import random
+
+    from linkgraph.algorithms.kcore import coreness, k_core_ids
+
+    rng = random.Random(5)
+    edges = list(
+        {
+            (min(a, b), max(a, b))
+            for a, b in (
+                (rng.randrange(30), rng.randrange(30)) for _ in range(120)
+            )
+            if a != b
+        }
+    )
+    g = LinkGraph.from_edge_list(
+        spark, [(i, str(a), str(b)) for i, (a, b) in enumerate(edges)]
+    )
+    got = {r["id"]: r["coreness"] for r in coreness(g).collect()}
+
+    # sequential peel oracle
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    deg = {u: len(ns) for u, ns in adj.items()}
+    core, removed, cur = {}, set(), 0
+    while len(removed) < len(adj):
+        u = min((u for u in adj if u not in removed), key=lambda x: (deg[x], x))
+        cur = max(cur, deg[u])
+        core[u] = cur
+        removed.add(u)
+        for n in adj[u]:
+            if n not in removed:
+                deg[n] -= 1
+    assert got == core
+
+    # coreness >= k  <=>  k-core membership, for a couple of k
+    for k in (2, 3):
+        kc = {r["id"] for r in k_core_ids(g, k).collect()}
+        assert kc == {u for u, c in got.items() if c >= k}
+
+
 def test_rich_club(spark):
     # star 1-{2,3,4} plus edge 2-3 making a triangle among {1,2,3}
     g = LinkGraph.from_edge_list(

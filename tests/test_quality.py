@@ -63,3 +63,37 @@ def test_keep_first_duplicate_uses_min_doc_id(spark):
     )
     out = {r["doc_id"]: r["reject_reason"] for r in quality_gate(docs).collect()}
     assert out == {3: None, 7: "duplicate", 9: "duplicate"}
+
+
+def test_c4_rules_line_and_doc_filters(spark):
+    from linkgraph.pipeline.quality import c4_rules
+
+    good = (
+        "This is a proper sentence ending well.\n"
+        "short line\n"
+        "Another good line with enough words here.\n"
+        "Uses javascript for menus everywhere here.\n"
+        "And a third full sentence to pass the count.\n"
+        "no terminal punctuation on this one"
+    )
+    docs = spark.createDataFrame(
+        [
+            (0, good),
+            (1, "Code block follows { return 1; }. More text here. And more."),
+            (2, "Lorem ipsum dolor sit amet is boilerplate. Yes it is. Truly."),
+            (3, "One good sentence only survives the line filter here."),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in c4_rules(docs).collect()}
+
+    assert rows[0]["keep"] is True and rows[0]["reject_reason"] is None
+    assert rows[0]["n_lines"] == 6 and rows[0]["n_kept_lines"] == 3
+    assert rows[0]["clean_text"].count("\n") == 2
+    assert "short line" not in rows[0]["clean_text"]
+    assert "javascript" not in rows[0]["clean_text"]
+
+    assert rows[1]["reject_reason"] == "brace"
+    assert rows[2]["reject_reason"] == "lorem"
+    assert rows[3]["reject_reason"] == "too_few_sentences"
+    assert rows[3]["n_kept_lines"] == 1
