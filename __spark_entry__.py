@@ -554,6 +554,60 @@ def q_docs_c4_rules(spark, sf_dir):
     return c4_rules(docs)
 
 
+def q_trade_neighborhood(spark, sf_dir):
+    """Exact neighborhood function N(h) over the 8 smallest-id seeds (the
+    ANF distance histogram; effective_diameter interpolates from it) —
+    same single multi-source BFS as trade_harmonic."""
+    from linkgraph.algorithms import neighborhood_function
+
+    g = _trade_graph(spark, sf_dir)
+    return neighborhood_function(g, first_k=8).select(
+        F.col("dist").cast("long").alias("dist"),
+        "n_pairs",
+        F.col("cum_pairs").cast("long").alias("cum_pairs"),
+    )
+
+
+def q_transition_stationary(spark, sf_dir):
+    """Stationary distribution of the event-type Markov chain: transition
+    probabilities from per-event counts (NOT the dedup'd edge set), sinks
+    redistributed uniformly — weighted_pagerank with damping=1.0 (the
+    teleport-free power iteration), 60 fixed supersteps."""
+    from linkgraph.algorithms import weighted_pagerank
+    from linkgraph.graph import LinkGraph
+
+    e = _transition_edges(spark, sf_dir).withColumn(
+        "time", F.lit(0).cast("long")
+    ).withColumn("w", F.lit(1.0))
+    g = LinkGraph(e)
+    return weighted_pagerank(g, "w", max_iter=60, damping=1.0).select(
+        F.col("name").alias("node"), F.round("score", 6).alias("score")
+    )
+
+
+def q_events_stream_dedup(spark, sf_dir):
+    """Streaming exact dedup: the source is read TWICE and unioned (every
+    event arrives duplicated), then dropDuplicatesWithinWatermark keeps
+    the first arrival per event_id — output must equal the distinct batch
+    relation exactly."""
+    from linkgraph.streaming import (
+        dedup_events,
+        read_event_stream,
+        run_available_now,
+    )
+
+    path = _stream_input(sf_dir, "events")
+    doubled = read_event_stream(spark, path).unionByName(
+        read_event_stream(spark, path)
+    )
+    out = run_available_now(
+        dedup_events(doubled).select("event_id", "user_id", "event_type", "value"),
+        _stream_ck(),
+        output_mode="append",
+    )
+    return out
+
+
 def q_trade_weighted_pagerank(spark, sf_dir):
     """PageRank weighted by summed l_quantity per edge, 20 fixed
     supersteps — contribution = score·w/out_strength, sink mass (all
@@ -1498,6 +1552,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_domain_mix": q_docs_domain_mix,
         "copurchase_coreness": q_copurchase_coreness,
         "docs_c4_rules": q_docs_c4_rules,
+        "trade_neighborhood": q_trade_neighborhood,
+        "transition_stationary": q_transition_stationary,
+        "events_stream_dedup": q_events_stream_dedup,
         "docs_chunks": q_docs_chunks,
         "trade_personalized_pagerank": q_trade_personalized_pagerank,
         # oracle-upgraded this round — outputs changed to md5-based hashes
@@ -1885,6 +1942,40 @@ def _coreness_oracle_sql(rounds: int) -> str:
         + f"(rounds={rounds})') AS BIGINT), CAST(NULL AS BIGINT)\n"
         + f"WHERE (SELECT count(*) FROM h{rounds} a JOIN h{rounds - 1} b "
         + "ON a.id = b.id AND a.v <> b.v) <> 0"
+    )
+
+
+def _neighborhood_oracle_sql(first_k: int, levels: int) -> str:
+    """Distance histogram from the same level-unrolled BFS as
+    :func:`_harmonic_oracle_sql` (shared guard semantics)."""
+    stages = [
+        f"seeds AS MATERIALIZED (SELECT id FROM trade_nodes ORDER BY id LIMIT {first_k})",
+        "b0 AS MATERIALIZED (SELECT id AS seed, id AS node, 0 AS dist FROM seeds)",
+        "v0 AS MATERIALIZED (SELECT * FROM b0)",
+    ]
+    for i in range(1, levels + 1):
+        stages.append(
+            f"b{i} AS MATERIALIZED (SELECT DISTINCT f.seed, u.id AS node, {i} AS dist "
+            f"FROM b{i-1} f JOIN trade_und u ON u.nbr = f.node "
+            f"WHERE NOT EXISTS (SELECT 1 FROM v{i-1} x "
+            f"WHERE x.seed = f.seed AND x.node = u.id))"
+        )
+        stages.append(
+            f"v{i} AS MATERIALIZED (SELECT * FROM v{i-1} UNION ALL SELECT * FROM b{i})"
+        )
+    return (
+        f"WITH {_TRADE_ED}, {_TRADE_NODES}, {_TRADE_UND},\n"
+        + ",\n".join(stages)
+        + f"""
+SELECT dist::BIGINT AS dist, count(*) AS n_pairs,
+       CAST(sum(count(*)) OVER (ORDER BY dist ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cum_pairs
+FROM v{levels} WHERE dist > 0 GROUP BY dist
+UNION ALL
+SELECT CAST(error('neighborhood oracle: {levels}-level unroll insufficient') AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+WHERE (SELECT count(*) FROM b{levels}) <> 0
+"""
     )
 
 
@@ -3615,6 +3706,39 @@ SELECT id AS node, round(score, 6) AS score FROM pr WHERE iter = 20
 """
 
     sqls["trade_harmonic"] = _harmonic_oracle_sql(8, levels=12)
+
+    sqls["trade_neighborhood"] = _neighborhood_oracle_sql(8, levels=12)
+
+    sqls["transition_stationary"] = f"""
+WITH RECURSIVE {_TRANSITION_ED},
+wcnt AS (SELECT src, dst, count(*)::DOUBLE AS w FROM tr_ev GROUP BY src, dst),
+outw AS (SELECT src, sum(w) AS s FROM wcnt GROUP BY src),
+nn AS (SELECT count(*)::DOUBLE AS n FROM tr_nodes),
+wm AS (
+  SELECT w.src AS u, w.dst AS v, w.w / o.s AS wt
+  FROM wcnt w JOIN outw o ON o.src = w.src
+  UNION ALL
+  SELECT s.id, t.id, 1.0/(SELECT n FROM nn)
+  FROM (SELECT tn.id FROM tr_nodes tn LEFT JOIN outw o ON o.src = tn.id
+        WHERE o.src IS NULL) s
+  CROSS JOIN tr_nodes t
+  UNION ALL
+  SELECT id, id, 0.0 FROM tr_nodes
+),
+pr(iter, id, score) AS (
+  SELECT 0, id, 1.0/(SELECT n FROM nn) FROM tr_nodes
+  UNION ALL
+  SELECT p.iter + 1, wm.v, sum(p.score * wm.wt)
+  FROM pr p JOIN wm ON wm.u = p.id
+  WHERE p.iter < 60
+  GROUP BY p.iter + 1, wm.v
+)
+SELECT id AS node, round(score, 6) AS score FROM pr WHERE iter = 60
+"""
+
+    sqls["events_stream_dedup"] = """
+SELECT event_id, user_id, event_type, value FROM events
+"""
 
     sqls["trade_rich_club"] = f"""
 WITH {_TRADE_ED}, {_TRADE_NODES}, {_TRADE_UND},

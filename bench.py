@@ -128,6 +128,7 @@ def main() -> None:
         "docs_domain_mix",
         "copurchase_coreness",
         "docs_c4_rules",
+        "trade_neighborhood",
     ]
     # untimed warmup at the smallest scale factor: run every headline query
     # once over sf0.001 so whole-stage-codegen compilation, the parquet

@@ -2,9 +2,12 @@
 
 from linkgraph.algorithms.betweenness import betweenness_centrality
 from linkgraph.algorithms.centrality import (
+    effective_diameter,
     eigenvector_centrality,
     harmonic_centrality,
     katz_centrality,
+    multi_source_bfs,
+    neighborhood_function,
     weighted_pagerank,
 )
 from linkgraph.algorithms.community import louvain, modularity
@@ -58,7 +61,10 @@ __all__ = [
     "clustering_coefficient",
     "degree_assortativity",
     "dijkstra_single_source_shortest_paths",
+    "effective_diameter",
     "eigenvector_centrality",
+    "multi_source_bfs",
+    "neighborhood_function",
     "harmonic_centrality",
     "katz_centrality",
     "k_truss_edges",

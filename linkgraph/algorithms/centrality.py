@@ -194,6 +194,12 @@ def weighted_pagerank(
     the SAME cached state — no extra driver action, and no sink×n message
     blow-up (the SQL oracle at test scale uses the explicit sink→all-nodes
     arm; the engine never materialises it).
+
+    ``damping=1.0`` turns the teleport off entirely, making this the
+    power iteration of the row-normalised weighted transition matrix with
+    uniform sink redistribution — i.e. the Markov stationary-distribution
+    iteration (used by the ``transition_stationary`` query with per-event
+    transition counts as weights).
     """
     if weight not in graph.edges_t.columns:
         raise ValueError(f"weight property {weight!r} not found on edges")
@@ -276,32 +282,32 @@ def weighted_pagerank(
     return res
 
 
-def harmonic_centrality(
+def _resolve_seed_ids(graph: LinkGraph, seeds, first_k: int) -> DataFrame:
+    ids = graph.ids()
+    if seeds is not None:
+        return ids.join(
+            graph.spark.createDataFrame([(s,) for s in seeds], "name string"),
+            "name",
+        ).select("id")
+    return ids.select("id").orderBy("id").limit(first_k)
+
+
+def multi_source_bfs(
     graph: LinkGraph,
-    seeds: list[str] | None = None,
-    first_k: int = 8,
+    seed_ids: DataFrame,
     direction: str = "both",
     max_depth: int = 64,
 ) -> DataFrame:
-    """Harmonic centrality ``Σ_{u ≠ v} 1/d(v,u)`` for a seed set —
-    ``(name, id, harmonic, n_reached)``.
+    """All-shortest-distance table from a seed set — ``(seed, id, dist)``,
+    one row per reached (seed, node) pair including dist 0 for the seeds.
 
-    Seeds default to the ``first_k`` smallest node ids (the deterministic
-    first-k convention the reference's Brandes uses for sampled sources,
-    betweenness.rs:21-145).  All seeds run in ONE multi-source BFS: state
-    is ``(seed_id, id, dist)``, each level is a single frontier join +
-    min-aggregate, so the wall is O(diameter) supersteps regardless of how
-    many seeds ride along.
+    ONE multi-source BFS: state is ``(seed_id, id, dist)``, each level a
+    single frontier join + anti-join against the visited set, so the wall
+    is O(diameter) supersteps regardless of how many seeds ride along.
+    Shared by :func:`harmonic_centrality` and
+    :func:`neighborhood_function`.
     """
     spark = graph.spark
-    ids = graph.ids()
-    if seeds is not None:
-        seed_ids = ids.join(
-            spark.createDataFrame([(s,) for s in seeds], "name string"), "name"
-        ).select("id")
-    else:
-        seed_ids = ids.select("id").orderBy("id").limit(first_k)
-
     if direction == "both":
         nbrs = graph.undirected_edge_ids().select(
             F.col("id").alias("from_id"), F.col("nbr_id").alias("to_id")
@@ -346,6 +352,84 @@ def harmonic_centrality(
             visited = new_visited
             frontier = nxt
         nbrs.unpersist()
+    return visited
+
+
+def neighborhood_function(
+    graph: LinkGraph,
+    seeds: list[str] | None = None,
+    first_k: int = 8,
+    direction: str = "both",
+    max_depth: int = 64,
+) -> DataFrame:
+    """Distance histogram over a seed sample — ``(dist, n_pairs,
+    cum_pairs)`` for dist ≥ 1: how many (seed, node) pairs sit at each
+    hop distance, with the running total (the ANF/HyperANF neighborhood
+    function N(h), computed exactly over the sampled seeds).
+    :func:`effective_diameter` derives the interpolated 90th-percentile
+    from it."""
+    visited = multi_source_bfs(
+        graph, _resolve_seed_ids(graph, seeds, first_k), direction, max_depth
+    )
+    from pyspark.sql import Window as W
+
+    hist = (
+        visited.filter(F.col("dist") > 0)
+        .groupBy("dist")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+    w = W.orderBy("dist").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return hist.select(
+        "dist", "n_pairs", F.sum("n_pairs").over(w).alias("cum_pairs")
+    )
+
+
+def effective_diameter(
+    graph: LinkGraph,
+    percentile: float = 0.9,
+    seeds: list[str] | None = None,
+    first_k: int = 8,
+    direction: str = "both",
+) -> float:
+    """Interpolated effective diameter (ANF convention): the smallest h
+    where N(h) ≥ percentile·N(max), linearly interpolated between h-1 and
+    h.  Driver-side over the (tiny) histogram."""
+    rows = sorted(
+        neighborhood_function(graph, seeds, first_k, direction).collect(),
+        key=lambda r: r["dist"],
+    )
+    if not rows:
+        return 0.0
+    total = rows[-1]["cum_pairs"]
+    target = percentile * total
+    prev_cum = 0
+    for r in rows:
+        if r["cum_pairs"] >= target:
+            span = r["cum_pairs"] - prev_cum
+            frac = (target - prev_cum) / span if span else 0.0
+            return (r["dist"] - 1) + frac
+        prev_cum = r["cum_pairs"]
+    return float(rows[-1]["dist"])
+
+
+def harmonic_centrality(
+    graph: LinkGraph,
+    seeds: list[str] | None = None,
+    first_k: int = 8,
+    direction: str = "both",
+    max_depth: int = 64,
+) -> DataFrame:
+    """Harmonic centrality ``Σ_{u ≠ v} 1/d(v,u)`` for a seed set —
+    ``(name, id, harmonic, n_reached)``.
+
+    Seeds default to the ``first_k`` smallest node ids (the deterministic
+    first-k convention the reference's Brandes uses for sampled sources,
+    betweenness.rs:21-145).  Distances come from ONE
+    :func:`multi_source_bfs` over all seeds.
+    """
+    ids = graph.ids()
+    seed_ids = _resolve_seed_ids(graph, seeds, first_k)
+    visited = multi_source_bfs(graph, seed_ids, direction, max_depth)
 
     agg = (
         visited.filter(F.col("dist") > 0)

@@ -110,6 +110,25 @@ def user_sessions(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
+def dedup_events(
+    stream: DataFrame,
+    key_cols: list[str] | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact deduplication — keep the first arrival per key.
+
+    ``dropDuplicatesWithinWatermark``: per-key state lives only until the
+    watermark passes, so state is bounded by (arrival rate × watermark)
+    instead of the full history — the way exact dedup stays feasible on an
+    unbounded stream.  A duplicate arriving later than the watermark is
+    NOT caught (that is the documented trade; widen the watermark or run
+    the batch ``pipeline.dedup`` pass for a stronger guarantee).
+    """
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        key_cols or ["event_id"]
+    )
+
+
 def running_user_totals(stream: DataFrame) -> DataFrame:
     """Cumulative ``(user_id, n_events, total_value)`` per user, emitted on
     every trigger that sees the user — an ``applyInPandasWithState``

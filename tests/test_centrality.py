@@ -341,3 +341,55 @@ def test_user_sessions_streaming_available_now(spark, tmp_path):
     got = {r["session_start"]: r["n_events"] for r in out.collect()}
     base_ms = int(base.replace(tzinfo=dt.timezone.utc).timestamp()) * 1000
     assert got == {base_ms: 2, base_ms + 7_200_000: 1}
+
+
+def test_neighborhood_function_and_effective_diameter(spark):
+    from linkgraph.algorithms import effective_diameter, neighborhood_function
+
+    g = LinkGraph.from_edge_list(
+        spark, [(0, "1", "2"), (1, "2", "3"), (2, "3", "4"), (3, "4", "5")]
+    )
+    hist = {r["dist"]: (r["n_pairs"], r["cum_pairs"])
+            for r in neighborhood_function(g, first_k=2).collect()}
+    # seeds {1,2} on the path 1-2-3-4-5:
+    # d1: 1->2, 2->1, 2->3 ; d2: 1->3, 2->4 ; d3: 1->4, 2->5 ; d4: 1->5
+    assert hist == {1: (3, 3), 2: (2, 5), 3: (2, 7), 4: (1, 8)}
+    # N(max)=8, target 7.2: interpolate inside the d=4 bucket (prev cum 7)
+    assert effective_diameter(g, percentile=0.9, first_k=2) == pytest.approx(3.2)
+
+
+def test_markov_stationary_via_weighted_pagerank(spark):
+    # per-event multiplicities ARE the transition weights; damping=1.0 is
+    # the teleport-free power iteration with uniform sink redistribution
+    events = [
+        ("A", "B"), ("A", "B"), ("A", "C"),
+        ("B", "A"), ("B", "C"),
+        # C is a sink
+    ]
+    df = spark.createDataFrame(
+        [(s, d, i, 1.0) for i, (s, d) in enumerate(events)],
+        "src string, dst string, time long, w double",
+    )
+    g = LinkGraph(df)
+    got = {
+        r["name"]: r["score"]
+        for r in weighted_pagerank(g, "w", max_iter=40, damping=1.0).collect()
+    }
+
+    nodes = ["A", "B", "C"]
+    idx = {n: i for i, n in enumerate(nodes)}
+    W = np.zeros((3, 3))
+    for s, d in events:
+        W[idx[s], idx[d]] += 1.0
+    strength = W.sum(axis=1)
+    x = np.full(3, 1 / 3)
+    for _ in range(40):
+        sink_mass = x[strength == 0].sum()
+        contrib = np.zeros(3)
+        for i in range(3):
+            if strength[i] > 0:
+                contrib += x[i] * W[i] / strength[i]
+        x = contrib + sink_mass / 3
+    for n in nodes:
+        assert got[n] == pytest.approx(x[idx[n]], rel=1e-12)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)

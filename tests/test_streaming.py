@@ -100,3 +100,18 @@ def test_edge_ingest_to_graph(spark, tmp_path):
     assert g.count_temporal_edges() == 3
     assert g.count_edges() == 2  # dedup'd logical edges
     assert os.path.isdir(out_dir)
+
+
+def test_stream_dedup_drops_doubled_source(spark, events_dir, tmp_path):
+    from linkgraph.streaming import dedup_events, read_event_stream
+
+    doubled = read_event_stream(spark, events_dir).unionByName(
+        read_event_stream(spark, events_dir)
+    )
+    out = run_available_now(
+        dedup_events(doubled).select("event_id", "value"),
+        str(tmp_path / "ck_dedup"),
+        output_mode="append",
+    )
+    rows = sorted((r["event_id"], r["value"]) for r in out.collect())
+    assert rows == [(0, 1.0), (1, 2.0), (2, 10.0), (3, 4.0)]
