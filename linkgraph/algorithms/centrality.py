@@ -323,8 +323,18 @@ def multi_source_bfs(
     else:
         raise ValueError(f"direction must be in/out/both, got {direction!r}")
 
-    with iteration_conf(spark):
-        nbrs = nbrs.persist()
+    raw_nbrs = nbrs.persist()
+    P = pick_partitions(spark, raw_nbrs.count())
+    with iteration_conf(spark, shuffle_partitions=P):
+        # static big side of every level's join: partition it on the join
+        # key ONCE so each level re-shuffles only the (small) frontier
+        nbrs = (
+            raw_nbrs.repartition(P, "from_id")
+            .sortWithinPartitions("from_id")
+            .persist()
+        )
+        nbrs.count()
+        raw_nbrs.unpersist()
         visited = (
             seed_ids.select(
                 F.col("id").alias("seed"), F.col("id"), F.lit(0).alias("dist")
