@@ -104,6 +104,28 @@ def k_truss_edges(graph: LinkGraph, k: int, max_iter: int = sys.maxsize) -> Data
     return edges
 
 
+def hindex_stage(und: DataFrame, state: DataFrame) -> DataFrame:
+    """One coreness superstep: join the (pre-partitioned) adjacency with
+    the neighbour values and take each node's h-index as one hash
+    aggregate — ``max_i min(i, v_i)`` over the values sorted descending,
+    via an indexed transform (no window-sort pass).  Factored out so
+    tests/test_plan_shape.py asserts the no-reshuffle property on the
+    PRODUCTION plan, not a lookalike."""
+    nbr_vals = und.join(
+        state.select(F.col("id").alias("nbr_id"), "v"), "nbr_id"
+    ).select("id", "v")
+    return nbr_vals.groupBy("id").agg(
+        F.array_max(
+            F.transform(
+                F.sort_array(F.collect_list("v"), asc=False),
+                lambda x, i: F.least(i + F.lit(1), x),
+            )
+        )
+        .cast("int")
+        .alias("v")
+    )
+
+
 def coreness(graph: LinkGraph, max_iter: int = sys.maxsize) -> DataFrame:
     """Full core decomposition — ``(id, coreness)`` for every node.
 
@@ -145,24 +167,7 @@ def coreness(graph: LinkGraph, max_iter: int = sys.maxsize) -> DataFrame:
         it = 0
         while it < max_iter:
             it += 1
-            nbr_vals = und.join(
-                state.select(F.col("id").alias("nbr_id"), "v"), "nbr_id"
-            ).select("id", "v")
-            # h-index of the neighbour multiset as ONE hash aggregate:
-            # sort the gathered values descending and take
-            # max_i min(i, v_i) with an indexed transform — no
-            # window-sort pass, and collect_list arrays are bounded by
-            # max degree (hub-capped inputs stay bounded upstream)
-            new_state = nbr_vals.groupBy("id").agg(
-                F.array_max(
-                    F.transform(
-                        F.sort_array(F.collect_list("v"), asc=False),
-                        lambda x, i: F.least(i + F.lit(1), x),
-                    )
-                )
-                .cast("int")
-                .alias("v")
-            )
+            new_state = hindex_stage(und, state)
             if it % 4 == 0:
                 new_state = new_state.localCheckpoint(eager=True)
             else:

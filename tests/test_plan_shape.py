@@ -129,3 +129,43 @@ def test_column_pruning_reaches_scan(spark, tmp_path):
     cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
     assert cols == {"doc_id", "lang"}, plan
     assert "EqualTo(lang,en)" in plan, plan
+
+
+def test_coreness_stage_reuses_adjacency_partitioning(spark):
+    """The coreness h-index stage — built via the PRODUCTION hindex_stage —
+    must not re-shuffle the pre-partitioned adjacency cache: the only
+    per-iteration exchanges are the state side and the groupBy."""
+    from linkgraph.algorithms.kcore import hindex_stage
+
+    P = 4
+    with iteration_conf(spark, shuffle_partitions=P):
+        und = (
+            spark.range(2000)
+            .select(
+                (F.col("id") % 97).alias("id"),
+                (F.col("id") % 89).alias("nbr_id"),
+            )
+            .repartition(P, "nbr_id")
+            .sortWithinPartitions("nbr_id")
+            .persist()
+        )
+        und.count()
+        state = (
+            spark.range(97)
+            .select("id", F.lit(3).cast("int").alias("v"))
+            .repartition(P, "id")
+            .persist()
+        )
+        state.count()
+        try:
+            plan = _formatted_plan(hindex_stage(und, state))
+            cached = _n_exchanges(_formatted_plan(und)) + _n_exchanges(
+                _formatted_plan(state)
+            )
+            # beyond the cached sides' own build exchanges: ONE shuffle of
+            # the state onto the adjacency's partitioning + ONE groupBy
+            # exchange; the adjacency itself must not move
+            assert _n_exchanges(plan) - cached <= 2
+        finally:
+            und.unpersist()
+            state.unpersist()
