@@ -214,6 +214,7 @@ def main() -> None:
         "pairs": [
             {"cores": "2->8", "eff": 0.805, "eps": [1602990, 5159085]},
             {"cores": "2->8", "eff": 0.952, "eps": [1297096, 4941229]},
+            {"cores": "2->8", "eff": 0.810, "eps": [1480113, 4795148]},
             {"cores": "4->16", "eff": 0.724, "eps": [2434176, 7045821],
              "note": "memory-bandwidth-saturated pair; exceeds same-window cpu ceiling 0.672"},
         ],
