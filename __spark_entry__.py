@@ -621,6 +621,27 @@ def q_trade_decayed_pagerank(spark, sf_dir):
     )
 
 
+def q_trade_degree_histogram(spark, sf_dir):
+    """Degree distribution of the trade graph — the canonical first
+    exploratory query; two map-side-combined aggregates."""
+    from linkgraph.algorithms.metrics import degree_histogram
+
+    return degree_histogram(_trade_graph(spark, sf_dir)).select(
+        F.col("degree").cast("long").alias("degree"), "n_nodes"
+    )
+
+
+def q_trade_windowed_component_sizes(spark, sf_dir):
+    """WCC size histogram on the fragmented 1995 window — how many
+    components of each size."""
+    from linkgraph.algorithms.metrics import component_size_histogram
+
+    g = _trade_graph(spark, sf_dir).window(788918400000, 820454400000)
+    return component_size_histogram(g).select(
+        F.col("size").cast("long").alias("size"), "n_components"
+    )
+
+
 def q_trade_weighted_pagerank(spark, sf_dir):
     """PageRank weighted by summed l_quantity per edge, 20 fixed
     supersteps — contribution = score·w/out_strength, sink mass (all
@@ -1613,6 +1634,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # position 51+: overflow of the driver's 50-entry sample window —
         # in-repo oracle evidence only (tools/compare_oracles.py)
         "trade_decayed_pagerank": q_trade_decayed_pagerank,
+        "trade_degree_histogram": q_trade_degree_histogram,
+        "trade_windowed_component_sizes": q_trade_windowed_component_sizes,
         # core oracle set (driver-green r01+r02)
         "trade_edges": q_trade_edges,
         "trade_degrees": q_trade_degrees,
@@ -3758,6 +3781,32 @@ pr(iter, id, score) AS (
   GROUP BY p.iter + 1, wm.v
 )
 SELECT id AS node, round(score, 6) AS score FROM pr WHERE iter = 20
+"""
+
+    sqls["trade_degree_histogram"] = f"""
+WITH {_TRADE_ED}, {_TRADE_NODES}, {_TRADE_UND},
+deg AS (SELECT id, count(*) AS degree FROM trade_und GROUP BY id)
+SELECT degree, count(*) AS n_nodes FROM deg GROUP BY degree
+"""
+
+    sqls["trade_windowed_component_sizes"] = """
+WITH RECURSIVE wed AS (
+  SELECT DISTINCT o_custkey AS src, 1000000 + l_suppkey AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  WHERE epoch_ms(o_orderdate) >= 788918400000 AND epoch_ms(o_orderdate) < 820454400000
+),
+wnodes AS (
+  SELECT DISTINCT id FROM (SELECT src AS id FROM wed UNION ALL SELECT dst FROM wed)
+),
+und AS (SELECT src AS id, dst AS nbr FROM wed UNION SELECT dst, src FROM wed),
+reach(node, lab) AS (
+  SELECT id, id FROM wnodes
+  UNION
+  SELECT u.id, r.lab FROM reach r JOIN und u ON u.nbr = r.node
+),
+comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY node),
+sizes AS (SELECT component, count(*) AS sz FROM comp GROUP BY component)
+SELECT sz AS size, count(*) AS n_components FROM sizes GROUP BY sz
 """
 
     sqls["trade_harmonic"] = _harmonic_oracle_sql(8, levels=12)

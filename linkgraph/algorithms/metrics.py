@@ -110,6 +110,30 @@ def directed_graph_density(graph: LinkGraph) -> float:
     return graph.count_edges() / (n * (n - 1.0))
 
 
+def degree_histogram(graph: LinkGraph, direction: str = "both") -> DataFrame:
+    """Degree distribution — ``(degree, n_nodes)``, the first exploratory
+    query on any graph.  Two hash aggregates (degree, then histogram),
+    both map-side combined."""
+    col = {"both": "degree", "in": "in_degree", "out": "out_degree"}.get(direction)
+    if col is None:
+        raise ValueError(f"direction must be in/out/both, got {direction!r}")
+    return (
+        graph.degrees()
+        .groupBy(F.col(col).alias("degree"))
+        .agg(F.count("*").alias("n_nodes"))
+    )
+
+
+def component_size_histogram(graph: LinkGraph) -> DataFrame:
+    """WCC size distribution — ``(size, n_components)``: how fragmented is
+    the graph?  One WCC run + two aggregates."""
+    from linkgraph.algorithms.components import weakly_connected_components
+
+    wcc = weakly_connected_components(graph)
+    sizes = wcc.groupBy("component").agg(F.count("*").alias("size"))
+    return sizes.groupBy("size").agg(F.count("*").alias("n_components"))
+
+
 def rich_club(graph: LinkGraph, ks: list[int]) -> DataFrame:
     """Rich-club coefficient per degree threshold — ``(k, n_nodes, n_edges,
     phi)`` with ``phi(k) = 2·E_k / (N_k·(N_k−1))`` over the undirected

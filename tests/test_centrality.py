@@ -429,3 +429,19 @@ def test_decayed_pagerank_matches_numpy(spark):
         x = 0.05 + 0.85 * (contrib + sink_mass / 3)
     for n in nodes:
         assert got[n] == pytest.approx(x[idx[n]], rel=1e-12)
+
+
+def test_degree_and_component_histograms(spark):
+    from linkgraph.algorithms.metrics import (
+        component_size_histogram,
+        degree_histogram,
+    )
+
+    # star 1-{2,3,4} plus isolated pair 5-6: degrees 3,1,1,1,1,1
+    g = LinkGraph.from_edge_list(
+        spark, [(0, "1", "2"), (1, "1", "3"), (2, "1", "4"), (3, "5", "6")]
+    )
+    dh = {r["degree"]: r["n_nodes"] for r in degree_histogram(g).collect()}
+    assert dh == {3: 1, 1: 5}
+    ch = {r["size"]: r["n_components"] for r in component_size_histogram(g).collect()}
+    assert ch == {4: 1, 2: 1}
