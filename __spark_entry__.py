@@ -684,6 +684,62 @@ def q_trade_rich_club(spark, sf_dir):
     )
 
 
+def q_trade_closeness(spark, sf_dir):
+    """Wasserman–Faust closeness of the 8 smallest-id trade nodes — the
+    same single multi-source BFS as trade_harmonic; the oracle replays the
+    level-unrolled BFS with the identical ``(r/(n−1))·(r/S)`` float
+    expression, so the rounded score is bit-stable across engines."""
+    from linkgraph.algorithms import closeness_centrality
+
+    g = _trade_graph(spark, sf_dir)
+    return closeness_centrality(g, first_k=8).select(
+        F.col("id").alias("node"),
+        F.round("closeness", 6).alias("closeness"),
+        F.col("n_reached").cast("long").alias("n_reached"),
+    )
+
+
+def q_trade_neighbor_sample(spark, sf_dir):
+    """GraphSAGE fan-out sampling (3, 2) rooted at every node of the
+    undirected trade graph — the quenched md5 neighbour ranking makes the
+    sampled computation graph engine-replayable; the oracle runs the same
+    ranked-adjacency prefix joins in SQL."""
+    from linkgraph.algorithms import sample_neighbors
+
+    g = _trade_graph(spark, sf_dir)
+    return sample_neighbors(g, fanouts=(3, 2), direction="both", seed=42).select(
+        "root", "hop", "src_id", "dst_id"
+    )
+
+
+def q_trade_negative_edges(spark, sf_dir):
+    """Filtered-uniform negative sampling for link-prediction training:
+    k=5 quenched md5 draws per node against the id-sorted dense node
+    index, self-loops and real directed edges rejected (≤k negatives per
+    node)."""
+    from linkgraph.algorithms import negative_edges
+
+    g = _trade_graph(spark, sf_dir)
+    return negative_edges(g, k=5, seed=42).select("src_id", "trial", "dst_id")
+
+
+def q_trade_burstiness(spark, sf_dir):
+    """Per-edge inter-event gap statistics (day units, edges with ≥3
+    events) — Goh–Barabási burstiness from exact BIGINT moment sums, so
+    σ/μ replay bit-identically in SQL."""
+    from linkgraph.algorithms.metrics import inter_event_stats
+
+    g = _trade_graph(spark, sf_dir)
+    return inter_event_stats(g, min_events=3).select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+        "n_events",
+        F.round("mean_gap", 6).alias("mean_gap"),
+        F.round("std_gap", 6).alias("std_gap"),
+        F.round("burstiness", 6).alias("burstiness"),
+    )
+
+
 def q_events_sessions(spark, sf_dir):
     """Per-user session windows (30-min inclusive gap) over the events
     table — ``F.session_window`` merge-on-aggregate; the oracle is the
@@ -1576,6 +1632,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (golden-gated) ones.  Rotation policy documented in COVERAGE.md."""
     return {
         # new in this session (in-repo oracles; never driver-sampled)
+        "trade_closeness": q_trade_closeness,
+        "trade_neighbor_sample": q_trade_neighbor_sample,
+        "trade_negative_edges": q_trade_negative_edges,
+        "trade_burstiness": q_trade_burstiness,
         "trade_eigenvector": q_trade_eigenvector,
         "copurchase_katz": q_copurchase_katz,
         "copurchase_ktruss": q_copurchase_ktruss,
@@ -1945,6 +2005,45 @@ SELECT seed AS node, round(sum(1.0 / dist), 6) AS harmonic,
 FROM v{levels} WHERE dist > 0 GROUP BY seed
 UNION ALL
 SELECT CAST(error('harmonic oracle: {levels}-level unroll insufficient') AS BIGINT),
+       CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT)
+WHERE (SELECT count(*) FROM b{levels}) <> 0
+"""
+    )
+
+
+def _closeness_oracle_sql(first_k: int, levels: int) -> str:
+    """Wasserman–Faust closeness from the same level-unrolled multi-source
+    BFS as :func:`_harmonic_oracle_sql` (shared depth-guard semantics);
+    the score expression ``(r/(n−1))·(r/S)`` is written with the identical
+    cast/parenthesis structure as centrality.closeness_centrality so the
+    IEEE evaluation matches bit-for-bit before the round."""
+    stages = [
+        f"seeds AS MATERIALIZED (SELECT id FROM trade_nodes ORDER BY id LIMIT {first_k})",
+        "b0 AS MATERIALIZED (SELECT id AS seed, id AS node, 0 AS dist FROM seeds)",
+        "v0 AS MATERIALIZED (SELECT * FROM b0)",
+    ]
+    for i in range(1, levels + 1):
+        stages.append(
+            f"b{i} AS MATERIALIZED (SELECT DISTINCT f.seed, u.id AS node, {i} AS dist "
+            f"FROM b{i-1} f JOIN trade_und u ON u.nbr = f.node "
+            f"WHERE NOT EXISTS (SELECT 1 FROM v{i-1} x "
+            f"WHERE x.seed = f.seed AND x.node = u.id))"
+        )
+        stages.append(
+            f"v{i} AS MATERIALIZED (SELECT * FROM v{i-1} UNION ALL SELECT * FROM b{i})"
+        )
+    return (
+        f"WITH {_TRADE_ED}, {_TRADE_NODES}, {_TRADE_UND},\n"
+        + ",\n".join(stages)
+        + f"""
+SELECT seed AS node,
+       round((CAST(count(*) AS DOUBLE)
+               / ((SELECT count(*) FROM trade_nodes) - 1))
+             * (CAST(count(*) AS DOUBLE) / sum(dist)), 6) AS closeness,
+       count(*) AS n_reached
+FROM v{levels} WHERE dist > 0 GROUP BY seed
+UNION ALL
+SELECT CAST(error('closeness oracle: {levels}-level unroll insufficient') AS BIGINT),
        CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT)
 WHERE (SELECT count(*) FROM b{levels}) <> 0
 """
@@ -3812,6 +3911,91 @@ SELECT sz AS size, count(*) AS n_components FROM sizes GROUP BY sz
     sqls["trade_harmonic"] = _harmonic_oracle_sql(8, levels=12)
 
     sqls["trade_neighborhood"] = _neighborhood_oracle_sql(8, levels=12)
+
+    sqls["trade_closeness"] = _closeness_oracle_sql(8, levels=12)
+
+    # GraphSAGE fan-out (3, 2): the same quenched md5 per-source ranking,
+    # hop 1 from every node, hop 2 from the dedup'd (root, node) frontier
+    sqls["trade_neighbor_sample"] = f"""
+WITH {_TRADE_ED}, {_TRADE_NODES}, {_TRADE_UND},
+adj AS MATERIALIZED (
+  SELECT id AS src, nbr AS dst,
+         row_number() OVER (
+           PARTITION BY id
+           ORDER BY md5(concat_ws('|', '42', id::VARCHAR, nbr::VARCHAR))
+         ) AS rn
+  FROM trade_und
+),
+h1 AS MATERIALIZED (
+  SELECT n.id AS root, a.src, a.dst
+  FROM trade_nodes n JOIN adj a ON a.src = n.id AND a.rn <= 3
+),
+f1 AS MATERIALIZED (SELECT DISTINCT root, dst AS node FROM h1),
+h2 AS MATERIALIZED (
+  SELECT f.root, a.src, a.dst
+  FROM f1 f JOIN adj a ON a.src = f.node AND a.rn <= 2
+)
+SELECT root, CAST(1 AS BIGINT) AS hop, src AS src_id, dst AS dst_id FROM h1
+UNION ALL
+SELECT root, CAST(2 AS BIGINT) AS hop, src, dst FROM h2
+"""
+
+    # filtered-uniform negatives: nodes[md5(seed|src|trial) mod n] over the
+    # id-sorted dense index, minus self-loops and real directed edges
+    sqls["trade_negative_edges"] = f"""
+WITH {_TRADE_ED}, {_TRADE_NODES},
+idx AS MATERIALIZED (
+  SELECT id, row_number() OVER (ORDER BY id) - 1 AS ix FROM trade_nodes
+),
+cand AS MATERIALIZED (
+  SELECT s.id AS src_id, t.trial,
+         ('0x' || substr(md5(concat_ws('|', '42', s.id::VARCHAR,
+                                       t.trial::VARCHAR)), 1, 15))::BIGINT
+           % (SELECT count(*) FROM trade_nodes) AS ix
+  FROM trade_nodes s CROSS JOIN range(5) t(trial)
+)
+SELECT c.src_id, c.trial, i.id AS dst_id
+FROM cand c JOIN idx i USING (ix)
+WHERE i.id <> c.src_id
+  AND NOT EXISTS (SELECT 1 FROM trade_ed e
+                  WHERE e.src = c.src_id AND e.dst = i.id)
+"""
+
+    # per-edge inter-event gaps in whole days; σ from exact integer moment
+    # sums, the SAME float expression tree as metrics.inter_event_stats
+    sqls["trade_burstiness"] = """
+WITH ev AS (
+  SELECT o_custkey AS src, 1000000 + l_suppkey AS dst,
+         epoch_ms(o_orderdate) AS t
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+g AS (
+  SELECT src, dst,
+         (t - lag(t) OVER (PARTITION BY src, dst ORDER BY t)) // 86400000 AS gap
+  FROM ev
+),
+a AS (
+  SELECT src, dst, count(*) AS n_events, count(gap) AS m,
+         sum(gap) AS sum_g, sum(gap * gap) AS sum_g2
+  FROM g GROUP BY src, dst
+  HAVING count(*) >= 3
+),
+b AS (
+  SELECT src, dst, n_events,
+         CAST(sum_g AS DOUBLE) / m AS mean,
+         sqrt(greatest(
+           CAST(sum_g2 AS DOUBLE) / m
+             - (CAST(sum_g AS DOUBLE) / m) * (CAST(sum_g AS DOUBLE) / m),
+           CAST(0 AS DOUBLE))) AS std
+  FROM a
+)
+SELECT src, dst, n_events,
+       round(mean, 6) AS mean_gap,
+       round(std, 6) AS std_gap,
+       round(CASE WHEN std + mean = 0 THEN 0.0
+                  ELSE (std - mean) / (std + mean) END, 6) AS burstiness
+FROM b
+"""
 
     sqls["transition_stationary"] = f"""
 WITH RECURSIVE {_TRANSITION_ED},

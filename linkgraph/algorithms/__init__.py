@@ -2,6 +2,7 @@
 
 from linkgraph.algorithms.betweenness import betweenness_centrality
 from linkgraph.algorithms.centrality import (
+    closeness_centrality,
     decayed_pagerank,
     effective_diameter,
     eigenvector_centrality,
@@ -10,6 +11,11 @@ from linkgraph.algorithms.centrality import (
     multi_source_bfs,
     neighborhood_function,
     weighted_pagerank,
+)
+from linkgraph.algorithms.sampling import (
+    negative_edges,
+    ranked_adjacency,
+    sample_neighbors,
 )
 from linkgraph.algorithms.community import louvain, modularity
 from linkgraph.algorithms.components import (
@@ -66,8 +72,12 @@ __all__ = [
     "effective_diameter",
     "eigenvector_centrality",
     "multi_source_bfs",
+    "negative_edges",
     "neighborhood_function",
     "harmonic_centrality",
+    "closeness_centrality",
+    "ranked_adjacency",
+    "sample_neighbors",
     "katz_centrality",
     "k_truss_edges",
     "weighted_pagerank",

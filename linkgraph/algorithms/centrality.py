@@ -498,3 +498,52 @@ def harmonic_centrality(
             F.coalesce("n_reached", F.lit(0)).alias("n_reached"),
         )
     )
+
+
+def closeness_centrality(
+    graph: LinkGraph,
+    seeds: list[str] | None = None,
+    first_k: int = 8,
+    direction: str = "both",
+    max_depth: int = 64,
+) -> DataFrame:
+    """Wasserman–Faust closeness for a seed set — ``(name, id, closeness,
+    n_reached)`` with ``c(v) = (r/(n−1)) · (r/S)`` where ``r`` is the
+    number of nodes reached from ``v`` (excluding ``v``), ``S`` the sum of
+    their distances, and ``n`` the node count: the reachable-component
+    closeness scaled by reachable fraction, so disconnected graphs don't
+    inflate scores (the convention harmonic centrality avoids by summing
+    reciprocals; both ship — closeness is the classic reported figure).
+
+    Distances come from the SAME single :func:`multi_source_bfs` as
+    harmonic/neighborhood; ``n`` rides along as a broadcast 1-row
+    aggregate (no driver round-trip in the plan).
+    """
+    ids = graph.ids()
+    seed_ids = _resolve_seed_ids(graph, seeds, first_k)
+    visited = multi_source_bfs(graph, seed_ids, direction, max_depth)
+    n_df = ids.agg(F.count("*").alias("n_nodes"))
+    agg = (
+        visited.filter(F.col("dist") > 0)
+        .groupBy(F.col("seed").alias("id"))
+        .agg(
+            F.sum("dist").alias("sum_dist"),
+            F.count("*").alias("n_reached"),
+        )
+    )
+    r = F.col("n_reached").cast("double")
+    return (
+        seed_ids.join(ids, "id")
+        .join(agg, "id", "left")
+        .crossJoin(F.broadcast(n_df))
+        .select(
+            "name",
+            "id",
+            F.coalesce(
+                (r / (F.col("n_nodes") - F.lit(1)))
+                * (r / F.col("sum_dist")),
+                F.lit(0.0),
+            ).alias("closeness"),
+            F.coalesce("n_reached", F.lit(0)).alias("n_reached"),
+        )
+    )

@@ -216,3 +216,65 @@ def balance(graph: LinkGraph, weight: str, direction: str = "both") -> DataFrame
         .join(sums, "id", "left")
         .select("name", "id", F.coalesce("balance", F.lit(0.0)).alias("balance"))
     )
+
+
+def inter_event_stats(
+    graph: LinkGraph, min_events: int = 3, unit_ms: int = 86_400_000
+) -> DataFrame:
+    """Per-edge inter-event-time statistics over the EVENT table (not the
+    dedup'd edge set) — ``(src, dst, n_events, mean_gap, std_gap,
+    burstiness)`` with gaps floor-divided into ``unit_ms`` units
+    (default: days).
+
+    Burstiness ``B = (σ−μ)/(σ+μ)`` (Goh & Barabási, EPL 2008): −1
+    perfectly regular, 0 Poisson, →1 bursty; 0 when σ+μ = 0 (all events
+    simultaneous).  One window pass (lag per edge, time-ordered — the gap
+    MULTISET is invariant to tie ordering among equal timestamps) + one
+    hash aggregate.  σ comes from exact BIGINT moment sums Σg, Σg² (no
+    per-gap float accumulation), so the statistic is bit-reproducible
+    across engines and partitionings.  Reference analogue: the raw
+    ``edge.history()`` surface (python/graph/edge.rs) whose consumers
+    compute exactly these reductions driver-side; this ships the reduced
+    statistic distributed.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("src", "dst").orderBy("t")
+    gaps = (
+        graph.edges_t.select(
+            "src", "dst", F.col("time").cast("long").alias("t")
+        )
+        .select(
+            "src",
+            "dst",
+            F.floor((F.col("t") - F.lag("t").over(w)) / F.lit(int(unit_ms)))
+            .cast("long")
+            .alias("gap"),
+        )
+    )
+    agg = (
+        gaps.groupBy("src", "dst")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count("gap").alias("m"),
+            F.sum("gap").alias("sum_g"),
+            F.sum(F.col("gap") * F.col("gap")).alias("sum_g2"),
+        )
+        .filter(F.col("n_events") >= int(min_events))
+    )
+    mean = F.col("sum_g").cast("double") / F.col("m")
+    var = F.greatest(
+        F.col("sum_g2").cast("double") / F.col("m") - mean * mean,
+        F.lit(0.0),
+    )
+    std = F.sqrt(var)
+    return agg.select(
+        "src",
+        "dst",
+        "n_events",
+        mean.alias("mean_gap"),
+        std.alias("std_gap"),
+        F.when(std + mean == F.lit(0.0), F.lit(0.0))
+        .otherwise((std - mean) / (std + mean))
+        .alias("burstiness"),
+    )

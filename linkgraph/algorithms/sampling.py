@@ -1,0 +1,184 @@
+"""Deterministic graph sampling for training pipelines.
+
+GNN-training data prep over the link graph: GraphSAGE-style fan-out
+neighbour sampling (Hamilton et al., NeurIPS 2017) and filtered-uniform
+negative-edge sampling for link-prediction training.  The reference ships
+graph algorithms but no sampling surface; these are "beyond the reference"
+training-pipeline ops in the same family as the walk corpus generators
+(walks.py) and the dedup/quality pipeline.
+
+Determinism contract (the repo-wide md5 playbook): every random choice is
+a quenched md5 draw keyed on (seed, entity), so Spark and DuckDB replay the
+sample bit-identically — no RNG state, no partition-order dependence, and
+the result is stable under re-execution, checkpoint resume, and cluster
+re-sizing, which is exactly what freezing a 100 TB training set requires.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..graph import LinkGraph
+
+
+def _md5_rank_key(seed: int, a, b) -> F.Column:
+    """Quenched per-(seed, a, b) ordering key — lowercase-hex md5 strings
+    compare identically in Spark and DuckDB."""
+    return F.md5(
+        F.concat_ws(
+            "|", F.lit(str(seed)), a.cast("string"), b.cast("string")
+        )
+    )
+
+
+def _md5_draw(seed: int, a, b) -> F.Column:
+    """Quenched uniform 60-bit draw (non-negative BIGINT) — Spark
+    ``conv(substr(md5, 1, 15), 16, 10)`` == DuckDB
+    ``('0x' || substr(md5, 1, 15))::BIGINT``."""
+    return F.conv(F.substring(_md5_rank_key(seed, a, b), 1, 15), 16, 10).cast(
+        "long"
+    )
+
+
+def ranked_adjacency(
+    graph: LinkGraph, direction: str = "both", seed: int = 42
+) -> DataFrame:
+    """Adjacency with a quenched per-source ranking — ``(from_id, to_id,
+    rn)`` where ``rn`` counts 1.. in ``md5(seed|from|to)`` order.
+
+    Computed ONCE per sampling run: every fan-out level filters
+    ``rn <= fanout`` instead of re-sampling, i.e. sampling WITHOUT
+    replacement with nested samples across levels (a node's level-2 sample
+    is a prefix of its level-1 sample).  The window partitions by
+    ``from_id``, so the sort is per-source after a single hash exchange —
+    no global sort, and the per-partition sort is bounded by the max
+    degree, not the edge count.
+    """
+    if direction == "both":
+        nbrs = graph.undirected_edge_ids().select(
+            F.col("id").alias("from_id"), F.col("nbr_id").alias("to_id")
+        )
+    elif direction == "out":
+        nbrs = graph.edge_ids().select(
+            F.col("src_id").alias("from_id"), F.col("dst_id").alias("to_id")
+        )
+    elif direction == "in":
+        nbrs = graph.edge_ids().select(
+            F.col("dst_id").alias("from_id"), F.col("src_id").alias("to_id")
+        )
+    else:
+        raise ValueError(f"direction must be in/out/both, got {direction!r}")
+    w = Window.partitionBy("from_id").orderBy(
+        _md5_rank_key(seed, F.col("from_id"), F.col("to_id"))
+    )
+    return nbrs.withColumn("rn", F.row_number().over(w))
+
+
+def sample_neighbors(
+    graph: LinkGraph,
+    fanouts: tuple[int, ...] = (3, 2),
+    roots: DataFrame | None = None,
+    direction: str = "both",
+    seed: int = 42,
+) -> DataFrame:
+    """GraphSAGE-style fan-out neighbour sampling — ``(root, hop, src_id,
+    dst_id)``, one row per sampled edge in each root's computation graph.
+
+    ``fanouts[h-1]`` bounds the per-node sample at hop ``h``; the frontier
+    dedups ``(root, node)`` between hops so a node reached twice expands
+    once (the standard minibatch computation-graph construction).  Roots
+    default to ALL nodes (full-graph epoch); pass a roots DataFrame with an
+    ``id`` column for a minibatch.
+
+    Plan shape: the ranked adjacency is sliced to ``rn <= max(fanouts)``
+    and cached once; each hop is one join frontier⋈adjacency — the same
+    frontier-iteration shape as multi_source_bfs, O(len(fanouts))
+    supersteps.
+    """
+    if not fanouts:
+        raise ValueError("fanouts must be non-empty")
+    adj = (
+        ranked_adjacency(graph, direction, seed)
+        .filter(F.col("rn") <= int(max(fanouts)))
+        .persist()
+    )
+    adj.count()
+    roots_df = roots if roots is not None else graph.ids().select("id")
+    frontier = roots_df.select(
+        F.col("id").alias("root"), F.col("id").alias("node")
+    )
+    levels: list[DataFrame] = []
+    for hop, fanout in enumerate(fanouts, start=1):
+        sampled = (
+            frontier.join(
+                adj.filter(F.col("rn") <= int(fanout)),
+                frontier.node == adj.from_id,
+            )
+            .select(
+                "root",
+                F.lit(hop).cast("long").alias("hop"),
+                F.col("from_id").alias("src_id"),
+                F.col("to_id").alias("dst_id"),
+            )
+            # reused twice (output + next frontier) and feeds the next
+            # level's join: cut lineage so hop h's plan doesn't inline h-1
+            .localCheckpoint(eager=True)
+        )
+        levels.append(sampled)
+        frontier = sampled.select(
+            "root", F.col("dst_id").alias("node")
+        ).distinct()
+    adj.unpersist()
+    out = levels[0]
+    for lvl in levels[1:]:
+        out = out.unionByName(lvl)
+    return out
+
+
+def negative_edges(
+    graph: LinkGraph, k: int = 5, seed: int = 42
+) -> DataFrame:
+    """Filtered-uniform negative sampling for link-prediction training —
+    ``(src_id, trial, dst_id)``: per source node, ``k`` quenched uniform
+    draws from the node set, with self-loops and existing directed edges
+    rejected (NOT resampled — consumers get ≤k negatives per node, the
+    standard filtered-uniform scheme; at realistic sparsity the loss is
+    ~(deg+1)/n per trial).
+
+    Draw ``i`` for node ``v`` is ``nodes[md5(seed|v|i) mod n]`` over the
+    id-sorted dense index, so the sample is reproducible across engines
+    and cluster sizes.  The dense index is ONE windowed pass over the node
+    dictionary (nodes ≪ edges; the same materialise-once trade the IVF
+    codebook makes) and the index join is an equi-join Catalyst broadcasts
+    while the dictionary fits, shuffles otherwise.
+    """
+    ids = graph.ids().select("id")
+    indexed = ids.select(
+        "id", (F.row_number().over(Window.orderBy("id")) - 1).alias("ix")
+    )
+    n_df = ids.agg(F.count("*").alias("n_nodes"))
+    cand = (
+        ids.select(F.col("id").alias("src_id"))
+        .crossJoin(F.broadcast(n_df))
+        .select(
+            "src_id",
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), F.lit(int(k) - 1).cast("long"))
+            ).alias("trial"),
+            "n_nodes",
+        )
+        .select(
+            "src_id",
+            "trial",
+            (_md5_draw(seed, F.col("src_id"), F.col("trial")) % F.col("n_nodes")).alias(
+                "ix"
+            ),
+        )
+    )
+    return (
+        cand.join(indexed, "ix")
+        .select("src_id", "trial", F.col("id").alias("dst_id"))
+        .filter(F.col("dst_id") != F.col("src_id"))
+        .join(graph.edge_ids(), ["src_id", "dst_id"], "left_anti")
+    )
