@@ -740,6 +740,58 @@ def q_trade_burstiness(spark, sf_dir):
     )
 
 
+def q_trade_edge_turnover(spark, sf_dir):
+    """Edge-set turnover between consecutive 90-day tumbling windows —
+    births/deaths/survivors and the persistence Jaccard, the canonical
+    temporal-evolution readout over a WindowSet."""
+    from linkgraph.algorithms.metrics import edge_turnover
+
+    g = _trade_graph(spark, sf_dir)
+    return edge_turnover(g, bucket_ms=90 * 86_400_000).select(
+        "bucket",
+        "n_edges",
+        "births",
+        "deaths",
+        "survived",
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
+def q_trade_hyperball(spark, sf_dir):
+    """HyperBall/ANF over ALL trade nodes (8 FM replicas, 6 ball-growing
+    supersteps) — the sketch-based neighborhood function whose state is
+    O(n) regardless of reach.  The surface is the integer register
+    histogram, so the quenched md5 sketches replay bit-exactly in SQL;
+    the float N̂(h) estimate is a driver-side derivation
+    (``anf_estimate``)."""
+    from linkgraph.algorithms import hyperball_anf
+
+    g = _trade_graph(spark, sf_dir)
+    return hyperball_anf(g, n_replicas=8, max_depth=6, seed=42)
+
+
+def q_copurchase_densest(spark, sf_dir):
+    """2(1+ε)-approx densest subgraph via the Bahmani log-round peel —
+    members of the densest intermediate subgraph with its |E|/|V|; fully
+    deterministic, level-unrolled SQL oracle."""
+    from linkgraph.algorithms import densest_subgraph
+
+    g = _copurchase_graph(spark, sf_dir)
+    return densest_subgraph(g, epsilon=0.1).select(
+        "node", "density", "n_nodes", "round"
+    )
+
+
+def q_trade_mis(spark, sf_dir):
+    """Luby maximal independent set with quenched md5 priorities — (node,
+    round); independence/maximality by construction, engine-replayable in
+    SQL round for round."""
+    from linkgraph.algorithms import maximal_independent_set
+
+    g = _trade_graph(spark, sf_dir)
+    return maximal_independent_set(g, seed=42).select("node", "round")
+
+
 def q_events_sessions(spark, sf_dir):
     """Per-user session windows (30-min inclusive gap) over the events
     table — ``F.session_window`` merge-on-aggregate; the oracle is the
@@ -1595,6 +1647,24 @@ BM25_QUERY = "spark vector window merge"  # terms present in the synthetic docs
 FUZZY_QUERY = "sparkk vectr"  # distance-1 typos of spark / vector
 
 
+def q_events_followups_stream(spark, sf_dir):
+    """Stream-stream interval self-join (the two-sided stateful operator
+    class): per user, events following within 1 hour, aggregated to the
+    (a_type, b_type) transition-within-horizon matrix.  availableNow over
+    the staged file source; the oracle is the equivalent batch self-join."""
+    from linkgraph.streaming import (
+        followup_events,
+        read_event_stream,
+        run_available_now,
+    )
+
+    stream = read_event_stream(spark, _stream_input(sf_dir, "events"))
+    pairs = run_available_now(
+        followup_events(stream), _stream_ck(), output_mode="append"
+    )
+    return pairs.groupBy("a_type", "b_type").agg(F.count("*").alias("n_pairs"))
+
+
 def q_docs_search_bm25(spark, sf_dir):
     """BM25 top-k over the documents table — the tantivy search_nodes
     analogue (search/mod.rs:583)."""
@@ -1636,6 +1706,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trade_neighbor_sample": q_trade_neighbor_sample,
         "trade_negative_edges": q_trade_negative_edges,
         "trade_burstiness": q_trade_burstiness,
+        "trade_edge_turnover": q_trade_edge_turnover,
+        "trade_hyperball": q_trade_hyperball,
+        "events_followups_stream": q_events_followups_stream,
+        "copurchase_densest": q_copurchase_densest,
+        "trade_mis": q_trade_mis,
         "trade_eigenvector": q_trade_eigenvector,
         "copurchase_katz": q_copurchase_katz,
         "copurchase_ktruss": q_copurchase_ktruss,
@@ -2046,6 +2121,159 @@ UNION ALL
 SELECT CAST(error('closeness oracle: {levels}-level unroll insufficient') AS BIGINT),
        CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT)
 WHERE (SELECT count(*) FROM b{levels}) <> 0
+"""
+    )
+
+
+def _hyperball_oracle_sql(m: int, levels: int) -> str:
+    """Level-unrolled HyperBall replay (DuckDB): the same quenched md5 FM
+    register init, OR-merge over the undirected adjacency per level, and
+    integer register-sum histogram as centrality.hyperball_anf — every
+    operation is a BIGINT bit op, so the match is exact, not rounded."""
+    draws = ", ".join(
+        f"('0x' || substr(md5(concat_ws('|', '42', '{r}', id::VARCHAR)), 1, 15))::BIGINT AS d{r}"
+        for r in range(m)
+    )
+    masks = ", ".join(
+        f"(1::BIGINT << least(bit_count((d{r} & (-d{r})) - 1), 31)) AS m{r}"
+        for r in range(m)
+    )
+    gcols = ", ".join(f"bit_or(p.m{r}) AS m{r}" for r in range(m))
+    ocols = ", ".join(f"s.m{r} | coalesce(g.m{r}, 0) AS m{r}" for r in range(m))
+    stages = [
+        f"s0 AS MATERIALIZED (SELECT id, {masks} "
+        f"FROM (SELECT id, {draws} FROM trade_nodes))"
+    ]
+    for i in range(1, levels + 1):
+        stages.append(
+            f"""s{i} AS MATERIALIZED (
+  SELECT s.id, {ocols}
+  FROM s{i-1} s LEFT JOIN (
+    SELECT u.id, {gcols} FROM trade_und u JOIN s{i-1} p ON p.id = u.nbr
+    GROUP BY u.id
+  ) g ON g.id = s.id
+)"""
+        )
+    rsum = " + ".join(
+        f"CAST(bit_count(((~m{r}) & (m{r} + 1)) - 1) AS BIGINT)"
+        for r in range(m)
+    )
+    sels = [
+        f"SELECT CAST({i} AS BIGINT) AS dist, r_sum, count(*) AS n_nodes "
+        f"FROM (SELECT ({rsum}) AS r_sum FROM s{i}) GROUP BY r_sum"
+        for i in range(1, levels + 1)
+    ]
+    return (
+        f"WITH {_TRADE_ED}, {_TRADE_NODES}, {_TRADE_UND},\n"
+        + ",\n".join(stages)
+        + "\n"
+        + "\nUNION ALL\n".join(sels)
+    )
+
+
+def _densest_oracle_sql(rounds: int, eps: float = 0.1) -> str:
+    """Level-unrolled Bahmani densest-subgraph peel on the co-purchase
+    graph.  The threshold ``(2·(1+ε))·(E/N)`` is written with the
+    identical DOUBLE cast/association as structure.densest_subgraph, so
+    boundary degrees peel the same way; the guard errors if the last
+    unrolled round still has edges."""
+    thr = f"(CAST(2 AS DOUBLE) * (CAST(1 AS DOUBLE) + CAST({eps} AS DOUBLE)))"
+    stages = ["e0 AS MATERIALIZED (SELECT lo, hi FROM cp_ed)"]
+    metrics = []
+    ends = []
+    for i in range(rounds + 1):
+        stages.append(
+            f"d{i} AS MATERIALIZED (SELECT id, count(*) AS deg FROM "
+            f"(SELECT lo AS id FROM e{i} UNION ALL SELECT hi FROM e{i}) GROUP BY id)"
+        )
+        stages.append(
+            f"m{i} AS MATERIALIZED (SELECT count(*) AS n, "
+            f"CAST(sum(deg) AS BIGINT) / 2 AS e FROM d{i})"
+        )
+        metrics.append(
+            f"SELECT CAST({i} AS BIGINT) AS round, n, e, "
+            f"CASE WHEN n = 0 THEN NULL "
+            f"ELSE CAST(e AS DOUBLE) / n END AS density FROM m{i}"
+        )
+        ends.append(f"SELECT CAST({i} AS BIGINT) AS round, id FROM d{i}")
+        if i < rounds:
+            stages.append(
+                f"""s{i} AS MATERIALIZED (
+  SELECT id FROM d{i}, m{i}
+  WHERE m{i}.n > 0 AND deg > {thr} * (CAST(m{i}.e AS DOUBLE) / m{i}.n)
+)"""
+            )
+            stages.append(
+                f"e{i+1} AS MATERIALIZED (SELECT lo, hi FROM e{i} "
+                f"WHERE lo IN (SELECT id FROM s{i}) "
+                f"AND hi IN (SELECT id FROM s{i}))"
+            )
+    return (
+        f"WITH {_COPURCHASE_ED},\n"
+        + ",\n".join(stages)
+        + ",\nallm AS MATERIALIZED ("
+        + "\nUNION ALL\n".join(metrics)
+        + "),\nbest AS MATERIALIZED (SELECT round, n, density FROM allm "
+        "WHERE n > 0 ORDER BY density DESC, round ASC LIMIT 1),\n"
+        + "ends AS ("
+        + "\nUNION ALL\n".join(ends)
+        + f""")
+SELECT x.id AS node, b.density, b.n AS n_nodes, b.round
+FROM ends x JOIN best b ON x.round = b.round
+UNION ALL
+SELECT CAST(error('densest oracle: {rounds}-round unroll insufficient') AS BIGINT),
+       CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+WHERE (SELECT count(*) FROM e{rounds}) <> 0
+"""
+    )
+
+
+def _mis_oracle_sql(rounds: int, seed: int = 42) -> str:
+    """Level-unrolled Luby MIS on the trade graph — identical quenched md5
+    priorities, winners = strict minimum over ACTIVE neighbours (isolated
+    actives win); errors loudly if actives remain after the unroll."""
+    stages = [
+        f"a0 AS MATERIALIZED (SELECT id, ('0x' || substr(md5(concat_ws('|', "
+        f"'{seed}', id::VARCHAR)), 1, 15))::BIGINT AS p FROM trade_nodes)",
+        "e0 AS MATERIALIZED (SELECT id, nbr FROM trade_und WHERE id <> nbr)",
+    ]
+    sels = []
+    for i in range(1, rounds + 1):
+        stages.append(
+            f"""w{i} AS MATERIALIZED (
+  SELECT a.id FROM a{i-1} a LEFT JOIN (
+    SELECT e.id, min(x.p) AS mn
+    FROM e{i-1} e JOIN a{i-1} x ON x.id = e.nbr GROUP BY e.id
+  ) g ON g.id = a.id
+  WHERE g.mn IS NULL OR a.p < g.mn
+)"""
+        )
+        stages.append(
+            f"k{i} AS MATERIALIZED (SELECT id FROM w{i} UNION "
+            f"SELECT e.id FROM e{i-1} e JOIN w{i} w ON w.id = e.nbr)"
+        )
+        stages.append(
+            f"a{i} AS MATERIALIZED (SELECT a.id, a.p FROM a{i-1} a "
+            f"WHERE a.id NOT IN (SELECT id FROM k{i}))"
+        )
+        stages.append(
+            f"e{i} AS MATERIALIZED (SELECT id, nbr FROM e{i-1} "
+            f"WHERE id IN (SELECT id FROM a{i}) "
+            f"AND nbr IN (SELECT id FROM a{i}))"
+        )
+        sels.append(
+            f"SELECT id AS node, CAST({i-1} AS BIGINT) AS round FROM w{i}"
+        )
+    return (
+        f"WITH {_TRADE_ED}, {_TRADE_NODES}, {_TRADE_UND},\n"
+        + ",\n".join(stages)
+        + "\n"
+        + "\nUNION ALL\n".join(sels)
+        + f"""
+UNION ALL
+SELECT CAST(error('mis oracle: {rounds}-round unroll insufficient') AS BIGINT),
+       CAST(NULL AS BIGINT)
+WHERE (SELECT count(*) FROM a{rounds}) <> 0
 """
     )
 
@@ -3680,6 +3908,16 @@ SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
 FROM events GROUP BY user_id
 """
 
+    # stream-stream interval self-join ≡ the plain batch self-join
+    sqls["events_followups_stream"] = """
+SELECT a.event_type AS a_type, b.event_type AS b_type,
+       count(*) AS n_pairs
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+GROUP BY 1, 2
+"""
+
     # --------------------------------------------------- per-entity TimeOps
 
     sqls["trade_node_window_edges"] = f"""
@@ -3913,6 +4151,45 @@ SELECT sz AS size, count(*) AS n_components FROM sizes GROUP BY sz
     sqls["trade_neighborhood"] = _neighborhood_oracle_sql(8, levels=12)
 
     sqls["trade_closeness"] = _closeness_oracle_sql(8, levels=12)
+
+    sqls["trade_hyperball"] = _hyperball_oracle_sql(8, levels=6)
+
+    sqls["copurchase_densest"] = _densest_oracle_sql(24, eps=0.1)
+
+    sqls["trade_mis"] = _mis_oracle_sql(16, seed=42)
+
+    # 90-day tumbling-window edge turnover: shifted self-join on the
+    # distinct (edge, bucket) table, phantom post-final bucket semi-joined
+    # away, jaccard = survived / (cur ∪ prev)
+    sqls["trade_edge_turnover"] = """
+WITH ev AS (
+  SELECT o_custkey AS src, 1000000 + l_suppkey AS dst,
+         epoch_ms(o_orderdate) AS t
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+eb AS (SELECT DISTINCT src, dst, t // 7776000000 AS bucket FROM ev),
+cur AS (SELECT src, dst, bucket, 1 AS cur FROM eb),
+prv AS (SELECT src, dst, bucket + 1 AS bucket, 1 AS prv FROM eb),
+j AS (
+  SELECT coalesce(c.bucket, p.bucket) AS bucket, c.cur, p.prv
+  FROM cur c FULL OUTER JOIN prv p
+    ON c.src = p.src AND c.dst = p.dst AND c.bucket = p.bucket
+),
+a AS (
+  SELECT bucket,
+         CAST(sum(coalesce(cur, 0)) AS BIGINT) AS n_edges,
+         CAST(sum(CASE WHEN cur IS NOT NULL AND prv IS NULL
+                       THEN 1 ELSE 0 END) AS BIGINT) AS births,
+         CAST(sum(CASE WHEN prv IS NOT NULL AND cur IS NULL
+                       THEN 1 ELSE 0 END) AS BIGINT) AS deaths,
+         CAST(sum(CASE WHEN cur IS NOT NULL AND prv IS NOT NULL
+                       THEN 1 ELSE 0 END) AS BIGINT) AS survived
+  FROM j GROUP BY bucket
+)
+SELECT bucket, n_edges, births, deaths, survived,
+       round(CAST(survived AS DOUBLE) / (n_edges + deaths), 6) AS jaccard
+FROM a WHERE bucket IN (SELECT bucket FROM eb)
+"""
 
     # GraphSAGE fan-out (3, 2): the same quenched md5 per-source ranking,
     # hop 1 from every node, hop 2 from the dedup'd (root, node) frontier

@@ -129,6 +129,16 @@ def main() -> None:
         "copurchase_coreness",
         "docs_c4_rules",
         "trade_neighborhood",
+        # round 3 (cont.): GNN training-data sampling + temporal stats
+        "trade_neighbor_sample",
+        "trade_negative_edges",
+        "trade_closeness",
+        "trade_burstiness",
+        "trade_edge_turnover",
+        "trade_hyperball",
+        "events_followups_stream",
+        "copurchase_densest",
+        "trade_mis",
     ]
     # untimed warmup at the smallest scale factor: run every headline query
     # once over sf0.001 so whole-stage-codegen compilation, the parquet

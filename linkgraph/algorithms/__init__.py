@@ -2,15 +2,21 @@
 
 from linkgraph.algorithms.betweenness import betweenness_centrality
 from linkgraph.algorithms.centrality import (
+    anf_estimate,
     closeness_centrality,
     decayed_pagerank,
     effective_diameter,
     eigenvector_centrality,
     harmonic_centrality,
+    hyperball_anf,
     katz_centrality,
     multi_source_bfs,
     neighborhood_function,
     weighted_pagerank,
+)
+from linkgraph.algorithms.structure import (
+    densest_subgraph,
+    maximal_independent_set,
 )
 from linkgraph.algorithms.sampling import (
     negative_edges,
@@ -75,7 +81,11 @@ __all__ = [
     "negative_edges",
     "neighborhood_function",
     "harmonic_centrality",
+    "hyperball_anf",
+    "anf_estimate",
     "closeness_centrality",
+    "densest_subgraph",
+    "maximal_independent_set",
     "ranked_adjacency",
     "sample_neighbors",
     "katz_centrality",

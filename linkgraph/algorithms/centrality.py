@@ -547,3 +547,136 @@ def closeness_centrality(
             F.coalesce("n_reached", F.lit(0)).alias("n_reached"),
         )
     )
+
+
+def _fm_mask_expr(seed: int, r: int) -> str:
+    """Quenched Flajolet–Martin register init for replica ``r``: a single
+    bit at position min(trailing_zeros(md5 draw), 31) — geometric(1/2),
+    reproducible across engines (Spark conv(substr(md5)) == DuckDB
+    ('0x'||substr(md5))::BIGINT; a zero draw, p=2⁻⁶⁰, lands on the cap in
+    both engines since bit_count(-1)=64)."""
+    d = (
+        "CAST(conv(substring(md5(concat_ws('|'"
+        f",'{seed}','{r}',CAST(id AS STRING))),1,15),16,10) AS BIGINT)"
+    )
+    return (
+        f"shiftleft(CAST(1 AS BIGINT), least(bit_count(({d} & (-{d})) - 1), 31))"
+        f" AS m{r}"
+    )
+
+
+def hyperball_anf(
+    graph: LinkGraph,
+    n_replicas: int = 8,
+    max_depth: int = 8,
+    seed: int = 42,
+    direction: str = "both",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Approximate neighborhood function over ALL nodes — HyperBall (Boldi
+    & Vigna, WWW 2013) with Flajolet–Martin bitmask registers (the ANF of
+    Palmer et al., KDD 2002): every node carries ``n_replicas`` 32-bit FM
+    sketches, and ``ball(v, h) = sketch(v) OR-merged with the neighbours'
+    h−1 balls`` — ``max_depth`` supersteps, each ONE co-partitioned join +
+    ``bit_or`` hash aggregate, all JVM-side integer ops.
+
+    Returns the per-depth register histogram ``(dist, r_sum, n_nodes)``:
+    nodes bucketed by their total least-zero-bit index across replicas.
+    The reduction is INTEGER-exact and engine-replayable; the float
+    ``2^{R̄}/0.77351`` estimate depends on summation order, so the query
+    surface stays integer and :func:`anf_estimate` derives the float curve
+    driver-side from the tiny histogram.
+
+    Scale story: the exact :func:`multi_source_bfs` carries O(reached
+    pairs) state — unpayable for all-sources on a big component.  Sketch
+    state here is O(n) rows × ``n_replicas`` longs regardless of reach,
+    the per-superstep exchange is one message aggregate (same plan shape
+    as PageRank), and the quenched md5 draws make the result
+    bit-reproducible across engines, partitionings, and cluster sizes.
+    """
+    spark = graph.spark
+    if direction == "both":
+        adj = graph.undirected_edge_ids().select(
+            F.col("id").alias("from_id"), F.col("nbr_id").alias("to_id")
+        )
+    elif direction == "out":
+        adj = graph.edge_ids().select(
+            F.col("src_id").alias("from_id"), F.col("dst_id").alias("to_id")
+        )
+    elif direction == "in":
+        adj = graph.edge_ids().select(
+            F.col("dst_id").alias("from_id"), F.col("src_id").alias("to_id")
+        )
+    else:
+        raise ValueError(f"direction must be in/out/both, got {direction!r}")
+
+    m = int(n_replicas)
+    mcols = [f"m{r}" for r in range(m)]
+    r_sum_expr = " + ".join(
+        f"CAST(bit_count(((~m{r}) & (m{r} + 1)) - 1) AS BIGINT)" for r in range(m)
+    )
+    raw_adj = adj.persist()
+    P = partitions or pick_partitions(spark, raw_adj.count())
+    rows: list[tuple[int, int, int]] = []
+    with iteration_conf(spark, shuffle_partitions=P):
+        # static big side of every superstep's join: partition on the join
+        # key ONCE (to_id == state.id), so each round shuffles only the
+        # (node-sized) message aggregate
+        adj = (
+            raw_adj.repartition(P, "to_id")
+            .sortWithinPartitions("to_id")
+            .persist()
+        )
+        adj.count()
+        raw_adj.unpersist()
+        state = (
+            graph.ids()
+            .selectExpr("id", *[_fm_mask_expr(seed, r) for r in range(m)])
+            .repartition(P, "id")
+            .localCheckpoint(eager=True)
+        )
+        for h in range(1, int(max_depth) + 1):
+            msgs = (
+                adj.join(state, adj.to_id == state.id)
+                .groupBy(F.col("from_id").alias("id"))
+                .agg(*[F.expr(f"bit_or(m{r})").alias(f"g{r}") for r in range(m)])
+            )
+            state = (
+                state.join(msgs, "id", "left")
+                .select(
+                    "id",
+                    *[
+                        F.expr(f"m{r} | coalesce(g{r}, CAST(0 AS BIGINT))").alias(
+                            f"m{r}"
+                        )
+                        for r in range(m)
+                    ],
+                )
+                .repartition(P, "id")
+                .localCheckpoint(eager=True)
+            )
+            hist = (
+                state.selectExpr(f"({r_sum_expr}) AS r_sum")
+                .groupBy("r_sum")
+                .agg(F.count("*").alias("n_nodes"))
+                .collect()
+            )
+            rows.extend((h, int(r["r_sum"]), int(r["n_nodes"])) for r in hist)
+        adj.unpersist()
+    return spark.createDataFrame(
+        rows, "dist long, r_sum long, n_nodes long"
+    )
+
+
+def anf_estimate(hist: DataFrame, n_replicas: int = 8) -> dict[int, float]:
+    """FM85 estimator from :func:`hyperball_anf`'s register histogram:
+    ``N̂(h) = Σ_buckets n_nodes · 2^(r_sum/m) / 0.77351`` — the expected
+    ball-size curve including dist 0 (each node counts itself).
+    Driver-side float over ≤ 32·m tiny rows; the distributed surface
+    stays integer-exact."""
+    est: dict[int, float] = {}
+    for r in hist.collect():
+        est[r["dist"]] = est.get(r["dist"], 0.0) + r["n_nodes"] * 2.0 ** (
+            r["r_sum"] / n_replicas
+        )
+    return {h: v / 0.77351 for h, v in sorted(est.items())}

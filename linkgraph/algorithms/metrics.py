@@ -278,3 +278,62 @@ def inter_event_stats(
         .otherwise((std - mean) / (std + mean))
         .alias("burstiness"),
     )
+
+
+def edge_turnover(graph: LinkGraph, bucket_ms: int) -> DataFrame:
+    """Edge-set turnover between consecutive tumbling windows — ``(bucket,
+    n_edges, births, deaths, survived, jaccard)`` where ``bucket =
+    time div bucket_ms``, the edge set of a bucket is its distinct (src,
+    dst) pairs, births/deaths/survived compare against the PREVIOUS bucket
+    (empty when the previous bucket has no events), and ``jaccard =
+    survived / |union|`` measures structural persistence.
+
+    The canonical temporal-evolution readout over a WindowSet (SURVEY
+    §2.2's rolling views): one distinct, one shifted self-join, one
+    aggregate — no iteration.  Counts are exact; the single float division
+    replays bit-identically in SQL.
+    """
+    eb = (
+        graph.edges_t.select(
+            "src",
+            "dst",
+            F.floor(F.col("time") / F.lit(int(bucket_ms)))
+            .cast("long")
+            .alias("bucket"),
+        )
+        .distinct()
+    )
+    cur = eb.select("src", "dst", "bucket", F.lit(1).alias("cur"))
+    prv = eb.select(
+        "src", "dst", (F.col("bucket") + 1).alias("bucket"), F.lit(1).alias("prv")
+    )
+    j = cur.join(prv, ["src", "dst", "bucket"], "full_outer")
+    agg = (
+        j.groupBy("bucket")
+        .agg(
+            F.sum(F.coalesce("cur", F.lit(0))).alias("n_edges"),
+            F.sum(
+                (F.col("cur").isNotNull() & F.col("prv").isNull()).cast("long")
+            ).alias("births"),
+            F.sum(
+                (F.col("prv").isNotNull() & F.col("cur").isNull()).cast("long")
+            ).alias("deaths"),
+            F.sum(
+                (F.col("cur").isNotNull() & F.col("prv").isNotNull()).cast("long")
+            ).alias("survived"),
+        )
+        # the shift manufactures a phantom bucket AFTER the last real one
+        # (pure deaths); keep only buckets that actually have events
+        .join(eb.select("bucket").distinct(), "bucket", "left_semi")
+    )
+    return agg.select(
+        "bucket",
+        "n_edges",
+        "births",
+        "deaths",
+        "survived",
+        (
+            F.col("survived").cast("double")
+            / (F.col("n_edges") + F.col("deaths"))
+        ).alias("jaccard"),
+    )

@@ -1,0 +1,228 @@
+"""Global structure primitives: densest subgraph and maximal independent
+set — the two classic log-round distributed-graph peels the rest of §2.6
+doesn't cover.
+
+Both are deterministic by construction here (no RNG state): the densest
+peel has no randomness at all, and Luby's MIS uses quenched md5 priorities,
+so results replay bit-identically across engines, partitionings, and
+cluster sizes — each has a level-unrolled DuckDB oracle in
+__spark_entry__.
+
+Plan shape per round (shared with the k-core/coreness family): one degree
+aggregate over the surviving adjacency + one semi/anti join; the adjacency
+shrinks monotonically and each round's survivors are localCheckpoint'd so
+plans stay linear.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..graph import LinkGraph
+from ..superstep import iteration_conf, pick_partitions
+
+
+def densest_subgraph(
+    graph: LinkGraph, epsilon: float = 0.1, max_rounds: int = 64
+) -> DataFrame:
+    """2(1+ε)-approximate densest subgraph (Bahmani, Kumar & Vassilvitskii,
+    VLDB 2012) — ``(node, density, n_nodes, round)``: the member nodes of
+    the densest prefix of the peel, carrying the subgraph's density
+    |E|/|V| (undirected), size, and the peel round that attained it.
+
+    Each round removes EVERY node of degree ≤ 2(1+ε)·ρ(current), so the
+    peel finishes in O(log n) rounds regardless of graph size — the
+    MapReduce-era answer to the sequential Charikar peel (which removes
+    one min-degree node per step and is unrunnable distributed).  The
+    densest intermediate subgraph across rounds is within 2(1+ε) of
+    optimal.  Deterministic: no randomness anywhere; density ties pick the
+    EARLIEST round.
+    """
+    spark = graph.spark
+    und = graph.canonical_edge_ids()  # (lo, hi), self-loops dropped
+    raw = und.persist()
+    P = pick_partitions(spark, raw.count())
+    snapshots: list[tuple[int, int, int]] = []  # (round, n_nodes, n_edges)
+    with iteration_conf(spark, shuffle_partitions=P):
+        edges = raw.localCheckpoint(eager=True)
+        raw.unpersist()
+        removed_at: DataFrame | None = None  # (id, peeled_round)
+        rnd = 0
+        while rnd < int(max_rounds):
+            deg = (
+                edges.select(F.col("lo").alias("id"))
+                .unionByName(edges.select(F.col("hi").alias("id")))
+                .groupBy("id")
+                .agg(F.count("*").alias("deg"))
+                .localCheckpoint(eager=True)
+            )
+            counts = deg.agg(
+                F.count("*").alias("n"), F.sum("deg").alias("deg_sum")
+            ).first()
+            n_nodes = counts["n"] or 0
+            n_edges = (counts["deg_sum"] or 0) // 2
+            if n_nodes == 0:
+                break
+            snapshots.append((rnd, n_nodes, n_edges))
+            # peel everything at or below 2(1+eps) * density
+            thresh = 2.0 * (1.0 + float(epsilon)) * (n_edges / n_nodes)
+            peeled = deg.filter(F.col("deg") <= F.lit(thresh)).select(
+                "id", F.lit(rnd).alias("peeled_round")
+            )
+            removed_at = (
+                peeled
+                if removed_at is None
+                else removed_at.unionByName(peeled)
+            ).localCheckpoint(eager=True)
+            survivors = deg.filter(F.col("deg") > F.lit(thresh)).select("id")
+            edges = (
+                edges.join(
+                    survivors.withColumnRenamed("id", "lo"), "lo", "left_semi"
+                )
+                .join(
+                    survivors.withColumnRenamed("id", "hi"), "hi", "left_semi"
+                )
+                .localCheckpoint(eager=True)
+            )
+            # a survivor whose neighbours were ALL peeled drops to degree 0
+            # and silently leaves the degree table — record it as leaving
+            # this round too, or the member set would disagree with the
+            # per-round n_nodes counts
+            nxt_nodes = (
+                edges.select(F.col("lo").alias("id"))
+                .unionByName(edges.select(F.col("hi").alias("id")))
+                .distinct()
+            )
+            vanished = survivors.join(nxt_nodes, "id", "left_anti").select(
+                "id", F.lit(rnd).alias("peeled_round")
+            )
+            removed_at = removed_at.unionByName(vanished).localCheckpoint(
+                eager=True
+            )
+            rnd += 1
+        if not snapshots:
+            return spark.createDataFrame(
+                [], "node long, density double, n_nodes long, round long"
+            )
+        best_round, best_n, best_e = max(
+            snapshots, key=lambda s: (s[2] / s[1], -s[0])
+        )
+        density = best_e / best_n
+        # members of the best round = initial edge-bearing nodes NOT yet
+        # removed (peeled or vanished) before it
+        nodes0 = (
+            und.select(F.col("lo").alias("id"))
+            .unionByName(und.select(F.col("hi").alias("id")))
+            .distinct()
+        )
+        members = nodes0.join(
+            removed_at.filter(F.col("peeled_round") < best_round),
+            "id",
+            "left_anti",
+        )
+    return members.select(
+        F.col("id").alias("node"),
+        F.lit(density).alias("density"),
+        F.lit(best_n).cast("long").alias("n_nodes"),
+        F.lit(best_round).cast("long").alias("round"),
+    )
+
+
+def maximal_independent_set(
+    graph: LinkGraph, seed: int = 42, max_rounds: int = 64
+) -> DataFrame:
+    """Luby's maximal independent set (Luby, STOC 1985) — ``(node,
+    round)``: one row per MIS member with the round it joined.
+
+    Per round, an active node joins the MIS iff its quenched md5 priority
+    is strictly smaller than every ACTIVE neighbour's; joiners and their
+    neighbours deactivate.  O(log n) rounds w.h.p. over the (quenched)
+    priorities; with the draw fixed by (seed, node) the whole run is a
+    pure function of the input — the same determinism contract as the
+    walk/sampling family.  Independence and maximality are guaranteed by
+    construction; tests assert both.
+
+    Priorities are 60-bit md5 draws; a collision between NEIGHBOURS would
+    stall those two nodes (neither strictly smallest) — probability
+    ≤ m·2⁻⁶⁰, and the round cap turns a stall into a loud error rather
+    than silence.
+    """
+    spark = graph.spark
+    und = graph.undirected_edge_ids().filter(F.col("id") != F.col("nbr_id"))
+    raw = und.persist()
+    P = pick_partitions(spark, raw.count())
+    prio = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws("|", F.lit(str(seed)), F.col("id").cast("string"))
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    with iteration_conf(spark, shuffle_partitions=P):
+        adj = raw.localCheckpoint(eager=True)
+        raw.unpersist()
+        active = (
+            graph.ids().select("id", prio.alias("p")).localCheckpoint(eager=True)
+        )
+        mis_parts: list[DataFrame] = []
+        rnd = 0
+        while rnd < int(max_rounds):
+            if active.isEmpty():
+                break
+            # min active-neighbour priority per node (NULL = isolated)
+            nbr_min = (
+                adj.join(
+                    active.select(
+                        F.col("id").alias("nbr_id"), F.col("p").alias("np")
+                    ),
+                    "nbr_id",
+                )
+                .groupBy("id")
+                .agg(F.min("np").alias("min_np"))
+            )
+            winners = (
+                active.join(nbr_min, "id", "left")
+                .filter(F.col("min_np").isNull() | (F.col("p") < F.col("min_np")))
+                .select("id")
+                .localCheckpoint(eager=True)
+            )
+            if winners.isEmpty():
+                raise RuntimeError(
+                    "Luby MIS stalled: no strictly-smallest active priority "
+                    "(md5 collision between neighbours, p <= m*2^-60)"
+                )
+            mis_parts.append(
+                winners.select("id", F.lit(rnd).cast("long").alias("round"))
+            )
+            # deactivate winners and their neighbours
+            killed = winners.unionByName(
+                adj.join(
+                    winners.withColumnRenamed("id", "nbr_id"), "nbr_id"
+                ).select("id")
+            ).distinct()
+            active = active.join(killed, "id", "left_anti").localCheckpoint(
+                eager=True
+            )
+            adj = (
+                adj.join(active.select("id"), "id", "left_semi")
+                .join(
+                    active.select(F.col("id").alias("nbr_id")),
+                    "nbr_id",
+                    "left_semi",
+                )
+                .localCheckpoint(eager=True)
+            )
+            rnd += 1
+        if not active.isEmpty():
+            raise RuntimeError(
+                f"Luby MIS did not converge in {max_rounds} rounds"
+            )
+    out = mis_parts[0]
+    for p_ in mis_parts[1:]:
+        out = out.unionByName(p_)
+    return out.select(F.col("id").alias("node"), "round")

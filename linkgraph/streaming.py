@@ -203,3 +203,45 @@ def edge_ingest_query(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def followup_events(
+    stream: DataFrame, horizon: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream interval self-join — for every event A, the events B
+    of the SAME user with ``A.ts < B.ts <= A.ts + horizon``: ``(user_id,
+    a_id, a_type, b_id, b_type, gap_s)``, append mode.
+
+    The canonical two-sided stateful pattern the rest of this module
+    lacked: both inputs are watermarked and the join condition bounds
+    ``b_ts`` relative to ``a_ts`` on BOTH sides, so Spark can expire join
+    state once the watermark passes ``a_ts + horizon`` — state is (rate ×
+    horizon)-bounded, not history-bounded.  Batch-equivalent SQL is the
+    plain self-join, which is the query's DuckDB oracle."""
+    a = stream.select(
+        "user_id",
+        F.col("event_id").alias("a_id"),
+        F.col("ts").alias("a_ts"),
+        F.col("event_type").alias("a_type"),
+    ).withWatermark("a_ts", watermark)
+    b = stream.select(
+        F.col("user_id").alias("b_user"),
+        F.col("event_id").alias("b_id"),
+        F.col("ts").alias("b_ts"),
+        F.col("event_type").alias("b_type"),
+    ).withWatermark("b_ts", watermark)
+    joined = a.join(
+        b,
+        (a.user_id == b.b_user)
+        & (F.col("b_ts") > F.col("a_ts"))
+        & (F.col("b_ts") <= F.col("a_ts") + F.expr(f"INTERVAL {horizon}")),
+        "inner",
+    )
+    return joined.select(
+        "user_id",
+        "a_id",
+        "a_type",
+        "b_id",
+        "b_type",
+        (F.unix_timestamp("b_ts") - F.unix_timestamp("a_ts")).alias("gap_s"),
+    )

@@ -1,0 +1,143 @@
+"""HyperBall/ANF sketch (bit-exact python replay) and windowed edge
+turnover (hand goldens).  The engine↔DuckDB replay of both is covered by
+the __spark_entry__ oracles."""
+
+import hashlib
+
+import pytest
+
+from linkgraph.graph import LinkGraph
+from linkgraph.algorithms import anf_estimate, hyperball_anf
+from linkgraph.algorithms.metrics import edge_turnover
+
+DAY = 86_400_000
+
+PATH_PLUS_PAIR = [
+    (0, "1", "2"), (1, "2", "3"), (2, "3", "4"), (3, "5", "6"),
+]
+
+
+def _fm_mask(seed: int, r: int, v: int) -> int:
+    d = int(hashlib.md5(f"{seed}|{r}|{v}".encode()).hexdigest()[:15], 16)
+    tz = ((d & -d) - 1).bit_count() if d else 64
+    return 1 << min(tz, 31)
+
+
+def _r_sum(masks: list[int]) -> int:
+    return sum((((~m) & (m + 1)) - 1).bit_count() for m in masks)
+
+
+def _hyperball_py(edges, m, depth, seed):
+    """Driver-side replay of the distributed sketch, infinite-precision
+    python ints (two's-complement & matches BIGINT for these ranges)."""
+    und = {}
+    nodes = set()
+    for _, s, d in edges:
+        s, d = int(s), int(d)
+        nodes.update((s, d))
+        und.setdefault(s, set()).add(d)
+        und.setdefault(d, set()).add(s)
+    masks = {v: [_fm_mask(seed, r, v) for r in range(m)] for v in nodes}
+    hist = {}
+    for h in range(1, depth + 1):
+        new = {}
+        for v in nodes:
+            ms = list(masks[v])
+            for u in und.get(v, ()):
+                for r in range(m):
+                    ms[r] |= masks[u][r]
+            new[v] = ms
+        masks = new
+        level = {}
+        for v in nodes:
+            rs = _r_sum(masks[v])
+            level[rs] = level.get(rs, 0) + 1
+        hist[h] = level
+    return hist
+
+
+def test_hyperball_matches_python_replay(spark):
+    g = LinkGraph.from_edge_list(spark, PATH_PLUS_PAIR)
+    got = hyperball_anf(g, n_replicas=8, max_depth=4, seed=42)
+    want = _hyperball_py(PATH_PLUS_PAIR, m=8, depth=4, seed=42)
+    rows = {}
+    for r in got.collect():
+        rows.setdefault(r["dist"], {})[r["r_sum"]] = r["n_nodes"]
+    assert rows == want
+
+
+def test_hyperball_estimate_monotone_and_saturates(spark):
+    # star: everything is within distance 2 of everything (via the hub)
+    star = [(i, "0", str(i + 1)) for i in range(6)]
+    g = LinkGraph.from_edge_list(spark, star)
+    hist = hyperball_anf(g, n_replicas=16, max_depth=4, seed=1)
+    est = anf_estimate(hist, n_replicas=16)
+    assert sorted(est) == [1, 2, 3, 4]
+    vals = [est[h] for h in sorted(est)]
+    assert all(b >= a - 1e-9 for a, b in zip(vals, vals[1:]))
+    # balls saturate at the diameter: depths 2..4 give the SAME registers
+    assert est[2] == est[3] == est[4]
+    assert est[1] > 0
+
+
+def test_edge_turnover_hand_example(spark):
+    edges = [
+        (0, "a", "b"), (1 * DAY, "a", "b"), (1 * DAY, "c", "d"),
+        (3 * DAY, "a", "b"),
+    ]
+    g = LinkGraph.from_edge_list(spark, edges)
+    got = {r["bucket"]: r for r in edge_turnover(g, bucket_ms=DAY).collect()}
+    assert set(got) == {0, 1, 3}  # bucket 2 has no events: no row
+    b0 = got[0]
+    assert (b0["n_edges"], b0["births"], b0["deaths"], b0["survived"]) == (1, 1, 0, 0)
+    assert b0["jaccard"] == 0.0
+    b1 = got[1]
+    assert (b1["n_edges"], b1["births"], b1["deaths"], b1["survived"]) == (2, 1, 0, 1)
+    assert b1["jaccard"] == pytest.approx(0.5)
+    # bucket 3 follows the EMPTY bucket 2: everything is a birth
+    b3 = got[3]
+    assert (b3["n_edges"], b3["births"], b3["deaths"], b3["survived"]) == (1, 1, 0, 0)
+
+
+def test_mis_independent_and_maximal(spark):
+    from linkgraph.algorithms import maximal_independent_set
+
+    star_plus = [(i, "0", str(i + 1)) for i in range(5)] + [
+        (9, "1", "2"), (10, "6", "7"),
+    ]
+    g = LinkGraph.from_edge_list(spark, star_plus)
+    mis = {r["node"] for r in maximal_independent_set(g, seed=3).collect()}
+    adj = {}
+    for r in g.undirected_edge_ids().collect():
+        adj.setdefault(r["id"], set()).add(r["nbr_id"])
+    # independence: no edge inside the set
+    for v in mis:
+        assert not (adj.get(v, set()) & mis)
+    # maximality: every outside node has a neighbour inside
+    for v in adj:
+        if v not in mis:
+            assert adj[v] & mis
+    # determinism
+    again = {r["node"] for r in maximal_independent_set(g, seed=3).collect()}
+    assert again == mis
+
+
+def test_densest_subgraph_finds_the_clique(spark):
+    from itertools import combinations
+
+    from linkgraph.algorithms import densest_subgraph
+
+    # K5 (density 2.0) plus a long path (density -> 1/2-ish)
+    k5 = [(i, a, b) for i, (a, b) in enumerate(combinations("abcde", 2))]
+    path = [(100 + i, f"p{i}", f"p{i+1}") for i in range(8)]
+    g = LinkGraph.from_edge_list(spark, k5 + path)
+    out = densest_subgraph(g, epsilon=0.1).collect()
+    ids = {r["name"]: r["id"] for r in g.ids().collect()}
+    members = {r["node"] for r in out}
+    assert {ids[c] for c in "abcde"} <= members
+    # density reported is |E|/|V| of the chosen round and >= the clique's
+    # share within the round-0 graph; the peel must strictly beat round 0
+    d0 = len(k5 + path) / len(ids)
+    assert out[0]["density"] >= d0
+    # the member count matches the reported subgraph size
+    assert len(members) == out[0]["n_nodes"]

@@ -115,3 +115,37 @@ def test_stream_dedup_drops_doubled_source(spark, events_dir, tmp_path):
     )
     rows = sorted((r["event_id"], r["value"]) for r in out.collect())
     assert rows == [(0, 1.0), (1, 2.0), (2, 10.0), (3, 4.0)]
+
+
+def test_followup_interval_join_matches_batch(spark, events_dir, tmp_path):
+    """Stream-stream interval self-join (append mode) == the batch
+    self-join on the same data; pairs respect the (0, 1h] gap and the
+    same-user key."""
+    from linkgraph.streaming import followup_events
+
+    out = run_available_now(
+        followup_events(read_event_stream(spark, events_dir)),
+        str(tmp_path / "ck_fu"),
+        output_mode="append",
+    )
+    got = {(r["a_id"], r["b_id"]): r["gap_s"] for r in out.collect()}
+    # user 1 events at 0:10, 0:40, 1:55; user 2 at 1:05.
+    # pairs within (0, 1h]: (0 -> 1, 30min); 0 -> 3 is 105min (out),
+    # 1 -> 3 is 75min (out); user 2 has a single event.
+    assert got == {(0, 1): 1800}
+    batch = spark.read.parquet(events_dir)
+    a = batch.selectExpr("user_id", "event_id AS a_id", "ts AS a_ts")
+    b = batch.selectExpr("user_id AS bu", "event_id AS b_id", "ts AS b_ts")
+    import pyspark.sql.functions as F
+
+    want = (
+        a.join(
+            b,
+            (a.user_id == b.bu)
+            & (F.col("b_ts") > F.col("a_ts"))
+            & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .select("a_id", "b_id")
+        .collect()
+    )
+    assert {(r["a_id"], r["b_id"]) for r in want} == set(got)
