@@ -792,6 +792,37 @@ def q_trade_mis(spark, sf_dir):
     return maximal_independent_set(g, seed=42).select("node", "round")
 
 
+def q_trade_matching(spark, sf_dir):
+    """Deterministic maximal matching (Israeli–Itai-style rounds, quenched
+    md5 edge priorities) — (lo, hi, round); replayed level-for-level in
+    SQL."""
+    from linkgraph.algorithms import maximal_matching
+
+    g = _trade_graph(spark, sf_dir)
+    return maximal_matching(g, seed=42).select("lo", "hi", "round")
+
+
+def q_trade_bipartite_projection(spark, sf_dir):
+    """One-mode projection of the bipartite trade graph onto suppliers,
+    wedging through the LOW-degree customer side — (a, b, shared) pairs
+    with common-customer counts."""
+    from linkgraph.algorithms import bipartite_projection
+
+    g = _trade_graph(spark, sf_dir)
+    return bipartite_projection(g, onto="dst", min_shared=1).select(
+        "a", "b", "shared"
+    )
+
+
+def q_trade_butterflies(spark, sf_dir):
+    """Per-supplier butterfly (2×2 biclique) counts — the bipartite
+    triangle analogue; pure integer arithmetic over the projection."""
+    from linkgraph.algorithms import butterfly_counts
+
+    g = _trade_graph(spark, sf_dir)
+    return butterfly_counts(g, onto="dst").select("node", "butterflies")
+
+
 def q_events_sessions(spark, sf_dir):
     """Per-user session windows (30-min inclusive gap) over the events
     table — ``F.session_window`` merge-on-aggregate; the oracle is the
@@ -1711,6 +1742,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_followups_stream": q_events_followups_stream,
         "copurchase_densest": q_copurchase_densest,
         "trade_mis": q_trade_mis,
+        "trade_matching": q_trade_matching,
+        "trade_bipartite_projection": q_trade_bipartite_projection,
+        "trade_butterflies": q_trade_butterflies,
         "trade_eigenvector": q_trade_eigenvector,
         "copurchase_katz": q_copurchase_katz,
         "copurchase_ktruss": q_copurchase_ktruss,
@@ -2274,6 +2308,55 @@ UNION ALL
 SELECT CAST(error('mis oracle: {rounds}-round unroll insufficient') AS BIGINT),
        CAST(NULL AS BIGINT)
 WHERE (SELECT count(*) FROM a{rounds}) <> 0
+"""
+    )
+
+
+def _matching_oracle_sql(rounds: int, seed: int = 42) -> str:
+    """Level-unrolled deterministic maximal matching on the trade graph —
+    identical quenched md5 edge priorities; an edge wins a round iff its
+    priority is the min at BOTH endpoints; errors loudly if edges remain
+    after the unroll.  (Canonical lo<hi is trade_ed verbatim: customer ids
+    < 1000000 ≤ supplier ids.)"""
+    stages = [
+        f"e0 AS MATERIALIZED (SELECT src AS lo, dst AS hi, "
+        f"('0x' || substr(md5(concat_ws('|', '{seed}', src::VARCHAR, "
+        f"dst::VARCHAR)), 1, 15))::BIGINT AS p FROM trade_ed)"
+    ]
+    sels = []
+    for i in range(1, rounds + 1):
+        stages.append(
+            f"nm{i} AS MATERIALIZED (SELECT id, min(p) AS mn FROM "
+            f"(SELECT lo AS id, p FROM e{i-1} UNION ALL SELECT hi, p FROM e{i-1}) "
+            f"GROUP BY id)"
+        )
+        stages.append(
+            f"w{i} AS MATERIALIZED (SELECT e.lo, e.hi FROM e{i-1} e "
+            f"JOIN nm{i} a ON a.id = e.lo JOIN nm{i} b ON b.id = e.hi "
+            f"WHERE e.p = a.mn AND e.p = b.mn)"
+        )
+        stages.append(
+            f"t{i} AS MATERIALIZED (SELECT lo AS id FROM w{i} "
+            f"UNION SELECT hi FROM w{i})"
+        )
+        stages.append(
+            f"e{i} AS MATERIALIZED (SELECT lo, hi, p FROM e{i-1} "
+            f"WHERE lo NOT IN (SELECT id FROM t{i}) "
+            f"AND hi NOT IN (SELECT id FROM t{i}))"
+        )
+        sels.append(
+            f"SELECT lo, hi, CAST({i-1} AS BIGINT) AS round FROM w{i}"
+        )
+    return (
+        f"WITH {_TRADE_ED},\n"
+        + ",\n".join(stages)
+        + "\n"
+        + "\nUNION ALL\n".join(sels)
+        + f"""
+UNION ALL
+SELECT CAST(error('matching oracle: {rounds}-round unroll insufficient') AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+WHERE (SELECT count(*) FROM e{rounds}) <> 0
 """
     )
 
@@ -4157,6 +4240,28 @@ SELECT sz AS size, count(*) AS n_components FROM sizes GROUP BY sz
     sqls["copurchase_densest"] = _densest_oracle_sql(24, eps=0.1)
 
     sqls["trade_mis"] = _mis_oracle_sql(16, seed=42)
+
+    sqls["trade_matching"] = _matching_oracle_sql(16, seed=42)
+
+    sqls["trade_bipartite_projection"] = f"""
+WITH {_TRADE_ED}
+SELECT a.dst AS a, b.dst AS b, count(*) AS shared
+FROM trade_ed a JOIN trade_ed b ON a.src = b.src AND a.dst < b.dst
+GROUP BY 1, 2
+"""
+
+    sqls["trade_butterflies"] = f"""
+WITH {_TRADE_ED},
+pairs AS (
+  SELECT a.dst AS sa, b.dst AS sb, count(*) AS w
+  FROM trade_ed a JOIN trade_ed b ON a.src = b.src AND a.dst < b.dst
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+bf AS (SELECT sa, sb, (w * (w - 1)) // 2 AS b FROM pairs)
+SELECT node, CAST(sum(b) AS BIGINT) AS butterflies
+FROM (SELECT sa AS node, b FROM bf UNION ALL SELECT sb, b FROM bf)
+GROUP BY node
+"""
 
     # 90-day tumbling-window edge turnover: shifted self-join on the
     # distinct (edge, bucket) table, phantom post-final bucket semi-joined

@@ -139,6 +139,9 @@ def main() -> None:
         "events_followups_stream",
         "copurchase_densest",
         "trade_mis",
+        "trade_matching",
+        "trade_bipartite_projection",
+        "trade_butterflies",
     ]
     # untimed warmup at the smallest scale factor: run every headline query
     # once over sf0.001 so whole-stage-codegen compilation, the parquet

@@ -17,6 +17,12 @@ from linkgraph.algorithms.centrality import (
 from linkgraph.algorithms.structure import (
     densest_subgraph,
     maximal_independent_set,
+    maximal_matching,
+)
+from linkgraph.algorithms.bipartite import (
+    bipartite_projection,
+    butterfly_counts,
+    global_butterfly_count,
 )
 from linkgraph.algorithms.sampling import (
     negative_edges,
@@ -86,6 +92,10 @@ __all__ = [
     "closeness_centrality",
     "densest_subgraph",
     "maximal_independent_set",
+    "maximal_matching",
+    "bipartite_projection",
+    "butterfly_counts",
+    "global_butterfly_count",
     "ranked_adjacency",
     "sample_neighbors",
     "katz_centrality",

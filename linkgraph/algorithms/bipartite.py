@@ -1,0 +1,110 @@
+"""Bipartite analytics: one-mode projection and butterfly counting.
+
+The trade graph (customer → supplier) is bipartite; these are the standard
+bipartite readouts the unipartite toolbox (triangles, clustering) can't
+express — a bipartite graph has NO triangles, its smallest cycle is the
+butterfly (2×2 biclique), so butterfly counts play the role triangle
+counts play elsewhere (Wang et al., "Butterfly Counting in Bipartite
+Networks", VLDB 2019 popularised the wedge-side cost analysis used here).
+
+Scale note: the wedge self-join costs Σ_w C(deg(w), 2) over the WEDGE side
+— always project through the LOW-degree side (customers, bounded basket
+size) rather than the high-degree side (suppliers, Zipf-hub degrees); the
+``max_wedge_degree`` cap bounds the blow-up when the wedge side is itself
+skewed, exactly like linkpred's hub cap.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..graph import LinkGraph
+
+
+def bipartite_projection(
+    graph: LinkGraph,
+    onto: str = "dst",
+    min_shared: int = 1,
+    max_wedge_degree: int | None = None,
+) -> DataFrame:
+    """One-mode projection — ``(a, b, shared)``: pairs of ``onto``-side
+    nodes (``a < b``) with their count of common neighbours on the other
+    (wedge) side.
+
+    One distinct + one self-join on the wedge key + one map-side-combined
+    aggregate.  ``max_wedge_degree`` drops wedge nodes above the cap
+    BEFORE the self-join (the Σ C(deg,2) guard); ``min_shared`` filters
+    weak pairs after the count (pushes into the aggregate's HAVING).
+    """
+    if onto == "dst":
+        e = graph.edge_ids().select(
+            F.col("src_id").alias("w"), F.col("dst_id").alias("n")
+        )
+    elif onto == "src":
+        e = graph.edge_ids().select(
+            F.col("dst_id").alias("w"), F.col("src_id").alias("n")
+        )
+    else:
+        raise ValueError(f"onto must be src/dst, got {onto!r}")
+    e = e.distinct()
+    if max_wedge_degree is not None:
+        ok = (
+            e.groupBy("w")
+            .agg(F.count("*").alias("d"))
+            .filter(F.col("d") <= int(max_wedge_degree))
+            .select("w")
+        )
+        e = e.join(ok, "w", "left_semi")
+    a = e.select("w", F.col("n").alias("a"))
+    b = e.select("w", F.col("n").alias("b"))
+    return (
+        a.join(b, "w")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= int(min_shared))
+    )
+
+
+def butterfly_counts(
+    graph: LinkGraph,
+    onto: str = "dst",
+    max_wedge_degree: int | None = None,
+) -> DataFrame:
+    """Per-node butterfly counts on the ``onto`` side — ``(node,
+    butterflies)``: each pair (a, b) with ``shared`` common wedge
+    neighbours closes ``C(shared, 2)`` butterflies, credited to both
+    endpoints.  Pure integer arithmetic over :func:`bipartite_projection`
+    (``shared·(shared−1) div 2`` — exact, SQL-replayable)."""
+    pairs = bipartite_projection(
+        graph, onto=onto, min_shared=2, max_wedge_degree=max_wedge_degree
+    ).select(
+        "a",
+        "b",
+        F.expr("shared * (shared - 1) div 2").alias("bf"),
+    )
+    return (
+        pairs.select(F.col("a").alias("node"), "bf")
+        .unionByName(pairs.select(F.col("b").alias("node"), "bf"))
+        .groupBy("node")
+        .agg(F.sum("bf").alias("butterflies"))
+    )
+
+
+def global_butterfly_count(
+    graph: LinkGraph,
+    onto: str = "dst",
+    max_wedge_degree: int | None = None,
+) -> int:
+    """Total butterflies (each counted once) — Σ_pairs C(shared, 2)."""
+    row = (
+        bipartite_projection(
+            graph, onto=onto, min_shared=2, max_wedge_degree=max_wedge_degree
+        )
+        .agg(
+            F.sum(F.expr("shared * (shared - 1) div 2")).alias("n")
+        )
+        .first()
+    )
+    return int(row["n"] or 0)

@@ -226,3 +226,96 @@ def maximal_independent_set(
     for p_ in mis_parts[1:]:
         out = out.unionByName(p_)
     return out.select(F.col("id").alias("node"), "round")
+
+
+def maximal_matching(
+    graph: LinkGraph, seed: int = 42, max_rounds: int = 64
+) -> DataFrame:
+    """Deterministic maximal matching (the edge analogue of Luby — Israeli
+    & Itai 1986 style) — ``(lo, hi, round)``: one row per matched edge.
+
+    Each canonical edge carries a quenched md5 priority; per round an
+    active edge joins the matching iff its priority is the strict minimum
+    among active edges at BOTH endpoints, then all edges touching matched
+    nodes deactivate.  O(log n) rounds w.h.p. over the quenched
+    priorities; a pure function of the input, replayed level-for-level by
+    the SQL oracle.  Per round: one endpoint-min aggregate + one join +
+    one anti-join.
+    """
+    spark = graph.spark
+    prio = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.lit(str(seed)),
+                    F.col("lo").cast("string"),
+                    F.col("hi").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    raw = graph.canonical_edge_ids().select("lo", "hi", prio.alias("p")).persist()
+    P = pick_partitions(spark, raw.count())
+    with iteration_conf(spark, shuffle_partitions=P):
+        edges = raw.localCheckpoint(eager=True)
+        raw.unpersist()
+        matched_parts: list[DataFrame] = []
+        rnd = 0
+        while rnd < int(max_rounds):
+            if edges.isEmpty():
+                break
+            node_min = (
+                edges.select(F.col("lo").alias("id"), "p")
+                .unionByName(edges.select(F.col("hi").alias("id"), "p"))
+                .groupBy("id")
+                .agg(F.min("p").alias("mn"))
+            )
+            winners = (
+                edges.join(
+                    node_min.select(F.col("id").alias("lo"), F.col("mn").alias("mn_lo")),
+                    "lo",
+                )
+                .join(
+                    node_min.select(F.col("id").alias("hi"), F.col("mn").alias("mn_hi")),
+                    "hi",
+                )
+                .filter((F.col("p") == F.col("mn_lo")) & (F.col("p") == F.col("mn_hi")))
+                .select("lo", "hi")
+                .localCheckpoint(eager=True)
+            )
+            if winners.isEmpty():
+                raise RuntimeError(
+                    "maximal matching stalled: no edge is the strict min at "
+                    "both endpoints (md5 collision, p <= m*2^-60)"
+                )
+            matched_parts.append(
+                winners.select("lo", "hi", F.lit(rnd).cast("long").alias("round"))
+            )
+            touched = (
+                winners.select(F.col("lo").alias("id"))
+                .unionByName(winners.select(F.col("hi").alias("id")))
+                .distinct()
+            )
+            edges = (
+                edges.join(
+                    touched.withColumnRenamed("id", "lo"), "lo", "left_anti"
+                )
+                .join(touched.withColumnRenamed("id", "hi"), "hi", "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            rnd += 1
+        if not edges.isEmpty():
+            raise RuntimeError(
+                f"maximal matching did not converge in {max_rounds} rounds"
+            )
+    if not matched_parts:
+        return spark.createDataFrame([], "lo long, hi long, round long")
+    out = matched_parts[0]
+    for p_ in matched_parts[1:]:
+        out = out.unionByName(p_)
+    return out

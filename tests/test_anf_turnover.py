@@ -141,3 +141,57 @@ def test_densest_subgraph_finds_the_clique(spark):
     assert out[0]["density"] >= d0
     # the member count matches the reported subgraph size
     assert len(members) == out[0]["n_nodes"]
+
+
+def test_maximal_matching_valid_and_maximal(spark):
+    from linkgraph.algorithms import maximal_matching
+
+    edges = [(i, "0", str(i + 1)) for i in range(5)] + [
+        (9, "1", "2"), (10, "6", "7"), (11, "2", "6"),
+    ]
+    g = LinkGraph.from_edge_list(spark, edges)
+    matched = [(r["lo"], r["hi"]) for r in maximal_matching(g, seed=5).collect()]
+    used = [n for e in matched for n in e]
+    assert len(used) == len(set(used))  # each node in at most one edge
+    canon = {(r["lo"], r["hi"]) for r in g.canonical_edge_ids().collect()}
+    assert set(matched) <= canon
+    # maximality: every unmatched edge touches a matched node
+    for lo, hi in canon - set(matched):
+        assert lo in used or hi in used
+    again = [
+        (r["lo"], r["hi"]) for r in maximal_matching(g, seed=5).collect()
+    ]
+    assert set(again) == set(matched)
+
+
+def test_butterflies_k23(spark):
+    from linkgraph.algorithms import (
+        bipartite_projection,
+        butterfly_counts,
+        global_butterfly_count,
+    )
+
+    # K_{2,3}: customers c1,c2 each buy from suppliers s1,s2,s3
+    edges = [
+        (i * 3 + j, f"100{i}", f"200000{j}")
+        for i in range(2)
+        for j in range(3)
+    ]
+    g = LinkGraph.from_edge_list(spark, edges)
+    proj = {
+        (r["a"], r["b"]): r["shared"]
+        for r in bipartite_projection(g, onto="dst").collect()
+    }
+    # all 3 supplier pairs share both customers
+    assert len(proj) == 3 and set(proj.values()) == {2}
+    per = {
+        r["node"]: r["butterflies"]
+        for r in butterfly_counts(g, onto="dst").collect()
+    }
+    # each supplier sits in 2 of the 3 single-butterfly pairs
+    assert set(per.values()) == {2}
+    assert global_butterfly_count(g, onto="dst") == 3
+    # wedge-degree cap: capping customers below their degree kills all pairs
+    assert (
+        bipartite_projection(g, onto="dst", max_wedge_degree=2).count() == 0
+    )
