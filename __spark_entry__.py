@@ -823,6 +823,47 @@ def q_trade_butterflies(spark, sf_dir):
     return butterfly_counts(g, onto="dst").select("node", "butterflies")
 
 
+def q_docs_bpe_merges(spark, sf_dir):
+    """Distributed BPE-merge training on the documents corpus (12 merges,
+    word-frequency formulation — ONE corpus scan, then vocab-sized merge
+    rounds); the oracle replays every round level-for-level, so the
+    learned merges are engine-exact."""
+    from linkgraph.pipeline.bpe import bpe_train
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_train(docs, n_merges=12).select(
+        "rank", "lhs", "rhs", "pair_count"
+    )
+
+
+def q_trade_nation_quotient(spark, sf_dir):
+    """Quotient (contracted) view: customers and suppliers relabelled by
+    nation — the nation-to-nation trade event matrix, the graph-coarsening
+    step exposed as a first-class view (any algorithm runs on it)."""
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    mapping = (
+        cust.join(nat, cust.c_nationkey == nat.n_nationkey)
+        .select(
+            F.col("c_custkey").cast("string").alias("name"),
+            F.col("n_name").alias("group"),
+        )
+        .unionByName(
+            supp.join(nat, supp.s_nationkey == nat.n_nationkey).select(
+                (F.lit(1_000_000) + F.col("s_suppkey"))
+                .cast("string")
+                .alias("name"),
+                F.col("n_name").alias("group"),
+            )
+        )
+    )
+    g2 = _trade_graph(spark, sf_dir).quotient(mapping)
+    return g2.edges_t.groupBy(
+        F.col("src").alias("src_nation"), F.col("dst").alias("dst_nation")
+    ).agg(F.count("*").alias("n_events"))
+
+
 def q_events_sessions(spark, sf_dir):
     """Per-user session windows (30-min inclusive gap) over the events
     table — ``F.session_window`` merge-on-aggregate; the oracle is the
@@ -1745,6 +1786,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trade_matching": q_trade_matching,
         "trade_bipartite_projection": q_trade_bipartite_projection,
         "trade_butterflies": q_trade_butterflies,
+        "docs_bpe_merges": q_docs_bpe_merges,
+        "trade_nation_quotient": q_trade_nation_quotient,
         "trade_eigenvector": q_trade_eigenvector,
         "copurchase_katz": q_copurchase_katz,
         "copurchase_ktruss": q_copurchase_ktruss,
@@ -2310,6 +2353,49 @@ SELECT CAST(error('mis oracle: {rounds}-round unroll insufficient') AS BIGINT),
 WHERE (SELECT count(*) FROM a{rounds}) <> 0
 """
     )
+
+
+def _bpe_oracle_sql(n_merges: int) -> str:
+    """Level-unrolled BPE training replay (DuckDB) — same word-frequency
+    formulation, '·'-sentinel symbol strings, overlap-inclusive pair
+    counts, (count DESC, lhs, rhs) argmax, and left-to-right
+    non-overlapping replace rewrite as pipeline.bpe.bpe_train."""
+    stages = [
+        """w AS MATERIALIZED (
+  SELECT word, count(*) AS freq FROM (
+    SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+    FROM documents
+  ) WHERE word <> '' GROUP BY word
+)""",
+        "s0 AS MATERIALIZED (SELECT '·' || substr(regexp_replace(word, "
+        "'(.)', '·\\1', 'g'), 2) || '·</w>·' AS sym, freq FROM w)",
+    ]
+    sels = []
+    for r in range(n_merges):
+        stages.append(
+            f"""p{r} AS MATERIALIZED (
+  SELECT ls[i] AS lhs, ls[i+1] AS rhs, CAST(sum(freq) AS BIGINT) AS c
+  FROM (SELECT freq, list_filter(string_split(sym, '·'), x -> x <> '') AS ls
+        FROM s{r}),
+       unnest(range(1, len(ls))) AS t(i)
+  GROUP BY 1, 2
+)"""
+        )
+        stages.append(
+            f"b{r} AS MATERIALIZED (SELECT lhs, rhs, c FROM p{r} "
+            f"ORDER BY c DESC, lhs ASC, rhs ASC LIMIT 1)"
+        )
+        stages.append(
+            f"s{r+1} AS MATERIALIZED (SELECT replace(sym, "
+            f"'·' || b.lhs || '·' || b.rhs || '·', "
+            f"'·' || b.lhs || b.rhs || '·') AS sym, freq "
+            f"FROM s{r}, b{r} b)"
+        )
+        sels.append(
+            f"SELECT CAST({r} AS BIGINT) AS rank, lhs, rhs, c AS pair_count "
+            f"FROM b{r}"
+        )
+    return "WITH " + ",\n".join(stages) + "\n" + "\nUNION ALL\n".join(sels)
 
 
 def _matching_oracle_sql(rounds: int, seed: int = 42) -> str:
@@ -4261,6 +4347,19 @@ bf AS (SELECT sa, sb, (w * (w - 1)) // 2 AS b FROM pairs)
 SELECT node, CAST(sum(b) AS BIGINT) AS butterflies
 FROM (SELECT sa AS node, b FROM bf UNION ALL SELECT sb, b FROM bf)
 GROUP BY node
+"""
+
+    sqls["docs_bpe_merges"] = _bpe_oracle_sql(12)
+
+    sqls["trade_nation_quotient"] = """
+SELECT cn.n_name AS src_nation, sn.n_name AS dst_nation,
+       count(*) AS n_events
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+GROUP BY 1, 2
 """
 
     # 90-day tumbling-window edge turnover: shifted self-join on the

@@ -142,6 +142,8 @@ def main() -> None:
         "trade_matching",
         "trade_bipartite_projection",
         "trade_butterflies",
+        "docs_bpe_merges",
+        "trade_nation_quotient",
     ]
     # untimed warmup at the smallest scale factor: run every headline query
     # once over sf0.001 so whole-stage-codegen compilation, the parquet

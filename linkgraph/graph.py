@@ -171,6 +171,40 @@ class LinkGraph:
         n = self.nodes_t.join(F.broadcast(node_df), "name", "left_semi")
         return self._derive(e, n)
 
+    def quotient(self, mapping: DataFrame) -> "LinkGraph":
+        """Quotient (contracted) graph — relabel every node by its group
+        and keep the event stream: the supernode graph whose edge events
+        are the original events between groups (self-loop events preserved
+        — window/layer views and every algorithm run unchanged on the
+        coarsened graph).
+
+        ``mapping`` is ``(name, group)``; unmapped nodes keep their own
+        name.  One projection + two joins (the mapping is a node-dictionary
+        sized relation — Catalyst broadcasts it while it fits).  This is
+        the graph-coarsening step of multilevel pipelines (e.g. Louvain's
+        community aggregation) exposed as a first-class view.
+        """
+        m = mapping.select(
+            F.col(mapping.columns[0]).alias("name"),
+            F.col(mapping.columns[1]).cast("string").alias("group"),
+        ).distinct()
+        e = (
+            self.edges_t.join(
+                m.select(F.col("name").alias("src"), F.col("group").alias("_gs")),
+                "src",
+                "left",
+            )
+            .join(
+                m.select(F.col("name").alias("dst"), F.col("group").alias("_gd")),
+                "dst",
+                "left",
+            )
+            .withColumn("src", F.coalesce("_gs", F.col("src")))
+            .withColumn("dst", F.coalesce("_gd", F.col("dst")))
+            .drop("_gs", "_gd")
+        )
+        return LinkGraph(e)
+
     # ------------------------------------------------------------ accessors
     def _memo(self, key: str, build) -> DataFrame:
         if key not in self._cache:

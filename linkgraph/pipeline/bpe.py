@@ -1,0 +1,158 @@
+"""Distributed BPE-merge training (Sennrich et al., ACL 2016) over the
+corpus — the tokenizer-VOCABULARY side of the training pipeline (the
+token-counting side lives in textstats.py).
+
+Classic BPE trains on the word-frequency table, not the raw corpus: one
+corpus scan builds ``(word, freq)``, and every merge round then works on
+that (much smaller) relation — count adjacent symbol pairs weighted by
+word frequency, take the argmax pair, rewrite the symbol sequences.  At
+100 TB the corpus scan is the only big job; the merge loop touches a
+vocab-sized table (matching how sentencepiece/HF train from word counts).
+
+Determinism contract: symbols are joined with a ``·`` sentinel so a merge
+rewrite is a plain left-to-right non-overlapping ``replace('·a·b·',
+'·ab·')`` — identical greedy semantics in Spark and DuckDB — and the
+argmax tie-breaks on (count DESC, left ASC, right ASC).  The whole run is
+a pure function of the corpus; the query oracle replays every round
+level-for-level in SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SEP = "·"  # '·' — cannot appear in [a-z]+ words
+EOW = "</w>"
+
+
+def word_frequencies(
+    docs: DataFrame, text_col: str = "text", min_freq: int = 1
+) -> DataFrame:
+    """Corpus scan → ``(word, freq)`` over lowercase ``[a-z]+`` words (the
+    restricted alphabet keeps merge tokens quoting-safe in both engines'
+    SQL literals)."""
+    w = (
+        docs.select(
+            F.explode(
+                F.split(F.lower(F.col(text_col)), r"[^a-z]+")
+            ).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    if min_freq > 1:
+        w = w.filter(F.col("freq") >= int(min_freq))
+    return w
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int = 12,
+    text_col: str = "text",
+    min_freq: int = 1,
+) -> DataFrame:
+    """Learn ``n_merges`` BPE merges — ``(rank, lhs, rhs, pair_count)``,
+    one row per merge in training order.
+
+    Each round is one pair-count aggregate over the word table (adjacent
+    symbol pairs weighted by word frequency, INCLUDING overlapping
+    occurrences — the standard count), one driver-side argmax (a 1-row
+    top-k, same pattern as rich_club's scalars), and one ``replace``
+    rewrite.  Words carry a ``</w>`` end-of-word symbol so merges can
+    learn suffixes.
+    """
+    spark = docs.sparkSession
+    words = word_frequencies(docs, text_col, min_freq).select(
+        F.concat(
+            F.lit(SEP),
+            F.regexp_replace(F.col("word"), "(.)", SEP + "$1").substr(
+                F.lit(2), F.lit(1 << 30)
+            ),
+            F.lit(SEP + EOW + SEP),
+        ).alias("sym"),
+        "freq",
+    )
+    # regexp_replace('abc', '(.)', '·$1') = '·a·b·c'; substr(2) drops the
+    # duplicate leading '·' added back by concat — net '·a·b·c·</w>·'
+    words = words.localCheckpoint(eager=True)
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(int(n_merges)):
+        pairs = (
+            words.select(
+                "freq",
+                F.expr(
+                    f"filter(split(sym, '{SEP}'), x -> x != '')"
+                ).alias("ls"),
+            )
+            # a fully-merged word is ONE symbol: no pairs, and Spark's
+            # sequence(1, 0) would run DESCENDING into index -1 (ANSI
+            # error) rather than empty like DuckDB's range(1, 1)
+            .filter(F.expr("size(ls) >= 2"))
+            .select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(ls) - 1), "
+                        "i -> struct(ls[i-1] AS l, ls[i] AS r))"
+                    )
+                ).alias("z"),
+            )
+            .groupBy(F.col("z.l").alias("lhs"), F.col("z.r").alias("rhs"))
+            .agg(F.sum("freq").alias("c"))
+        )
+        best = pairs.orderBy(
+            F.desc("c"), F.asc("lhs"), F.asc("rhs")
+        ).first()
+        if best is None:
+            break
+        lhs, rhs, c = best["lhs"], best["rhs"], int(best["c"])
+        merges.append((rank, lhs, rhs, c))
+        words = words.select(
+            F.replace(
+                F.col("sym"),
+                F.lit(f"{SEP}{lhs}{SEP}{rhs}{SEP}"),
+                F.lit(f"{SEP}{lhs}{rhs}{SEP}"),
+            ).alias("sym"),
+            "freq",
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges, "rank long, lhs string, rhs string, pair_count long"
+    )
+
+
+def bpe_apply(
+    docs: DataFrame, merges: list[tuple[str, str]], text_col: str = "text"
+) -> DataFrame:
+    """Tokenize with a learned merge list — one row per word with its
+    ``bpe_tokens`` (array<string>), replaying the merges in rank order.
+    Map-only: the whole merge chain is a stack of ``replace`` expressions
+    fused into a single projection (the merge list is a driver-side
+    constant, like any trained-vocab broadcast)."""
+    out = docs.select(
+        "*",
+        F.explode(F.split(F.lower(F.col(text_col)), r"[^a-z]+")).alias("_w"),
+    ).filter(F.col("_w") != "")
+    sym = F.concat(
+        F.lit(SEP),
+        F.regexp_replace(F.col("_w"), "(.)", SEP + "$1").substr(
+            F.lit(2), F.lit(1 << 30)
+        ),
+        F.lit(SEP + EOW + SEP),
+    )
+    for lhs, rhs in merges:
+        sym = F.replace(
+            sym,
+            F.lit(f"{SEP}{lhs}{SEP}{rhs}{SEP}"),
+            F.lit(f"{SEP}{lhs}{rhs}{SEP}"),
+        )
+    return (
+        out.select(
+            "*",
+            F.filter(F.split(sym, SEP), lambda x: x != "").alias(
+                "bpe_tokens"
+            ),
+        )
+        .withColumnRenamed("_w", "word")
+    )

@@ -1,0 +1,101 @@
+"""Distributed BPE-merge training (python replay golden) and quotient
+graph (hand golden + algorithm-on-coarsened-view)."""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from linkgraph.graph import LinkGraph
+from linkgraph.pipeline.bpe import bpe_apply, bpe_train
+
+
+def _bpe_py(texts, n_merges):
+    """Reference BPE on the word-frequency table, str.replace rewrite
+    (same left-to-right non-overlapping greedy as the engines)."""
+    freq = {}
+    for t in texts:
+        for w in re.split(r"[^a-z]+", t.lower()):
+            if w:
+                freq[w] = freq.get(w, 0) + 1
+    syms = {"·" + "·".join(list(w) + ["</w>"]) + "·": f for w, f in freq.items()}
+    merges = []
+    for rank in range(n_merges):
+        counts = {}
+        for s, f in syms.items():
+            ls = [x for x in s.split("·") if x]
+            for a, b in zip(ls, ls[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        (lhs, rhs), c = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((rank, lhs, rhs, c))
+        syms = {
+            s.replace(f"·{lhs}·{rhs}·", f"·{lhs}{rhs}·"): f
+            for s, f in syms.items()
+        }
+    return merges
+
+
+TEXTS = [
+    "the cat sat on the mat",
+    "the cats eat the fish",
+    "low lower lowest the the the",
+    "newer newest new news",
+]
+
+
+def test_bpe_train_matches_python_replay(spark):
+    docs = spark.createDataFrame([(t,) for t in TEXTS], "text string")
+    got = [
+        (r["rank"], r["lhs"], r["rhs"], r["pair_count"])
+        for r in bpe_train(docs, n_merges=8).orderBy("rank").collect()
+    ]
+    assert got == _bpe_py(TEXTS, 8)
+    # 'the' dominates: the first merges build it up
+    assert got[0][1:3] in {("t", "h"), ("h", "e"), ("e", "</w>")}
+
+
+def test_bpe_apply_uses_learned_merges(spark):
+    docs = spark.createDataFrame([(t,) for t in TEXTS], "text string")
+    merges = [
+        (r["lhs"], r["rhs"])
+        for r in bpe_train(docs, n_merges=8).orderBy("rank").collect()
+    ]
+    out = bpe_apply(docs, merges)
+    toks = {
+        r["word"]: list(r["bpe_tokens"])
+        for r in out.select("word", "bpe_tokens").distinct().collect()
+    }
+    # every word round-trips: concatenated tokens = word + marker
+    for w, ts in toks.items():
+        assert "".join(ts) == w + "</w>"
+    # the most frequent word collapsed into few tokens
+    assert len(toks["the"]) <= 2
+
+
+def test_quotient_graph_contracts_by_group(spark):
+    g = LinkGraph.from_edge_list(
+        spark,
+        [(0, "a1", "b1"), (1, "a2", "b2"), (2, "a1", "a2"), (3, "c", "b1")],
+    )
+    mapping = spark.createDataFrame(
+        [("a1", "A"), ("a2", "A"), ("b1", "B"), ("b2", "B")],
+        "name string, group string",
+    )
+    q = g.quotient(mapping)
+    ev = {
+        (r["src"], r["dst"]): r["n"]
+        for r in q.edges_t.groupBy("src", "dst")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    # two A->B events merge; the intra-A event becomes a self-loop;
+    # unmapped 'c' keeps its name
+    assert ev == {("A", "B"): 2, ("A", "A"): 1, ("c", "B"): 1}
+    # algorithms run on the coarsened view: degree of A counts B and c...
+    deg = {r["id"]: r["degree"] for r in q.degrees().collect()}
+    from linkgraph.graph import name_to_id  # noqa: F401  (ids are hashes)
+    assert len(deg) == 3
