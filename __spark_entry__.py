@@ -864,6 +864,23 @@ def q_trade_nation_quotient(spark, sf_dir):
     ).agg(F.count("*").alias("n_events"))
 
 
+def q_docs_dup_spans(spark, sf_dir):
+    """Exact-substring duplication per doc (Lee et al. ExactSubstr recast
+    as an n-gram-anchored pass): tokens inside any 8-gram that occurs at
+    >1 (doc, position) in the corpus, merged into spans (interval union);
+    exact integers + one replayed division."""
+    from linkgraph.pipeline.dedup import duplicate_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return duplicate_spans(docs, n=8).select(
+        "doc_id",
+        "total_tokens",
+        "dup_tokens",
+        "n_spans",
+        F.round("dup_frac", 6).alias("dup_frac"),
+    )
+
+
 def q_events_sessions(spark, sf_dir):
     """Per-user session windows (30-min inclusive gap) over the events
     table — ``F.session_window`` merge-on-aggregate; the oracle is the
@@ -1788,6 +1805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trade_butterflies": q_trade_butterflies,
         "docs_bpe_merges": q_docs_bpe_merges,
         "trade_nation_quotient": q_trade_nation_quotient,
+        "docs_dup_spans": q_docs_dup_spans,
         "trade_eigenvector": q_trade_eigenvector,
         "copurchase_katz": q_copurchase_katz,
         "copurchase_ktruss": q_copurchase_ktruss,
@@ -4350,6 +4368,51 @@ GROUP BY node
 """
 
     sqls["docs_bpe_merges"] = _bpe_oracle_sql(12)
+
+    # exact-substring duplication: same md5 8-gram anchors, same
+    # gaps-and-islands interval union (running max of span ends)
+    sqls["docs_dup_spans"] = r"""
+WITH d AS MATERIALIZED (
+  SELECT doc_id,
+         regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]') AS ts
+  FROM documents
+),
+g AS MATERIALIZED (
+  SELECT doc_id, i - 1 AS pos,
+         md5(array_to_string(ts[i:i+7], ' ')) AS gram
+  FROM d, unnest(range(1, len(ts) - 6)) AS t(i)
+  WHERE len(ts) >= 8
+),
+ds AS MATERIALIZED (
+  SELECT doc_id, pos FROM g
+  WHERE gram IN (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1)
+),
+pe AS (
+  SELECT doc_id, pos,
+         max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+  FROM ds
+),
+il AS (
+  SELECT doc_id, pos,
+         sum(CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING)
+           AS island
+  FROM pe
+),
+sp AS (SELECT doc_id, island, min(pos) AS s, max(pos) + 8 AS e
+       FROM il GROUP BY 1, 2),
+pdoc AS (SELECT doc_id, count(*) AS n_spans,
+                CAST(sum(e - s) AS BIGINT) AS dup_tokens
+         FROM sp GROUP BY doc_id)
+SELECT d.doc_id, CAST(len(ts) AS BIGINT) AS total_tokens,
+       coalesce(p.dup_tokens, 0) AS dup_tokens,
+       coalesce(p.n_spans, 0) AS n_spans,
+       round(CASE WHEN len(ts) > 0
+             THEN CAST(coalesce(p.dup_tokens, 0) AS DOUBLE) / len(ts)
+             ELSE 0.0 END, 6) AS dup_frac
+FROM d LEFT JOIN pdoc p USING (doc_id)
+"""
 
     sqls["trade_nation_quotient"] = """
 SELECT cn.n_name AS src_nation, sn.n_name AS dst_nation,

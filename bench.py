@@ -144,6 +144,7 @@ def main() -> None:
         "trade_butterflies",
         "docs_bpe_merges",
         "trade_nation_quotient",
+        "docs_dup_spans",
     ]
     # untimed warmup at the smallest scale factor: run every headline query
     # once over sf0.001 so whole-stage-codegen compilation, the parquet

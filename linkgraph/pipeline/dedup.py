@@ -408,3 +408,93 @@ def near_dup_clusters(
         "cluster_size",
         (F.col("doc_id") == F.col("cluster_id")).alias("keep"),
     )
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-substring duplication per document (the span-level dedup of
+    Lee et al., "Deduplicating Training Data Makes Language Models
+    Better", ACL 2022 — their suffix-array ExactSubstr, recast as an
+    n-gram-anchored DataFrame pass): ``(doc_id, total_tokens, dup_tokens,
+    n_spans, dup_frac)`` where a token is duplicated iff it lies inside
+    some length-``n`` token window that occurs at MORE THAN ONE (doc,
+    position) in the corpus (cross-doc or self-repeat).
+
+    Plan: tokenize once, slide the n-gram window with built-in array exprs
+    (no UDF), md5 the gram, one hash aggregate finds grams with >1
+    occurrence, a semi-join keeps duplicated window starts, and the
+    interval union per doc is the classic gaps-and-islands window pass
+    (running max of span ends) — overlapping/adjacent windows merge, so
+    ``dup_tokens`` is the exact union length.  Everything is integer
+    arithmetic except the final fraction; bit-replayable in SQL.
+    """
+    from linkgraph.pipeline.textstats import TOKEN_RE
+
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), 0).alias("ts"),
+    ).localCheckpoint(eager=True)
+    g = d.filter(F.size("ts") >= int(n)).select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(ts) - {int(n)}), "
+                f"i -> md5(array_join(slice(ts, i + 1, {int(n)}), ' ')))"
+            )
+        ).alias("pos", "gram"),
+    )
+    dup_starts = g.join(
+        g.groupBy("gram").agg(F.count("*").alias("c")).filter(F.col("c") > 1),
+        "gram",
+        "left_semi",
+    ).select("doc_id", "pos")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_id").orderBy("pos")
+    marked = dup_starts.select(
+        "doc_id",
+        "pos",
+        F.max(F.col("pos") + F.lit(int(n))).over(
+            w.rowsBetween(W.unboundedPreceding, -1)
+        ).alias("prev_end"),
+    ).select(
+        "doc_id",
+        "pos",
+        F.when(
+            F.col("prev_end").isNull() | (F.col("pos") > F.col("prev_end")),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("new_island"),
+    )
+    islands = marked.select(
+        "doc_id",
+        "pos",
+        F.sum("new_island").over(w).alias("island"),
+    )
+    spans = islands.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("s"), (F.max("pos") + F.lit(int(n))).alias("e")
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count("*").alias("n_spans"),
+        F.sum(F.col("e") - F.col("s")).alias("dup_tokens"),
+    )
+    return (
+        d.select("doc_id", F.size("ts").cast("long").alias("total_tokens"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "total_tokens",
+            F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.when(F.col("total_tokens") > 0,
+                   F.coalesce("dup_tokens", F.lit(0)).cast("double")
+                   / F.col("total_tokens"))
+            .otherwise(F.lit(0.0))
+            .alias("dup_frac"),
+        )
+    )

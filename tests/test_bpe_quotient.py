@@ -99,3 +99,56 @@ def test_quotient_graph_contracts_by_group(spark):
     deg = {r["id"]: r["degree"] for r in q.degrees().collect()}
     from linkgraph.graph import name_to_id  # noqa: F401  (ids are hashes)
     assert len(deg) == 3
+
+
+def _dup_spans_py(texts, n=4):
+    import re as _re
+
+    TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+    toks = {i: _re.findall(TOKEN_RE, t) for i, t in enumerate(texts)}
+    grams = {}
+    for d, ts in toks.items():
+        for p in range(len(ts) - n + 1):
+            grams.setdefault(tuple(ts[p : p + n]), []).append((d, p))
+    starts = {}
+    for g, occ in grams.items():
+        if len(occ) > 1:
+            for d, p in occ:
+                starts.setdefault(d, set()).add(p)
+    out = {}
+    for d, ts in toks.items():
+        ps = sorted(starts.get(d, ()))
+        spans, end = [], -1
+        for p in ps:
+            if p > end:
+                spans.append([p, p + n])
+            else:
+                spans[-1][1] = max(spans[-1][1], p + n)
+            end = spans[-1][1]
+        out[d] = (
+            len(ts),
+            sum(e - s for s, e in spans),
+            len(spans),
+        )
+    return out
+
+
+def test_duplicate_spans_matches_python_replay(spark):
+    from linkgraph.pipeline.dedup import duplicate_spans
+
+    texts = [
+        "a b c d e f g h i j",
+        "x x a b c d e f y z",          # shares the 4-gram windows of a..f
+        "p q r s t u p q r s t u",      # self-repeat
+        "unique words only here now",   # no dups
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["total_tokens"], r["dup_tokens"], r["n_spans"])
+        for r in duplicate_spans(docs, n=4).collect()
+    }
+    assert got == _dup_spans_py(texts, n=4)
+    # and the self-repeat doc merged its overlapping windows into one span
+    assert got[2][2] == 1 and got[2][1] == 12
