@@ -155,6 +155,7 @@ def main() -> None:
     warm_dir = os.path.join(os.path.dirname(SF_DIR.rstrip("/")), "sf0.001")
     if not os.path.isdir(warm_dir):
         warm_dir = SF_DIR
+    t_session = time.monotonic()
     for name in headline:
         try:
             _force(qs[name](spark, warm_dir))
@@ -166,9 +167,24 @@ def main() -> None:
     # in back-to-back windows); the minimum is the steady-state wall the
     # code actually achieves, which is what BASELINE comparison needs
     reps = int(os.environ.get("BENCH_REPS", "2"))
+    # wall-budget guard: the headline list has grown to ~65 queries, so an
+    # unbounded min-of-2 session could outlive the caller's patience in a
+    # bad host window.  Past the soft budget remaining queries run ONCE;
+    # past 1.25x they are skipped and RECORDED as such (no silent caps) —
+    # the headline PageRank metric below always runs.
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "2400"))
+    skipped: list[str] = []
+    single_rep: list[str] = []
     for name in headline:
+        elapsed = time.monotonic() - t_session
+        if elapsed > 1.25 * budget_s:
+            skipped.append(name)
+            continue
+        n_runs = reps if elapsed <= budget_s else 1
+        if n_runs < reps:
+            single_rep.append(name)
         best = None
-        for _ in range(reps):
+        for _ in range(n_runs):
             _isolate(spark)
             t0 = time.monotonic()
             _force(qs[name](spark, SF_DIR))
@@ -218,6 +234,10 @@ def main() -> None:
         ),
         "cores": CPUS,
     }
+    if single_rep:
+        out["budget_single_rep"] = single_rep
+    if skipped:
+        out["budget_skipped"] = skipped
 
     # north-rule scaling evidence: measured by tools/scaling_bench.py in
     # separate taskset-pinned JVMs (it cannot run inside this session's
