@@ -881,6 +881,16 @@ def q_docs_dup_spans(spark, sf_dir):
     )
 
 
+def q_trade_wl(spark, sf_dir):
+    """Weisfeiler-Lehman colour refinement (3 rounds) — per-node canonical
+    structural labels; md5 canonicalisation makes the oracle replay the
+    labels verbatim."""
+    from linkgraph.algorithms import wl_refinement
+
+    g = _trade_graph(spark, sf_dir)
+    return wl_refinement(g, depth=3).select("node", "wl_label")
+
+
 def q_events_sessions(spark, sf_dir):
     """Per-user session windows (30-min inclusive gap) over the events
     table — ``F.session_window`` merge-on-aggregate; the oracle is the
@@ -1806,6 +1816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_bpe_merges": q_docs_bpe_merges,
         "trade_nation_quotient": q_trade_nation_quotient,
         "docs_dup_spans": q_docs_dup_spans,
+        "trade_wl": q_trade_wl,
         "trade_eigenvector": q_trade_eigenvector,
         "copurchase_katz": q_copurchase_katz,
         "copurchase_ktruss": q_copurchase_ktruss,
@@ -2320,6 +2331,32 @@ SELECT CAST(error('densest oracle: {rounds}-round unroll insufficient') AS BIGIN
        CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
 WHERE (SELECT count(*) FROM e{rounds}) <> 0
 """
+    )
+
+
+def _wl_oracle_sql(depth: int) -> str:
+    """Level-unrolled 1-WL refinement on the trade graph — md5 labels,
+    sorted neighbour-label join, identical concat structure."""
+    stages = [
+        "l0 AS MATERIALIZED (SELECT id, md5(CAST(deg AS VARCHAR)) AS lab "
+        "FROM (SELECT id, count(*) AS deg FROM trade_und GROUP BY id))"
+    ]
+    for i in range(1, depth + 1):
+        stages.append(
+            f"""n{i} AS MATERIALIZED (
+  SELECT e.id, array_to_string(list_sort(list(x.lab)), ',') AS ns
+  FROM trade_und e JOIN l{i-1} x ON x.id = e.nbr GROUP BY e.id
+)"""
+        )
+        stages.append(
+            f"l{i} AS MATERIALIZED (SELECT l.id, "
+            f"md5(l.lab || '|' || coalesce(n.ns, '')) AS lab "
+            f"FROM l{i-1} l LEFT JOIN n{i} n ON n.id = l.id)"
+        )
+    return (
+        f"WITH {_TRADE_ED}, {_TRADE_NODES}, {_TRADE_UND},\n"
+        + ",\n".join(stages)
+        + f"\nSELECT id AS node, lab AS wl_label FROM l{depth}"
     )
 
 
@@ -4344,6 +4381,8 @@ SELECT sz AS size, count(*) AS n_components FROM sizes GROUP BY sz
     sqls["copurchase_densest"] = _densest_oracle_sql(24, eps=0.1)
 
     sqls["trade_mis"] = _mis_oracle_sql(16, seed=42)
+
+    sqls["trade_wl"] = _wl_oracle_sql(3)
 
     sqls["trade_matching"] = _matching_oracle_sql(16, seed=42)
 

@@ -145,6 +145,7 @@ def main() -> None:
         "docs_bpe_merges",
         "trade_nation_quotient",
         "docs_dup_spans",
+        "trade_wl",
     ]
     # untimed warmup at the smallest scale factor: run every headline query
     # once over sf0.001 so whole-stage-codegen compilation, the parquet

@@ -18,6 +18,7 @@ from linkgraph.algorithms.structure import (
     densest_subgraph,
     maximal_independent_set,
     maximal_matching,
+    wl_refinement,
 )
 from linkgraph.algorithms.bipartite import (
     bipartite_projection,
@@ -93,6 +94,7 @@ __all__ = [
     "densest_subgraph",
     "maximal_independent_set",
     "maximal_matching",
+    "wl_refinement",
     "bipartite_projection",
     "butterfly_counts",
     "global_butterfly_count",

@@ -195,3 +195,23 @@ def test_butterflies_k23(spark):
     assert (
         bipartite_projection(g, onto="dst", max_wedge_degree=2).count() == 0
     )
+
+
+def test_wl_refinement_respects_symmetry(spark):
+    from linkgraph.algorithms import wl_refinement
+
+    # path a-b-c-d-e: mirror-symmetric positions share a label
+    path = [(i, x, y) for i, (x, y) in enumerate(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")])]
+    g = LinkGraph.from_edge_list(spark, path)
+    ids = {r["name"]: r["id"] for r in g.ids().collect()}
+    lab = {r["node"]: r["wl_label"] for r in wl_refinement(g, depth=3).collect()}
+    assert lab[ids["a"]] == lab[ids["e"]]
+    assert lab[ids["b"]] == lab[ids["d"]]
+    assert len({lab[ids[n]] for n in "abc"}) == 3  # a, b, c all distinct
+    # two disjoint isomorphic triangles: ALL nodes indistinguishable
+    tri2 = [(0, "p", "q"), (1, "q", "r"), (2, "r", "p"),
+            (3, "x", "y"), (4, "y", "z"), (5, "z", "x")]
+    g2 = LinkGraph.from_edge_list(spark, tri2)
+    labs = {r["wl_label"] for r in wl_refinement(g2, depth=4).collect()}
+    assert len(labs) == 1
