@@ -891,6 +891,20 @@ def q_trade_wl(spark, sf_dir):
     return wl_refinement(g, depth=3).select("node", "wl_label")
 
 
+def q_trade_hyperball_nodes(spark, sf_dir):
+    """Per-node HyperBall registers (what the sketch exists for:
+    approximate per-node centrality over ALL nodes) — (node, dist, r_sum)
+    for depths 1..4, integer-exact so the SQL replay matches verbatim;
+    the float ball/harmonic estimates are pytest-verified dyadic-exact
+    derivations (hyperball_centrality)."""
+    from linkgraph.algorithms import hyperball_nodes
+
+    g = _trade_graph(spark, sf_dir)
+    return hyperball_nodes(g, n_replicas=8, max_depth=4, seed=42).select(
+        "node", "dist", "r_sum"
+    )
+
+
 def q_events_sessions(spark, sf_dir):
     """Per-user session windows (30-min inclusive gap) over the events
     table — ``F.session_window`` merge-on-aggregate; the oracle is the
@@ -1817,6 +1831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trade_nation_quotient": q_trade_nation_quotient,
         "docs_dup_spans": q_docs_dup_spans,
         "trade_wl": q_trade_wl,
+        "trade_hyperball_nodes": q_trade_hyperball_nodes,
         "trade_eigenvector": q_trade_eigenvector,
         "copurchase_katz": q_copurchase_katz,
         "copurchase_ktruss": q_copurchase_ktruss,
@@ -2231,11 +2246,13 @@ WHERE (SELECT count(*) FROM b{levels}) <> 0
     )
 
 
-def _hyperball_oracle_sql(m: int, levels: int) -> str:
+def _hyperball_oracle_sql(m: int, levels: int, per_node: bool = False) -> str:
     """Level-unrolled HyperBall replay (DuckDB): the same quenched md5 FM
     register init, OR-merge over the undirected adjacency per level, and
-    integer register-sum histogram as centrality.hyperball_anf — every
-    operation is a BIGINT bit op, so the match is exact, not rounded."""
+    integer register-sum reduction as centrality.hyperball_anf — every
+    operation is a BIGINT bit op, so the match is exact, not rounded.
+    ``per_node`` selects the (node, dist, r_sum) surface of
+    hyperball_nodes instead of the global histogram."""
     draws = ", ".join(
         f"('0x' || substr(md5(concat_ws('|', '42', '{r}', id::VARCHAR)), 1, 15))::BIGINT AS d{r}"
         for r in range(m)
@@ -2264,11 +2281,18 @@ def _hyperball_oracle_sql(m: int, levels: int) -> str:
         f"CAST(bit_count(((~m{r}) & (m{r} + 1)) - 1) AS BIGINT)"
         for r in range(m)
     )
-    sels = [
-        f"SELECT CAST({i} AS BIGINT) AS dist, r_sum, count(*) AS n_nodes "
-        f"FROM (SELECT ({rsum}) AS r_sum FROM s{i}) GROUP BY r_sum"
-        for i in range(1, levels + 1)
-    ]
+    if per_node:
+        sels = [
+            f"SELECT id AS node, CAST({i} AS BIGINT) AS dist, "
+            f"({rsum}) AS r_sum FROM s{i}"
+            for i in range(1, levels + 1)
+        ]
+    else:
+        sels = [
+            f"SELECT CAST({i} AS BIGINT) AS dist, r_sum, count(*) AS n_nodes "
+            f"FROM (SELECT ({rsum}) AS r_sum FROM s{i}) GROUP BY r_sum"
+            for i in range(1, levels + 1)
+        ]
     return (
         f"WITH {_TRADE_ED}, {_TRADE_NODES}, {_TRADE_UND},\n"
         + ",\n".join(stages)
@@ -4377,6 +4401,10 @@ SELECT sz AS size, count(*) AS n_components FROM sizes GROUP BY sz
     sqls["trade_closeness"] = _closeness_oracle_sql(8, levels=12)
 
     sqls["trade_hyperball"] = _hyperball_oracle_sql(8, levels=6)
+
+    sqls["trade_hyperball_nodes"] = _hyperball_oracle_sql(
+        8, levels=4, per_node=True
+    )
 
     sqls["copurchase_densest"] = _densest_oracle_sql(24, eps=0.1)
 

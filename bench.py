@@ -146,6 +146,7 @@ def main() -> None:
         "trade_nation_quotient",
         "docs_dup_spans",
         "trade_wl",
+        "trade_hyperball_nodes",
     ]
     # untimed warmup at the smallest scale factor: run every headline query
     # once over sf0.001 so whole-stage-codegen compilation, the parquet

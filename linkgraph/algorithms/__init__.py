@@ -9,6 +9,8 @@ from linkgraph.algorithms.centrality import (
     eigenvector_centrality,
     harmonic_centrality,
     hyperball_anf,
+    hyperball_centrality,
+    hyperball_nodes,
     katz_centrality,
     multi_source_bfs,
     neighborhood_function,
@@ -89,6 +91,8 @@ __all__ = [
     "neighborhood_function",
     "harmonic_centrality",
     "hyperball_anf",
+    "hyperball_centrality",
+    "hyperball_nodes",
     "anf_estimate",
     "closeness_centrality",
     "densest_subgraph",

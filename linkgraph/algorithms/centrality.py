@@ -680,3 +680,175 @@ def anf_estimate(hist: DataFrame, n_replicas: int = 8) -> dict[int, float]:
             r["r_sum"] / n_replicas
         )
     return {h: v / 0.77351 for h, v in sorted(est.items())}
+
+
+# 2^(j/8) for j = 0..7 as string-parsed doubles: both engines parse the
+# same decimal literal to the same IEEE double, so 2^(k/8) computed as
+# (1 << k div 8) * C[k mod 8] is bit-exact cross-engine (a libm pow(2,
+# k/8.0) carries no such guarantee)
+_POW2_EIGHTHS = [
+    "1.0",
+    "1.0905077326652577",
+    "1.189207115002721",
+    "1.2968395546510096",
+    "1.4142135623730951",
+    "1.5422108254079407",
+    "1.681792830507429",
+    "1.8340080864093424",
+]
+
+
+def hyperball_nodes(
+    graph: LinkGraph,
+    n_replicas: int = 8,
+    max_depth: int = 8,
+    seed: int = 42,
+    direction: str = "both",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Per-node HyperBall registers — ``(node, dist, r_sum)`` for every
+    node and depth 1..max_depth: the integer register sum whose FM
+    estimate ``2^{r_sum/m}/0.77351`` is the node's ball size ``|B(v,
+    dist)|``.  The per-NODE companion of :func:`hyperball_anf` (which
+    reduces to the global histogram): this is what HyperBall was built
+    for — approximate per-node closeness/harmonic centrality over ALL
+    nodes at a scale where exact all-sources BFS is unpayable (Boldi &
+    Vigna 2013 ran it on a 3.5B-node web graph).
+
+    The surface is INTEGER-exact (engine-replayable verbatim);
+    :func:`hyperball_centrality` derives the float ball sizes and the
+    discounted-centrality estimate with dyadic-exact arithmetic.
+    """
+    spark = graph.spark
+    if direction == "both":
+        adj = graph.undirected_edge_ids().select(
+            F.col("id").alias("from_id"), F.col("nbr_id").alias("to_id")
+        )
+    elif direction == "out":
+        adj = graph.edge_ids().select(
+            F.col("src_id").alias("from_id"), F.col("dst_id").alias("to_id")
+        )
+    elif direction == "in":
+        adj = graph.edge_ids().select(
+            F.col("dst_id").alias("from_id"), F.col("src_id").alias("to_id")
+        )
+    else:
+        raise ValueError(f"direction must be in/out/both, got {direction!r}")
+    m = int(n_replicas)
+    mcols = [f"m{r}" for r in range(m)]
+    r_sum_expr = " + ".join(
+        f"CAST(bit_count(((~m{r}) & (m{r} + 1)) - 1) AS BIGINT)"
+        for r in range(m)
+    )
+    raw_adj = adj.persist()
+    P = partitions or pick_partitions(spark, raw_adj.count())
+    snapshots: list[DataFrame] = []
+    with iteration_conf(spark, shuffle_partitions=P):
+        adj = (
+            raw_adj.repartition(P, "to_id")
+            .sortWithinPartitions("to_id")
+            .persist()
+        )
+        adj.count()
+        raw_adj.unpersist()
+        state = (
+            graph.ids()
+            .selectExpr("id", *[_fm_mask_expr(seed, r) for r in range(m)])
+            .repartition(P, "id")
+            .localCheckpoint(eager=True)
+        )
+        for h in range(1, int(max_depth) + 1):
+            msgs = (
+                adj.join(state, adj.to_id == state.id)
+                .groupBy(F.col("from_id").alias("id"))
+                .agg(*[F.expr(f"bit_or(m{r})").alias(f"g{r}") for r in range(m)])
+            )
+            state = (
+                state.join(msgs, "id", "left")
+                .select(
+                    "id",
+                    *[
+                        F.expr(f"m{r} | coalesce(g{r}, CAST(0 AS BIGINT))").alias(
+                            f"m{r}"
+                        )
+                        for r in range(m)
+                    ],
+                )
+                .repartition(P, "id")
+                .localCheckpoint(eager=True)
+            )
+            snapshots.append(
+                state.selectExpr(
+                    "id AS node",
+                    f"CAST({h} AS BIGINT) AS dist",
+                    f"({r_sum_expr}) AS r_sum",
+                )
+            )
+        adj.unpersist()
+    out = snapshots[0]
+    for s in snapshots[1:]:
+        out = out.unionByName(s)
+    return out
+
+
+def hyperball_centrality(
+    graph: LinkGraph,
+    n_replicas: int = 8,
+    max_depth: int = 8,
+    seed: int = 42,
+    direction: str = "both",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Approximate per-node harmonic centrality from HyperBall registers —
+    ``(node, ball, harmonic_est)`` at ``max_depth``: ``ball`` is the FM
+    estimate of ``|B(v, max_depth)|`` (including v) and ``harmonic_est ≈
+    Σ_h (|B_h|−|B_{h−1}|)/h`` (Boldi & Vigna's discounted-centrality
+    recipe with the harmonic discount).
+
+    Float arithmetic is dyadic-exact: ``2^{r_sum/m}`` is computed as
+    ``(1 << r_sum div m) · C[r_sum mod m]`` with string-parsed constants
+    (bit-identical across engines), so even the ESTIMATE columns replay
+    in SQL — rounding absorbs nothing.  Requires ``n_replicas == 8``
+    (the constant table); the register surface itself is m-generic.
+    """
+    if int(n_replicas) != 8:
+        raise ValueError("hyperball_centrality requires n_replicas=8")
+    regs = hyperball_nodes(
+        graph, n_replicas, max_depth, seed, direction, partitions
+    )
+    cases = " ".join(
+        f"WHEN {j} THEN CAST('{c}' AS DOUBLE)"
+        for j, c in enumerate(_POW2_EIGHTHS)
+    )
+    ball = F.expr(
+        f"(CAST(shiftleft(CAST(1 AS BIGINT), CAST(r_sum DIV 8 AS INT)) AS DOUBLE)"
+        f" * (CASE CAST(r_sum % 8 AS INT) {cases} END))"
+        f" / CAST('0.77351' AS DOUBLE)"
+    )
+    per_depth = regs.select("node", "dist", ball.alias("ball"))
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("node").orderBy("dist")
+    grow = per_depth.select(
+        "node",
+        "dist",
+        "ball",
+        (F.col("ball") - F.lag("ball", 1, 0.0).over(w)).alias("delta"),
+    )
+    # the harmonic sum is folded in DIST ORDER over a sorted array — a bare
+    # SUM would accumulate the inexact delta/dist terms in partition order
+    # and lose cross-engine (and cross-run-layout) bit-stability
+    agg = grow.groupBy("node").agg(
+        F.max(F.when(F.col("dist") == int(max_depth), F.col("ball"))).alias(
+            "ball"
+        ),
+        F.array_sort(F.collect_list(F.struct("dist", "delta"))).alias("ds"),
+    )
+    return agg.select(
+        "node",
+        "ball",
+        F.expr(
+            "aggregate(ds, CAST(0 AS DOUBLE), "
+            "(acc, x) -> acc + x.delta / CAST(x.dist AS DOUBLE))"
+        ).alias("harmonic_est"),
+    )

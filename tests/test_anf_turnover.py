@@ -215,3 +215,49 @@ def test_wl_refinement_respects_symmetry(spark):
     g2 = LinkGraph.from_edge_list(spark, tri2)
     labs = {r["wl_label"] for r in wl_refinement(g2, depth=4).collect()}
     assert len(labs) == 1
+
+
+def test_hyperball_centrality_dyadic_exact_replay(spark):
+    """The float ball/harmonic estimates replay BIT-EXACTLY in python when
+    computed with the same dyadic factorisation — no tolerance needed."""
+    from linkgraph.algorithms import hyperball_centrality
+    from linkgraph.algorithms.centrality import _POW2_EIGHTHS
+
+    g = LinkGraph.from_edge_list(spark, PATH_PLUS_PAIR)
+    got = {
+        r["node"]: (r["ball"], r["harmonic_est"])
+        for r in hyperball_centrality(g, max_depth=3, seed=42).collect()
+    }
+
+    # python replay on top of the engine-verified registers
+    und, nodes = {}, set()
+    for _, s, d in PATH_PLUS_PAIR:
+        s, d = int(s), int(d)
+        nodes.update((s, d))
+        und.setdefault(s, set()).add(d)
+        und.setdefault(d, set()).add(s)
+    masks = {v: [_fm_mask(42, r, v) for r in range(8)] for v in nodes}
+    C = [float(x) for x in _POW2_EIGHTHS]
+
+    def est(ms):
+        rs = _r_sum(ms)
+        return (float(1 << (rs // 8)) * C[rs % 8]) / float("0.77351")
+
+    balls = {v: [] for v in nodes}
+    for _h in range(3):
+        new = {}
+        for v in nodes:
+            ms = list(masks[v])
+            for u in und.get(v, ()):
+                for r in range(8):
+                    ms[r] |= masks[u][r]
+            new[v] = ms
+        masks = new
+        for v in nodes:
+            balls[v].append(est(masks[v]))
+    for v in nodes:
+        prev, acc = 0.0, 0.0
+        for h, b in enumerate(balls[v], 1):
+            acc += (b - prev) / float(h)
+            prev = b
+        assert got[v] == (balls[v][-1], acc)  # EXACT equality
