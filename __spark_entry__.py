@@ -905,6 +905,16 @@ def q_trade_hyperball_nodes(spark, sf_dir):
     )
 
 
+def q_trade_topo_levels(spark, sf_dir):
+    """Kahn layering of the directed trade graph — sources at level 0,
+    cyclic-core nodes at -1 (trade is bipartite cust→supp, so the layering
+    itself certifies acyclicity: exactly levels {0, 1})."""
+    from linkgraph.algorithms import topological_levels
+
+    g = _trade_graph(spark, sf_dir)
+    return topological_levels(g).select("node", "level")
+
+
 def q_events_sessions(spark, sf_dir):
     """Per-user session windows (30-min inclusive gap) over the events
     table — ``F.session_window`` merge-on-aggregate; the oracle is the
@@ -1832,6 +1842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_dup_spans": q_docs_dup_spans,
         "trade_wl": q_trade_wl,
         "trade_hyperball_nodes": q_trade_hyperball_nodes,
+        "trade_topo_levels": q_trade_topo_levels,
         "trade_eigenvector": q_trade_eigenvector,
         "copurchase_katz": q_copurchase_katz,
         "copurchase_ktruss": q_copurchase_ktruss,
@@ -4411,6 +4422,17 @@ SELECT sz AS size, count(*) AS n_components FROM sizes GROUP BY sz
     sqls["trade_mis"] = _mis_oracle_sql(16, seed=42)
 
     sqls["trade_wl"] = _wl_oracle_sql(3)
+
+    # Kahn layering on the bipartite trade graph: level 0 = customers
+    # (never a dst), level 1 = suppliers; no cyclic core by construction —
+    # the oracle states the closed form the engine's peel must reproduce
+    sqls["trade_topo_levels"] = f"""
+WITH {_TRADE_ED}, {_TRADE_NODES}
+SELECT n.id AS node,
+       CAST(CASE WHEN n.id IN (SELECT dst FROM trade_ed) THEN 1 ELSE 0 END
+            AS BIGINT) AS level
+FROM trade_nodes n
+"""
 
     sqls["trade_matching"] = _matching_oracle_sql(16, seed=42)
 

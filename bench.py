@@ -147,6 +147,7 @@ def main() -> None:
         "docs_dup_spans",
         "trade_wl",
         "trade_hyperball_nodes",
+        "trade_topo_levels",
     ]
     # untimed warmup at the smallest scale factor: run every headline query
     # once over sf0.001 so whole-stage-codegen compilation, the parquet

@@ -20,6 +20,7 @@ from linkgraph.algorithms.structure import (
     densest_subgraph,
     maximal_independent_set,
     maximal_matching,
+    topological_levels,
     wl_refinement,
 )
 from linkgraph.algorithms.bipartite import (
@@ -98,6 +99,7 @@ __all__ = [
     "densest_subgraph",
     "maximal_independent_set",
     "maximal_matching",
+    "topological_levels",
     "wl_refinement",
     "bipartite_projection",
     "butterfly_counts",

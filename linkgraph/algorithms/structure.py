@@ -389,3 +389,62 @@ def wl_refinement(
             )
         adj.unpersist()
     return labels.select(F.col("id").alias("node"), F.col("lab").alias("wl_label"))
+
+
+def topological_levels(
+    graph: LinkGraph, max_rounds: int = 256
+) -> DataFrame:
+    """Kahn layering over the directed simple graph — ``(node, level)``:
+    level 0 = sources (in-degree 0), level k = nodes whose in-edges all
+    come from levels < k; nodes trapped on/behind cycles never peel and
+    report ``level = -1`` (the cyclic core — its members are exactly the
+    nodes SCC condensation puts in or downstream of a non-trivial SCC's
+    cycle).  Each round is one in-degree aggregate + one anti-join over
+    the shrinking edge set; rounds = longest chain length (the DAG depth),
+    loudly erroring past ``max_rounds`` rather than spinning.
+    """
+    spark = graph.spark
+    e = graph.edge_ids().filter(F.col("src_id") != F.col("dst_id"))
+    raw = e.persist()
+    P = pick_partitions(spark, raw.count())
+    with iteration_conf(spark, shuffle_partitions=P):
+        edges = raw.localCheckpoint(eager=True)
+        raw.unpersist()
+        remaining = graph.ids().select("id").localCheckpoint(eager=True)
+        parts: list[DataFrame] = []
+        lvl = 0
+        while lvl < int(max_rounds):
+            if remaining.isEmpty():
+                break
+            with_in = edges.select(F.col("dst_id").alias("id")).distinct()
+            sources = remaining.join(with_in, "id", "left_anti").localCheckpoint(
+                eager=True
+            )
+            if sources.isEmpty():
+                # every remaining node has an in-edge from a remaining
+                # node: the cyclic core and its downstream
+                parts.append(
+                    remaining.select(
+                        "id", F.lit(-1).cast("long").alias("level")
+                    )
+                )
+                remaining = remaining.limit(0)
+                break
+            parts.append(
+                sources.select("id", F.lit(lvl).cast("long").alias("level"))
+            )
+            remaining = remaining.join(sources, "id", "left_anti").localCheckpoint(
+                eager=True
+            )
+            edges = edges.join(
+                sources.withColumnRenamed("id", "src_id"), "src_id", "left_anti"
+            ).localCheckpoint(eager=True)
+            lvl += 1
+        if not remaining.isEmpty():
+            raise RuntimeError(
+                f"topological_levels did not converge in {max_rounds} rounds"
+            )
+    out = parts[0]
+    for p_ in parts[1:]:
+        out = out.unionByName(p_)
+    return out.select(F.col("id").alias("node"), "level")

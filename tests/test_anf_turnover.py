@@ -261,3 +261,19 @@ def test_hyperball_centrality_dyadic_exact_replay(spark):
             acc += (b - prev) / float(h)
             prev = b
         assert got[v] == (balls[v][-1], acc)  # EXACT equality
+
+
+def test_topological_levels_dag_and_cycle(spark):
+    from linkgraph.algorithms import topological_levels
+
+    # diamond DAG a->b, a->c, b->d, c->d, d->e plus 2-cycle x<->y fed by e
+    edges = [(0, "a", "b"), (1, "a", "c"), (2, "b", "d"), (3, "c", "d"),
+             (4, "d", "e"), (5, "e", "x"), (6, "x", "y"), (7, "y", "x")]
+    g = LinkGraph.from_edge_list(spark, edges)
+    ids = {r["name"]: r["id"] for r in g.ids().collect()}
+    lv = {r["node"]: r["level"] for r in topological_levels(g).collect()}
+    assert lv[ids["a"]] == 0
+    assert lv[ids["b"]] == 1 and lv[ids["c"]] == 1
+    assert lv[ids["d"]] == 2 and lv[ids["e"]] == 3
+    # x, y sit on a cycle: never peel
+    assert lv[ids["x"]] == -1 and lv[ids["y"]] == -1
