@@ -915,6 +915,29 @@ def q_trade_topo_levels(spark, sf_dir):
     return topological_levels(g).select("node", "level")
 
 
+def q_trade_eccentricity(spark, sf_dir):
+    """Eccentricity of the 8 smallest-id seeds (max(ecc) lower-bounds the
+    diameter) — one more reduction over the shared multi-source BFS."""
+    from linkgraph.algorithms import eccentricity
+
+    g = _trade_graph(spark, sf_dir)
+    return eccentricity(g, first_k=8).select(
+        F.col("id").alias("node"), "eccentricity", "n_reached"
+    )
+
+
+def q_trade_landmark_distances(spark, sf_dir):
+    """Landmark (pivot) distance table for 4 landmarks — the O(k·n)
+    distance sketch answering online queries via the triangle upper
+    bound (approx_distance)."""
+    from linkgraph.algorithms import landmark_distances
+
+    g = _trade_graph(spark, sf_dir)
+    return landmark_distances(g, first_k=4).select(
+        "landmark", "node", F.col("dist").cast("long").alias("dist")
+    )
+
+
 def q_events_sessions(spark, sf_dir):
     """Per-user session windows (30-min inclusive gap) over the events
     table — ``F.session_window`` merge-on-aggregate; the oracle is the
@@ -1843,6 +1866,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trade_wl": q_trade_wl,
         "trade_hyperball_nodes": q_trade_hyperball_nodes,
         "trade_topo_levels": q_trade_topo_levels,
+        "trade_eccentricity": q_trade_eccentricity,
+        "trade_landmark_distances": q_trade_landmark_distances,
         "trade_eigenvector": q_trade_eigenvector,
         "copurchase_katz": q_copurchase_katz,
         "copurchase_ktruss": q_copurchase_ktruss,
@@ -2533,6 +2558,59 @@ UNION ALL
 SELECT CAST(error('matching oracle: {rounds}-round unroll insufficient') AS BIGINT),
        CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
 WHERE (SELECT count(*) FROM e{rounds}) <> 0
+"""
+    )
+
+
+def _bfs_stage_sql(first_k: int, levels: int) -> str:
+    """Shared level-unrolled multi-source BFS stages over the undirected
+    trade graph (the harmonic/closeness/neighborhood pattern), returning
+    the WITH-body up to v{levels}."""
+    stages = [
+        f"seeds AS MATERIALIZED (SELECT id FROM trade_nodes ORDER BY id LIMIT {first_k})",
+        "b0 AS MATERIALIZED (SELECT id AS seed, id AS node, 0 AS dist FROM seeds)",
+        "v0 AS MATERIALIZED (SELECT * FROM b0)",
+    ]
+    for i in range(1, levels + 1):
+        stages.append(
+            f"b{i} AS MATERIALIZED (SELECT DISTINCT f.seed, u.id AS node, {i} AS dist "
+            f"FROM b{i-1} f JOIN trade_und u ON u.nbr = f.node "
+            f"WHERE NOT EXISTS (SELECT 1 FROM v{i-1} x "
+            f"WHERE x.seed = f.seed AND x.node = u.id))"
+        )
+        stages.append(
+            f"v{i} AS MATERIALIZED (SELECT * FROM v{i-1} UNION ALL SELECT * FROM b{i})"
+        )
+    return (
+        f"WITH {_TRADE_ED}, {_TRADE_NODES}, {_TRADE_UND},\n"
+        + ",\n".join(stages)
+    )
+
+
+def _eccentricity_oracle_sql(first_k: int, levels: int) -> str:
+    return (
+        _bfs_stage_sql(first_k, levels)
+        + f"""
+SELECT seed AS node, CAST(max(dist) AS BIGINT) AS eccentricity,
+       count(*) AS n_reached
+FROM v{levels} WHERE dist > 0 GROUP BY seed
+UNION ALL
+SELECT CAST(error('eccentricity oracle: {levels}-level unroll insufficient') AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+WHERE (SELECT count(*) FROM b{levels}) <> 0
+"""
+    )
+
+
+def _landmark_oracle_sql(first_k: int, levels: int) -> str:
+    return (
+        _bfs_stage_sql(first_k, levels)
+        + f"""
+SELECT seed AS landmark, node, CAST(dist AS BIGINT) AS dist FROM v{levels}
+UNION ALL
+SELECT CAST(error('landmark oracle: {levels}-level unroll insufficient') AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+WHERE (SELECT count(*) FROM b{levels}) <> 0
 """
     )
 
@@ -4410,6 +4488,10 @@ SELECT sz AS size, count(*) AS n_components FROM sizes GROUP BY sz
     sqls["trade_neighborhood"] = _neighborhood_oracle_sql(8, levels=12)
 
     sqls["trade_closeness"] = _closeness_oracle_sql(8, levels=12)
+
+    sqls["trade_eccentricity"] = _eccentricity_oracle_sql(8, levels=12)
+
+    sqls["trade_landmark_distances"] = _landmark_oracle_sql(4, levels=12)
 
     sqls["trade_hyperball"] = _hyperball_oracle_sql(8, levels=6)
 

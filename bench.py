@@ -148,6 +148,8 @@ def main() -> None:
         "trade_wl",
         "trade_hyperball_nodes",
         "trade_topo_levels",
+        "trade_eccentricity",
+        "trade_landmark_distances",
     ]
     # untimed warmup at the smallest scale factor: run every headline query
     # once over sf0.001 so whole-stage-codegen compilation, the parquet

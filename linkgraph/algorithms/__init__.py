@@ -3,12 +3,15 @@
 from linkgraph.algorithms.betweenness import betweenness_centrality
 from linkgraph.algorithms.centrality import (
     anf_estimate,
+    approx_distance,
     closeness_centrality,
+    eccentricity,
     decayed_pagerank,
     effective_diameter,
     eigenvector_centrality,
     harmonic_centrality,
     hyperball_anf,
+    landmark_distances,
     hyperball_centrality,
     hyperball_nodes,
     katz_centrality,
@@ -96,6 +99,9 @@ __all__ = [
     "hyperball_nodes",
     "anf_estimate",
     "closeness_centrality",
+    "approx_distance",
+    "eccentricity",
+    "landmark_distances",
     "densest_subgraph",
     "maximal_independent_set",
     "maximal_matching",

@@ -852,3 +852,87 @@ def hyperball_centrality(
             "(acc, x) -> acc + x.delta / CAST(x.dist AS DOUBLE))"
         ).alias("harmonic_est"),
     )
+
+
+def eccentricity(
+    graph: LinkGraph,
+    seeds: list[str] | None = None,
+    first_k: int = 8,
+    direction: str = "both",
+    max_depth: int = 64,
+) -> DataFrame:
+    """Eccentricity of a seed set — ``(name, id, eccentricity,
+    n_reached)`` with ``ecc(v) = max_u d(v, u)`` over the nodes v reaches;
+    ``max(eccentricity)`` over any seed set lower-bounds the diameter
+    (the standard sampled-diameter certificate alongside the ANF/HyperBall
+    estimate).  One more reduction over the SAME single
+    :func:`multi_source_bfs` harmonic/closeness/neighborhood use."""
+    ids = graph.ids()
+    seed_ids = _resolve_seed_ids(graph, seeds, first_k)
+    visited = multi_source_bfs(graph, seed_ids, direction, max_depth)
+    agg = (
+        visited.filter(F.col("dist") > 0)
+        .groupBy(F.col("seed").alias("id"))
+        .agg(
+            F.max("dist").alias("eccentricity"),
+            F.count("*").alias("n_reached"),
+        )
+    )
+    return (
+        seed_ids.join(ids, "id")
+        .join(agg, "id", "left")
+        .select(
+            "name",
+            "id",
+            F.coalesce("eccentricity", F.lit(0)).cast("long").alias(
+                "eccentricity"
+            ),
+            F.coalesce("n_reached", F.lit(0)).cast("long").alias("n_reached"),
+        )
+    )
+
+
+def landmark_distances(
+    graph: LinkGraph,
+    seeds: list[str] | None = None,
+    first_k: int = 4,
+    direction: str = "both",
+    max_depth: int = 64,
+) -> DataFrame:
+    """Landmark (pivot) distance table — ``(landmark, node, dist)`` for
+    every reached pair: the classic distance sketch (ALT preprocessing /
+    Das Sarma et al., WSDM 2010) that answers online queries by the
+    triangle bound ``d(u,v) ≤ min_l d(u,l) + d(l,v)`` —
+    :func:`approx_distance` evaluates it as two joins.  Stored cost is
+    O(k·n) rows; exact pairwise distance tables are O(n²) and unpayable
+    at scale.  Just the :func:`multi_source_bfs` relation with the
+    landmark set as seeds."""
+    visited = multi_source_bfs(
+        graph, _resolve_seed_ids(graph, seeds, first_k), direction, max_depth
+    )
+    return visited.select(
+        F.col("seed").alias("landmark"), F.col("id").alias("node"), "dist"
+    )
+
+
+def approx_distance(
+    landmarks: DataFrame, pairs: DataFrame
+) -> DataFrame:
+    """Upper-bound distances for a ``(u, v)`` pair table from a
+    :func:`landmark_distances` relation — ``(u, v, dist_ub)`` via
+    ``min_l d(u,l) + d(l,v)``; NULL when no landmark reaches both (the
+    pair may still be connected — landmarks certify upper bounds only).
+    Two hash joins + one aggregate, no BFS at query time."""
+    lu = landmarks.select(
+        F.col("node").alias("u"), "landmark", F.col("dist").alias("du")
+    )
+    lv = landmarks.select(
+        F.col("node").alias("v"), "landmark", F.col("dist").alias("dv")
+    )
+    return (
+        pairs.join(lu, "u")
+        .join(lv, ["v", "landmark"])
+        .groupBy("u", "v")
+        .agg(F.min(F.col("du") + F.col("dv")).alias("dist_ub"))
+        .join(pairs, ["u", "v"], "right")
+    )

@@ -152,3 +152,32 @@ def test_inter_event_stats_hand_example(spark):
     cd = got[("c", "d")]
     assert cd["mean_gap"] == 0.0 and cd["std_gap"] == 0.0
     assert cd["burstiness"] == 0.0  # σ+μ = 0 guard
+
+
+def test_eccentricity_and_landmark_bounds(spark):
+    from linkgraph.algorithms import (
+        approx_distance,
+        eccentricity,
+        landmark_distances,
+    )
+
+    g = LinkGraph.from_edge_list(spark, PATH_PLUS_PAIR)
+    ids = {r["name"]: r["id"] for r in g.ids().collect()}
+    ecc = {r["id"]: r["eccentricity"] for r in eccentricity(g, first_k=6).collect()}
+    # path 1-2-3-4: ends see dist 3, middles dist 2; the pair sees dist 1
+    assert ecc[ids["1"]] == 3 and ecc[ids["4"]] == 3
+    assert ecc[ids["2"]] == 2 and ecc[ids["3"]] == 2
+    assert ecc[ids["5"]] == 1 and ecc[ids["6"]] == 1
+
+    lm = landmark_distances(g, seeds=["2"], first_k=1)
+    pairs = spark.createDataFrame(
+        [(ids["1"], ids["4"]), (ids["1"], ids["3"]), (ids["1"], ids["5"])],
+        "u long, v long",
+    )
+    got = {(r["u"], r["v"]): r["dist_ub"] for r in approx_distance(lm, pairs).collect()}
+    # landmark 2 lies on the 1-3 shortest path: bound is EXACT (1+1)
+    assert got[(ids["1"], ids["3"])] == 2
+    # 1->4 via landmark 2: 1 + 2 = 3 (also exact here)
+    assert got[(ids["1"], ids["4"])] == 3
+    # disconnected pair: no common landmark -> NULL upper bound
+    assert got[(ids["1"], ids["5"])] is None
