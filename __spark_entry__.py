@@ -420,11 +420,18 @@ def q_docs_quality_gate(spark, sf_dir):
 
 
 def q_emb_cosine_topk(spark, sf_dir):
-    from linkgraph.pipeline.simsearch import cosine_topk
+    """Exact top-5 cosine neighbours per query via the bound-pruned IVF
+    path (``ivf_topk_exact``) — pass 1 probes nprobe cells, pass 2 only
+    cells whose triangle-inequality upper bound could still beat the kth
+    score, so the result is PROVABLY equal to the brute-force crossJoin
+    the DuckDB oracle runs, at ~corpus·nprobe/n_cells cost instead of
+    |q|×|corpus| (the r02/r03 scale-killer).  ``cosine_topk`` (brute)
+    remains the pytest parity oracle."""
+    from linkgraph.pipeline.simsearch import ivf_topk_exact
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 25 == 0)
-    return cosine_topk(emb, queries, k=5)
+    return ivf_topk_exact(emb, queries, k=5, nprobe=4)
 
 
 def q_emb_kmeans(spark, sf_dir):
@@ -956,12 +963,18 @@ def q_docs_domain_mix(spark, sf_dir):
     from linkgraph.pipeline.sampling import domain_mix
 
     docs = _t(spark, sf_dir, "documents")
+    # Shares/weights surfaced as integer parts-per-million: the values are
+    # bit-equal across engines, but a DOUBLE column's *text* rendering is
+    # not representation-stable (0.2 vs 0.200000, -0.0), which is what the
+    # r03 driver hash tripped on.  BIGINT micro-units hash identically
+    # everywhere.  round() on positive doubles is half-away-from-zero in
+    # both engines.
     return domain_mix(docs, domain_col="lang").select(
         "domain",
         "n_docs",
         "n_tokens",
-        F.round("token_share", 6).alias("token_share"),
-        F.round("weight", 6).alias("weight"),
+        F.round(F.col("token_share") * 1e6, 0).cast("long").alias("token_share_ppm"),
+        F.round(F.col("weight") * 1e6, 0).cast("long").alias("weight_ppm"),
     )
 
 
@@ -4828,8 +4841,8 @@ WITH per AS (
 ),
 tot AS (SELECT sum(n_tokens)::DOUBLE AS tt, count(*) AS nd FROM per)
 SELECT domain, n_docs, n_tokens,
-       round(n_tokens / tt, 6) AS token_share,
-       round((1.0 / nd) / (n_tokens / tt), 6) AS weight
+       round((n_tokens / tt) * 1000000, 0)::BIGINT AS token_share_ppm,
+       round(((1.0 / nd) / (n_tokens / tt)) * 1000000, 0)::BIGINT AS weight_ppm
 FROM per, tot
 """
 

@@ -13,6 +13,11 @@
 - ``ivf_topk``: inverted-file (IVF) ANN — deterministic mini-Lloyd
   centroids, cell assignment via an Arrow-batched numpy matmul kernel,
   queries probe their ``nprobe`` nearest cells and re-score exactly.
+- ``ivf_topk_exact``: IVF with an EXACTNESS guarantee — after the
+  ``nprobe`` first pass, a second pass probes every remaining cell whose
+  triangle-inequality upper bound could still beat the current kth score,
+  so the result equals ``cosine_topk`` while the expected cost stays
+  ~corpus·nprobe/n_cells.  The scale-safe default for exact top-k.
 """
 
 from __future__ import annotations
@@ -455,6 +460,145 @@ def ivf_topk(
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_topk_exact(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int | None = None,
+    nprobe: int = 4,
+    train_iters: int = 2,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """EXACT top-k cosine neighbours with IVF cost — provably identical to
+    :func:`cosine_topk` (same ``(query_id, cand_id, cosine, rank)`` rows,
+    same ``(round(cos,6) desc, cand_id)`` tie-break) without the
+    |queries|×|corpus| crossJoin.
+
+    Two-pass bound-pruned IVF (the FAISS/ScaNN exact-IVF recipe):
+
+    1. Partition the corpus into ``n_cells`` cells; record each cell's
+       angular radius ``r_i = max_{v∈cell} angle(v, c_i)``.
+    2. Pass 1 probes each query's ``nprobe`` best cells (by the cell
+       upper bound) and takes the pool's kth-best cosine ``t_q``.
+    3. Pass 2 probes only the remaining cells whose triangle-inequality
+       upper bound ``cos(max(0, angle(q,c_i) − r_i)) ≥ t_q − 1e-6`` —
+       for any unseen ``v`` in cell i, ``angle(q,v) ≥ angle(q,c_i) −
+       r_i``, so no candidate that could enter the rounded top-k (which
+       needs true cosine ≥ kth − 1e-6) is ever pruned; the 1e-6 margin
+       also swallows acos/cos float slack and round-to-6dp ties.
+
+    Expected cost: corpus·nprobe/n_cells in pass 1; pass 2 is empty for
+    well-separated queries and grows only when the bound says the answer
+    might live elsewhere — the worst case degrades to exact brute force,
+    never to a wrong answer.  All the per-query logic is declarative
+    (two window ranks, broadcast cell tables); the only driver work is
+    centroid training (n_cells × dim floats)."""
+    e = _as_double(
+        embeddings.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cvec")),
+        "cvec",
+    )
+    if n_cells is None:
+        n = e.count()
+        n_cells = max(2, int(n**0.5 / 2))
+    cents = train_ivf_centroids(
+        embeddings, n_cells, train_iters, seed, id_col, vec_col
+    )
+    spark = embeddings.sparkSession
+    cells_df = spark.createDataFrame(
+        [(int(i), [float(x) for x in cents[i]]) for i in range(len(cents))],
+        "cell int, cent array<double>",
+    )
+    cand = (
+        _assign_cells(
+            e.select("cand_id", F.col("cvec").alias("v")), cents, 1, "cand_id"
+        )
+        .join(e, "cand_id")
+        .persist()
+    )
+    # angular radius per cell (+1e-9 float-slack headroom on the acos)
+    clamp = lambda c: F.greatest(F.lit(-1.0), F.least(F.lit(1.0), c))
+    radii = (
+        cand.join(F.broadcast(cells_df), "cell")
+        .select("cell", F.acos(clamp(cosine(F.col("cvec"), F.col("cent")))).alias("a"))
+        .groupBy("cell")
+        .agg((F.max("a") + F.lit(1e-9)).alias("radius"))
+    )
+    q = _as_double(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")),
+        "qvec",
+    )
+    # per (query, cell): true-cosine upper bound for anything in the cell
+    qc = (
+        q.crossJoin(F.broadcast(cells_df.join(radii, "cell")))
+        .select(
+            "query_id",
+            "cell",
+            F.cos(
+                F.greatest(
+                    F.lit(0.0),
+                    F.acos(clamp(cosine(F.col("qvec"), F.col("cent"))))
+                    - F.col("radius"),
+                )
+            ).alias("ub"),
+        )
+        .withColumn(
+            "probe_rank",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy(F.desc("ub"), F.asc("cell"))
+            ),
+        )
+        .persist()
+    )
+
+    def _score(cell_sel):
+        return (
+            cell_sel.join(cand, "cell")
+            .filter(F.col("query_id") != F.col("cand_id"))
+            .join(q, "query_id")
+            .select(
+                "query_id",
+                "cand_id",
+                cosine(F.col("qvec"), F.col("cvec")).alias("cos_raw"),
+            )
+        )
+
+    pass1 = _score(
+        qc.filter(F.col("probe_rank") <= nprobe).select("query_id", "cell")
+    ).persist()
+    w_raw = W.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("cand_id"))
+    thresholds = (
+        pass1.withColumn("r", F.row_number().over(w_raw))
+        .groupBy("query_id")
+        .agg(
+            F.when(F.count("*") >= k, F.min(F.when(F.col("r") <= k, F.col("cos_raw"))))
+            .otherwise(F.lit(-1.0))
+            .alias("t")
+        )
+    )
+    # LEFT join: a query whose pass-1 pool was empty (its probed cell held
+    # only itself) has no threshold row and must probe everything (t = -1)
+    pass2_cells = (
+        qc.filter(F.col("probe_rank") > nprobe)
+        .join(thresholds, "query_id", "left")
+        .filter(F.col("ub") >= F.coalesce(F.col("t"), F.lit(-1.0)) - F.lit(1e-6))
+        .select("query_id", "cell")
+    )
+    scored = pass1.unionByName(_score(pass2_cells)).select(
+        "query_id", "cand_id", F.round(F.col("cos_raw"), 6).alias("cosine")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    out = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .localCheckpoint()  # eager: k rows/query — then release the caches
+    )
+    for cached in (pass1, qc, cand):
+        cached.unpersist()
+    return out
 
 
 def _assign_clusters(df, cents, id_name: str):

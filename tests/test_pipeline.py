@@ -143,6 +143,34 @@ def test_ivf_topk_recall(vecs):
     assert len(exact & approx) >= 24
 
 
+def test_ivf_topk_exact_equals_brute(vecs):
+    """ivf_topk_exact must reproduce cosine_topk row-for-row (scores,
+    ranks, tie-breaks) — the exactness guarantee is the whole point.
+    Stress the bound: tiny nprobe (1) forces pass 2 to do the work."""
+    from linkgraph.pipeline.simsearch import ivf_topk_exact
+
+    q = vecs.filter(F.col("vec_id") % 7 == 0)
+    brute = cosine_topk(vecs, q, k=4)
+    for nprobe in (1, 3):
+        fast = ivf_topk_exact(vecs, q, k=4, n_cells=6, nprobe=nprobe)
+        assert fast.exceptAll(brute).count() == 0
+        assert brute.exceptAll(fast).count() == 0
+
+
+def test_ivf_topk_exact_releases_caches(vecs, spark):
+    """The exact-IVF query function must not leak executor storage: after
+    the call returns, only the (eager, small) localCheckpoint of the
+    result may remain cached."""
+    from linkgraph.pipeline.simsearch import ivf_topk_exact
+
+    q = vecs.filter(F.col("vec_id") < 4)
+    before = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    out = ivf_topk_exact(vecs, q, k=3, n_cells=6, nprobe=2)
+    assert out.count() > 0
+    after = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    assert after <= before + 1  # the checkpointed result itself
+
+
 def test_ivf_scores_are_exact_cosines(vecs):
     from linkgraph.pipeline.simsearch import ivf_topk
 
