@@ -901,7 +901,8 @@ def q_trade_wl(spark, sf_dir):
 def q_trade_hyperball_nodes(spark, sf_dir):
     """Per-node HyperBall registers (what the sketch exists for:
     approximate per-node centrality over ALL nodes) — (node, dist, r_sum)
-    for depths 1..4, integer-exact so the SQL replay matches verbatim;
+    for depths 0..4 (dist=0 = the B_0 self-register baseline),
+    integer-exact so the SQL replay matches verbatim;
     the float ball/harmonic estimates are pytest-verified dyadic-exact
     derivations (hyperball_centrality)."""
     from linkgraph.algorithms import hyperball_nodes
@@ -1860,7 +1861,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     queries already driver-verified in earlier rounds and the no-oracle
     (golden-gated) ones.  Rotation policy documented in COVERAGE.md."""
     return {
-        # new in this session (in-repo oracles; never driver-sampled)
+        # never driver-attested (r01-r03 overflow; in-repo oracle green)
+        "trade_monthly_rolling": q_trade_monthly_rolling,
+        "trade_two_hop": q_trade_two_hop,
+        "docs_search_bm25": q_docs_search_bm25,
+        "docs_fuzzy_search": q_docs_fuzzy_search,
+        "emb_ivf_topk": q_emb_ivf_topk,
+        "events_hourly_stream": q_events_hourly_stream,
+        "events_user_state_stream": q_events_user_state_stream,
+        "trade_node_window_edges": q_trade_node_window_edges,
+        "trade_edge_window_history": q_trade_edge_window_history,
+        "trade_search_nodes": q_trade_search_nodes,
+        "transition_search_edges": q_transition_search_edges,
+        "docs_dedup_clusters": q_docs_dedup_clusters,
+        "docs_hash_split": q_docs_hash_split,
+        "docs_stratified_sample": q_docs_stratified_sample,
+        "docs_pack_sequences": q_docs_pack_sequences,
+        "docs_repetition": q_docs_repetition,
+        "docs_decontaminate": q_docs_decontaminate,
+        "docs_quality_gate": q_docs_quality_gate,
+        "trade_decayed_pagerank": q_trade_decayed_pagerank,
+        "trade_degree_histogram": q_trade_degree_histogram,
+        "trade_windowed_component_sizes": q_trade_windowed_component_sizes,
+        "emb_knn_components": q_emb_knn_components,
+        "docs_scrub": q_docs_scrub,
+        # re-attest: output or implementation changed since the last driver row
+        "docs_domain_mix": q_docs_domain_mix,
+        "trade_hyperball_nodes": q_trade_hyperball_nodes,
+        "emb_cosine_topk": q_emb_cosine_topk,
+        "trade_weighted_pagerank": q_trade_weighted_pagerank,
+        "trade_personalized_pagerank": q_trade_personalized_pagerank,
+        "trade_windowed_lpa_sync": q_trade_windowed_lpa_sync,
+        "trade_node2vec_walks": q_trade_node2vec_walks,
+        # round-3-green buffer (driver re-confirmation, newest first)
         "trade_closeness": q_trade_closeness,
         "trade_neighbor_sample": q_trade_neighbor_sample,
         "trade_negative_edges": q_trade_negative_edges,
@@ -1877,28 +1910,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trade_nation_quotient": q_trade_nation_quotient,
         "docs_dup_spans": q_docs_dup_spans,
         "trade_wl": q_trade_wl,
-        "trade_hyperball_nodes": q_trade_hyperball_nodes,
         "trade_topo_levels": q_trade_topo_levels,
         "trade_eccentricity": q_trade_eccentricity,
         "trade_landmark_distances": q_trade_landmark_distances,
         "trade_eigenvector": q_trade_eigenvector,
+        # --- position 51+: driver-green in r03, rotated out of the window ---
         "copurchase_katz": q_copurchase_katz,
         "copurchase_ktruss": q_copurchase_ktruss,
-        "trade_weighted_pagerank": q_trade_weighted_pagerank,
         "trade_harmonic": q_trade_harmonic,
         "trade_rich_club": q_trade_rich_club,
         "events_sessions": q_events_sessions,
-        "docs_domain_mix": q_docs_domain_mix,
         "copurchase_coreness": q_copurchase_coreness,
         "docs_c4_rules": q_docs_c4_rules,
         "trade_neighborhood": q_trade_neighborhood,
         "transition_stationary": q_transition_stationary,
         "events_stream_dedup": q_events_stream_dedup,
         "docs_chunks": q_docs_chunks,
-        "trade_personalized_pagerank": q_trade_personalized_pagerank,
-        # oracle-upgraded this round — outputs changed to md5-based hashes
-        # (or gained a first oracle), so prior driver rows no longer
-        # attest; must sit inside the driver's 50-query sample window
         "docs_minhash_lsh": q_docs_minhash_lsh,
         "docs_simhash": q_docs_simhash,
         "docs_simhash_pairs": q_docs_simhash_pairs,
@@ -1906,41 +1933,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trade_betweenness": q_trade_betweenness,
         "transition_lpa_sync": q_transition_lpa_sync,
         "trade_random_walks": q_trade_random_walks,
-        "trade_node2vec_walks": q_trade_node2vec_walks,
         "trade_temporal_walks": q_trade_temporal_walks,
         "trade_skipgram_pairs": q_trade_skipgram_pairs,
-        "trade_windowed_lpa_sync": q_trade_windowed_lpa_sync,
         "transition_betweenness": q_transition_betweenness,
         "trade_assortativity": q_trade_assortativity,
         "copurchase_link_prediction": q_copurchase_link_prediction,
         "emb_kmeans": q_emb_kmeans,
-        "emb_knn_components": q_emb_knn_components,
-        "docs_scrub": q_docs_scrub,
-        # never driver-sampled before round 3 (in-repo oracles green)
-        "trade_monthly_rolling": q_trade_monthly_rolling,
-        "trade_two_hop": q_trade_two_hop,
-        "docs_search_bm25": q_docs_search_bm25,
-        "docs_fuzzy_search": q_docs_fuzzy_search,
-        "emb_ivf_topk": q_emb_ivf_topk,
-        "events_hourly_stream": q_events_hourly_stream,
-        "events_user_state_stream": q_events_user_state_stream,
-        # new in round 3
-        "trade_node_window_edges": q_trade_node_window_edges,
-        "trade_edge_window_history": q_trade_edge_window_history,
-        "trade_search_nodes": q_trade_search_nodes,
-        "transition_search_edges": q_transition_search_edges,
-        "docs_dedup_clusters": q_docs_dedup_clusters,
-        "docs_hash_split": q_docs_hash_split,
-        "docs_stratified_sample": q_docs_stratified_sample,
-        "docs_pack_sequences": q_docs_pack_sequences,
-        "docs_repetition": q_docs_repetition,
-        "docs_decontaminate": q_docs_decontaminate,
-        "docs_quality_gate": q_docs_quality_gate,
-        # position 51+: overflow of the driver's 50-entry sample window —
-        # in-repo oracle evidence only (tools/compare_oracles.py)
-        "trade_decayed_pagerank": q_trade_decayed_pagerank,
-        "trade_degree_histogram": q_trade_degree_histogram,
-        "trade_windowed_component_sizes": q_trade_windowed_component_sizes,
         # core oracle set (driver-green r01+r02)
         "trade_edges": q_trade_edges,
         "trade_degrees": q_trade_degrees,
@@ -1981,8 +1979,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trade_node_prop_agg": q_trade_node_prop_agg,
         "trade_node_prop_at": q_trade_node_prop_at,
         "trade_node_const_prop": q_trade_node_const_prop,
-        # --- position 51+: sampled only if the driver widens its cap ---
-        # oracle-bearing, driver-green twice (r01+r02), rotated out
         "trade_degree_stats": q_trade_degree_stats,
         "trade_degree_centrality": q_trade_degree_centrality,
         "transition_local_reciprocity": q_transition_local_reciprocity,
@@ -1990,7 +1986,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # no SQL oracle (rows-only in the driver; golden-gated in pytest)
         "transition_motifs": q_transition_motifs,
         "trade_louvain": q_trade_louvain,
-        "emb_cosine_topk": q_emb_cosine_topk,
         "emb_lsh_topk": q_emb_lsh_topk,
         "emb_neardup": q_emb_neardup,
         "assets_image_features": q_assets_image_features,
@@ -2331,10 +2326,12 @@ def _hyperball_oracle_sql(m: int, levels: int, per_node: bool = False) -> str:
         for r in range(m)
     )
     if per_node:
+        # dist=0 included: the engine snapshots the initial self-registers
+        # (the B_0 baseline of hyperball_centrality)
         sels = [
             f"SELECT id AS node, CAST({i} AS BIGINT) AS dist, "
             f"({rsum}) AS r_sum FROM s{i}"
-            for i in range(1, levels + 1)
+            for i in range(0, levels + 1)
         ]
     else:
         sels = [

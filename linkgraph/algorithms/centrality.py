@@ -220,7 +220,15 @@ def weighted_pagerank(
             "w",
         )
     )
-    strength = e_w.groupBy(F.col("src_id").alias("id")).agg(F.sum("w").alias("s"))
+    # a node whose summed out-weight is <= 0 (possible with zero/negative
+    # weight properties) cannot normalise its contributions (w/0 -> NULL
+    # would silently drop its mass): treat it as a SINK so its mass is
+    # redistributed like any other dangling node
+    strength = (
+        e_w.groupBy(F.col("src_id").alias("id"))
+        .agg(F.sum("w").alias("s"))
+        .filter(F.col("s") > 0)
+    )
     wmsgs = (
         e_w.join(strength.withColumnRenamed("id", "src_id"), "src_id")
         .select(
@@ -324,8 +332,10 @@ def decayed_pagerank(
 def _resolve_seed_ids(graph: LinkGraph, seeds, first_k: int) -> DataFrame:
     ids = graph.ids()
     if seeds is not None:
+        # dedupe: a repeated seed name must not duplicate every BFS row
+        uniq = list(dict.fromkeys(seeds))
         return ids.join(
-            graph.spark.createDataFrame([(s,) for s in seeds], "name string"),
+            graph.spark.createDataFrame([(s,) for s in uniq], "name string"),
             "name",
         ).select("id")
     return ids.select("id").orderBy("id").limit(first_k)
@@ -374,31 +384,29 @@ def multi_source_bfs(
         )
         nbrs.count()
         raw_nbrs.unpersist()
-        visited = (
-            seed_ids.select(
-                F.col("id").alias("seed"), F.col("id"), F.lit(0).alias("dist")
-            )
-            .persist()
-        )
+        visited = seed_ids.select(
+            F.col("id").alias("seed"), F.col("id"), F.lit(0).alias("dist")
+        ).localCheckpoint(eager=True)
         frontier = visited
         depth = 0
         while depth < max_depth:
             depth += 1
+            # eager lineage cut EVERY level (frontier state is at most
+            # visited-set sized — the ≤5M-row cadence rule), and no
+            # persist(): checkpoint blocks carry no CacheManager pin, so
+            # superseded frontiers are released by the ContextCleaner as
+            # their references drop — repeated calls in one session no
+            # longer accumulate executor storage
             nxt = (
                 frontier.join(nbrs, frontier.id == nbrs.from_id)
                 .select("seed", F.col("to_id").alias("id"), F.lit(depth).alias("dist"))
                 .join(visited.select("seed", "id"), ["seed", "id"], "left_anti")
                 .distinct()
+                .localCheckpoint(eager=True)
             )
-            if depth % 4 == 0:
-                nxt = nxt.localCheckpoint(eager=True)
-            else:
-                nxt = nxt.persist()
             if nxt.isEmpty():
                 break
-            new_visited = visited.unionByName(nxt).localCheckpoint(eager=True)
-            visited.unpersist()
-            visited = new_visited
+            visited = visited.unionByName(nxt).localCheckpoint(eager=True)
             frontier = nxt
         nbrs.unpersist()
     return visited
@@ -707,7 +715,9 @@ def hyperball_nodes(
     partitions: int | None = None,
 ) -> DataFrame:
     """Per-node HyperBall registers — ``(node, dist, r_sum)`` for every
-    node and depth 1..max_depth: the integer register sum whose FM
+    node and depth 0..max_depth (dist=0 is the initial self-register
+    state, the B_0 baseline of the discounted centralities): the integer
+    register sum whose FM
     estimate ``2^{r_sum/m}/0.77351`` is the node's ball size ``|B(v,
     dist)|``.  The per-NODE companion of :func:`hyperball_anf` (which
     reduces to the global histogram): this is what HyperBall was built
@@ -757,6 +767,17 @@ def hyperball_nodes(
             .repartition(P, "id")
             .localCheckpoint(eager=True)
         )
+        # depth-0 snapshot: B_0 = {v} as SEEN BY THE REGISTERS (an FM
+        # estimate ~1.3-2.6, not exactly 1) -- hyperball_centrality needs
+        # it as the lag baseline of the dist=1 delta (Boldi & Vigna's
+        # recipe discounts from B_0, not from 0)
+        snapshots.append(
+            state.selectExpr(
+                "id AS node",
+                "CAST(0 AS BIGINT) AS dist",
+                f"({r_sum_expr}) AS r_sum",
+            )
+        )
         for h in range(1, int(max_depth) + 1):
             msgs = (
                 adj.join(state, adj.to_id == state.id)
@@ -802,8 +823,11 @@ def hyperball_centrality(
     """Approximate per-node harmonic centrality from HyperBall registers —
     ``(node, ball, harmonic_est)`` at ``max_depth``: ``ball`` is the FM
     estimate of ``|B(v, max_depth)|`` (including v) and ``harmonic_est ≈
-    Σ_h (|B_h|−|B_{h−1}|)/h`` (Boldi & Vigna's discounted-centrality
-    recipe with the harmonic discount).
+    Σ_{h≥1} (|B_h|−|B_{h−1}|)/h`` (Boldi & Vigna's discounted-centrality
+    recipe with the harmonic discount), where ``B_0`` is the node's OWN
+    depth-0 register estimate (the FM reading of the singleton {v}, not
+    0) — so the self-ball noise is subtracted out of the dist-1 credit
+    rather than counted as a neighbour.
 
     Float arithmetic is dyadic-exact: ``2^{r_sum/m}`` is computed as
     ``(1 << r_sum div m) · C[r_sum mod m]`` with string-parsed constants
@@ -829,6 +853,8 @@ def hyperball_centrality(
     from pyspark.sql import Window as W
 
     w = W.partitionBy("node").orderBy("dist")
+    # dist=0 rows exist in the register surface, so the lag baseline of
+    # the dist=1 delta is B_0 (the self-ball estimate), per Boldi-Vigna
     grow = per_depth.select(
         "node",
         "dist",
@@ -848,7 +874,7 @@ def hyperball_centrality(
         "node",
         "ball",
         F.expr(
-            "aggregate(ds, CAST(0 AS DOUBLE), "
+            "aggregate(filter(ds, x -> x.dist > 0), CAST(0 AS DOUBLE), "
             "(acc, x) -> acc + x.delta / CAST(x.dist AS DOUBLE))"
         ).alias("harmonic_est"),
     )

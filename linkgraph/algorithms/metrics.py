@@ -284,8 +284,13 @@ def edge_turnover(graph: LinkGraph, bucket_ms: int) -> DataFrame:
     """Edge-set turnover between consecutive tumbling windows — ``(bucket,
     n_edges, births, deaths, survived, jaccard)`` where ``bucket =
     time div bucket_ms``, the edge set of a bucket is its distinct (src,
-    dst) pairs, births/deaths/survived compare against the PREVIOUS bucket
-    (empty when the previous bucket has no events), and ``jaccard =
+    dst) pairs, births/deaths/survived compare against the IMMEDIATELY
+    PRECEDING calendar bucket ``b-1`` — an empty intermediate bucket (a
+    gap with no events) RESETS the edge set, so the first non-empty
+    bucket after a gap reports 100% births, by design: turnover measures
+    consecutive-window persistence, not persistence across gaps (compare
+    against the last non-empty bucket yourself if you want that — one
+    extra ``last_value(ignore nulls)`` window) — and ``jaccard =
     survived / |union|`` measures structural persistence.
 
     The canonical temporal-evolution readout over a WindowSet (SURVEY

@@ -558,7 +558,17 @@ def personalized_pagerank(
     n_edges = edge_ids.count()
     P = partitions or pick_partitions(spark, n_edges)
 
-    seed_lits = F.array(*[name_to_id(F.lit(s)) for s in seeds])
+    seed_lits = F.array(*[name_to_id(F.lit(s)) for s in set(seeds)])
+    # resolve the seeds BEFORE splitting the teleport mass: a misspelled /
+    # absent seed must not silently shrink total teleport below 1 and
+    # deflate every score
+    n_seeds = ids.filter(F.array_contains(seed_lits, F.col("id"))).count()
+    if n_seeds < len(set(seeds)):
+        missing = len(set(seeds)) - n_seeds
+        raise ValueError(
+            f"personalized_pagerank: {missing} of {len(set(seeds))} seed "
+            f"name(s) do not resolve to nodes of this graph view"
+        )
     with iteration_conf(spark, shuffle_partitions=P):
         edges = (
             edge_ids.repartition(P, "src_id")
@@ -568,7 +578,6 @@ def personalized_pagerank(
         outdeg = edge_ids.groupBy(F.col("src_id").alias("id")).agg(
             F.count("*").alias("out_degree")
         )
-        n_seeds = len(set(seeds))
         static = (
             ids.select("id")
             .join(outdeg, "id", "left")

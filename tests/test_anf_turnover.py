@@ -243,6 +243,7 @@ def test_hyperball_centrality_dyadic_exact_replay(spark):
         rs = _r_sum(ms)
         return (float(1 << (rs // 8)) * C[rs % 8]) / float("0.77351")
 
+    b0 = {v: est(masks[v]) for v in nodes}
     balls = {v: [] for v in nodes}
     for _h in range(3):
         new = {}
@@ -256,7 +257,9 @@ def test_hyperball_centrality_dyadic_exact_replay(spark):
         for v in nodes:
             balls[v].append(est(masks[v]))
     for v in nodes:
-        prev, acc = 0.0, 0.0
+        # Boldi-Vigna: the lag baseline is B_0 — the node's OWN depth-0
+        # register estimate — so self-ball noise never counts as dist-1
+        prev, acc = b0[v], 0.0
         for h, b in enumerate(balls[v], 1):
             acc += (b - prev) / float(h)
             prev = b
