@@ -1019,14 +1019,17 @@ def q_trade_node2vec_walks(spark, sf_dir):
 def q_trade_windowed_lpa_sync(spark, sf_dir):
     """Distributed synchronous LPA on the 1995-window trade graph — the
     fragmented window yields many communities, so the oracle discriminates
-    the full sweep dynamics.  The half-update schedule's parity hash is
-    md5-based (lpa.py), so every sweep — mode-with-largest-label tiebreak,
-    parity gating, fixpoint — is replayed exactly by the unrolled SQL
-    oracle (guard arm errors loudly if the unroll is too short)."""
+    the full sweep dynamics.  Ships the BOUNDED-SWEEP CONTRACT
+    (max_sweeps=16 == the oracle's unroll depth): the wall is bounded at
+    16 half-sweeps (≈ 8 full sweeps, past LPA's quality plateau) and the
+    output is engine-exact by construction whether or not the graph
+    reached fixpoint — the md5 parity schedule, mode-with-largest-label
+    tiebreak, and every early exit are replayed verbatim by the unrolled
+    SQL oracle (lpa.py sweep-policy docstring)."""
     from linkgraph.algorithms import label_propagation
 
     g = _trade_graph(spark, sf_dir).window(788918400000, 820454400000)
-    return label_propagation(g, seed=2, mode="sync").select(
+    return label_propagation(g, seed=2, mode="sync", max_sweeps=16).select(
         F.col("id").alias("node"), "label"
     )
 
@@ -2047,15 +2050,19 @@ tr_nodes AS (
   SELECT DISTINCT id FROM (SELECT src AS id FROM tr_ed UNION ALL SELECT dst FROM tr_ed)
 )"""
 
-def _lpa_sync_oracle_sql(seed: int, sweeps: int) -> str:
+def _lpa_sync_oracle_sql(seed: int, sweeps: int, bounded: bool = False) -> str:
     """Unrolled synchronous-LPA replay on the 1995-window trade graph.
 
     Mirrors lpa._lpa_sync_loop exactly: per sweep, every node whose
     md5('lpa:<seed>:<id>') parity matches the sweep parity adopts the most
     frequent neighbour label (ties -> largest label); others keep theirs.
-    The engine stops after a full even+odd pair with no movement, so any
-    unroll >= that sweep equals its output; the error() arm fires if the
-    last two unrolled sweeps still moved (oracle bug, not engine bug)."""
+    ``bounded=False``: the engine ran to fixpoint, so any unroll >= its
+    stop sweep equals its output; the error() arm fires if the last two
+    unrolled sweeps still moved (oracle bug, not engine bug).
+    ``bounded=True``: the engine shipped the bounded-sweep contract with
+    max_sweeps == ``sweeps`` (and parity-aligned early exits), so exactly
+    ``sweeps`` unrolls reproduce it whether or not it converged — no
+    guard arm."""
     parts = [
         f"""
 WITH wed AS MATERIALIZED (
@@ -2093,8 +2100,11 @@ s{i + 1} AS MATERIALIZED (
 )"""
         )
     n = sweeps
-    parts.append(
-        f"""
+    if bounded:
+        parts.append(f"\nSELECT id AS node, label FROM s{n}\n")
+    else:
+        parts.append(
+            f"""
 SELECT id AS node, label FROM s{n}
 UNION ALL
 SELECT CAST(error('lpa sync oracle: {n}-sweep unroll insufficient') AS BIGINT),
@@ -2104,7 +2114,7 @@ WHERE (SELECT count(*) FROM s{n} a JOIN s{n - 1} b USING (id)
    OR (SELECT count(*) FROM s{n - 1} a JOIN s{n - 2} b USING (id)
        WHERE a.label <> b.label) > 0
 """
-    )
+        )
     return "".join(parts)
 
 
@@ -2842,7 +2852,7 @@ WITH RECURSIVE {_rw_ctes}
 SELECT walk_id, step, node FROM walk
 """
 
-    sqls["trade_windowed_lpa_sync"] = _lpa_sync_oracle_sql(2, sweeps=16)
+    sqls["trade_windowed_lpa_sync"] = _lpa_sync_oracle_sql(2, sweeps=16, bounded=True)
 
     # bipartite + out-BFS => no intermediate nodes anywhere: exactly 0.0
     # (see q_trade_betweenness docstring; the Brandes dynamics oracle is

@@ -48,6 +48,7 @@ def label_propagation(
     seed: int = 42,
     mode: str = "auto",
     max_sweeps: int = 100,
+    tol_frac: float = 0.0,
 ) -> DataFrame:
     """Run LPA; returns ``(name, id, label)`` (label = a member node's id).
 
@@ -55,14 +56,38 @@ def label_propagation(
     undirected adjacency is small enough (≤ ``AUTO_EXACT_MAX_EDGES``) for
     the single-task reference-parity ``exact`` path — the exact schedule is
     inherently sequential (label_propagation.rs:42-59 runs driver-side), so
-    it must stay opt-in-sized, never the scale default."""
+    it must stay opt-in-sized, never the scale default.
+
+    Sweep policy (sync mode) — sweep count is the scale wall, since at
+    cluster scale per-sweep cost is one shuffle of the frontier while sweep
+    COUNT grows with community diameter:
+
+    - ``max_sweeps`` is a hard bound (the bounded-sweep contract): the loop
+      never runs past it, converged or not. A fixed even ``max_sweeps``
+      equal to an oracle's unroll depth makes the output engine-exact BY
+      CONSTRUCTION (every early exit below is a provable no-op or
+      parity-aligned with the unroll). LPA literature (Raghavan et al.
+      2007, §4) finds ≥95% of labels final within 5 full sweeps; the
+      half-update schedule doubles that, so 16 half-sweeps ≈ the quality
+      plateau.
+    - fixpoint exit: a full even+odd pair with zero label changes ends the
+      loop — always safe, further sweeps are no-ops.
+    - ``tol_frac`` (stable-fraction exit): stop once a full even+odd pair
+      each changed ≤ ``tol_frac·n`` labels. The scale knob for graphs whose
+      last few stragglers oscillate locally; **> 0 trades bit-exact oracle
+      replay for a bounded wall** (the exit sweep is data-dependent), so
+      shipped oracle-checked queries keep it at 0.
+    - period-2 oscillation exit: taken only when the remaining distance to
+      ``max_sweeps`` is even, so a fixed unroll to ``max_sweeps`` still
+      reproduces the returned state exactly (the oscillating labels repeat
+      with period 2)."""
     if mode == "auto":
         n_und = graph.undirected_edge_ids().count()
         mode = "exact" if n_und <= AUTO_EXACT_MAX_EDGES else "sync"
     if mode == "exact":
         return _lpa_exact(graph, seed, max_sweeps)
     if mode == "sync":
-        return _lpa_sync(graph, seed, max_sweeps)
+        return _lpa_sync(graph, seed, max_sweeps, tol_frac)
     raise ValueError(f"unknown LPA mode {mode!r}")
 
 
@@ -115,15 +140,25 @@ def _lpa_exact(graph: LinkGraph, seed: int, max_sweeps: int) -> DataFrame:
     )
 
 
-def _lpa_sync(graph: LinkGraph, seed: int, max_sweeps: int) -> DataFrame:
-    from linkgraph.superstep import iteration_conf
+def _lpa_sync(
+    graph: LinkGraph, seed: int, max_sweeps: int, tol_frac: float = 0.0
+) -> DataFrame:
+    from linkgraph.superstep import iteration_conf, pick_partitions
 
     spark = graph.spark
-    with iteration_conf(spark):
-        return _lpa_sync_loop(graph, spark, seed, max_sweeps)
+    # size the loop's exchanges to the actual adjacency volume (AQE is off
+    # inside iteration_conf, so nothing coalesces empty tasks for us):
+    # a windowed/toy graph at P=32 pays ~16 empty-task launches per
+    # exchange per sweep, pure scheduler latency
+    n_und = graph.undirected_edge_ids().count()
+    P = pick_partitions(spark, n_und)
+    with iteration_conf(spark, shuffle_partitions=P):
+        return _lpa_sync_loop(graph, spark, seed, max_sweeps, tol_frac)
 
 
-def _lpa_sync_loop(graph: LinkGraph, spark, seed: int, max_sweeps: int) -> DataFrame:
+def _lpa_sync_loop(
+    graph: LinkGraph, spark, seed: int, max_sweeps: int, tol_frac: float = 0.0
+) -> DataFrame:
     P = int(spark.conf.get("spark.sql.shuffle.partitions"))
     ids = graph.ids().persist()
     und = (
@@ -132,22 +167,18 @@ def _lpa_sync_loop(graph: LinkGraph, spark, seed: int, max_sweeps: int) -> DataF
         .repartition(P, "nbr_id")
         .persist()
     )
-    state = ids.select("id", F.col("id").alias("label")).repartition(P, "id").persist()
-    state.count()
-    stable_rounds = 0
-    fingerprints: list[int] = []  # per-sweep state hashes: period-2 cycle guard
-    for sweep_i in range(max_sweeps):
-        # md5-based parity (not xxhash64): engine-reproducible, so the sync
-        # schedule — and therefore the final labels — can be replayed by a
-        # SQL oracle (see trade/transition LPA oracle in __spark_entry__.py)
-        from linkgraph.pipeline.sampling import hash_key
+    # md5-based parity (not xxhash64): engine-reproducible, so the sync
+    # schedule — and therefore the final labels — can be replayed by a
+    # SQL oracle (see trade/transition LPA oracle in __spark_entry__.py)
+    from linkgraph.pipeline.sampling import hash_key
 
+    def one_sweep(cur: DataFrame, sweep_idx: int) -> DataFrame:
         half = F.pmod(hash_key(F.col("id"), f"lpa:{seed}"), F.lit(2)) == F.lit(
-            sweep_i % 2
+            sweep_idx % 2
         )
         msgs = (
             und.join(
-                state.select(F.col("id").alias("nbr_id"), F.col("label").alias("nl")),
+                cur.select(F.col("id").alias("nbr_id"), F.col("label").alias("nl")),
                 "nbr_id",
             )
             .groupBy("id", "nl")
@@ -156,45 +187,54 @@ def _lpa_sync_loop(graph: LinkGraph, spark, seed: int, max_sweeps: int) -> DataF
             .agg(F.max(F.struct("c", "nl")).alias("best"))
             .select("id", F.col("best.nl").alias("cand"))
         )
-        new_state = (
-            state.join(msgs, "id", "left")
-            .select(
-                "id",
-                F.when(half & F.col("cand").isNotNull(), F.col("cand"))
-                .otherwise(F.col("label"))
-                .alias("label"),
-                # previous label rides along → the per-sweep stats need no
-                # second state join (same plan shape, one fewer join)
-                F.col("label").alias("prev_label"),
-            )
+        return cur.join(msgs, "id", "left").select(
+            "id",
+            F.when(half & F.col("cand").isNotNull(), F.col("cand"))
+            .otherwise(F.col("label"))
+            .alias("label"),
+            # pair-start label rides along → the per-pair stats need no
+            # second state join
+            "prev_label",
         )
-        # this plan references state twice (messages + fallback), so the
-        # lineage doubles per sweep — cut it every other sweep
-        if sweep_i % 2 == 1:
-            new_state = new_state.localCheckpoint(eager=True)
-        else:
-            new_state = new_state.persist()
-        stats = (
-            new_state.agg(
-                F.count(
-                    F.when(F.col("label") != F.col("prev_label"), 1)
-                ).alias("chg"),
-                F.sum(
-                    F.xxhash64("id", "label").bitwiseAND(F.lit(0xFFFFFFFF))
-                ).alias("fp"),
-            )
-            .first()
-        )
+
+    state = ids.select("id", F.col("id").alias("label")).repartition(P, "id").persist()
+    n_nodes = state.count()
+    changed_cap = int(tol_frac * n_nodes)  # tol_frac=0 -> exact fixpoint
+    fingerprints: list[int] = []  # per-pair state hashes: period-2 cycle guard
+    # PAIR granularity: the parity schedule updates each node AT MOST ONCE
+    # per even+odd pair, so "no movement across a full pair" ≡ "labels
+    # unchanged since pair start" — two sweeps fuse into ONE action (the
+    # two references to the un-materialised first sweep are identical
+    # subtrees, deduped by AQE ReusedExchange), halving driver-side
+    # latency, with a lineage cut per pair.  Every exit lands on an even
+    # sweep count, so a fixed even-``max_sweeps`` unroll stays engine-exact.
+    sweeps_done = 0
+    while sweeps_done < max_sweeps:
+        cur = state.select("id", "label", F.col("label").alias("prev_label"))
+        cur = one_sweep(cur, sweeps_done)
+        in_pair = 1
+        if sweeps_done + 1 < max_sweeps:
+            cur = one_sweep(cur, sweeps_done + 1)
+            in_pair = 2
+        new_state = cur.localCheckpoint(eager=True)
+        stats = new_state.agg(
+            F.count(F.when(F.col("label") != F.col("prev_label"), 1)).alias("chg"),
+            F.sum(
+                F.xxhash64("id", "label").bitwiseAND(F.lit(0xFFFFFFFF))
+            ).alias("fp"),
+        ).first()
         changed, fp = stats["chg"], int(stats["fp"] or 0)
         state.unpersist()
-        state = new_state
-        stable_rounds = stable_rounds + 1 if changed == 0 else 0
-        if stable_rounds >= 2:  # a full even+odd pair with no movement
+        state = new_state.select("id", "label")
+        sweeps_done += in_pair
+        if in_pair == 2 and changed <= changed_cap:
+            # a full even+odd pair within tolerance (tol_frac=0: fixpoint —
+            # further sweeps are provable no-ops, any longer unroll matches)
             break
-        if len(fingerprints) >= 2 and fp == fingerprints[-2]:
+        if fingerprints and fp == fingerprints[-1]:
             # period-2 oscillation (e.g. a reciprocal pair whose endpoints
-            # share hash parity swapping labels forever): the label partition
-            # is stable even though labels keep moving — stop
+            # share hash parity swapping labels forever): state repeats
+            # every pair, so stopping here equals any longer even unroll
             break
         fingerprints.append(fp)
     return state.join(ids, "id").select("name", "id", "label")
