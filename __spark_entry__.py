@@ -997,9 +997,12 @@ def q_trade_random_walks(spark, sf_dir):
 
 def q_trade_node2vec_walks(spark, sf_dir):
     """Second-order biased walks (node2vec p=2, q=0.5) from every 20th
-    node of the undirected trade graph — dyadic p/q make every weight,
-    prefix sum and pick an exact double, so the recursive-CTE oracle
-    replays the biased walks bit-exactly (walks.py node2vec_walks)."""
+    node of the undirected trade graph — ships the REJECTION kernel (the
+    scale path: O(attempts) per step with a slim pair-join membership
+    probe, no neighbour array carried in walk state, cost independent of
+    deg(prev)·deg(cur)).  Dyadic p/q make every accept test u·M < w an
+    exact double, so the recursive-CTE oracle replays the quenched
+    attempt stream bit-exactly (walks.py _node2vec_rejection)."""
     from linkgraph.algorithms import node2vec_walks
 
     g = _trade_graph(spark, sf_dir)
@@ -3085,24 +3088,31 @@ FROM walk a JOIN walk b
 GROUP BY 1, 2
 """
 
-    # node2vec replay: weights are DYADIC (1, 1/p=0.5, 1/q=2.0), so every
-    # prefix sum and the scaled 53-bit md5 fraction are exact doubles on
-    # both engines — the inverse-CDF pick is bit-reproducible
-    _n2v_wl = (
-        "list_transform(a.nbrs, x -> CASE WHEN w.prev IS NULL THEN 1.0::DOUBLE"
-        " WHEN x = w.prev THEN 0.5::DOUBLE"
-        " WHEN list_contains(coalesce(ap.nbrs, []), x) THEN 1.0::DOUBLE"
-        " ELSE 2.0::DOUBLE END)"
+    # node2vec replay — the REJECTION kernel (walks._node2vec_rejection):
+    # 16 quenched uniform candidate draws per step, accepted iff the
+    # quenched 53-bit md5 fraction u satisfies u·M < w(cand) (M = 2 for
+    # p=2, q=0.5; all dyadic doubles, so the accept bit is exact on both
+    # engines); first accept wins, attempt 0 is the documented fallback.
+    # The membership probe the engine does as a slim pair join is
+    # list_contains against prev's array here (same set, toy scale).
+    _n2v_w = (
+        "CASE WHEN w.prev IS NULL THEN 2.0::DOUBLE"
+        " WHEN t.cand = w.prev THEN 0.5::DOUBLE"
+        " WHEN list_contains(coalesce(ap.nbrs, []), t.cand) THEN 1.0::DOUBLE"
+        " ELSE 2.0::DOUBLE END"
     )
-    _n2v_r = (
-        "((('0x' || substr(md5('n2v:11:' || w.walk_id || ':' ||"
-        " (w.step + 1)::VARCHAR), 1, 15))::BIGINT % 9007199254740992)::DOUBLE"
-        f" / 9007199254740992.0) * list_aggregate({_n2v_wl}, 'sum')"
+    _n2v_atts = (
+        "list_transform(range(16), k -> {"
+        "'cand': a.nbrs[1 + (('0x' || substr(md5('n2vr:11:c:' || w.walk_id"
+        " || ':' || (w.step + 1)::VARCHAR || ':' || k::VARCHAR), 1, 15))"
+        "::BIGINT % len(a.nbrs))::INT],"
+        " 'u': ((('0x' || substr(md5('n2vr:11:a:' || w.walk_id || ':' ||"
+        " (w.step + 1)::VARCHAR || ':' || k::VARCHAR), 1, 15))::BIGINT"
+        " % 9007199254740992)::DOUBLE / 9007199254740992.0)})"
     )
     _n2v_pick = (
-        f"coalesce(list_filter(range(1, len(a.nbrs) + 1),"
-        f" i -> list_aggregate(({_n2v_wl})[1:i], 'sum') > {_n2v_r})[1],"
-        " len(a.nbrs))"
+        f"coalesce(list_filter({_n2v_atts},"
+        f" t -> t.u * 2.0 < {_n2v_w})[1].cand, ({_n2v_atts})[1].cand)"
     )
     sqls["trade_node2vec_walks"] = f"""
 WITH RECURSIVE {_TRADE_ED}, {_TRADE_NODES}, {_TRADE_UND},
@@ -3116,7 +3126,7 @@ n2v_starts AS (
 walk(walk_id, step, prev, node) AS (
   SELECT walk_id, 0::INT AS step, prev, node FROM n2v_starts
   UNION ALL
-  SELECT w.walk_id, (w.step + 1)::INT, w.node, a.nbrs[{_n2v_pick}]
+  SELECT w.walk_id, (w.step + 1)::INT, w.node, {_n2v_pick}
   FROM walk w
   JOIN n2v_adj a ON a.node = w.node
   LEFT JOIN n2v_adj ap ON ap.node = w.prev

@@ -131,6 +131,8 @@ def node2vec_walks(
     q: float = 0.5,
     direction: str = "both",
     starts: DataFrame | None = None,
+    method: str = "rejection",
+    attempts: int = 16,
 ) -> DataFrame:
     """Second-order biased walks (node2vec; Grover & Leskovec 2016) as rows
     ``(walk_id, step, node)``.  ``starts`` (one node-id column) restricts
@@ -139,29 +141,45 @@ def node2vec_walks(
     At step ``s`` the candidate weight of neighbour ``x`` of the current
     node (given the previous node ``t``) is ``1/p`` if ``x == t`` (return),
     ``1`` if ``x`` is adjacent to ``t`` (BFS-ish), else ``1/q`` (DFS-ish);
-    step 1 is uniform.  The pick is by quenched inverse-CDF sampling: a
-    53-bit md5 fraction of ``(seed, walk_id, step)`` scaled by the total
-    weight, walked down the prefix sums of the sorted neighbour array.
+    step 1 is uniform.  Both methods are QUENCHED (pure md5 functions of
+    the walk identity) and SQL-replayable; they draw from the same biased
+    distribution but different random streams, so their corpora differ.
 
-    Determinism across engines: with DYADIC ``1/p``/``1/q`` (defaults 0.5
-    and 2.0) every weight, prefix sum and total is an exact double, so the
-    DuckDB oracle replays the picks bit-exactly no matter how either engine
-    associates the sums.  Non-dyadic p/q stay deterministic within Spark
-    (same accumulation order every run) but are not oracle-exact.
+    ``method="rejection"`` (default — the scale path, node2vec §3.2 /
+    KnightKing-style): per step, ``attempts`` quenched uniform candidate
+    draws from the current node's sorted neighbour array, each accepted
+    iff a quenched 53-bit md5 fraction ``u < w(x)/M`` (``M = max(1/p, 1,
+    1/q)``); the first accepted attempt wins.  ``w(x)`` needs only two
+    facts — ``x == prev`` and ``edge(prev, x)`` — so the membership probe
+    is ONE slim equi-join of the exploded ``(prev, candidate)`` attempt
+    rows against the cached edge-pair table: NO neighbour array is ever
+    carried in walk state and per-step cost is O(attempts) per walk,
+    independent of ``deg(prev)·deg(cur)`` (the exact kernel's hub wall).
+    If every attempt rejects — probability ``(1 − w_min/M)^attempts``,
+    < 1e-9 at the defaults — the walk deterministically falls back to
+    attempt 0's (uniform) candidate; the documented, measured bias.
 
-    Scale shape: like :func:`random_walks` — ONE co-partitioned frontier
-    join per step — with the previous node's neighbour array CARRIED in the
-    walk state (this step's fetched ``nbrs`` is exactly next step's
-    ``prev_nbrs``), so the second-order bias costs no extra join and no
-    self-join of the adjacency cache (a second join of the same cached
-    relation is also where Spark's ambiguous-self-join resolution can
-    silently null the match).  Frontier rows are fat by one neighbour
-    array; the per-row weight pass is ``O(deg(cur) · deg(prev))`` built-in
-    array exprs (``array_contains`` per candidate) — the standard node2vec
-    cost; cap super-hubs upstream as linkpred.py documents.
+    ``method="exact"``: quenched inverse-CDF over the full weight vector —
+    the oracle fixture.  With DYADIC ``1/p``/``1/q`` (defaults 0.5 and
+    2.0) every weight, prefix sum and total is an exact double, so the
+    DuckDB oracle replays the picks bit-exactly no matter how either
+    engine associates the sums (rejection's accept test ``u·M < w`` is
+    likewise exact-dyadic).  Scale shape: ONE co-partitioned frontier join
+    per step with the previous node's neighbour array CARRIED in the walk
+    state — the second-order bias costs no extra join, but frontier rows
+    are fat by one neighbour array and the per-row weight pass is
+    ``O(deg(cur) · deg(prev))``: quadratic in hub degree, which is why it
+    is the fixture, not the default.
     """
     if walk_length < 0 or walks_per_node < 1:
         raise ValueError("walk_length must be >= 0 and walks_per_node >= 1")
+    if method == "rejection":
+        return _node2vec_rejection(
+            graph, walk_length, walks_per_node, seed, p, q, direction,
+            starts, int(attempts),
+        )
+    if method != "exact":
+        raise ValueError(f"method must be 'rejection' or 'exact', got {method!r}")
     spark = graph.edges_t.sparkSession
     shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
     adj = _adjacency(graph, direction).repartition(shuffle_n, "node").persist()
@@ -237,6 +255,126 @@ def node2vec_walks(
             )
             .localCheckpoint(eager=False)
         )
+        frames.append(cur.select("walk_id", F.lit(s).cast("int").alias("step"), "node"))
+    return reduce(DataFrame.unionByName, frames)
+
+
+def _node2vec_rejection(
+    graph: LinkGraph,
+    walk_length: int,
+    walks_per_node: int,
+    seed: int,
+    p: float,
+    q: float,
+    direction: str,
+    starts: DataFrame | None,
+    attempts: int,
+) -> DataFrame:
+    """Bounded-attempt rejection sampler for the node2vec step (see
+    :func:`node2vec_walks` docstring for the contract and cost model)."""
+    if attempts < 1:
+        raise ValueError("attempts must be >= 1")
+    wp, wq = 1.0 / p, 1.0 / q
+    M = max(wp, 1.0, wq)
+    spark = graph.edges_t.sparkSession
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    adj = _adjacency(graph, direction).repartition(shuffle_n, "node").persist()
+    # slim membership probe: the SAME pair set the arrays are built from,
+    # cached pre-partitioned on the prev-node key — Spark's ClusteredDistribution
+    # accepts a subset partitioning, so the cached side never reshuffles
+    pairs = (
+        adj.select(
+            F.col("node").alias("prev"), F.explode("nbrs").alias("cand")
+        )
+        .withColumn("is_nbr", F.lit(True))
+        .repartition(shuffle_n, "prev")
+        .persist()
+    )
+
+    csalt, asalt = f"n2vr:{seed}:c", f"n2vr:{seed}:a"
+    base = (
+        graph.ids().select("id")
+        if starts is None
+        else starts.select(F.col(starts.columns[0]).alias("id"))
+    )
+    cur = (
+        base.select(
+            "id",
+            F.explode(F.sequence(F.lit(0), F.lit(walks_per_node - 1))).alias("r"),
+        )
+        .select(
+            F.concat_ws(":", "id", "r").alias("walk_id"),
+            F.lit(None).cast("long").alias("prev"),
+            F.col("id").alias("node"),
+        )
+        .persist()
+    )
+    frames = [cur.select("walk_id", F.lit(0).cast("int").alias("step"), "node")]
+    for s in range(1, walk_length + 1):
+        j = cur.join(adj, "node")
+
+        def _cand(step: int):
+            # factory closure: a second lambda param would receive the
+            # ARRAY INDEX, not the element (higher-order-function arity
+            # pitfall) — and the quenched hash must depend only on the
+            # walk identity (walk_id, step, attempt), never the data
+            def pick(k):
+                h = hash_key(
+                    F.concat_ws(":", F.col("walk_id"), F.lit(str(step)), k),
+                    csalt,
+                )
+                return F.element_at(
+                    "nbrs", (F.pmod(h, F.size("nbrs")) + F.lit(1)).cast("int")
+                )
+
+            return pick
+
+        cands = F.transform(
+            F.sequence(F.lit(0), F.lit(attempts - 1)), _cand(s)
+        )
+        att = j.select(
+            "walk_id",
+            "prev",
+            "node",
+            F.posexplode(cands).alias("k", "cand"),
+        )
+        u = (
+            F.pmod(
+                hash_key(
+                    F.concat_ws(
+                        ":", F.col("walk_id"), F.lit(str(s)), F.col("k")
+                    ),
+                    asalt,
+                ),
+                F.lit(1 << 53),
+            ).cast("double")
+            / F.lit(_DYADIC)
+        )
+        att = att.join(pairs, ["prev", "cand"], "left")
+        w = (
+            F.when(F.col("prev").isNull(), F.lit(M))  # step 1: uniform
+            .when(F.col("cand") == F.col("prev"), F.lit(wp))
+            .when(F.col("is_nbr").isNotNull(), F.lit(1.0))
+            .otherwise(F.lit(wq))
+        )
+        # u·M and w are exact doubles for dyadic p/q -> the accept bit is
+        # engine-reproducible; rejected attempts sort after all accepted
+        # ones, so min(struct) = first accept, else attempt 0 (fallback)
+        rank = F.when(u * F.lit(M) < w, F.col("k")).otherwise(
+            F.col("k") + F.lit(attempts)
+        )
+        best = (
+            att.groupBy("walk_id")
+            .agg(
+                F.min(F.struct(rank.alias("rank"), F.col("cand"))).alias("b"),
+                F.first("node").alias("node_"),
+            )
+        )
+        cur = best.select(
+            "walk_id",
+            F.col("node_").alias("prev"),
+            F.col("b.cand").alias("node"),
+        ).localCheckpoint(eager=False)
         frames.append(cur.select("walk_id", F.lit(s).cast("int").alias("step"), "node"))
     return reduce(DataFrame.unionByName, frames)
 

@@ -136,13 +136,90 @@ def test_node2vec_walks_match_local_replay(spark):
         (r["walk_id"], r["step"], r["node"])
         for r in node2vec_walks(
             g, walk_length=6, walks_per_node=3, seed=3, p=2.0, q=0.5,
-            direction="both",
+            direction="both", method="exact",
         ).collect()
     }
     adj = _local_adj(g, "both")
     starts = [(f"{n}:{r}", n) for n in (1, 2, 3, 4, 5) for r in range(3)]
     assert got == _n2v_replay(adj, starts, 6, 3, 2.0, 0.5)
     assert len(got) == 5 * 3 * 7  # undirected graph: full-length walks
+
+
+def _n2v_rejection_replay(adj, starts, walk_length, seed, p, q, attempts):
+    """Pure-python replay of the quenched rejection sampler — same md5
+    streams, same accept rule, same attempt-0 fallback."""
+    wp, wq = 1.0 / p, 1.0 / q
+    M = max(wp, 1.0, wq)
+    rows = set()
+    for wid, node in starts:
+        rows.add((wid, 0, node))
+        prev, cur = None, node
+        for s in range(1, walk_length + 1):
+            nbrs = adj.get(cur)
+            if not nbrs:
+                break
+            chosen = None
+            fallback = None
+            for k in range(attempts):
+                hc = hashlib.md5(f"n2vr:{seed}:c:{wid}:{s}:{k}".encode()).hexdigest()
+                cand = nbrs[int(hc[:15], 16) % len(nbrs)]
+                if fallback is None:
+                    fallback = cand
+                ha = hashlib.md5(f"n2vr:{seed}:a:{wid}:{s}:{k}".encode()).hexdigest()
+                u = (int(ha[:15], 16) % (1 << 53)) / float(1 << 53)
+                if prev is None:
+                    w = M
+                elif cand == prev:
+                    w = wp
+                elif cand in adj.get(prev, []):
+                    w = 1.0
+                else:
+                    w = wq
+                if u * M < w:
+                    chosen = cand
+                    break
+            prev, cur = cur, chosen if chosen is not None else fallback
+            rows.add((wid, s, cur))
+    return rows
+
+
+def test_node2vec_rejection_matches_local_replay(spark):
+    g = _g(spark)
+    got = {
+        (r["walk_id"], r["step"], r["node"])
+        for r in node2vec_walks(
+            g, walk_length=6, walks_per_node=3, seed=3, p=2.0, q=0.5,
+            direction="both", method="rejection", attempts=16,
+        ).collect()
+    }
+    adj = _local_adj(g, "both")
+    starts = [(f"{n}:{r}", n) for n in (1, 2, 3, 4, 5) for r in range(3)]
+    assert got == _n2v_rejection_replay(adj, starts, 6, 3, 2.0, 0.5, 16)
+    assert len(got) == 5 * 3 * 7
+
+
+def test_node2vec_rejection_bias_matches_exact_distribution(spark):
+    # both kernels draw from the same biased step distribution: on a star
+    # + triangle fixture, the rejection corpus must backtrack (x == prev)
+    # noticeably more often at p=1/8 than at p=8, like the exact kernel
+    g = _g(spark)
+
+    def backtrack_fraction(p):
+        rows = node2vec_walks(
+            g, walk_length=8, walks_per_node=8, seed=5, p=p, q=1.0,
+            direction="both", method="rejection",
+        ).collect()
+        byw: dict = {}
+        for r in rows:
+            byw.setdefault(r["walk_id"], {})[r["step"]] = r["node"]
+        back = tot = 0
+        for steps in byw.values():
+            for s in range(2, len(steps)):
+                tot += 1
+                back += steps[s] == steps[s - 2]
+        return back / tot
+
+    assert backtrack_fraction(0.125) > backtrack_fraction(8.0)
 
 
 def test_node2vec_bias_is_felt(spark):
