@@ -4,11 +4,27 @@ Images / audio / video are carried as opaque ``binary`` blobs plus a typed
 ``meta`` struct; every transform is Spark-native plumbing (schema, explode,
 ``mapInPandas`` over Arrow batches, partitioning) around a decode step.
 The real decoders (PIL / torchaudio / ffmpeg) are NOT in this environment,
-so decoding is STUBBED: pass ``real=True`` to hit the clearly-marked
-``NotImplementedError`` seam where a codec would plug in; the default is a
-DETERMINISTIC FAKE that derives features from ``(len(blob), asset_id)`` so
-the whole pipeline — including distributed execution and result checks —
-runs end-to-end and is oracle-verifiable.
+so decoding is an INJECTION POINT: call :func:`register_codec` with any
+picklable object implementing the per-kind contract below and pass
+``real=True`` to route blobs through it inside the same Arrow-batched
+plumbing; the default (``real=False``) is a DETERMINISTIC FAKE that
+derives features from ``(len(blob), asset_id)`` so the whole pipeline —
+including distributed execution and result checks — runs end-to-end and
+is oracle-verifiable without any codec installed.
+
+Codec contract (duck-typed; implement only the methods you use):
+
+- ``decode_image(blob: bytes, meta: dict) -> numpy.ndarray`` — pixels,
+  any (H, W[, C]) shape; consumed by :func:`image_features` (real=True).
+- ``resize_image(blob: bytes, meta: dict, width: int, height: int) ->
+  bytes`` — re-encoded blob; consumed by :func:`resize_images`.
+- ``decode_audio(blob: bytes, meta: dict) -> numpy.ndarray`` — 1-D
+  waveform; consumed by :func:`audio_features` (real=True).
+
+The codec object is captured in the ``mapInPandas`` closure, so it must be
+picklable (a module-level class wiring PIL/torchaudio/ffmpeg is; a lambda
+holding an open handle is not).  ``tests/test_multimodal.py`` exercises
+the real=True path end-to-end with a deterministic fake codec.
 
 Scale notes: blobs stay in executor memory only within an Arrow batch
 (bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch``); feature
@@ -28,6 +44,38 @@ FRAME_STEP_MS_DEFAULT = 250
 META_SCHEMA = (
     "struct<width:int, height:int, duration_ms:int, sample_rate:int>"
 )
+
+
+class CodecNotConfigured(RuntimeError):
+    """``real=True`` was requested but no codec is registered for the kind."""
+
+
+_CODECS: dict[str, object] = {}
+
+
+def register_codec(kind: str, codec) -> None:
+    """Register the decoder for ``kind`` ("image" / "audio" / "video") —
+    the injection point for PIL / torchaudio / ffmpeg on a cluster image
+    that has them.  Pass ``None`` to unregister."""
+    if codec is None:
+        _CODECS.pop(kind, None)
+    else:
+        _CODECS[kind] = codec
+
+
+def get_codec(kind: str):
+    """The registered codec for ``kind``; raises :class:`CodecNotConfigured`
+    with wiring instructions if none is."""
+    codec = _CODECS.get(kind)
+    if codec is None:
+        raise CodecNotConfigured(
+            f"no {kind!r} codec registered — call "
+            f"linkgraph.pipeline.multimodal.register_codec({kind!r}, codec) "
+            "with a picklable object implementing the codec contract "
+            "(module docstring), or run with real=False for the "
+            "deterministic fake"
+        )
+    return codec
 
 
 def assets_from_documents(docs: DataFrame) -> DataFrame:
@@ -51,25 +99,39 @@ def assets_from_documents(docs: DataFrame) -> DataFrame:
     )
 
 
-def _decode_real(kind: str):
-    """The codec seam.  Wire PIL/torchaudio/ffmpeg here on a cluster image
-    that has them; this container does not."""
-    raise NotImplementedError(
-        f"real {kind} decoding needs PIL/torchaudio/ffmpeg, which are not "
-        "installed in this environment — run with real=False for the "
-        "deterministic fake"
-    )
+def _image_feature_vector(arr) -> list:
+    """Fixed-width (``N_IMAGE_FEATURES``) summary of a decoded pixel array:
+    height, width, channels, mean, std, min, max, centre-pixel mean — a
+    deterministic function of the pixels, codec-independent."""
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.float64)
+    h = float(a.shape[0]) if a.ndim >= 1 else 0.0
+    w = float(a.shape[1]) if a.ndim >= 2 else 1.0
+    c = float(a.shape[2]) if a.ndim >= 3 else 1.0
+    centre = a[tuple(s // 2 for s in a.shape[: min(a.ndim, 2)])]
+    return [
+        h,
+        w,
+        c,
+        float(a.mean()),
+        float(a.std()),
+        float(a.min()),
+        float(a.max()),
+        float(np.asarray(centre, dtype=np.float64).mean()),
+    ]
 
 
 def image_features(assets: DataFrame, real: bool = False) -> DataFrame:
     """Per image asset: an ``array<double>`` feature vector.
 
-    Plumbing is real (binary column in, Arrow batches through
-    ``mapInPandas``, fixed-width vector out); the pixel decode is the stub:
-    fake feature i = ``((len(blob)·(i+1) + asset_id) mod 997) / 997``.
+    Plumbing is identical either way (binary column in, Arrow batches
+    through ``mapInPandas``, fixed-width vector out).  ``real=True``
+    decodes each blob with the registered "image" codec and summarises
+    the pixels via :func:`_image_feature_vector`; the default fake is
+    feature i = ``((len(blob)·(i+1) + asset_id) mod 997) / 997``.
     """
-    if real:
-        _decode_real("image")
+    codec = get_codec("image") if real else None
     import numpy as np
     import pandas as pd
 
@@ -77,49 +139,69 @@ def image_features(assets: DataFrame, real: bool = False) -> DataFrame:
         ks = np.arange(1, N_IMAGE_FEATURES + 1)
         for pdf in batches:
             ids = pdf["asset_id"].to_numpy()
-            lens = np.array([len(b) for b in pdf["blob"]], dtype=np.int64)
-            feats = ((lens[:, None] * ks[None, :] + ids[:, None]) % 997) / 997.0
-            yield pd.DataFrame(
-                {"asset_id": ids, "features": list(feats)}
-            )
+            if codec is not None:
+                feats = [
+                    _image_feature_vector(
+                        codec.decode_image(bytes(b), m)
+                    )
+                    for b, m in zip(pdf["blob"], pdf["meta"])
+                ]
+            else:
+                lens = np.array([len(b) for b in pdf["blob"]], dtype=np.int64)
+                feats = list(
+                    ((lens[:, None] * ks[None, :] + ids[:, None]) % 997) / 997.0
+                )
+            yield pd.DataFrame({"asset_id": ids, "features": feats})
 
     return (
         assets.filter(F.col("kind") == "image")
-        .select("asset_id", "blob")
+        .select("asset_id", "blob", "meta")
         .mapInPandas(extract, "asset_id long, features array<double>")
     )
 
 
 def audio_features(assets: DataFrame, real: bool = False) -> DataFrame:
-    """Per audio asset: ``(asset_id, n_samples, peak)`` — n_samples from the
-    typed metadata (duration × sample rate), fake peak from the blob length."""
-    if real:
-        _decode_real("audio")
+    """Per audio asset: ``(asset_id, n_samples, peak)``.
+
+    ``real=True`` decodes each blob to a waveform with the registered
+    "audio" codec (n_samples = waveform length, peak = max |amplitude|);
+    the default fake takes n_samples from the typed metadata (duration ×
+    sample rate) and peak from the blob length."""
+    codec = get_codec("audio") if real else None
     import numpy as np
     import pandas as pd
 
     def extract(batches):
         for pdf in batches:
             ids = pdf["asset_id"].to_numpy()
-            lens = np.array([len(b) for b in pdf["blob"]], dtype=np.int64)
-            n_samples = (
-                pdf["duration_ms"].to_numpy().astype(np.int64)
-                * pdf["sample_rate"].to_numpy().astype(np.int64)
-                // 1000
-            )
-            peak = (lens % 256) / 255.0
+            if codec is not None:
+                waves = [
+                    np.asarray(
+                        codec.decode_audio(bytes(b), m), dtype=np.float64
+                    ).ravel()
+                    for b, m in zip(pdf["blob"], pdf["meta"])
+                ]
+                n_samples = np.array([len(w) for w in waves], dtype=np.int64)
+                peak = np.array(
+                    [float(np.abs(w).max()) if len(w) else 0.0 for w in waves]
+                )
+            else:
+                lens = np.array([len(b) for b in pdf["blob"]], dtype=np.int64)
+                n_samples = (
+                    pdf["meta"].map(lambda m: m["duration_ms"]).to_numpy()
+                    .astype(np.int64)
+                    * pdf["meta"].map(lambda m: m["sample_rate"]).to_numpy()
+                    .astype(np.int64)
+                    // 1000
+                )
+                peak = (lens % 256) / 255.0
             yield pd.DataFrame(
                 {"asset_id": ids, "n_samples": n_samples, "peak": peak}
             )
 
     return (
         assets.filter(F.col("kind") == "audio")
-        .select(
-            "asset_id",
-            "blob",
-            F.col("meta.duration_ms").alias("duration_ms"),
-            F.col("meta.sample_rate").alias("sample_rate"),
-        )
+        .select("asset_id", "blob", "meta")
         .mapInPandas(extract, "asset_id long, n_samples long, peak double")
     )
 
@@ -127,11 +209,53 @@ def audio_features(assets: DataFrame, real: bool = False) -> DataFrame:
 def resize_images(
     assets: DataFrame, width: int, height: int, real: bool = False
 ) -> DataFrame:
-    """Resize plumbing: metadata is rewritten Spark-side; the pixel resample
-    runs through the decode seam (stub keeps the blob byte-identical)."""
-    if real:
-        _decode_real("image")
-    return assets.filter(F.col("kind") == "image").select(
+    """Resize: metadata is rewritten Spark-side either way; ``real=True``
+    additionally re-encodes each blob via the registered "image" codec's
+    ``resize_image`` inside Arrow batches (the stub keeps the blob
+    byte-identical — a metadata-only resize)."""
+    codec = get_codec("image") if real else None
+    imgs = assets.filter(F.col("kind") == "image")
+    if codec is not None:
+        import pandas as pd
+
+        def reencode(batches):
+            for pdf in batches:
+                yield pd.DataFrame(
+                    {
+                        "asset_id": pdf["asset_id"],
+                        "kind": pdf["kind"],
+                        "blob": [
+                            codec.resize_image(bytes(b), m, width, height)
+                            for b, m in zip(pdf["blob"], pdf["meta"])
+                        ],
+                        # meta fields ride through the UDF (map-only, no
+                        # shuffle) so the struct can be rebuilt below
+                        "duration_ms": pdf["meta"].map(
+                            lambda m: m["duration_ms"]
+                        ),
+                        "sample_rate": pdf["meta"].map(
+                            lambda m: m["sample_rate"]
+                        ),
+                    }
+                )
+
+        imgs = (
+            imgs.select("asset_id", "kind", "blob", "meta")
+            .mapInPandas(
+                reencode,
+                "asset_id long, kind string, blob binary, "
+                "duration_ms int, sample_rate int",
+            )
+            .select(
+                "asset_id",
+                "kind",
+                "blob",
+                F.struct(
+                    F.col("duration_ms"), F.col("sample_rate")
+                ).alias("meta"),
+            )
+        )
+    return imgs.select(
         "asset_id",
         "kind",
         "blob",
