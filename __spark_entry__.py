@@ -385,6 +385,17 @@ def q_docs_repetition(spark, sf_dir):
     )
 
 
+def q_docs_lm_bits(spark, sf_dir):
+    """Corpus-trained 3-gram LM surprisal in whole bits (KenLM-style
+    quality score) — floored-log2 via binary-string length makes every
+    column a BIGINT, so the oracle replay is integer-exact by
+    construction (textstats.ngram_lm_bits)."""
+    from linkgraph.pipeline.textstats import ngram_lm_bits
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_lm_bits(docs, n=3)
+
+
 def q_docs_decontaminate(spark, sf_dir):
     """Benchmark decontamination: train docs sharing any 5-gram with the
     deterministic eval split (doc_id % 37 == 0)."""
@@ -443,6 +454,17 @@ def q_emb_kmeans(spark, sf_dir):
     return kmeans(emb, k=10, iters=2, seed=42).select(
         "vec_id", F.col("cluster").cast("long").alias("cluster")
     )
+
+
+def q_emb_semantic_dedup(spark, sf_dir):
+    """SemDeDup semantic dedup: k-means cells (md5-seeded, engine-exact)
+    then within-cell round-6 cosine vs a lower-id dominator — single-pass,
+    no fixpoint; the oracle unrolls the same Lloyd steps and replays the
+    pair rule verbatim (simsearch.semantic_dedup)."""
+    from linkgraph.pipeline.simsearch import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, k_clusters=10, threshold=0.9, iters=2, seed=42)
 
 
 def q_emb_knn_components(spark, sf_dir):
@@ -1357,6 +1379,21 @@ def q_transition_betweenness(spark, sf_dir):
     )
 
 
+def q_copurchase_approx_betweenness(spark, sf_dir):
+    """Pivot-sampled Brandes estimate on the co-purchase DAG (8 md5-chosen
+    pivots, estimate = (n/8)·Σδ): exact dependency sums from a quenched
+    source sample — the scale path where all-sources Brandes is O(n)
+    sweeps.  The oracle selects the identical md5 pivot set and replays
+    the level-unrolled σ/δ dynamics from exactly those sources."""
+    from linkgraph.algorithms import approx_betweenness
+
+    g = _copurchase_graph(spark, sf_dir)
+    return approx_betweenness(g, pivots=8, seed=5).select(
+        F.col("name").cast("long").alias("node"),
+        F.round("betweenness_est", 6).alias("betweenness_est"),
+    )
+
+
 def q_trade_pagerank_converged(spark, sf_dir):
     """PageRank run through the tol-based convergence stop, against the
     200-iteration fixpoint oracle.
@@ -1899,6 +1936,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trade_personalized_pagerank": q_trade_personalized_pagerank,
         "trade_windowed_lpa_sync": q_trade_windowed_lpa_sync,
         "trade_node2vec_walks": q_trade_node2vec_walks,
+        # new in round 4
+        "emb_semantic_dedup": q_emb_semantic_dedup,
+        "copurchase_approx_betweenness": q_copurchase_approx_betweenness,
+        "docs_lm_bits": q_docs_lm_bits,
         # round-3-green buffer (driver re-confirmation, newest first)
         "trade_closeness": q_trade_closeness,
         "trade_neighbor_sample": q_trade_neighbor_sample,
@@ -2705,7 +2746,75 @@ WHERE (SELECT count(*) FROM b{levels}) <> 0
     )
 
 
-def _kmeans_oracle_sql(k: int, iters: int, dim: int = 64, seed: int = 42) -> str:
+def _approx_bw_oracle_sql(pivots: int, seed: int, levels: int) -> str:
+    """Level-unrolled Brandes replay from the md5-sampled pivot set on the
+    co-purchase DAG, scaled by n/|S| — mirrors algorithms.approx_betweenness
+    (same pivot hash, same σ/δ dynamics, same factor arithmetic); the
+    error arm fires if the unroll is shallower than the graph."""
+    parts = [
+        f"""
+{_COPURCHASE_ED},
+{_CP_NODES_UND_FRAG},
+bw_adj AS (SELECT lo AS u, hi AS v FROM cp_ed),
+bw_piv AS (
+  SELECT id FROM (
+    SELECT id,
+           ('0x' || substr(md5('bcpivots:{seed}:' || id::VARCHAR), 1, 15))::BIGINT AS h
+    FROM cp_nodes)
+  ORDER BY h, id::VARCHAR LIMIT {pivots}
+),
+bwl0 AS (SELECT id AS src, id AS node, 1.0::DOUBLE AS sigma FROM bw_piv),
+bws0 AS (SELECT src, node FROM bwl0)"""
+    ]
+    for l in range(1, levels + 1):
+        parts.append(f""",
+bwl{l} AS MATERIALIZED (
+  SELECT f.src AS src, a.v AS node, sum(f.sigma) AS sigma
+  FROM bwl{l - 1} f JOIN bw_adj a ON a.u = f.node
+  WHERE NOT EXISTS (SELECT 1 FROM bws{l - 1} s
+                    WHERE s.src = f.src AND s.node = a.v)
+  GROUP BY f.src, a.v
+),
+bws{l} AS MATERIALIZED (
+  SELECT * FROM bws{l - 1} UNION SELECT src, node FROM bwl{l}
+)""")
+    parts.append(f""",
+bwd{levels} AS (SELECT src, node, sigma, 0.0::DOUBLE AS delta FROM bwl{levels})""")
+    for l in range(levels - 1, -1, -1):
+        parts.append(f""",
+bwd{l} AS MATERIALIZED (
+  SELECT c.src AS src, c.node AS node, c.sigma AS sigma,
+         coalesce((SELECT sum(c.sigma / w.sigma * (1.0 + w.delta))
+                   FROM bw_adj a JOIN bwd{l + 1} w
+                     ON w.src = c.src AND w.node = a.v
+                   WHERE a.u = c.node), 0.0) AS delta
+  FROM bwl{l} c
+)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT node, delta FROM bwd{l}" for l in range(1, levels + 1)
+    )
+    return f"""
+WITH {"".join(parts)[1:]},
+bc AS (SELECT node, sum(delta) AS s FROM ({union}) GROUP BY node),
+nn AS (SELECT count(*)::DOUBLE AS n FROM cp_nodes)
+SELECT cn.id AS node,
+       round(coalesce(bc.s, 0.0) * (nn.n / {pivots}.0), 6) AS betweenness_est
+FROM cp_nodes cn LEFT JOIN bc ON bc.node = cn.id CROSS JOIN nn
+UNION ALL
+SELECT CAST(error('approx brandes oracle: {levels}-level unroll insufficient')
+            AS BIGINT),
+       NULL
+WHERE (SELECT count(*) FROM bwl{levels}) > 0
+"""
+
+
+def _kmeans_oracle_sql(
+    k: int,
+    iters: int,
+    dim: int = 64,
+    seed: int = 42,
+    semantic_threshold: float | None = None,
+) -> str:
     """Fully unrolled spherical k-means (DuckDB), mirroring
     ``simsearch.kmeans``: md5-seeded centroids (rank in ``(hash, id)``
     order), then ``iters`` Lloyd steps of assignment + per-cluster mean +
@@ -2760,10 +2869,33 @@ c{i} AS (
 )"""
         )
     parts.append(_assign("afin", f"c{iters}"))
+    if semantic_threshold is None:
+        return (
+            "WITH "
+            + ",\n".join(parts)
+            + "\nSELECT id AS vec_id, c::BIGINT AS cluster FROM afin"
+        )
+    # SemDeDup tail: within-cluster lower-id dominator on RAW vectors
+    # (cosine is scale-invariant but its float path is not — the engine
+    # compares raw doubles, so the oracle must too, not the pts renorms)
+    parts.append(
+        f"""praw AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+sdup AS (
+  SELECT a.id AS id, min(b.id) AS dup_of
+  FROM afin a JOIN afin b ON a.c = b.c AND b.id < a.id
+  JOIN praw pa ON pa.id = a.id
+  JOIN praw pb ON pb.id = b.id
+  WHERE round(list_cosine_similarity(pa.v, pb.v), 6) >= {semantic_threshold}
+  GROUP BY a.id
+)"""
+    )
     return (
         "WITH "
         + ",\n".join(parts)
-        + "\nSELECT id AS vec_id, c::BIGINT AS cluster FROM afin"
+        + """
+SELECT a.id AS vec_id, a.c::BIGINT AS cluster, d.dup_of,
+       d.dup_of IS NULL AS keep
+FROM afin a LEFT JOIN sdup d USING (id)"""
     )
 
 
@@ -2912,6 +3044,10 @@ SELECT CAST(error('brandes oracle: {_bw_levels}-level unroll insufficient')
        NULL
 WHERE (SELECT count(*) FROM bwl{_bw_levels}) > 0
 """
+
+    sqls["copurchase_approx_betweenness"] = _approx_bw_oracle_sql(
+        pivots=8, seed=5, levels=14  # sf0.01 pivot BFS depth measured 11
+    )
 
     # md5 simhash replay: bit i of a token's 64-bit hash = nibble
     # (16 - i//4) of its md5, position i%4; bit-63 term is the min-long
@@ -3686,6 +3822,45 @@ o AS (
 SELECT doc_id, n_tokens, start // 512 AS seq_id, start % 512 AS offset FROM o
 """
 
+    # integer-bits LM surprisal: bits(x) = length(bin(x)) both engines
+    # (Spark conv(x,10,2)); every column BIGINT -> exact by construction
+    sqls["docs_lm_bits"] = r"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]') AS toks
+  FROM documents
+),
+occ AS (
+  SELECT doc_id, array_to_string(toks[i.i : i.i + 2], ' ') AS gram
+  FROM t, unnest(range(1, len(toks) - 1)) i(i)
+),
+dg AS (SELECT doc_id, gram, count(*) AS k FROM occ GROUP BY doc_id, gram),
+ng AS (SELECT gram, count(*) AS c_ng FROM occ GROUP BY gram),
+ngc AS (
+  SELECT gram, c_ng,
+         array_to_string(string_split(gram, ' ')[1:2], ' ') AS ctx
+  FROM ng
+),
+cc AS (SELECT ctx, sum(c_ng)::BIGINT AS c_ctx FROM ngc GROUP BY ctx),
+gb AS (
+  SELECT g.gram,
+         (length(bin(c.c_ctx)) - length(bin(g.c_ng)))::BIGINT AS b
+  FROM ngc g JOIN cc c USING (ctx)
+),
+pd AS (
+  SELECT dg.doc_id, sum(dg.k)::BIGINT AS n_scored,
+         sum(dg.k * gb.b)::BIGINT AS total_bits
+  FROM dg JOIN gb USING (gram) GROUP BY dg.doc_id
+)
+SELECT d.doc_id,
+       coalesce(pd.n_scored, 0)::BIGINT AS n_scored,
+       coalesce(pd.total_bits, 0)::BIGINT AS total_bits,
+       (CASE WHEN coalesce(pd.n_scored, 0) > 0
+             THEN (pd.total_bits * 1000) // pd.n_scored END)::BIGINT
+         AS mbits_per_gram
+FROM documents d LEFT JOIN pd USING (doc_id)
+"""
+
     sqls["docs_repetition"] = r"""
 WITH t AS (
   SELECT doc_id,
@@ -3944,6 +4119,10 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.
 """
 
     sqls["emb_kmeans"] = _kmeans_oracle_sql(10, iters=2)
+
+    sqls["emb_semantic_dedup"] = _kmeans_oracle_sql(
+        10, iters=2, semantic_threshold=0.9
+    )
 
     sqls["emb_knn_components"] = """
 WITH RECURSIVE emb4 AS (SELECT * FROM embeddings WHERE vec_id % 4 = 0),

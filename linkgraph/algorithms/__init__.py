@@ -1,6 +1,9 @@
 """Packaged graph algorithms (SURVEY.md §2.6)."""
 
-from linkgraph.algorithms.betweenness import betweenness_centrality
+from linkgraph.algorithms.betweenness import (
+    approx_betweenness,
+    betweenness_centrality,
+)
 from linkgraph.algorithms.centrality import (
     anf_estimate,
     approx_distance,
@@ -83,6 +86,7 @@ from linkgraph.algorithms.triangles import (
 )
 
 __all__ = [
+    "approx_betweenness",
     "betweenness_centrality",
     "clustering_coefficient",
     "decayed_pagerank",

@@ -46,6 +46,67 @@ def betweenness_centrality(
     sources = ids.select("id")
     if k is not None:
         sources = sources.orderBy("id").limit(k)
+    bc = _brandes_delta_sum(spark, adj, sources)
+    factor = 1.0 / ((n - 1.0) * (n - 2.0)) if (normalized and n > 2) else 1.0
+    return ids.join(bc, "id", "left").select(
+        "name",
+        "id",
+        (F.coalesce("betweenness", F.lit(0.0)) * F.lit(factor)).alias("betweenness"),
+    )
+
+
+def approx_betweenness(
+    graph: LinkGraph,
+    pivots: int = 16,
+    seed: int = 42,
+    normalized: bool = False,
+) -> DataFrame:
+    """Pivot-sampled betweenness estimate (Brandes & Pich 2007) —
+    ``(name, id, betweenness_est)`` where ``betweenness_est = (n /
+    |S|) · Σ_{s∈S} δ_s(v)``: exact Brandes dependency sums from a sample
+    ``S`` of source pivots, scaled to the all-sources total.  The
+    estimator is unbiased per node; error concentrates as O(1/√|S|)
+    (Riondato & Kornaropoulos give VC bounds for choosing |S|).
+
+    Pivots are the ``|S|`` nodes with the smallest ``md5("bcpivots:<seed>:"
+    + name)`` — a quenched sample, reproducible across runs, partitionings
+    AND engines (the SQL oracle selects the identical set), same
+    discipline as the walk kernels.  This is the scale path: exact
+    Brandes is O(n) BFS sweeps (the all-sources batch is n·n state),
+    pivot sampling caps state at ``|S|·n`` rows and supersteps at
+    2·diameter regardless of n."""
+    from linkgraph.pipeline.sampling import hash_key
+
+    spark = graph.spark
+    ids = graph.ids().persist()
+    n = ids.count()
+    adj = graph.neighbours("out").persist()
+    adj.count()
+
+    n_pivots = min(int(pivots), n)
+    sources = (
+        ids.withColumn("h", hash_key(F.col("name"), f"bcpivots:{seed}"))
+        .orderBy("h", "name")
+        .limit(n_pivots)
+        .select("id")
+    )
+    bc = _brandes_delta_sum(spark, adj, sources)
+    factor = float(n) / float(n_pivots) if n_pivots else 0.0
+    if normalized and n > 2:
+        factor /= (n - 1.0) * (n - 2.0)
+    return ids.join(bc, "id", "left").select(
+        "name",
+        "id",
+        (F.coalesce("betweenness", F.lit(0.0)) * F.lit(factor)).alias(
+            "betweenness_est"
+        ),
+    )
+
+
+def _brandes_delta_sum(spark, adj: DataFrame, sources: DataFrame) -> DataFrame:
+    """Batched Brandes core: forward σ levels + backward δ sweep from
+    ``sources(id)`` over the cached out-adjacency ``adj(id, nbr_id)``;
+    returns the raw per-node dependency sum ``(id, betweenness)``."""
     # forward BFS: levels[l] = (src, node, sigma)
     level0 = sources.select(
         F.col("id").alias("src"), F.col("id").alias("node"), F.lit(1.0).alias("sigma")
@@ -114,15 +175,9 @@ def betweenness_centrality(
         allc = bc_parts[0]
         for p in bc_parts[1:]:
             allc = allc.unionByName(p)
-        bc = allc.groupBy(F.col("node").alias("id")).agg(
+        return allc.groupBy(F.col("node").alias("id")).agg(
             F.sum("delta").alias("betweenness")
         )
-    else:
-        bc = ids.select("id", F.lit(0.0).alias("betweenness")).limit(0)
-
-    factor = 1.0 / ((n - 1.0) * (n - 2.0)) if (normalized and n > 2) else 1.0
-    return ids.join(bc, "id", "left").select(
-        "name",
-        "id",
-        (F.coalesce("betweenness", F.lit(0.0)) * F.lit(factor)).alias("betweenness"),
-    )
+    return sources.select(
+        "id", F.lit(0.0).alias("betweenness")
+    ).limit(0)

@@ -710,6 +710,70 @@ def kmeans(
     )
 
 
+def semantic_dedup(
+    embeddings: DataFrame,
+    k_clusters: int = 10,
+    threshold: float = 0.9,
+    iters: int = 2,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023) —
+    ``(id_col, cluster, dup_of, keep)``.
+
+    Cluster the corpus with deterministic spherical k-means
+    (:func:`kmeans`), then compare vectors ONLY within their cluster:
+    a vector is a duplicate (``keep = false``) iff some LOWER-id vector
+    in the same cluster has round-6 cosine ≥ ``threshold``; ``dup_of``
+    is the smallest such id (null for keepers).  The single-pass
+    dominator rule (drop if ANY lower id is close, kept or not) is
+    deterministic and needs no fixpoint — slightly more aggressive than
+    a sequential greedy sweep, documented contract.  Cross-cluster
+    near-dups are missed by design: that is SemDeDup's approximation,
+    bounded by k-means quality.
+
+    Scale shape: the quadratic compare is confined to cells —
+    Σ|cell|² pairs instead of |corpus|² (choose ``k_clusters`` ≈
+    corpus/expected-cell so cells fit an executor); one cluster-keyed
+    self-join carries each vector once (dim × 8 bytes per row), the
+    cosine is a sequential JVM expression (whole-stage codegen, engine-
+    reproducible at round 6 — same discipline as :func:`cosine_topk`),
+    and the dup aggregate is a map-side-combining min.
+    """
+    assign = kmeans(embeddings, k_clusters, iters, seed, id_col, vec_col)
+    e = _as_double(
+        embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")), "v"
+    )
+    withv = assign.withColumnRenamed(id_col, "id").join(e, "id")
+    a = withv.select(
+        "cluster", F.col("id").alias("ida"), F.col("v").alias("va")
+    )
+    b = withv.select(
+        "cluster", F.col("id").alias("idb"), F.col("v").alias("vb")
+    )
+    dup = (
+        a.join(b, "cluster")
+        .filter(F.col("idb") < F.col("ida"))
+        .filter(
+            F.round(cosine(F.col("va"), F.col("vb")), 6) >= F.lit(threshold)
+        )
+        .groupBy("ida")
+        .agg(F.min("idb").alias("dup_of"))
+        .withColumnRenamed("ida", "id")
+    )
+    return (
+        assign.withColumnRenamed(id_col, "id")
+        .join(dup, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "cluster",
+            "dup_of",
+            F.col("dup_of").isNull().alias("keep"),
+        )
+    )
+
+
 def knn_components(
     embeddings: DataFrame,
     k: int = 5,

@@ -125,6 +125,82 @@ def _word_ngrams(tokens, n: int):
     )
 
 
+def ngram_lm_bits(
+    docs: DataFrame, n: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """Corpus-trained n-gram language-model surprisal in WHOLE BITS —
+    ``(doc_id, n_scored, total_bits, mbits_per_gram)`` — the
+    perplexity-style quality score (KenLM-filter family: docs whose
+    n-grams are improbable under the corpus itself are noise) with
+    INTEGER-EXACT arithmetic.
+
+    MLE surprisal of an n-gram occurrence is ``log2 c(ctx) − log2
+    c(gram)`` (ctx = the gram's first n−1 words; both counts from the
+    same occurrence table, so ``c(gram) ≤ c(ctx)`` always).  Floating
+    ``log2`` is not engine-reproducible, so the score uses the FLOORED
+    bit length instead: ``bits(x) = length(bin(x)) = ⌊log2 x⌋ + 1`` —
+    a pure integer, identical in Spark (``conv(x, 10, 2)``) and any SQL
+    engine (``bin(x)``) — making per-occurrence surprisal ``bits(c(ctx))
+    − bits(c(gram))`` (within 1 bit of the real value, monotone in the
+    probability ratio's magnitude) and every output column a BIGINT.
+    ``mbits_per_gram`` is ``total_bits·1000 div n_scored`` (milli-bits,
+    integer division; null for docs shorter than n words).
+
+    Scale shape: one corpus scan explodes n-gram occurrences; gram and
+    context counts are hash aggregates over the DISTINCT-gram table (far
+    smaller than occurrences, map-side combined); per-gram bits join back
+    to per-doc occurrence counts on the gram key, then one per-doc sum.
+    The corpus text itself never rides a shuffle — only gram strings do
+    (hash them to md5 ids upstream if vocabulary bandwidth ever binds).
+    """
+    if n < 2:
+        raise ValueError("ngram_lm_bits needs n >= 2 (a non-empty context)")
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), 0)
+    occ = docs.select(
+        "doc_id", F.explode(_word_ngrams(toks, n)).alias("gram")
+    )
+    doc_gram = occ.groupBy("doc_id", "gram").agg(F.count("*").alias("k"))
+    ng = occ.groupBy("gram").agg(F.count("*").alias("c_ng"))
+    # context string = gram minus its last word (grams are space-joined
+    # TOKEN_RE words, so the cut is the last space)
+    ctx_of = F.expr(
+        "substring(gram, 1, length(gram) - length(element_at(split(gram, ' '), -1)) - 1)"
+    )
+    ng_ctx = ng.select("gram", "c_ng", ctx_of.alias("ctx"))
+    ctx_counts = ng_ctx.groupBy("ctx").agg(F.sum("c_ng").alias("c_ctx"))
+
+    def bits(c):
+        return F.length(F.conv(c.cast("string"), 10, 2)).cast("long")
+
+    gram_bits = (
+        ng_ctx.join(ctx_counts, "ctx")
+        .select("gram", (bits(F.col("c_ctx")) - bits(F.col("c_ng"))).alias("b"))
+    )
+    per_doc = (
+        doc_gram.join(gram_bits, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").alias("n_scored"),
+            F.sum(F.col("k") * F.col("b")).alias("total_bits"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_scored", F.lit(0)).alias("n_scored"),
+            F.coalesce("total_bits", F.lit(0)).alias("total_bits"),
+            F.when(
+                F.coalesce("n_scored", F.lit(0)) > 0,
+                F.expr("(total_bits * 1000) div n_scored"),  # integer div
+            )
+            .cast("long")
+            .alias("mbits_per_gram"),
+        )
+    )
+
+
 def repetition_stats(
     docs: DataFrame, ns: tuple[int, ...] = (2, 3, 4), text_col: str = "text"
 ) -> DataFrame:

@@ -1,0 +1,216 @@
+"""Round-4 operators: SemDeDup semantic dedup, pivot-sampled approximate
+betweenness, integer-bits n-gram LM surprisal — each against a pure-python
+replay of the same deterministic rule."""
+
+import hashlib
+import math
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from linkgraph.algorithms import approx_betweenness, betweenness_centrality
+from linkgraph.graph import LinkGraph
+from linkgraph.pipeline.simsearch import semantic_dedup
+from linkgraph.pipeline.textstats import TOKEN_RE, ngram_lm_bits
+
+
+# --------------------------------------------------------- semantic dedup
+
+
+def _emb(spark):
+    # two tight families (near-dups) + singletons, 8-dim
+    import numpy as np
+
+    rng = [
+        [1.0, 0, 0, 0, 0, 0, 0, 0],
+        [0.999, 0.04, 0, 0, 0, 0, 0, 0],   # dup of vec 0
+        [0.998, 0.05, 0.02, 0, 0, 0, 0, 0],  # dup of both
+        [0, 1.0, 0, 0, 0, 0, 0, 0],
+        [0, 0.999, 0.045, 0, 0, 0, 0, 0],  # dup of vec 3
+        [0, 0, 0, 1.0, 0, 0, 0, 0],
+        [0, 0, 0, 0, 0, 1.0, 0, 0],
+        [0, 0, 0, 0, 0, 0, 0.7, 0.7],
+    ]
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v], 0) for i, v in enumerate(rng)],
+        "vec_id long, embedding array<float>, label int",
+    )
+
+
+def test_semantic_dedup_dominator_rule(spark):
+    out = {
+        r["vec_id"]: r
+        for r in semantic_dedup(
+            _emb(spark), k_clusters=3, threshold=0.97, iters=2, seed=1
+        ).collect()
+    }
+    assert len(out) == 8
+    # every duplicate points at a strictly lower id in the SAME cluster,
+    # keepers carry null dup_of
+    for vid, r in out.items():
+        if r["keep"]:
+            assert r["dup_of"] is None
+        else:
+            assert r["dup_of"] is not None and r["dup_of"] < vid
+            assert out[r["dup_of"]]["cluster"] == r["cluster"]
+    # the two obvious near-dup families collapse: ids 1,2 -> 0 and 4 -> 3
+    # (only when k-means kept each family in one cell, which these
+    # orthogonal families guarantee at k=3 after 2 Lloyd rounds)
+    assert not out[1]["keep"] and out[1]["dup_of"] == 0
+    assert not out[2]["keep"] and out[2]["dup_of"] in (0, 1)
+    assert not out[4]["keep"] and out[4]["dup_of"] == 3
+    for vid in (0, 3, 5, 6, 7):
+        assert out[vid]["keep"]
+
+
+def test_semantic_dedup_deterministic(spark):
+    a = semantic_dedup(_emb(spark), k_clusters=3, threshold=0.97, seed=1).collect()
+    b = semantic_dedup(_emb(spark), k_clusters=3, threshold=0.97, seed=1).collect()
+    assert sorted(map(str, a)) == sorted(map(str, b))
+
+
+# --------------------------------------------- approximate betweenness
+
+
+def _path_graph(spark):
+    # directed path 1->2->3->4->5 plus a chord 1->3: real sigma/delta
+    edges = [(0, "1", "2"), (1, "2", "3"), (2, "3", "4"), (3, "4", "5"),
+             (4, "1", "3")]
+    return LinkGraph.from_edge_list(spark, edges)
+
+
+def _exact_bc(spark, g):
+    return {
+        r["name"]: r["betweenness"]
+        for r in betweenness_centrality(g, k=None, normalized=False).collect()
+    }
+
+
+def test_approx_betweenness_all_pivots_equals_exact(spark):
+    # |S| = n  =>  factor n/|S| = 1 and the sample is every node: the
+    # estimate IS exact Brandes
+    g = _path_graph(spark)
+    exact = _exact_bc(spark, g)
+    est = {
+        r["name"]: r["betweenness_est"]
+        for r in approx_betweenness(g, pivots=5, seed=3).collect()
+    }
+    assert est == pytest.approx(exact)
+
+
+def test_approx_betweenness_pivot_sample_replay(spark):
+    # the pivot set is the quenched md5 rank — replay it and Brandes from
+    # exactly those sources in python
+    g = _path_graph(spark)
+    names = ["1", "2", "3", "4", "5"]
+    adj = {"1": ["2", "3"], "2": ["3"], "3": ["4"], "4": ["5"], "5": []}
+    seed, pivots = 7, 2
+
+    def md5int(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    ranked = sorted(names, key=lambda v: (md5int(f"bcpivots:{seed}:{v}"), v))
+    srcs = ranked[:pivots]
+
+    # textbook Brandes from the sampled sources
+    delta_sum = {v: 0.0 for v in names}
+    for s in srcs:
+        dist = {s: 0}
+        sigma = {v: 0.0 for v in names}
+        sigma[s] = 1.0
+        order = [s]
+        frontier = [s]
+        while frontier:
+            nxt = []
+            for u in frontier:
+                for w in adj[u]:
+                    if w not in dist:
+                        dist[w] = dist[u] + 1
+                        nxt.append(w)
+                    if dist[w] == dist[u] + 1:
+                        sigma[w] += sigma[u]
+            order.extend(nxt)
+            frontier = nxt
+        delta = {v: 0.0 for v in names}
+        for w in reversed(order):
+            for x in adj[w]:
+                if dist.get(x) == dist[w] + 1:
+                    delta[w] += sigma[w] / sigma[x] * (1.0 + delta[x])
+            if w != s:
+                delta_sum[w] += delta[w]
+    factor = len(names) / pivots
+    expected = {v: delta_sum[v] * factor for v in names}
+
+    est = {
+        r["name"]: r["betweenness_est"]
+        for r in approx_betweenness(g, pivots=pivots, seed=seed).collect()
+    }
+    assert est == pytest.approx(expected)
+
+
+# ----------------------------------------------------------- LM bits
+
+
+def test_ngram_lm_bits_matches_local_replay(spark):
+    texts = [
+        (0, "the cat sat on the mat"),
+        (1, "the cat sat on the hat"),
+        (2, "the cat sat on the mat again and again"),
+        (3, "completely different words here now"),
+        (4, "xy"),  # shorter than n -> unscored
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in texts],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    n = 3
+    tok_re = re.compile(TOKEN_RE)
+    occ = []
+    for i, t in texts:
+        toks = tok_re.findall(t)
+        for p in range(len(toks) - n + 1):
+            occ.append((i, " ".join(toks[p : p + n])))
+    from collections import Counter
+
+    c_ng = Counter(g for _, g in occ)
+    c_ctx = Counter(" ".join(g.split(" ")[: n - 1]) for _, g in occ)
+
+    def bits(x):
+        return x.bit_length()
+
+    exp = {}
+    for i, _ in texts:
+        grams = [g for d, g in occ if d == i]
+        total = sum(
+            bits(c_ctx[" ".join(g.split(" ")[: n - 1])]) - bits(c_ng[g])
+            for g in grams
+        )
+        ns = len(grams)
+        exp[i] = (
+            ns,
+            total,
+            (total * 1000) // ns if ns else None,
+        )
+
+    got = {
+        r["doc_id"]: (r["n_scored"], r["total_bits"], r["mbits_per_gram"])
+        for r in ngram_lm_bits(docs, n=3).collect()
+    }
+    assert got == exp
+    # MLE surprisal is about rare CONTINUATIONS of common contexts: doc 1's
+    # "on the hat" (ctx "on the" appears 3x, the gram once) earns positive
+    # bits, while doc 3's one-off vocabulary has unique contexts too and
+    # scores exactly 0 (P=1 under MLE) — correct, if initially surprising
+    assert got[1][1] > 0
+    assert got[3] == (3, 0, 0)
+    assert got[4] == (0, 0, None)
+
+
+def test_ngram_lm_bits_rejects_unigram(spark):
+    docs = spark.createDataFrame(
+        [(0, "a b c", "en", "s", 5)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    with pytest.raises(ValueError, match="n >= 2"):
+        ngram_lm_bits(docs, n=1)
