@@ -79,7 +79,7 @@ def random_walks(
         raise ValueError("walk_length must be >= 0 and walks_per_node >= 1")
     spark = graph.edges_t.sparkSession
     shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    adj = _adjacency(graph, direction).repartition(shuffle_n, "node").persist()
+    adj = _adjacency(graph, direction).repartition(shuffle_n, "node").localCheckpoint(eager=True)
 
     salt = f"walks:{seed}"
     cur = (
@@ -92,7 +92,7 @@ def random_walks(
             F.concat_ws(":", "id", "r").alias("walk_id"),
             F.col("id").alias("node"),
         )
-        .persist()
+        .localCheckpoint(eager=True)
     )
     frames = [cur.select("walk_id", F.lit(0).cast("int").alias("step"), "node")]
     for s in range(1, walk_length + 1):
@@ -182,7 +182,7 @@ def node2vec_walks(
         raise ValueError(f"method must be 'rejection' or 'exact', got {method!r}")
     spark = graph.edges_t.sparkSession
     shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    adj = _adjacency(graph, direction).repartition(shuffle_n, "node").persist()
+    adj = _adjacency(graph, direction).repartition(shuffle_n, "node").localCheckpoint(eager=True)
 
     salt = f"n2v:{seed}"
     base = (
@@ -202,7 +202,7 @@ def node2vec_walks(
             F.lit(None).cast("array<long>").alias("prev_nbrs"),
             F.col("id").alias("node"),
         )
-        .persist()
+        .localCheckpoint(eager=True)
     )
     frames = [cur.select("walk_id", F.lit(0).cast("int").alias("step"), "node")]
     for s in range(1, walk_length + 1):
@@ -278,7 +278,7 @@ def _node2vec_rejection(
     M = max(wp, 1.0, wq)
     spark = graph.edges_t.sparkSession
     shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    adj = _adjacency(graph, direction).repartition(shuffle_n, "node").persist()
+    adj = _adjacency(graph, direction).repartition(shuffle_n, "node").localCheckpoint(eager=True)
     # slim membership probe: the SAME pair set the arrays are built from,
     # cached pre-partitioned on the prev-node key — Spark's ClusteredDistribution
     # accepts a subset partitioning, so the cached side never reshuffles
@@ -288,7 +288,7 @@ def _node2vec_rejection(
         )
         .withColumn("is_nbr", F.lit(True))
         .repartition(shuffle_n, "prev")
-        .persist()
+        .localCheckpoint(eager=True)
     )
 
     csalt, asalt = f"n2vr:{seed}:c", f"n2vr:{seed}:a"
@@ -307,7 +307,7 @@ def _node2vec_rejection(
             F.lit(None).cast("long").alias("prev"),
             F.col("id").alias("node"),
         )
-        .persist()
+        .localCheckpoint(eager=True)
     )
     frames = [cur.select("walk_id", F.lit(0).cast("int").alias("step"), "node")]
     for s in range(1, walk_length + 1):
@@ -437,7 +437,7 @@ def temporal_walks(
         .groupBy("node")
         .agg(F.sort_array(F.collect_list(F.struct(F.col("t").alias("time"), F.col("nb").alias("nb")))).alias("nbrs"))
         .repartition(shuffle_n, "node")
-        .persist()
+        .localCheckpoint(eager=True)
     )
 
     salt = f"twalk:{seed}"
@@ -456,7 +456,7 @@ def temporal_walks(
             F.lit(_LONG_MIN).cast("long").alias("t"),
             F.col("id").alias("node"),
         )
-        .persist()
+        .localCheckpoint(eager=True)
     )
     frames = [
         cur.select(
