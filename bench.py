@@ -150,6 +150,10 @@ def main() -> None:
         "trade_topo_levels",
         "trade_eccentricity",
         "trade_landmark_distances",
+        # round 4: semantic dedup, sampled betweenness, integer-bits LM
+        "emb_semantic_dedup",
+        "copurchase_approx_betweenness",
+        "docs_lm_bits",
     ]
     # untimed warmup at the smallest scale factor: run every headline query
     # once over sf0.001 so whole-stage-codegen compilation, the parquet
