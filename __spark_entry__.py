@@ -671,6 +671,24 @@ def q_trade_windowed_component_sizes(spark, sf_dir):
     )
 
 
+def q_trade_pagerank_warm(spark, sf_dir):
+    """Warm-started windowed PageRank — the incremental temporal-analytics
+    path: the 1995 window's iteration is initialised from the 1994
+    window's scores (projected onto the new node set, absentees seeded
+    1/n, renormalised to mass 1), 8 fixed supersteps each phase.  The
+    oracle chains two recursive-CTE power iterations through the same
+    projection + renormalisation."""
+    from linkgraph.algorithms import pagerank
+
+    g94 = _trade_graph(spark, sf_dir).window(757382400000, 788918400000)
+    g95 = _trade_graph(spark, sf_dir).window(788918400000, 820454400000)
+    init = pagerank(g94, max_iter=8, tol=0.0).select("id", "score")
+    res = pagerank(g95, max_iter=8, tol=0.0, init_scores=init)
+    return res.select(
+        F.col("id").alias("node"), F.round("score", 6).alias("score")
+    )
+
+
 def q_trade_weighted_pagerank(spark, sf_dir):
     """PageRank weighted by summed l_quantity per edge, 20 fixed
     supersteps — contribution = score·w/out_strength, sink mass (all
@@ -1940,6 +1958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_semantic_dedup": q_emb_semantic_dedup,
         "copurchase_approx_betweenness": q_copurchase_approx_betweenness,
         "docs_lm_bits": q_docs_lm_bits,
+        "trade_pagerank_warm": q_trade_pagerank_warm,
         # round-3-green buffer (driver re-confirmation, newest first)
         "trade_closeness": q_trade_closeness,
         "trade_neighbor_sample": q_trade_neighbor_sample,
@@ -2196,6 +2215,71 @@ SELECT id AS node, round(score, {digits}) AS score FROM pr WHERE iter = {iters}
 
 
 _PAGERANK_ORACLE = _pagerank_oracle_sql(PR_ITERS)
+
+
+def _warm_pagerank_oracle_sql(iters: int = 8, digits: int = 6) -> str:
+    """Two chained recursive-CTE power iterations: 1994-window PageRank
+    from uniform, projected onto the 1995 window's node set (absentees
+    1/n95), renormalised to mass 1, then the 1995 iteration from that
+    vector — mirrors pagerank(init_scores=...) exactly."""
+
+    def wed(name: str, ws: int, we: int) -> str:
+        return f"""{name} AS (
+  SELECT DISTINCT o_custkey AS src, 1000000 + l_suppkey AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  WHERE epoch_ms(o_orderdate) >= {ws} AND epoch_ms(o_orderdate) < {we}
+)"""
+
+    def phase(tag: str) -> str:
+        return f"""nodes{tag} AS (
+  SELECT DISTINCT id FROM (SELECT src AS id FROM ed{tag} UNION ALL SELECT dst FROM ed{tag})
+),
+outdeg{tag} AS (SELECT src AS id, count(*)::DOUBLE AS d FROM ed{tag} GROUP BY src),
+nn{tag} AS (SELECT count(*)::DOUBLE AS n FROM nodes{tag}),
+w{tag} AS (
+  SELECT e.src AS u, e.dst AS v, 1.0/od.d AS wt
+  FROM ed{tag} e JOIN outdeg{tag} od ON od.id = e.src
+  UNION ALL
+  SELECT s.id, t.id, 1.0/(SELECT n FROM nn{tag})
+  FROM (SELECT tn.id FROM nodes{tag} tn LEFT JOIN outdeg{tag} od ON od.id = tn.id
+        WHERE od.id IS NULL) s
+  CROSS JOIN nodes{tag} t
+  UNION ALL
+  SELECT id, id, 0.0 FROM nodes{tag}
+)"""
+
+    return f"""
+WITH RECURSIVE
+{wed("ed94", 757382400000, 788918400000)},
+{wed("ed95", 788918400000, 820454400000)},
+{phase("94")},
+{phase("95")},
+pr94(iter, id, score) AS (
+  SELECT 0, id, 1.0/(SELECT n FROM nn94) FROM nodes94
+  UNION ALL
+  SELECT p.iter + 1, w.v, 0.15/(SELECT n FROM nn94) + 0.85 * sum(p.score * w.wt)
+  FROM pr94 p JOIN w94 w ON w.u = p.id
+  WHERE p.iter < {iters}
+  GROUP BY p.iter + 1, w.v
+),
+seeded AS (
+  SELECT n.id,
+         coalesce(p.score, 1.0/(SELECT n FROM nn95)) AS s0
+  FROM nodes95 n LEFT JOIN (SELECT id, score FROM pr94 WHERE iter = {iters}) p
+    USING (id)
+),
+tot AS (SELECT sum(s0) AS t FROM seeded),
+init95 AS (SELECT id, s0 / (SELECT t FROM tot) AS score FROM seeded),
+pr95(iter, id, score) AS (
+  SELECT 0, id, score FROM init95
+  UNION ALL
+  SELECT p.iter + 1, w.v, 0.15/(SELECT n FROM nn95) + 0.85 * sum(p.score * w.wt)
+  FROM pr95 p JOIN w95 w ON w.u = p.id
+  WHERE p.iter < {iters}
+  GROUP BY p.iter + 1, w.v
+)
+SELECT id AS node, round(score, {digits}) AS score FROM pr95 WHERE iter = {iters}
+"""
 
 
 def _kcore_oracle_sql(k: int, rounds: int) -> str:
@@ -3378,6 +3462,8 @@ SELECT node, min(lab) AS component FROM reach GROUP BY node
     # (tol*n geometric tail), which can flip a 6th-decimal rounding on
     # boundary-sitting scores (measured: exactly 1 of 1600 at sf0.01)
     sqls["trade_pagerank_converged"] = _pagerank_oracle_sql(200, digits=5)
+
+    sqls["trade_pagerank_warm"] = _warm_pagerank_oracle_sql(iters=8)
     sqls["cosupply_kcore"] = _kcore_oracle_sql(30, rounds=96)
     sqls["trade_pagerank_blocks"] = _PAGERANK_ORACLE
 

@@ -73,8 +73,19 @@ def pagerank(
     iters_out: dict | None = None,
     kernel: str = "auto",
     timings_out: list | None = None,
+    init_scores: DataFrame | None = None,
 ) -> DataFrame:
     """Run PageRank; returns ``(name, id, score)``.
+
+    ``init_scores`` (any DataFrame with ``id`` and ``score`` columns —
+    e.g. a previous :func:`pagerank` result) WARM-STARTS the power
+    iteration: scores are projected onto this view's node set, nodes
+    absent from the init get the uniform 1/n seed, and the vector is
+    renormalised to total mass 1.  The fixpoint is unchanged (PageRank's
+    limit is init-independent); what changes is the distance to it — on a
+    rolling temporal window the previous window's scores are already
+    close, so convergence to the same tol takes a fraction of the
+    supersteps (the incremental-analytics path; measured in BENCH.md).
 
     ``broadcast_threshold``: if the node count is below this, the rank
     vector is broadcast into the contribution join (a ~16-byte/node table:
@@ -117,6 +128,7 @@ def pagerank(
         pre_deduped=True,
         kernel=kernel,
         timings_out=timings_out,
+        init_scores=init_scores,
     )
     return res.join(ids, "id").select("name", "id", "score")
 
@@ -164,10 +176,12 @@ def pagerank_on_ids(
     pre_deduped: bool = False,
     kernel: str = "auto",
     timings_out: list | None = None,
+    init_scores: DataFrame | None = None,
 ) -> DataFrame:
     """Id-native PageRank core over ``nodes(id)`` + ``edge_ids(src_id, dst_id)``;
     returns ``(id, score)``.  Pass ``pre_deduped=True`` when the edge table is
-    already simple (distinct) to skip one shuffle."""
+    already simple (distinct) to skip one shuffle.  ``init_scores`` warm-
+    starts the iteration (see :func:`pagerank`)."""
     ids = nodes.select("id")
     n = ids.count()
     if n == 0:
@@ -184,7 +198,8 @@ def pagerank_on_ids(
         )
     if kernel == "local":
         out = _pagerank_local(
-            spark, ids, raw_edges, n, max_iter, tol, norm, damping, iters_out
+            spark, ids, raw_edges, n, max_iter, tol, norm, damping, iters_out,
+            init_scores,
         )
         raw_edges.unpersist()
         return out
@@ -240,7 +255,20 @@ def pagerank_on_ids(
         n_sinks = static.filter(F.col("out_degree") == 0).count()
 
         teleport = (1.0 - damping) / n
-        init = static.withColumn("score", F.lit(1.0 / n))
+        if init_scores is None:
+            init = static.withColumn("score", F.lit(1.0 / n))
+        else:
+            # warm start: project onto this node set, seed absentees with
+            # the uniform 1/n, renormalise to total mass 1 (the iteration's
+            # invariant).  One extra join + one global sum, once.
+            prev = init_scores.select("id", F.col("score").alias("s0"))
+            seeded = static.join(prev, "id", "left").withColumn(
+                "s0", F.coalesce("s0", F.lit(1.0 / n))
+            )
+            total = float(seeded.agg(F.sum("s0")).first()[0])
+            init = seeded.select(
+                *static.columns, (F.col("s0") / F.lit(total)).alias("score")
+            )
 
         store = CheckpointStore(spark, checkpoint_dir) if checkpoint_dir else None
         if store is not None:
@@ -411,7 +439,8 @@ def _pr_block_step(state_pdf, block_pdf):
 
 
 def _pagerank_local(
-    spark, ids, edges, n, max_iter, tol, norm, damping, iters_out=None
+    spark, ids, edges, n, max_iter, tol, norm, damping, iters_out=None,
+    init_scores=None,
 ) -> DataFrame:
     """Gathered-CSR power iteration — pagerank.rs:54-183 semantics, one
     driver-side numpy pass instead of ``max_iter`` DataFrame jobs.
@@ -449,6 +478,13 @@ def _pagerank_local(
     safe_deg = np.where(sinks, 1.0, out_deg)
 
     score = np.full(n, 1.0 / n)
+    if init_scores is not None:
+        # warm start, same contract as the superstep kernel: project,
+        # seed absentees uniform, renormalise to mass 1
+        prev = init_scores.select("id", "score").toPandas()
+        pos, ok = _lookup(prev["id"].to_numpy(np.int64))
+        score[pos[ok]] = prev["score"].to_numpy(np.float64)[ok]
+        score = score / float(score.sum())
     teleport = (1.0 - damping) / n
     for it in range(1, max_iter + 1):
         if iters_out is not None:

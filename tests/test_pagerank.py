@@ -162,3 +162,51 @@ def test_personalized_pagerank_matches_local_power_iteration(spark):
     # restart mass concentrates at/near the seed; total mass is 1
     assert got[1] == max(got.values())
     assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_warm_start_same_fixpoint_fewer_iterations(spark):
+    from tests import fixtures as FX
+
+    g = LinkGraph.from_edge_list(spark, FX.GEN_GRAPH)
+    cold_iters: dict = {}
+    cold = {
+        r["name"]: r["score"]
+        for r in pagerank(g, max_iter=200, tol=1e-9, norm="l1",
+                          iters_out=cold_iters).collect()
+    }
+    # warm-start from an 80%-converged vector: the fixpoint is identical,
+    # the distance to it is not
+    init = pagerank(g, max_iter=max(2, cold_iters["iterations"] // 2),
+                    tol=0.0).select("id", "score")
+    warm_iters: dict = {}
+    warm = {
+        r["name"]: r["score"]
+        for r in pagerank(g, max_iter=200, tol=1e-9, norm="l1",
+                          iters_out=warm_iters, init_scores=init).collect()
+    }
+    assert warm_iters["iterations"] < cold_iters["iterations"]
+    for k in cold:
+        assert warm[k] == pytest.approx(cold[k], abs=1e-7)
+
+
+def test_warm_start_projects_and_renormalises(spark):
+    # init has a node NOT in the graph (dropped) and misses one that is
+    # (seeded 1/n); total mass renormalised to 1
+    edges = [(0, "a", "b"), (1, "b", "c"), (2, "c", "a")]
+    g = LinkGraph.from_edge_list(spark, edges)
+    ids = {r["name"]: r["id"] for r in g.ids().collect()}
+    init = spark.createDataFrame(
+        [(ids["a"], 10.0), (ids["b"], 30.0), (12345, 99.0)],
+        "id long, score double",
+    )
+    out = {
+        r["name"]: r["score"]
+        for r in pagerank(g, max_iter=0, tol=0.0, kernel="superstep",
+                          init_scores=init).collect()
+    }
+    n = 3
+    total = 10.0 + 30.0 + 1.0 / n
+    assert out["a"] == pytest.approx(10.0 / total)
+    assert out["b"] == pytest.approx(30.0 / total)
+    assert out["c"] == pytest.approx((1.0 / n) / total)
+    assert sum(out.values()) == pytest.approx(1.0)
