@@ -150,10 +150,12 @@ def main() -> None:
         "trade_topo_levels",
         "trade_eccentricity",
         "trade_landmark_distances",
-        # round 4: semantic dedup, sampled betweenness, integer-bits LM
+        # round 4: semantic dedup, sampled betweenness, integer-bits LM,
+        # warm-started windowed PageRank
         "emb_semantic_dedup",
         "copurchase_approx_betweenness",
         "docs_lm_bits",
+        "trade_pagerank_warm",
     ]
     # untimed warmup at the smallest scale factor: run every headline query
     # once over sf0.001 so whole-stage-codegen compilation, the parquet
