@@ -107,6 +107,12 @@ def _brandes_delta_sum(spark, adj: DataFrame, sources: DataFrame) -> DataFrame:
     """Batched Brandes core: forward σ levels + backward δ sweep from
     ``sources(id)`` over the cached out-adjacency ``adj(id, nbr_id)``;
     returns the raw per-node dependency sum ``(id, betweenness)``."""
+    from linkgraph.superstep import pick_partitions
+
+    # size the 2·diameter supersteps' exchanges to the adjacency volume
+    # (AQE is off inside iteration_conf): a |S|·n state over the session's
+    # 32 partitions is mostly empty-task scheduler latency per level
+    P = pick_partitions(spark, adj.count())
     # forward BFS: levels[l] = (src, node, sigma)
     level0 = sources.select(
         F.col("id").alias("src"), F.col("id").alias("node"), F.lit(1.0).alias("sigma")
@@ -114,7 +120,7 @@ def _brandes_delta_sum(spark, adj: DataFrame, sources: DataFrame) -> DataFrame:
     levels = [level0]
     seen = level0.select("src", "node").localCheckpoint()
 
-    with iteration_conf(spark):
+    with iteration_conf(spark, shuffle_partitions=P):
         while True:
             frontier = levels[-1]
             nxt = (
