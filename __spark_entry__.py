@@ -689,6 +689,78 @@ def q_trade_pagerank_warm(spark, sf_dir):
     )
 
 
+def q_docs_tfidf_keywords(spark, sf_dir):
+    """Top-5 tf-idf keywords per document with the floored-log2 integer
+    idf (bits(N) − bits(df)) — every column BIGINT/string, so the oracle
+    replay is bit-exact by construction (textstats.tfidf_keywords)."""
+    from linkgraph.pipeline.textstats import tfidf_keywords
+
+    docs = _t(spark, sf_dir, "documents")
+    return tfidf_keywords(docs, k=5).select(
+        "doc_id",
+        "term",
+        F.col("tf").cast("long").alias("tf"),
+        F.col("df_docs").cast("long").alias("df_docs"),
+        "score",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def q_docs_length_buckets(spark, sf_dir):
+    """Length-bucketed batch assignment (power-of-two buckets, 2048-token
+    batch budget) — the pad-efficient batching layout; order inside a
+    bucket is the quenched (md5 % 64, md5, doc_id) key, ranked by the
+    same two-pass distributed prefix sum as pack_sequences
+    (packing.length_buckets)."""
+    from linkgraph.pipeline.packing import length_buckets
+
+    docs = _t(spark, sf_dir, "documents")
+    return length_buckets(docs, max_tokens=2048, n_sub=64)
+
+
+def q_trade_nation_conductance(spark, sf_dir):
+    """Conductance of the nation partition over the undirected trade
+    graph — per-nation cut / min-side volume, the partition-quality twin
+    of modularity (metrics.community_conductance).  Output is integer
+    ppm (``(1e6·cut) div min_vol``) so the division is integer-exact on
+    both engines."""
+    from linkgraph.algorithms.metrics import community_conductance
+
+    g = _trade_graph(spark, sf_dir)
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    mapping = (
+        cust.join(nat, cust.c_nationkey == nat.n_nationkey)
+        .select(
+            F.col("c_custkey").cast("string").alias("name"),
+            F.col("n_name").alias("community"),
+        )
+        .unionByName(
+            supp.join(nat, supp.s_nationkey == nat.n_nationkey).select(
+                (F.lit(1_000_000) + F.col("s_suppkey"))
+                .cast("string")
+                .alias("name"),
+                F.col("n_name").alias("community"),
+            )
+        )
+    )
+    labels = g.ids().join(mapping, "name").select("id", "community")
+    return community_conductance(g, labels).select(
+        "community",
+        "n_nodes",
+        "internal_edges",
+        "cut_edges",
+        "vol",
+        F.expr(
+            "case when least(vol, sum(vol) over () - vol) > 0 "
+            "then (1000000 * cut_edges) div least(vol, sum(vol) over () - vol) end"
+        )
+        .cast("long")
+        .alias("cond_ppm"),
+    )
+
+
 def q_trade_weighted_pagerank(spark, sf_dir):
     """PageRank weighted by summed l_quantity per edge, 20 fixed
     supersteps — contribution = score·w/out_strength, sink mass (all
@@ -1959,6 +2031,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchase_approx_betweenness": q_copurchase_approx_betweenness,
         "docs_lm_bits": q_docs_lm_bits,
         "trade_pagerank_warm": q_trade_pagerank_warm,
+        "docs_tfidf_keywords": q_docs_tfidf_keywords,
+        "docs_length_buckets": q_docs_length_buckets,
+        "trade_nation_conductance": q_trade_nation_conductance,
         # round-3-green buffer (driver re-confirmation, newest first)
         "trade_closeness": q_trade_closeness,
         "trade_neighbor_sample": q_trade_neighbor_sample,
@@ -3464,6 +3539,117 @@ SELECT node, min(lab) AS component FROM reach GROUP BY node
     sqls["trade_pagerank_converged"] = _pagerank_oracle_sql(200, digits=5)
 
     sqls["trade_pagerank_warm"] = _warm_pagerank_oracle_sql(iters=8)
+
+    # tf-idf keywords: integer idf = bits(N) - bits(df) (floored-log2 via
+    # binary-string length), ties broken on the term string — bit-exact
+    sqls["docs_tfidf_keywords"] = r"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(text), '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]') AS toks
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM t)
+  GROUP BY 1, 2
+),
+dfq AS (SELECT term, count(*)::BIGINT AS df_docs FROM tf GROUP BY 1),
+scored AS (
+  SELECT doc_id, term, tf, df_docs,
+         (tf * (length(bin(n.n)) - length(bin(df_docs))))::BIGINT AS score
+  FROM tf JOIN dfq USING (term)
+  CROSS JOIN (SELECT count(*)::BIGINT AS n FROM documents) n
+),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, term ASC
+  )::BIGINT AS rank
+  FROM scored
+)
+SELECT doc_id, term, tf, df_docs, score, rank FROM r WHERE rank <= 5
+"""
+
+    # length-bucketed batching: power-of-two bucket via bin-length shift,
+    # quenched (md5 % 64, md5, key) order, integer div/mod — bit-exact
+    sqls["docs_length_buckets"] = r"""
+WITH base AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::BIGINT
+           AS n_tokens,
+         ('0x' || substr(md5('bucket:' || doc_id::VARCHAR), 1, 15))::BIGINT AS hv
+  FROM documents
+),
+b AS (
+  SELECT doc_id, n_tokens,
+         (CASE WHEN n_tokens <= 1 THEN 1
+               ELSE (1::BIGINT << length(bin(n_tokens - 1))) END)::BIGINT
+           AS bucket_len,
+         hv, hv % 64 AS sub
+  FROM base
+),
+r AS (
+  SELECT *, (row_number() OVER (
+    PARTITION BY bucket_len ORDER BY sub ASC, hv ASC, doc_id ASC
+  ) - 1)::BIGINT AS rnk
+  FROM b
+),
+c AS (SELECT *, greatest(2048 // bucket_len, 1)::BIGINT AS cap FROM r)
+SELECT doc_id, n_tokens, bucket_len,
+       (rnk // cap)::BIGINT AS batch_id,
+       (rnk % cap)::BIGINT AS batch_seq,
+       (bucket_len - least(n_tokens, bucket_len))::BIGINT AS pad_tokens
+FROM c
+"""
+
+    # nation-partition conductance on the undirected simple trade graph:
+    # pure integer counts + one integer division -> ppm, engine-exact
+    sqls["trade_nation_conductance"] = r"""
+WITH e AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+cl AS (
+  SELECT c_custkey AS c, n_name AS nc
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+),
+sl AS (
+  SELECT s_suppkey AS s, n_name AS ns
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+),
+el AS (SELECT nc, ns FROM e JOIN cl USING (c) JOIN sl USING (s)),
+nodes AS (
+  SELECT community, count(*)::BIGINT AS n_nodes FROM (
+    SELECT nc AS community FROM (SELECT DISTINCT c FROM e) JOIN cl USING (c)
+    UNION ALL
+    SELECT ns FROM (SELECT DISTINCT s FROM e) JOIN sl USING (s)
+  ) GROUP BY 1
+),
+intern AS (
+  SELECT nc AS community, count(*)::BIGINT AS internal_edges
+  FROM el WHERE nc = ns GROUP BY 1
+),
+cut AS (
+  SELECT community, count(*)::BIGINT AS cut_edges
+  FROM (SELECT unnest([nc, ns]) AS community FROM el WHERE nc <> ns)
+  GROUP BY 1
+),
+per AS (
+  SELECT n.community, n.n_nodes,
+         coalesce(i.internal_edges, 0)::BIGINT AS internal_edges,
+         coalesce(k.cut_edges, 0)::BIGINT AS cut_edges,
+         (2 * coalesce(i.internal_edges, 0) + coalesce(k.cut_edges, 0))::BIGINT
+           AS vol
+  FROM nodes n
+  LEFT JOIN intern i USING (community)
+  LEFT JOIN cut k USING (community)
+)
+SELECT community, n_nodes, internal_edges, cut_edges, vol,
+       (CASE WHEN least(vol, (SELECT sum(vol) FROM per) - vol) > 0
+             THEN (1000000 * cut_edges)
+                  // least(vol, (SELECT sum(vol) FROM per) - vol) END)::BIGINT
+         AS cond_ppm
+FROM per
+"""
     sqls["cosupply_kcore"] = _kcore_oracle_sql(30, rounds=96)
     sqls["trade_pagerank_blocks"] = _PAGERANK_ORACLE
 

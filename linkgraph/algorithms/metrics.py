@@ -342,3 +342,68 @@ def edge_turnover(graph: LinkGraph, bucket_ms: int) -> DataFrame:
             / (F.col("n_edges") + F.col("deaths"))
         ).alias("jaccard"),
     )
+
+
+def community_conductance(graph: LinkGraph, labels: DataFrame) -> DataFrame:
+    """Per-community conductance over the undirected simple graph —
+    ``(community, n_nodes, internal_edges, cut_edges, vol, conductance)``.
+
+    The standard partition-quality metric (φ(S) = cut(S) / min(vol(S),
+    vol(V∖S)), vol = Σ degree): how well a labelling — LPA / WCC /
+    Louvain output, or any node attribute — separates the graph.
+    ``labels`` is ``(id, community)``; unlabelled nodes are ignored and an
+    edge counts toward the cut of BOTH endpoint communities.  Singleton
+    partitions covering the whole volume get NULL conductance (min-side
+    volume 0).
+
+    Scale shape: canonical edges join the node-sized label table twice on
+    the endpoint ids (shuffle joins Catalyst/AQE is free to broadcast),
+    then two hash aggregates — internal edges grouped by the shared label,
+    cut edges exploded to both endpoint labels.  No iteration; the
+    conductance itself is one IEEE division of two exact BIGINTs, so the
+    value is engine-reproducible bit-for-bit.
+
+    Reference anchor: complements modularity (community.rs) — same edge
+    bookkeeping, cut-based instead of null-model-based.
+    """
+    lab = labels.select(F.col("id"), F.col("community"))
+    e = (
+        graph.canonical_edge_ids()
+        .join(lab.withColumnRenamed("id", "lo").withColumnRenamed("community", "c_lo"), "lo")
+        .join(lab.withColumnRenamed("id", "hi").withColumnRenamed("community", "c_hi"), "hi")
+    )
+    internal = (
+        e.filter(F.col("c_lo") == F.col("c_hi"))
+        .groupBy(F.col("c_lo").alias("community"))
+        .agg(F.count("*").alias("internal_edges"))
+    )
+    cut = (
+        e.filter(F.col("c_lo") != F.col("c_hi"))
+        .select(F.explode(F.array("c_lo", "c_hi")).alias("community"))
+        .groupBy("community")
+        .agg(F.count("*").alias("cut_edges"))
+    )
+    nodes = lab.groupBy("community").agg(F.count("*").alias("n_nodes"))
+    per = (
+        nodes.join(internal, "community", "left")
+        .join(cut, "community", "left")
+        .select(
+            "community",
+            "n_nodes",
+            F.coalesce("internal_edges", F.lit(0)).cast("long").alias("internal_edges"),
+            F.coalesce("cut_edges", F.lit(0)).cast("long").alias("cut_edges"),
+        )
+        .withColumn(
+            "vol", (F.lit(2) * F.col("internal_edges") + F.col("cut_edges")).cast("long")
+        )
+    )
+    total = per.agg(F.sum("vol").alias("_tv"))
+    min_vol = F.least(F.col("vol"), F.col("_tv") - F.col("vol"))
+    return per.crossJoin(F.broadcast(total)).select(
+        "community",
+        "n_nodes",
+        "internal_edges",
+        "cut_edges",
+        "vol",
+        F.when(min_vol > 0, F.col("cut_edges") / min_vol).alias("conductance"),
+    )

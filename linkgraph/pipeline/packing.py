@@ -132,3 +132,95 @@ def chunk_text(
         )
         .withColumn("n_chars", F.length("chunk"))
     )
+
+
+def length_buckets(
+    docs: DataFrame,
+    max_tokens: int = 2048,
+    n_sub: int = 64,
+    text_col: str = "text",
+    key: str = "doc_id",
+    salt: str = "bucket",
+) -> DataFrame:
+    """Length-bucketed batch assignment — ``(doc_id, n_tokens, bucket_len,
+    batch_id, batch_seq, pad_tokens)``.
+
+    The pad-efficient alternative to :func:`pack_sequences` for
+    sequence-boundary-respecting training: each document goes to the
+    power-of-two bucket ``bucket_len = 2^⌈log2 n⌉`` and buckets are cut
+    into batches of ``capacity = max(max_tokens // bucket_len, 1)``
+    same-length documents (over-long documents get singleton batches), so
+    per-batch padding waste is < 50% worst-case instead of unbounded.
+    ``(bucket_len, batch_id)`` is the batch key; ``batch_seq`` is the
+    document's slot; ``pad_tokens = bucket_len − min(n, bucket_len)``.
+
+    Determinism and scale: the within-bucket order is ``(hash % n_sub,
+    hash, key)`` — a pure function of the keys (reproducible across
+    partitionings, exactly replayable by one SQL ORDER BY).  The rank is
+    the same two-pass distributed prefix sum as :func:`pack_sequences`
+    (per-sub-bucket row_number + a broadcast of per-sub offsets), so no
+    stage windows over more than ``1/n_sub`` of a bucket — a global
+    per-bucket row_number would be a single-task bottleneck at 100 TB.
+
+    ``bucket_len`` is computed in pure integer ops (``1 <<
+    length(bin(n−1))``), so every output column is a BIGINT and the
+    oracle replay is bit-exact.
+    """
+    if max_tokens <= 0:
+        raise ValueError("max_tokens must be positive")
+    hv = hash_key(F.col(key), salt)
+    n = F.size(F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), 0))
+    # pyspark's shiftleft() only takes a literal shift count — use the SQL
+    # expression form for a column-valued shift
+    bucket = F.expr(
+        "case when n_tokens <= 1 then cast(1 as bigint) "
+        "else shiftleft(cast(1 as bigint), "
+        "length(conv(cast(n_tokens - 1 as string), 10, 2))) end"
+    )
+    base = docs.select(
+        F.col(key).alias("doc_id"),
+        n.cast("long").alias("n_tokens"),
+        hv.alias("_hv"),
+        (hv % n_sub).alias("_sub"),
+    ).withColumn("bucket_len", bucket.cast("long"))
+    # pass 1: rank inside (bucket_len, sub) — P·n_sub-way parallel
+    w = (
+        Window.partitionBy("bucket_len", "_sub")
+        .orderBy(F.col("_hv").asc(), F.col("doc_id").asc())
+    )
+    local = base.withColumn("_local_rank", F.row_number().over(w) - 1)
+    # pass 2: per-sub counts -> exclusive prefix inside each bucket_len
+    # (tiny: n_buckets · n_sub rows), broadcast back
+    bw = (
+        Window.partitionBy("bucket_len")
+        .orderBy("_sub")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        base.groupBy("bucket_len", "_sub")
+        .agg(F.count("*").alias("_cnt"))
+        .withColumn("_sub_start", F.coalesce(F.sum("_cnt").over(bw), F.lit(0)))
+        .select("bucket_len", "_sub", "_sub_start")
+    )
+    # integer `div` throughout — double division + cast can misfloor once
+    # ranks grow past the 53-bit exact range
+    capacity = F.greatest(
+        F.expr(f"cast({max_tokens} as bigint) div bucket_len"),
+        F.lit(1).cast("long"),
+    )
+    return (
+        local.join(F.broadcast(offsets), ["bucket_len", "_sub"])
+        .withColumn("_rank", F.col("_sub_start") + F.col("_local_rank"))
+        .withColumn("_cap", capacity)
+        .select(
+            "doc_id",
+            "n_tokens",
+            "bucket_len",
+            F.expr("_rank div _cap").cast("long").alias("batch_id"),
+            (F.col("_rank") % F.col("_cap")).cast("long").alias("batch_seq"),
+            (
+                F.col("bucket_len")
+                - F.least(F.col("n_tokens"), F.col("bucket_len"))
+            ).alias("pad_tokens"),
+        )
+    )

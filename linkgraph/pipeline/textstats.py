@@ -350,3 +350,63 @@ def scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.size(F.regexp_extract_all(t, F.lit(IPV4_RE), 0)).alias("n_ips"),
         F.size(F.regexp_extract_all(t, F.lit(KEY_RE), 0)).alias("n_keys"),
     )
+
+
+def tfidf_keywords(
+    docs: DataFrame, k: int = 5, text_col: str = "text"
+) -> DataFrame:
+    """Per-document tf-idf keyword extraction — the top-``k`` most
+    corpus-distinctive terms per doc as ``(doc_id, term, tf, df_docs,
+    score, rank)``.
+
+    The keyword/tagging primitive of a training-data pipeline (topic
+    routing, per-doc metadata, dedup-explainability).  Terms are
+    lowercased TOKEN_RE words; ``score = tf · (bits(N) − bits(df))`` where
+    ``bits(x) = length(bin(x)) = ⌊log2 x⌋ + 1`` — the same floored-log2
+    integer idf trick as :func:`ngram_lm_bits` (within one bit of
+    ``log2(N/df)``, monotone in it), so every column is integer-exact and
+    the oracle replay is bit-identical (no float ``ln`` divergence).
+    Rank ties break on the term string: deterministic total order.
+
+    Scale shape: one corpus scan explodes term occurrences into a
+    ``(doc_id, term)`` hash aggregate (map-side combined); document
+    frequencies are a second aggregate over that (never over raw
+    occurrences); N is a broadcast 1-row aggregate; the per-doc top-k is
+    a rank window whose limit pushes map-side (WindowGroupLimit) before
+    the shuffle.  The corpus text itself never rides a shuffle.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    from pyspark.sql import Window
+
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
+    tf = (
+        docs.select("doc_id", F.explode(toks).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_docs = tf.groupBy("term").agg(F.count("*").alias("df_docs"))
+    n_total = docs.agg(F.count("*").alias("_n"))
+
+    def bits(c):
+        return F.length(F.conv(c.cast("string"), 10, 2)).cast("long")
+
+    scored = (
+        tf.join(df_docs, "term")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df_docs",
+            (F.col("tf") * (bits(F.col("_n")) - bits(F.col("df_docs"))))
+            .cast("long")
+            .alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

@@ -214,3 +214,166 @@ def test_ngram_lm_bits_rejects_unigram(spark):
     )
     with pytest.raises(ValueError, match="n >= 2"):
         ngram_lm_bits(docs, n=1)
+
+
+# --------------------------------------------------- tf-idf keywords
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(rows)], "doc_id long, text string"
+    )
+
+
+def test_tfidf_keywords_local_replay(spark):
+    from collections import Counter
+
+    from linkgraph.pipeline.textstats import tfidf_keywords
+
+    rows = [
+        "apple apple banana the the the",
+        "banana cherry the",
+        "cherry cherry cherry apple the",
+        "durian the",
+    ]
+    out = tfidf_keywords(_docs(spark, rows), k=2).collect()
+    # python replay of the integer rule
+    toks = [re.findall(TOKEN_RE, t.lower()) for t in rows]
+    n = len(rows)
+    df = Counter()
+    for ts in toks:
+        df.update(set(ts))
+    bits = lambda x: len(bin(x)) - 2
+    expect = {}
+    for i, ts in enumerate(toks):
+        tf = Counter(ts)
+        scored = sorted(
+            ((-tf[w] * (bits(n) - bits(df[w])), w) for w in tf),
+        )[:2]
+        expect[i] = {
+            (w, -s) for s, w in scored
+        }
+    got = {}
+    for r in out:
+        got.setdefault(r["doc_id"], set()).add((r["term"], r["score"]))
+        assert 1 <= r["rank"] <= 2
+    assert got == expect
+    # 'the' appears in every doc -> idf bits 0 -> never a top keyword
+    # over a distinctive term with positive score
+    assert all(
+        not (t == "the" and s > 0) for pairs in got.values() for t, s in pairs
+    )
+
+
+def test_tfidf_keywords_rejects_bad_k(spark):
+    from linkgraph.pipeline.textstats import tfidf_keywords
+
+    with pytest.raises(ValueError):
+        tfidf_keywords(_docs(spark, ["a"]), k=0)
+
+
+# ------------------------------------------------- length-bucketed batching
+
+
+def test_length_buckets_invariants(spark):
+    from linkgraph.pipeline.packing import length_buckets
+
+    rows = [
+        " ".join(["tok"] * n)
+        for n in [0, 1, 2, 3, 5, 8, 9, 16, 17, 100, 130, 1000, 3000]
+    ] * 3
+    out = length_buckets(_docs(spark, rows), max_tokens=64, n_sub=4).collect()
+    assert len(out) == len(rows)
+    by_batch = {}
+    for r in out:
+        # bucket is the next power of two >= n_tokens (min 1)
+        assert r["bucket_len"] >= max(r["n_tokens"], 1)
+        assert r["bucket_len"] < 2 * max(r["n_tokens"], 1) or r["n_tokens"] <= 1
+        assert r["bucket_len"] & (r["bucket_len"] - 1) == 0
+        assert r["pad_tokens"] == r["bucket_len"] - min(
+            r["n_tokens"], r["bucket_len"]
+        )
+        cap = max(64 // r["bucket_len"], 1)
+        assert 0 <= r["batch_seq"] < cap
+        by_batch.setdefault((r["bucket_len"], r["batch_id"]), []).append(r)
+    for (blen, _), members in by_batch.items():
+        cap = max(64 // blen, 1)
+        assert len(members) <= cap
+        assert sorted(m["batch_seq"] for m in members) == list(
+            range(len(members))
+        )
+    # batches within a bucket fill densely: only the last batch is short
+    for blen in {r["bucket_len"] for r in out}:
+        sizes = [
+            len(m)
+            for (b, _), m in sorted(by_batch.items())
+            if b == blen
+        ]
+        assert all(s == max(64 // blen, 1) for s in sizes[:-1])
+
+
+def test_length_buckets_order_is_partitioning_invariant(spark):
+    from linkgraph.pipeline.packing import length_buckets
+
+    rows = [" ".join(["w"] * (5 + i % 7)) for i in range(40)]
+    docs = _docs(spark, rows)
+    a = sorted(
+        (r["doc_id"], r["bucket_len"], r["batch_id"], r["batch_seq"])
+        for r in length_buckets(docs, max_tokens=32, n_sub=8).collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["bucket_len"], r["batch_id"], r["batch_seq"])
+        for r in length_buckets(
+            docs.repartition(7), max_tokens=32, n_sub=8
+        ).collect()
+    )
+    assert a == b
+
+
+def test_length_buckets_rejects_bad_budget(spark):
+    from linkgraph.pipeline.packing import length_buckets
+
+    with pytest.raises(ValueError):
+        length_buckets(_docs(spark, ["a"]), max_tokens=0)
+
+
+# ----------------------------------------------- community conductance
+
+
+def test_community_conductance_known_graph(spark):
+    from linkgraph.algorithms.metrics import community_conductance
+    from linkgraph.synth import source_table
+
+    # two triangles joined by one bridge edge: phi = 1/7 each side
+    edges = [
+        (1, "a", "b"), (2, "b", "c"), (3, "c", "a"),
+        (4, "x", "y"), (5, "y", "z"), (6, "z", "x"),
+        (7, "a", "x"),
+    ]
+    g = LinkGraph.from_source_table(source_table(spark, edges))
+    labels = g.ids().withColumn(
+        "community",
+        F.when(F.col("name").isin("a", "b", "c"), "L").otherwise("R"),
+    ).select("id", "community")
+    rows = {r["community"]: r for r in community_conductance(g, labels).collect()}
+    for side in "LR":
+        r = rows[side]
+        assert r["n_nodes"] == 3
+        assert r["internal_edges"] == 3
+        assert r["cut_edges"] == 1
+        assert r["vol"] == 7
+        assert r["conductance"] == pytest.approx(1.0 / 7.0)
+
+
+def test_community_conductance_whole_graph_is_null(spark):
+    from linkgraph.algorithms.metrics import community_conductance
+    from linkgraph.synth import source_table
+
+    g = LinkGraph.from_source_table(
+        source_table(spark, [(1, "a", "b"), (2, "b", "c")])
+    )
+    labels = g.ids().withColumn("community", F.lit("all")).select(
+        "id", "community"
+    )
+    [r] = community_conductance(g, labels).collect()
+    assert r["cut_edges"] == 0 and r["conductance"] is None
