@@ -358,10 +358,13 @@ def community_conductance(graph: LinkGraph, labels: DataFrame) -> DataFrame:
 
     Scale shape: canonical edges join the node-sized label table twice on
     the endpoint ids (shuffle joins Catalyst/AQE is free to broadcast),
-    then two hash aggregates — internal edges grouped by the shared label,
-    cut edges exploded to both endpoint labels.  No iteration; the
-    conductance itself is one IEEE division of two exact BIGINTs, so the
-    value is engine-reproducible bit-for-bit.
+    then ONE edge pass — each edge explodes to per-community
+    (internal, cut) contribution rows, so internal and cut counts share a
+    single map-side-combined hash aggregate instead of scanning the edge
+    relation twice.  The per-community table (tiny) is lineage-cut before
+    the total-volume broadcast so the edge pipeline runs exactly once.
+    No iteration; the conductance itself is one IEEE division of two
+    exact BIGINTs, so the value is engine-reproducible bit-for-bit.
 
     Reference anchor: complements modularity (community.rs) — same edge
     bookkeeping, cut-based instead of null-model-based.
@@ -372,21 +375,45 @@ def community_conductance(graph: LinkGraph, labels: DataFrame) -> DataFrame:
         .join(lab.withColumnRenamed("id", "lo").withColumnRenamed("community", "c_lo"), "lo")
         .join(lab.withColumnRenamed("id", "hi").withColumnRenamed("community", "c_hi"), "hi")
     )
-    internal = (
-        e.filter(F.col("c_lo") == F.col("c_hi"))
-        .groupBy(F.col("c_lo").alias("community"))
-        .agg(F.count("*").alias("internal_edges"))
-    )
-    cut = (
-        e.filter(F.col("c_lo") != F.col("c_hi"))
-        .select(F.explode(F.array("c_lo", "c_hi")).alias("community"))
+    same = F.col("c_lo") == F.col("c_hi")
+    contrib = (
+        e.select(
+            F.explode(
+                F.when(
+                    same,
+                    F.array(
+                        F.struct(
+                            F.col("c_lo").alias("community"),
+                            F.lit(1).alias("i"),
+                            F.lit(0).alias("k"),
+                        )
+                    ),
+                ).otherwise(
+                    F.array(
+                        F.struct(
+                            F.col("c_lo").alias("community"),
+                            F.lit(0).alias("i"),
+                            F.lit(1).alias("k"),
+                        ),
+                        F.struct(
+                            F.col("c_hi").alias("community"),
+                            F.lit(0).alias("i"),
+                            F.lit(1).alias("k"),
+                        ),
+                    )
+                )
+            ).alias("x")
+        )
+        .select("x.*")
         .groupBy("community")
-        .agg(F.count("*").alias("cut_edges"))
+        .agg(
+            F.sum("i").cast("long").alias("internal_edges"),
+            F.sum("k").cast("long").alias("cut_edges"),
+        )
     )
     nodes = lab.groupBy("community").agg(F.count("*").alias("n_nodes"))
     per = (
-        nodes.join(internal, "community", "left")
-        .join(cut, "community", "left")
+        nodes.join(contrib, "community", "left")
         .select(
             "community",
             "n_nodes",
@@ -396,6 +423,7 @@ def community_conductance(graph: LinkGraph, labels: DataFrame) -> DataFrame:
         .withColumn(
             "vol", (F.lit(2) * F.col("internal_edges") + F.col("cut_edges")).cast("long")
         )
+        .localCheckpoint(eager=False)
     )
     total = per.agg(F.sum("vol").alias("_tv"))
     min_vol = F.least(F.col("vol"), F.col("_tv") - F.col("vol"))
