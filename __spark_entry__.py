@@ -761,6 +761,51 @@ def q_trade_nation_conductance(spark, sf_dir):
     )
 
 
+def q_docs_weighted_sample(spark, sf_dir):
+    """Deterministic Bernoulli importance resampling toward a uniform
+    language mixture: domain_mix emits per-language multiplicative
+    weights, weighted_sample accepts each doc iff its quenched md5
+    uniform draw is below min(weight, 1) — map-only once the dozen-row
+    weight table is broadcast (pipeline.sampling.weighted_sample).
+    Output is all-integer (the raw 60-bit draw + 0/1 accept)."""
+    from linkgraph.pipeline.sampling import domain_mix, weighted_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    wts = domain_mix(docs, domain_col="lang").select(
+        F.col("domain").alias("lang"), "weight"
+    )
+    return weighted_sample(
+        docs.join(F.broadcast(wts), "lang"), "weight"
+    ).select(
+        "doc_id",
+        F.col("lang").alias("domain"),
+        "hv",
+        F.col("accept").cast("long").alias("accept"),
+    )
+
+
+def q_trade_edge_delta(spark, sf_dir):
+    """Structural diff of the 1994 vs 1995 trade windows — every logical
+    customer→supplier edge tagged added / removed / retained
+    (metrics.edge_delta): the graph-evolution readout between two views."""
+    from linkgraph.algorithms.metrics import edge_delta
+
+    g94 = _trade_graph(spark, sf_dir).window(757382400000, 788918400000)
+    g95 = _trade_graph(spark, sf_dir).window(788918400000, 820454400000)
+    return edge_delta(g94, g95)
+
+
+def q_events_stream_topk(spark, sf_dir):
+    """Streaming windowed top-k: watermarked tumbling hourly counts run as
+    a real availableNow streaming query (the stateful stage), then the
+    per-window top-3 event types rank over the emitted table — ties on
+    the type string, deterministic (streaming.windowed_topk)."""
+    from linkgraph.streaming import read_event_stream, windowed_topk
+
+    stream = read_event_stream(spark, _stream_input(sf_dir, "events"))
+    return windowed_topk(spark, stream, _stream_ck(), k=3)
+
+
 def q_trade_weighted_pagerank(spark, sf_dir):
     """PageRank weighted by summed l_quantity per edge, 20 fixed
     supersteps — contribution = score·w/out_strength, sink mass (all
@@ -2034,6 +2079,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_tfidf_keywords": q_docs_tfidf_keywords,
         "docs_length_buckets": q_docs_length_buckets,
         "trade_nation_conductance": q_trade_nation_conductance,
+        "docs_weighted_sample": q_docs_weighted_sample,
+        "trade_edge_delta": q_trade_edge_delta,
+        "events_stream_topk": q_events_stream_topk,
         # round-3-green buffer (driver re-confirmation, newest first)
         "trade_closeness": q_trade_closeness,
         "trade_neighbor_sample": q_trade_neighbor_sample,
@@ -3599,6 +3647,65 @@ SELECT doc_id, n_tokens, bucket_len,
        (rnk % cap)::BIGINT AS batch_seq,
        (bucket_len - least(n_tokens, bucket_len))::BIGINT AS pad_tokens
 FROM c
+"""
+
+    # weighted sample: weight arithmetic replays domain_mix's expression
+    # tree verbatim (same IEEE ops in the same order), the draw is the
+    # 60-bit md5 integer, the compare is one double <
+    sqls["docs_weighted_sample"] = r"""
+WITH per AS (
+  SELECT lang, sum(len(regexp_split_to_array(trim(text), '\s+'))) AS n_tokens
+  FROM documents GROUP BY lang
+),
+tot AS (SELECT sum(n_tokens)::DOUBLE AS tt, count(*) AS nd FROM per),
+wts AS (
+  SELECT lang, (1.0 / nd) / (n_tokens / tt) AS weight FROM per, tot
+),
+drawn AS (
+  SELECT d.doc_id, d.lang AS domain, w.weight,
+         ('0x' || substr(md5('wsample:' || d.doc_id::VARCHAR), 1, 15))::BIGINT
+           AS hv
+  FROM documents d JOIN wts w ON d.lang = w.lang
+)
+SELECT doc_id, domain, hv,
+       (CASE WHEN hv / 1152921504606846976.0 < least(weight, 1.0)
+             THEN 1 ELSE 0 END)::BIGINT AS accept
+FROM drawn
+"""
+
+    # edge delta between two windows: full outer join of the two distinct
+    # logical edge sets (half-open [start, end) windows on event time)
+    sqls["trade_edge_delta"] = """
+WITH ev AS (
+  SELECT CAST(o_custkey AS VARCHAR) AS src,
+         CAST(1000000 + l_suppkey AS VARCHAR) AS dst,
+         epoch(o_orderdate) * 1000 AS t
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+a AS (SELECT DISTINCT src, dst FROM ev
+      WHERE t >= 757382400000 AND t < 788918400000),
+b AS (SELECT DISTINCT src, dst FROM ev
+      WHERE t >= 788918400000 AND t < 820454400000)
+SELECT coalesce(a.src, b.src) AS src, coalesce(a.dst, b.dst) AS dst,
+       CASE WHEN a.src IS NULL THEN 'added'
+            WHEN b.src IS NULL THEN 'removed'
+            ELSE 'retained' END AS status
+FROM a FULL OUTER JOIN b ON a.src = b.src AND a.dst = b.dst
+"""
+
+    # streaming top-k ≡ batch hourly counts + rank (ties on type string)
+    sqls["events_stream_topk"] = """
+WITH c AS (
+  SELECT cast(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS ws,
+         event_type, count(*) AS n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT ws, event_type, n_events, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY ws ORDER BY n_events DESC, event_type ASC
+  )::BIGINT AS rank
+  FROM c
+) WHERE rank <= 3
 """
 
     # nation-partition conductance on the undirected simple trade graph:

@@ -435,3 +435,36 @@ def community_conductance(graph: LinkGraph, labels: DataFrame) -> DataFrame:
         "vol",
         F.when(min_vol > 0, F.col("cut_edges") / min_vol).alias("conductance"),
     )
+
+
+def edge_delta(before: LinkGraph, after: LinkGraph) -> DataFrame:
+    """Structural diff of two graph views — ``(src, dst, status)`` over
+    the union of both DISTINCT logical edge sets, ``status`` ∈
+    ``added`` (only in ``after``) / ``removed`` (only in ``before``) /
+    ``retained`` (in both).
+
+    The graph-evolution readout for any pair of views (two windows, two
+    layers, snapshot vs live): pair it with :func:`edge_turnover` when
+    you want per-bucket counts instead of the edge list.  Works on edge
+    NAMES (``edges_t``), so the output is directly human-readable and
+    join-able back to either view.
+
+    Scale shape: two distinct aggregates + one full outer join on the
+    edge key, all hash-partitioned on (src, dst) — Catalyst plans a
+    single co-partitioned exchange per side; no iteration, no driver
+    state.
+    """
+    a = before.edges_t.select("src", "dst").distinct()
+    b = after.edges_t.select("src", "dst").distinct()
+    return (
+        a.withColumn("_a", F.lit(1))
+        .join(b.withColumn("_b", F.lit(1)), ["src", "dst"], "full_outer")
+        .select(
+            "src",
+            "dst",
+            F.when(F.col("_a").isNull(), F.lit("added"))
+            .when(F.col("_b").isNull(), F.lit("removed"))
+            .otherwise(F.lit("retained"))
+            .alias("status"),
+        )
+    )

@@ -132,3 +132,34 @@ def stratified_sample(
         .filter(F.col("_rk") <= n_per_group)
         .drop("_rk")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    key: str = "doc_id",
+    salt: str = "wsample",
+) -> DataFrame:
+    """Deterministic Bernoulli importance resampling — adds ``(hv, u,
+    accept)``: a row is accepted iff its quenched uniform draw ``u =
+    hash(salt:key) / 2^60`` is below ``min(weight, 1)``.
+
+    The step that APPLIES the multiplicative weights emitted by
+    :func:`domain_mix` (or any per-row quality score): downsample
+    over-represented rows to a target mixture.  Acceptance is a pure
+    function of the key — stable under corpus growth, repartitioning and
+    re-runs (the same guarantees as :func:`hash_split`), and exactly
+    replayable in SQL (one md5 + one IEEE division — no RNG state).
+    Weights > 1 accept with probability 1; use repeated salts
+    (``epoch0``, ``epoch1`` …) when upsampling is needed.
+
+    Map-only: fuses into the source scan, no shuffle, no UDF.
+    """
+    hv = hash_key(F.col(key), salt)
+    u = hv / F.lit(float(_HASH_MOD))
+    w = F.col(weight_col)
+    return (
+        df.withColumn("hv", hv)
+        .withColumn("u", u)
+        .withColumn("accept", F.col("u") < F.least(w, F.lit(1.0)))
+    )

@@ -245,3 +245,39 @@ def followup_events(
         "b_type",
         (F.unix_timestamp("b_ts") - F.unix_timestamp("a_ts")).alias("gap_s"),
     )
+
+
+def windowed_topk(
+    spark: SparkSession,
+    stream: DataFrame,
+    checkpoint: str,
+    k: int = 3,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Top-``k`` event types per tumbling hour — ``(ws, event_type,
+    n_events, rank)``.
+
+    Two-stage streaming pattern: the STATEFUL part (watermarked tumbling
+    counts) runs as a real streaming query, then the rank is one window
+    function over the emitted result table — the standard
+    "incremental aggregate in the stream, rank at serving time" split,
+    because a top-k inside a live window is unbounded-update by nature.
+    Ties break on the event-type string, so the output is deterministic
+    and exactly SQL-replayable.
+    """
+    from pyspark.sql import Window
+
+    counts = run_available_now(
+        hourly_event_counts(stream, watermark=watermark).select(
+            "ws", "event_type", "n_events"
+        ),
+        checkpoint,
+        output_mode="complete",
+    )
+    w = Window.partitionBy("ws").orderBy(
+        F.col("n_events").desc(), F.col("event_type").asc()
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

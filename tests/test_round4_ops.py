@@ -377,3 +377,50 @@ def test_community_conductance_whole_graph_is_null(spark):
     )
     [r] = community_conductance(g, labels).collect()
     assert r["cut_edges"] == 0 and r["conductance"] is None
+
+
+# ------------------------------------------------ weighted sample / delta
+
+
+def test_weighted_sample_local_replay(spark):
+    from linkgraph.pipeline.sampling import weighted_sample
+
+    docs = spark.createDataFrame(
+        [(i, 0.3 if i % 2 else 1.7) for i in range(200)],
+        "doc_id long, weight double",
+    )
+    out = weighted_sample(docs, "weight").collect()
+    assert len(out) == 200
+    mod = 1 << 60
+    for r in out:
+        hv = (
+            int(
+                hashlib.md5(f"wsample:{r['doc_id']}".encode()).hexdigest()[:15],
+                16,
+            )
+        )
+        assert r["hv"] == hv
+        assert r["accept"] == (hv / mod < min(r["weight"], 1.0))
+    # weight > 1 accepts everything
+    assert all(r["accept"] for r in out if r["weight"] > 1.0)
+    # weight 0.3 accepts roughly 30% (quenched, exact set is fixed)
+    frac = sum(r["accept"] for r in out if r["weight"] < 1.0) / 100.0
+    assert 0.15 < frac < 0.45
+
+
+def test_edge_delta_statuses(spark):
+    from linkgraph.algorithms.metrics import edge_delta
+    from linkgraph.synth import source_table
+
+    before = LinkGraph.from_source_table(
+        source_table(spark, [(1, "a", "b"), (2, "b", "c"), (3, "a", "b")])
+    )
+    after = LinkGraph.from_source_table(
+        source_table(spark, [(9, "a", "b"), (10, "c", "d")])
+    )
+    got = {(r["src"], r["dst"]): r["status"] for r in edge_delta(before, after).collect()}
+    assert got == {
+        ("a", "b"): "retained",
+        ("b", "c"): "removed",
+        ("c", "d"): "added",
+    }

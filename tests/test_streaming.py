@@ -149,3 +149,20 @@ def test_followup_interval_join_matches_batch(spark, events_dir, tmp_path):
         .collect()
     )
     assert {(r["a_id"], r["b_id"]) for r in want} == set(got)
+
+
+def test_windowed_topk_matches_batch_rank(spark, events_dir, tmp_path):
+    from linkgraph.streaming import windowed_topk
+
+    out = windowed_topk(
+        spark,
+        read_event_stream(spark, events_dir),
+        str(tmp_path / "ck_topk"),
+        k=1,
+    ).collect()
+    base = int(
+        dt.datetime(2024, 1, 1).replace(tzinfo=dt.timezone.utc).timestamp()
+    )
+    got = {(r["ws"], r["event_type"], r["n_events"], r["rank"]) for r in out}
+    # hour 0: click(2); hour 1: buy(1) beats click(1) on the type tiebreak
+    assert got == {(base, "click", 2, 1), (base + 3600, "buy", 1, 1)}
