@@ -39,6 +39,8 @@ def weakly_connected_components(
     resume: bool = False,
     checkpoint_every: int = 1,
     kernel: str = "auto",
+    init_labels: DataFrame | None = None,
+    iters_out: dict | None = None,
 ) -> DataFrame:
     """Run WCC; returns ``(name, id, component)``.
 
@@ -46,20 +48,37 @@ def weakly_connected_components(
     path, O(diameter) supersteps); ``"local"`` — gathered edge list +
     vectorized pointer-jumping on the driver, identical min-id labels
     (see pagerank.DRIVER_KERNEL_MAX); ``"auto"`` picks ``local`` under the
-    budget when no checkpointing is requested."""
+    budget when no checkpointing is requested.
+
+    ``init_labels`` (``(id, component)`` from a previous run) warm-starts
+    the propagation — the incremental temporal-analytics path: when a
+    window EXPANDS (edges only arrive), seeding from the previous
+    window's labels collapses already-discovered chains, so the loop
+    needs supersteps proportional to the NEW data's diameter, and the
+    fixpoint provably equals the cold run (every previous label is the
+    id of a node still in the same component).  Soundness contract:
+    label values must be ids of CURRENT nodes — true for expanding
+    windows / append-only ingestion; after deletions run cold instead
+    (a departed minimum would leak a stale label).  Forces the
+    superstep kernel.  ``iters_out['iterations']`` reports the
+    superstep count when a dict is passed.
+    """
     spark = graph.spark
 
     ids = graph.ids().persist()
     if kernel == "auto":
         from linkgraph.algorithms.pagerank import DRIVER_KERNEL_MAX
 
-        n_ids = ids.count()
-        m = graph.edge_ids().count()
-        kernel = (
-            "local"
-            if checkpoint_dir is None and max(n_ids, m) <= DRIVER_KERNEL_MAX
-            else "superstep"
-        )
+        if init_labels is not None:
+            kernel = "superstep"
+        else:
+            n_ids = ids.count()
+            m = graph.edge_ids().count()
+            kernel = (
+                "local"
+                if checkpoint_dir is None and max(n_ids, m) <= DRIVER_KERNEL_MAX
+                else "superstep"
+            )
     if kernel == "local":
         res = _wcc_local(spark, ids, graph.edge_ids())
         return res.join(ids, "id").select("name", "id", "component")
@@ -85,8 +104,23 @@ def weakly_connected_components(
         raw_und.unpersist()
 
         # init: own id; the first superstep then computes min(own, nbrs),
-        # matching the reference's init (connected_components.rs:45-51)
-        init = ids.select("id", F.col("id").alias("component")).repartition(P, "id")
+        # matching the reference's init (connected_components.rs:45-51).
+        # A warm start projects the previous labels onto the current node
+        # set (absentees seed with their own id) and keeps min(own, prev)
+        # so the invariant label ≤ own-id holds from superstep 0.
+        if init_labels is None:
+            init = ids.select("id", F.col("id").alias("component"))
+        else:
+            prev = init_labels.select(
+                "id", F.col("component").alias("_prev")
+            )
+            init = ids.join(prev, "id", "left").select(
+                "id",
+                F.least(
+                    F.col("id"), F.coalesce("_prev", F.col("id"))
+                ).alias("component"),
+            )
+        init = init.repartition(P, "id")
 
         store = CheckpointStore(spark, checkpoint_dir) if checkpoint_dir else None
         if store is not None:
@@ -104,7 +138,9 @@ def weakly_connected_components(
         n = ids.count()
         use_broadcast = n <= broadcast_threshold
 
-        state = _run_loop(loop, state, und, start_it, max_iter, use_broadcast)
+        state = _run_loop(
+            loop, state, und, start_it, max_iter, use_broadcast, iters_out
+        )
     return state.join(ids, "id").select("name", "id", "component")
 
 
@@ -327,8 +363,10 @@ def scc_groups(graph: LinkGraph) -> DataFrame:
     )
 
 
-def _run_loop(loop, state, und, it, max_iter, use_broadcast):
+def _run_loop(loop, state, und, it, max_iter, use_broadcast, iters_out=None):
     while it <= max_iter:
+        if iters_out is not None:
+            iters_out["iterations"] = it
         # messages INTO v: neighbours' previous labels (incl. the self-message
         # carrying v's own previous label) → min is the new label
         labels = state.select(

@@ -114,3 +114,33 @@ def test_scc_two_cycles_and_chain(spark):
     )
     labels = {r["name"]: r["scc"] for r in strongly_connected_components(g).collect()}
     assert labels == {"1": 1, "2": 1, "3": 3, "4": 4, "5": 4, "6": 6, "7": 7}
+
+
+def test_wcc_warm_start_same_labels_fewer_supersteps(spark):
+    from linkgraph.algorithms.components import weakly_connected_components
+    from linkgraph.synth import source_table
+
+    # long chain in the "old" window, one new edge appended later
+    old = [(i, f"n{i:03d}", f"n{i+1:03d}") for i in range(0, 30)]
+    new = [(100, "n030", "n031"), (101, "x1", "x2")]
+    g_old = LinkGraph.from_source_table(source_table(spark, old))
+    g_all = LinkGraph.from_source_table(source_table(spark, old + new))
+
+    labels = weakly_connected_components(
+        g_old, kernel="superstep"
+    ).select("id", "component")
+    cold_it, warm_it = {}, {}
+    cold = {
+        r["name"]: r["component"]
+        for r in weakly_connected_components(
+            g_all, kernel="superstep", iters_out=cold_it
+        ).collect()
+    }
+    warm = {
+        r["name"]: r["component"]
+        for r in weakly_connected_components(
+            g_all, init_labels=labels, iters_out=warm_it
+        ).collect()
+    }
+    assert warm == cold
+    assert warm_it["iterations"] < cold_it["iterations"]
