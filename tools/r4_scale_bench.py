@@ -370,6 +370,105 @@ def docs_worker() -> None:
     )
 
 
+# ------------------------------------------------------------- warm WCC
+
+WW_EDGES = int(os.environ.get("WW_EDGES", 40_000_000))
+WW_NODES = WW_EDGES // 8
+WW_CHAIN = int(os.environ.get("WW_CHAIN", 24))
+
+
+def _ww_graphs(spark):
+    """Old view = 95% of a hub-skewed random graph plus a CHAIN of
+    ``WW_CHAIN`` dedicated nodes (the deep structure that forces cold
+    min-label propagation to take O(chain) supersteps); full view adds
+    the remaining 5% random edges — the append-only increment."""
+    from pyspark.sql import functions as F
+
+    from linkgraph.graph import LinkGraph
+
+    full = synth_edges_mod(spark, WW_EDGES, WW_NODES)
+    tag = F.pmod(F.xxhash64("src_id", "dst_id", F.lit(7)), F.lit(20))
+    chain = spark.range(WW_CHAIN).select(
+        (F.lit(WW_NODES) + F.col("id")).alias("src_id"),
+        (F.lit(WW_NODES) + F.col("id") + 1).alias("dst_id"),
+    )
+
+    def to_graph(e):
+        return LinkGraph(
+            e.select(
+                F.col("src_id").cast("string").alias("src"),
+                F.col("dst_id").cast("string").alias("dst"),
+            ).withColumn("time", F.lit(0).cast("long"))
+        )
+
+    old = full.filter(tag != 0).unionByName(chain)
+    return to_graph(old), to_graph(full.unionByName(chain))
+
+
+def wcc_warm_worker(mode: str) -> None:
+    from linkgraph.algorithms.components import weakly_connected_components
+    from linkgraph.session import get_spark
+
+    spark = get_spark(
+        app_name=f"wcc-warm-{mode}", cores=16, shuffle_partitions=32,
+        driver_memory="24g",
+    )
+    g_old, g_all = _ww_graphs(spark)
+    init = None
+    if mode == "warm":
+        # the increment scenario: the previous window's labels already
+        # exist — materialise them OUTSIDE the timed region
+        init = (
+            weakly_connected_components(g_old, kernel="superstep")
+            .select("id", "component")
+            .localCheckpoint()
+        )
+        init.count()
+    it: dict = {}
+    t0 = time.monotonic()
+    res = weakly_connected_components(
+        g_all, kernel="superstep", init_labels=init, iters_out=it
+    )
+    res.write.format("noop").mode("overwrite").save()
+    wall = time.monotonic() - t0
+    print(
+        "WORKER_RESULT "
+        + json.dumps(
+            {
+                "mode": mode,
+                "wall_s": round(wall, 1),
+                "supersteps": it.get("iterations"),
+                "n_edges": WW_EDGES,
+                "chain": WW_CHAIN,
+            }
+        )
+    )
+
+
+def synth_edges_mod(spark, n_edges, n_nodes):
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from scaling_bench import synth_edges
+
+    return synth_edges(spark, n_edges, n_nodes)
+
+
+def run_wcc_warm() -> None:
+    out = {}
+    for mode in ("cold", "warm"):
+        log_path = f"/tmp/r4_wccwarm_{mode}.log"
+        with open(log_path, "w") as log:
+            subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--wcc-warm-worker", mode],
+                stdout=log, stderr=subprocess.STDOUT, text=True,
+                cwd=REPO, timeout=5400,
+            )
+        with open(log_path) as log:
+            for line in log:
+                if line.startswith("WORKER_RESULT "):
+                    out[mode] = json.loads(line[len("WORKER_RESULT "):])
+    print(json.dumps({"wcc_warm_ab": out}, indent=2))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n2v", action="store_true")
@@ -377,6 +476,8 @@ def main() -> None:
     ap.add_argument("--resume-demo", action="store_true")
     ap.add_argument("--resume-worker", type=str, default=None)
     ap.add_argument("--docs-sf1", action="store_true")
+    ap.add_argument("--wcc-warm", action="store_true")
+    ap.add_argument("--wcc-warm-worker", type=str, default=None)
     args = ap.parse_args()
     if args.n2v_worker:
         n2v_worker(args.n2v_worker)
@@ -388,8 +489,12 @@ def main() -> None:
         run_resume_demo()
     elif args.docs_sf1:
         docs_worker()
+    elif args.wcc_warm_worker:
+        wcc_warm_worker(args.wcc_warm_worker)
+    elif args.wcc_warm:
+        run_wcc_warm()
     else:
-        ap.error("pick one of --n2v / --resume-demo / --docs-sf1")
+        ap.error("pick one of --n2v / --resume-demo / --docs-sf1 / --wcc-warm")
 
 
 if __name__ == "__main__":
