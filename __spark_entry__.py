@@ -824,6 +824,25 @@ def q_trade_wcc_warm(spark, sf_dir):
     return res.select(F.col("id").alias("node"), "component")
 
 
+def q_emb_hard_negatives(spark, sf_dir):
+    """Contrastive hard-negative mining: per anchor (every 25th vector),
+    the 5 most cosine-similar vectors with a DIFFERENT label — exact
+    baseline semantics (simsearch.hard_negatives); the scale path mines
+    candidates via ivf_topk and label-filters."""
+    from linkgraph.pipeline.simsearch import hard_negatives
+
+    emb = _t(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") % 25 == 0)
+    return hard_negatives(emb, anchors, k=5).select(
+        "query_id",
+        F.col("query_label").cast("long").alias("query_label"),
+        "cand_id",
+        F.col("cand_label").cast("long").alias("cand_label"),
+        "cosine",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def q_trade_weighted_pagerank(spark, sf_dir):
     """PageRank weighted by summed l_quantity per edge, 20 fixed
     supersteps — contribution = score·w/out_strength, sink mass (all
@@ -2101,6 +2120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trade_edge_delta": q_trade_edge_delta,
         "events_stream_topk": q_events_stream_topk,
         "trade_wcc_warm": q_trade_wcc_warm,
+        "emb_hard_negatives": q_emb_hard_negatives,
         # round-3-green buffer (driver re-confirmation, newest first)
         "trade_closeness": q_trade_closeness,
         "trade_neighbor_sample": q_trade_neighbor_sample,
@@ -4531,6 +4551,28 @@ ranked AS (
   FROM scored
 )
 SELECT query_id, cand_id, cosine, rank::INT AS rank FROM ranked WHERE rank <= 5
+"""
+
+    sqls["emb_hard_negatives"] = """
+WITH q AS (SELECT vec_id AS query_id, label AS query_label,
+                  embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id % 25 = 0),
+c AS (SELECT vec_id AS cand_id, label AS cand_label,
+             embedding::DOUBLE[] AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, query_label::BIGINT AS query_label,
+         cand_id, cand_label::BIGINT AS cand_label,
+         round(list_cosine_similarity(qv, cv), 6) AS cosine
+  FROM q CROSS JOIN c WHERE query_label <> cand_label
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, cand_id
+  )::BIGINT AS rank
+  FROM scored
+)
+SELECT query_id, query_label, cand_id, cand_label, cosine, rank
+FROM ranked WHERE rank <= 5
 """
 
     sqls["emb_neardup"] = """

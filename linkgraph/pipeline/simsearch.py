@@ -833,3 +833,67 @@ def knn_components(
     )
     sizes = comp.groupBy("component").agg(F.count("*").alias("component_size"))
     return comp.join(sizes, "component").select(id_col, "component", "component_size")
+
+
+def hard_negatives(
+    embeddings: DataFrame,
+    anchors: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    max_pairs: int | None = 100_000_000,
+) -> DataFrame:
+    """Contrastive hard-negative mining — per anchor, the top-``k`` most
+    cosine-similar vectors with a DIFFERENT label: ``(query_id,
+    query_label, cand_id, cand_label, cosine, rank)``.
+
+    The training-pair miner for contrastive/embedding fine-tuning
+    (similar-but-wrong examples are the informative negatives).  Exact
+    baseline semantics mirror :func:`cosine_topk` (crossJoin guarded by
+    ``max_pairs``, ties on candidate id); at scale generate candidates
+    with :func:`ivf_topk`/:func:`lsh_topk` first and label-filter those
+    pairs instead — the rank-after-filter semantics here stay the recall
+    oracle.
+    """
+    if max_pairs is not None:
+        n_pairs = anchors.count() * embeddings.count()
+        if n_pairs > max_pairs:
+            raise ValueError(
+                f"hard_negatives is the exact O(|anchors|x|corpus|) "
+                f"baseline: {n_pairs:,} pairs exceeds max_pairs="
+                f"{max_pairs:,}; mine candidates with ivf_topk/lsh_topk "
+                f"and label-filter, or pass max_pairs=None to force"
+            )
+    cand = _as_double(
+        embeddings.select(
+            F.col(id_col).alias("cand_id"),
+            F.col(label_col).alias("cand_label"),
+            F.col(vec_col).alias("cvec"),
+        ),
+        "cvec",
+    )
+    q = _as_double(
+        anchors.select(
+            F.col(id_col).alias("query_id"),
+            F.col(label_col).alias("query_label"),
+            F.col(vec_col).alias("qvec"),
+        ),
+        "qvec",
+    )
+    scored = (
+        q.crossJoin(cand)
+        .filter(F.col("query_label") != F.col("cand_label"))
+        .select(
+            "query_id",
+            "query_label",
+            "cand_id",
+            "cand_label",
+            F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

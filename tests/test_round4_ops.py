@@ -424,3 +424,42 @@ def test_edge_delta_statuses(spark):
         ("b", "c"): "removed",
         ("c", "d"): "added",
     }
+
+
+# ------------------------------------------------- hard-negative mining
+
+
+def test_hard_negatives_label_rule(spark):
+    from linkgraph.pipeline.simsearch import hard_negatives
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 0),
+            (1, [0.99, 0.14], 0),   # same label: never a negative of 0
+            (2, [0.95, 0.31], 1),   # closest wrong-label vector to 0
+            (3, [0.0, 1.0], 1),
+            (4, [-1.0, 0.0], 2),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = hard_negatives(emb, emb, k=2).collect()
+    by_q = {}
+    for r in out:
+        assert r["query_label"] != r["cand_label"]
+        by_q.setdefault(r["query_id"], []).append(r)
+    top0 = sorted(by_q[0], key=lambda r: r["rank"])
+    assert [r["cand_id"] for r in top0] == [2, 3]
+    # rank is dense per query starting at 1
+    for rs in by_q.values():
+        assert sorted(r["rank"] for r in rs) == list(range(1, len(rs) + 1))
+
+
+def test_hard_negatives_pair_guard(spark):
+    from linkgraph.pipeline.simsearch import hard_negatives
+
+    emb = spark.createDataFrame(
+        [(i, [1.0, 0.0], i % 2) for i in range(10)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    with pytest.raises(ValueError):
+        hard_negatives(emb, emb, max_pairs=10)
