@@ -824,6 +824,49 @@ def q_trade_wcc_warm(spark, sf_dir):
     return res.select(F.col("id").alias("node"), "component")
 
 
+def q_trade_msf(spark, sf_dir):
+    """Borůvka minimum spanning forest over the event-count-weighted
+    trade graph — the cheapest backbone that keeps every component
+    connected (mst.minimum_spanning_forest).  Edges totally ordered by
+    (w, lo, hi), so the MSF is unique and the oracle replays the rounds
+    exactly: per-component argmin over both orientations, min-id labels
+    via full closure per round."""
+    from linkgraph.algorithms.mst import minimum_spanning_forest
+
+    g = _trade_graph(spark, sf_dir)
+    return minimum_spanning_forest(g)
+
+
+def q_trade_nation_assortativity(spark, sf_dir):
+    """Newman nominal (categorical) assortativity of the trade graph over
+    nation labels — do customers trade with same-nation suppliers more
+    than chance?  All-integer mixing-matrix scalars + one sign-explicit
+    ppm division (linkpred.nominal_assortativity)."""
+    from linkgraph.algorithms.linkpred import nominal_assortativity
+
+    g = _trade_graph(spark, sf_dir)
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    mapping = (
+        cust.join(nat, cust.c_nationkey == nat.n_nationkey)
+        .select(
+            F.col("c_custkey").cast("string").alias("name"),
+            F.col("n_name").alias("category"),
+        )
+        .unionByName(
+            supp.join(nat, supp.s_nationkey == nat.n_nationkey).select(
+                (F.lit(1_000_000) + F.col("s_suppkey"))
+                .cast("string")
+                .alias("name"),
+                F.col("n_name").alias("category"),
+            )
+        )
+    )
+    labels = g.ids().join(mapping, "name").select("id", "category")
+    return nominal_assortativity(g, labels)
+
+
 def q_emb_hard_negatives(spark, sf_dir):
     """Contrastive hard-negative mining: per anchor (every 25th vector),
     the 5 most cosine-similar vectors with a DIFFERENT label — exact
@@ -2121,6 +2164,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_topk": q_events_stream_topk,
         "trade_wcc_warm": q_trade_wcc_warm,
         "emb_hard_negatives": q_emb_hard_negatives,
+        "trade_msf": q_trade_msf,
+        "trade_nation_assortativity": q_trade_nation_assortativity,
         # round-3-green buffer (driver re-confirmation, newest first)
         "trade_closeness": q_trade_closeness,
         "trade_neighbor_sample": q_trade_neighbor_sample,
@@ -2779,6 +2824,91 @@ UNION ALL
 SELECT CAST(error('mis oracle: {rounds}-round unroll insufficient') AS BIGINT),
        CAST(NULL AS BIGINT)
 WHERE (SELECT count(*) FROM a{rounds}) <> 0
+"""
+    )
+
+
+def _msf_oracle_sql(rounds: int) -> str:
+    """Round-unrolled Borůvka replay on the event-count-weighted trade
+    graph — same (w, lo, hi) total order, per-component argmin over both
+    orientations, min-id component labels recomputed per round via the
+    full reach closure over the forest-so-far; errors loudly if
+    cross-component edges remain after the unroll."""
+    stages = [
+        """ew AS MATERIALIZED (
+  SELECT o_custkey AS lo, 1000000 + l_suppkey AS hi, count(*)::BIGINT AS w
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY 1, 2
+)""",
+        "mnodes AS MATERIALIZED (SELECT lo AS id FROM ew "
+        "UNION SELECT hi FROM ew)",
+        "er0 AS MATERIALIZED (SELECT lo, hi, w, lo AS llo, hi AS lhi FROM ew)",
+    ]
+    sels = []
+    for r in range(rounds):
+        if r > 0:
+            unions = " UNION ALL ".join(
+                f"SELECT lo, hi FROM pick{i}" for i in range(r)
+            )
+            stages.append(
+                f"fu{r} AS MATERIALIZED (SELECT lo AS id, hi AS nbr "
+                f"FROM ({unions}) UNION SELECT hi, lo FROM ({unions}))"
+            )
+            stages.append(
+                f"""reach{r}(node, lab) AS (
+  SELECT id, id FROM mnodes
+  UNION
+  SELECT u.id, q.lab FROM reach{r} q JOIN fu{r} u ON u.nbr = q.node
+)"""
+            )
+            stages.append(
+                f"lab{r} AS MATERIALIZED (SELECT node, min(lab) AS l "
+                f"FROM reach{r} GROUP BY node)"
+            )
+            stages.append(
+                f"""er{r} AS MATERIALIZED (
+  SELECT e.lo, e.hi, e.w, a.l AS llo, b.l AS lhi
+  FROM ew e JOIN lab{r} a ON a.node = e.lo JOIN lab{r} b ON b.node = e.hi
+  WHERE a.l <> b.l
+)"""
+            )
+        stages.append(
+            f"""pick{r} AS MATERIALIZED (
+  SELECT DISTINCT lo, hi, w FROM (
+    SELECT lo, hi, w,
+           row_number() OVER (PARTITION BY c ORDER BY w, lo, hi) AS rn
+    FROM (SELECT llo AS c, lo, hi, w FROM er{r}
+          UNION ALL SELECT lhi, lo, hi, w FROM er{r})
+  ) WHERE rn = 1
+)"""
+        )
+        sels.append(f"SELECT lo, hi, w, CAST({r} AS BIGINT) AS round FROM pick{r}")
+    unions = " UNION ALL ".join(f"SELECT lo, hi FROM pick{i}" for i in range(rounds))
+    stages.append(
+        f"fuF AS MATERIALIZED (SELECT lo AS id, hi AS nbr FROM ({unions}) "
+        f"UNION SELECT hi, lo FROM ({unions}))"
+    )
+    stages.append(
+        """reachF(node, lab) AS (
+  SELECT id, id FROM mnodes
+  UNION
+  SELECT u.id, q.lab FROM reachF q JOIN fuF u ON u.nbr = q.node
+)"""
+    )
+    stages.append(
+        "labF AS MATERIALIZED (SELECT node, min(lab) AS l FROM reachF GROUP BY node)"
+    )
+    return (
+        "WITH RECURSIVE "
+        + ",\n".join(stages)
+        + "\n"
+        + "\nUNION ALL\n".join(sels)
+        + f"""
+UNION ALL
+SELECT CAST(error('msf oracle: {rounds}-round unroll insufficient') AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+WHERE EXISTS (SELECT 1 FROM ew e JOIN labF a ON a.node = e.lo
+              JOIN labF b ON b.node = e.hi WHERE a.l <> b.l)
 """
     )
 
@@ -5173,6 +5303,46 @@ SELECT sz AS size, count(*) AS n_components FROM sizes GROUP BY sz
     )
 
     sqls["copurchase_densest"] = _densest_oracle_sql(24, eps=0.1)
+
+    # Borůvka needs 2 rounds at sf0.01 (measured; hub-heavy graphs merge
+    # in big clumps) — unrolled to 4 with the loud guard arm.
+    sqls["trade_msf"] = _msf_oracle_sql(4)
+
+    sqls["trade_nation_assortativity"] = """
+WITH e AS (
+  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+cl AS (
+  SELECT c_custkey AS c, n_name AS nc
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+),
+sl AS (
+  SELECT s_suppkey AS s, n_name AS ns
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+),
+el AS (SELECT nc, ns FROM e JOIN cl USING (c) JOIN sl USING (s)),
+pairs AS (SELECT nc AS ca, ns AS cb FROM el UNION ALL SELECT ns, nc FROM el),
+per AS (
+  SELECT ca, count(*)::BIGINT AS a,
+         sum(CASE WHEN ca = cb THEN 1 ELSE 0 END)::BIGINT AS s
+  FROM pairs GROUP BY ca
+),
+tot AS (
+  SELECT sum(s)::BIGINT AS same_pairs, sum(a)::BIGINT AS total_pairs,
+         sum(a * a)::BIGINT AS sum_ab
+  FROM per
+)
+SELECT same_pairs, total_pairs, sum_ab,
+       (CASE WHEN (total_pairs * total_pairs - sum_ab) > 0 THEN
+          CASE WHEN (total_pairs * same_pairs - sum_ab) >= 0
+            THEN (1000000 * (total_pairs * same_pairs - sum_ab))
+                 // (total_pairs * total_pairs - sum_ab)
+            ELSE -((1000000 * -(total_pairs * same_pairs - sum_ab))
+                 // (total_pairs * total_pairs - sum_ab))
+          END END)::BIGINT AS r_ppm
+FROM tot
+"""
 
     sqls["trade_mis"] = _mis_oracle_sql(16, seed=42)
 

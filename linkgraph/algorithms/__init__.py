@@ -50,7 +50,9 @@ from linkgraph.algorithms.kcore import k_core_ids, k_core_subgraph, k_truss_edge
 from linkgraph.algorithms.linkpred import (
     degree_assortativity,
     link_prediction_scores,
+    nominal_assortativity,
 )
+from linkgraph.algorithms.mst import edge_event_weights, minimum_spanning_forest
 from linkgraph.algorithms.lpa import label_propagation
 from linkgraph.algorithms.motifs import (
     global_temporal_three_node_motif,
@@ -129,6 +131,9 @@ __all__ = [
     "label_propagation",
     "link_prediction_scores",
     "louvain",
+    "minimum_spanning_forest",
+    "edge_event_weights",
+    "nominal_assortativity",
     "modularity",
     "node2vec_walks",
     "local_temporal_three_node_motifs",

@@ -72,6 +72,67 @@ def degree_assortativity(graph: LinkGraph) -> DataFrame:
     return pairs.agg(F.corr("dx", "dy").alias("assortativity"))
 
 
+def nominal_assortativity(graph: LinkGraph, labels: DataFrame) -> DataFrame:
+    """One row ``(same_pairs, total_pairs, sum_ab, r_ppm)``: Newman's
+    nominal (categorical) assortativity over endpoint categories
+    (Newman 2003 eq. 2 — the discrete-attribute twin of
+    :func:`degree_assortativity`).
+
+    ``labels``: ``(id, category)``; edges with an unlabelled endpoint are
+    excluded (both orientations, so the mixing matrix stays symmetric).
+
+    r = (Tr e − Σᵢ aᵢbᵢ) / (1 − Σᵢ aᵢbᵢ) over the edge-fraction mixing
+    matrix e; with symmetrized integer counts (M directed endpoint pairs,
+    S same-category pairs, aᵢ per-category endpoint counts, aᵢ = bᵢ) this
+    is r = (M·S − Σaᵢ²) / (M² − Σaᵢ²) — all-integer until one final
+    division, emitted as ppm with explicit sign/abs so truncation
+    direction is engine-independent.  Overflow bound: exact for
+    M ≤ 3·10⁹ directed pairs (M² within int64); beyond that lift the
+    three scalars into decimal arithmetic driver-side.
+
+    One broadcast-size label join on each endpoint + one per-category
+    aggregate + one scalar fold — no shuffle of the edge table beyond the
+    degree-style groupBy.
+    """
+    und = _simple_neighbours(graph)
+    lb = labels.select("id", F.col("category").cast("string").alias("_cat"))
+    pairs = (
+        und.join(lb, "id")
+        .withColumnRenamed("_cat", "ca")
+        .join(
+            lb.select(F.col("id").alias("nbr_id"), F.col("_cat").alias("cb")),
+            "nbr_id",
+        )
+    )
+    per = pairs.groupBy("ca").agg(
+        F.count("*").alias("a"),
+        F.sum(F.when(F.col("ca") == F.col("cb"), 1).otherwise(0)).alias("s"),
+    )
+    tot = per.agg(
+        F.sum("s").cast("long").alias("same_pairs"),
+        F.sum("a").cast("long").alias("total_pairs"),
+        F.sum(F.col("a") * F.col("a")).cast("long").alias("sum_ab"),
+    )
+    num = F.col("total_pairs") * F.col("same_pairs") - F.col("sum_ab")
+    den = F.col("total_pairs") * F.col("total_pairs") - F.col("sum_ab")
+    ppm = F.when(
+        den > 0,
+        F.when(num >= 0, F.expr("(1000000 * num) div den")).otherwise(
+            -F.expr("(1000000 * -num) div den")
+        ),
+    )
+    return (
+        tot.withColumn("num", num.cast("long"))
+        .withColumn("den", den.cast("long"))
+        .select(
+            "same_pairs",
+            "total_pairs",
+            "sum_ab",
+            ppm.cast("long").alias("r_ppm"),
+        )
+    )
+
+
 def link_prediction_scores(
     graph: LinkGraph,
     max_hub_degree: int | None = None,

@@ -1,0 +1,190 @@
+"""Minimum spanning forest — distributed Borůvka.
+
+Beyond the reference's algorithm set (its closest relatives are the
+connected-components family, connected_components.rs): the MSF is the
+classic "cheapest backbone" readout over a weighted link graph — the
+minimal set of edges that keeps every component connected, e.g. the
+cheapest trade relationships that still reach every participant.
+
+Borůvka is THE distributed MST algorithm: every round each component
+picks its minimum outgoing edge and merges along it, so the component
+count at least halves per round (≤ log2 n rounds), and each round is one
+relabel join + one per-component min aggregate — no priority queue, no
+sequential union-find.  The merge step runs on the LABEL graph only (at
+most one row per remaining component, shrinking geometrically), never on
+the full edge set.
+
+Determinism: edges are totally ordered by ``(w, lo, hi)``, which makes
+the effective weights distinct, so the MSF is UNIQUE (cut property) and
+the whole run is a pure function of the input — replayed round-for-round
+by the DuckDB oracle in ``__spark_entry__``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from linkgraph.graph import LinkGraph, name_to_id
+from linkgraph.superstep import iteration_conf, pick_partitions
+
+
+def edge_event_weights(graph: LinkGraph) -> DataFrame:
+    """``(lo, hi, w)``: temporal event count per canonical undirected edge.
+
+    The default MSF weight — ``w`` = number of events on the edge in
+    either direction, so the forest prefers rarely-exercised links (the
+    "minimum activity backbone").  One map-side-combined hash aggregate
+    over the event table; self-loops dropped (a loop never joins
+    components).
+    """
+    e = graph.edges_t.filter(F.col("src") != F.col("dst"))
+    s = name_to_id(F.col("src"))
+    d = name_to_id(F.col("dst"))
+    return (
+        e.groupBy(
+            F.least(s, d).alias("lo"), F.greatest(s, d).alias("hi")
+        )
+        .agg(F.count("*").cast("long").alias("w"))
+    )
+
+
+def minimum_spanning_forest(
+    graph: LinkGraph,
+    weights: DataFrame | None = None,
+    max_rounds: int = 32,
+) -> DataFrame:
+    """Borůvka MSF — ``(lo, hi, w, round)``: one row per forest edge with
+    the round that picked it.
+
+    ``weights``: canonical ``(lo, hi, w)`` per undirected edge (defaults
+    to :func:`edge_event_weights`).  Ties broken by ``(w, lo, hi)`` —
+    the unique-MSF contract documented in the module docstring.
+
+    Per round: relabel edges by current component labels (two id-keyed
+    joins), drop intra-component edges, take the per-component
+    ``min_by(struct(lo,hi,w), struct(w,lo,hi))`` over both orientations,
+    then merge labels by hook + pointer-jump iterations on the picked
+    label graph.  Convergence of the inner merge is checked with a
+    monotone exact-integer aggregate (labels only decrease, so the sum of
+    labels is a fixpoint witness with no row-diff join).
+    """
+    spark = graph.spark
+    ew = weights if weights is not None else edge_event_weights(graph)
+    raw = ew.select(
+        F.col("lo").cast("long").alias("lo"),
+        F.col("hi").cast("long").alias("hi"),
+        F.col("w").cast("long").alias("w"),
+    ).persist()
+    P = pick_partitions(spark, raw.count())
+    forest_parts: list[DataFrame] = []
+    with iteration_conf(spark, shuffle_partitions=P):
+        edges = raw.localCheckpoint(eager=True)
+        raw.unpersist()
+        lab = (
+            edges.select(F.col("lo").alias("id"))
+            .unionByName(edges.select(F.col("hi").alias("id")))
+            .distinct()
+            .select("id", F.col("id").alias("l"))
+            .localCheckpoint(eager=True)
+        )
+        rnd = 0
+        while True:
+            e2 = (
+                edges.join(
+                    lab.select(F.col("id").alias("lo"), F.col("l").alias("llo")),
+                    "lo",
+                )
+                .join(
+                    lab.select(F.col("id").alias("hi"), F.col("l").alias("lhi")),
+                    "hi",
+                )
+                .filter(F.col("llo") != F.col("lhi"))
+                .localCheckpoint(eager=True)
+            )
+            if e2.isEmpty():
+                break
+            if rnd >= int(max_rounds):
+                raise RuntimeError(
+                    f"Boruvka MSF did not converge in {max_rounds} rounds"
+                )
+            cand = e2.select(
+                F.col("llo").alias("c"), "lo", "hi", "w", "llo", "lhi"
+            ).unionByName(
+                e2.select(F.col("lhi").alias("c"), "lo", "hi", "w", "llo", "lhi")
+            )
+            picks = (
+                cand.groupBy("c")
+                .agg(
+                    F.min_by(
+                        F.struct("lo", "hi", "w", "llo", "lhi"),
+                        F.struct("w", "lo", "hi"),
+                    ).alias("e")
+                )
+                .select("e.lo", "e.hi", "e.w", "e.llo", "e.lhi")
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            forest_parts.append(
+                picks.select(
+                    "lo", "hi", "w", F.lit(rnd).cast("long").alias("round")
+                )
+            )
+            # merge on the label graph: one row per hooked component pair
+            lg = (
+                picks.select(F.col("llo").alias("a"), F.col("lhi").alias("b"))
+                .unionByName(
+                    picks.select(F.col("lhi").alias("a"), F.col("llo").alias("b"))
+                )
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            m = (
+                lg.select(F.col("a").alias("c"))
+                .distinct()
+                .select("c", F.col("c").alias("l"))
+                .localCheckpoint(eager=True)
+            )
+            prev_sum = m.agg(F.sum("l")).first()[0]
+            while True:
+                # hook: min over neighbours' labels (plus own)
+                nbr_min = (
+                    lg.join(
+                        m.select(F.col("c").alias("b"), F.col("l").alias("lb")),
+                        "b",
+                    )
+                    .groupBy("a")
+                    .agg(F.min("lb").alias("nm"))
+                )
+                hooked = m.join(
+                    nbr_min.select(F.col("a").alias("c"), "nm"), "c", "left"
+                ).select(
+                    "c", F.least("l", F.coalesce("nm", F.col("l"))).alias("l")
+                )
+                # jump: l <- m[l] (pointer shortcutting)
+                jumped = hooked.join(
+                    hooked.select(F.col("c").alias("l"), F.col("l").alias("l2")),
+                    "l",
+                    "left",
+                ).select("c", F.coalesce("l2", F.col("l")).alias("l"))
+                m = jumped.localCheckpoint(eager=True)
+                cur_sum = m.agg(F.sum("l")).first()[0]
+                if cur_sum == prev_sum:
+                    break
+                prev_sum = cur_sum
+            lab = (
+                lab.join(
+                    m.select(F.col("c").alias("l"), F.col("l").alias("_new")),
+                    "l",
+                    "left",
+                )
+                .select("id", F.coalesce("_new", F.col("l")).alias("l"))
+                .localCheckpoint(eager=True)
+            )
+            rnd += 1
+    if not forest_parts:
+        return spark.createDataFrame([], "lo long, hi long, w long, round long")
+    out = forest_parts[0]
+    for p_ in forest_parts[1:]:
+        out = out.unionByName(p_)
+    return out
