@@ -824,6 +824,19 @@ def q_trade_wcc_warm(spark, sf_dir):
     return res.select(F.col("id").alias("node"), "component")
 
 
+def q_docs_line_dedup(spark, sf_dir):
+    """CCNet-style cross-document line dedup (10-word segments — the
+    synthetic corpus has no newline structure): every segment appearing
+    in ≥2 distinct docs is dropped from ALL of them, and the readout is
+    per-doc counts + an md5 digest of the cleaned text
+    (pipeline.dedup.line_dedup).  Only 16-byte keys shuffle; the corpus
+    text never rides a join."""
+    from linkgraph.pipeline.dedup import line_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return line_dedup(docs, min_docs=2, seg_words=10)
+
+
 def q_trade_msf(spark, sf_dir):
     """Borůvka minimum spanning forest over the event-count-weighted
     trade graph — the cheapest backbone that keeps every component
@@ -2166,6 +2179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_hard_negatives": q_emb_hard_negatives,
         "trade_msf": q_trade_msf,
         "trade_nation_assortativity": q_trade_nation_assortativity,
+        "docs_line_dedup": q_docs_line_dedup,
         # round-3-green buffer (driver re-confirmation, newest first)
         "trade_closeness": q_trade_closeness,
         "trade_neighbor_sample": q_trade_neighbor_sample,
@@ -5303,6 +5317,34 @@ SELECT sz AS size, count(*) AS n_components FROM sizes GROUP BY sz
     )
 
     sqls["copurchase_densest"] = _densest_oracle_sql(24, eps=0.1)
+
+    sqls["docs_line_dedup"] = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+u AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(words[i*10+1 : i*10+10], ' ') AS line
+  FROM d, unnest(range(0, greatest(CAST(ceil(len(words)/10.0) AS BIGINT), 1)))
+       AS t(i)
+),
+k AS (SELECT doc_id, pos, line, md5(lower(trim(line))) AS key FROM u),
+dup AS (
+  SELECT key FROM (SELECT DISTINCT key, doc_id FROM k WHERE trim(line) <> '')
+  GROUP BY key HAVING count(*) >= 2
+),
+rm AS (SELECT doc_id, pos FROM k JOIN dup USING (key)),
+agg AS (
+  SELECT k.doc_id,
+         count(*)::BIGINT AS n_units,
+         count(rm.pos)::BIGINT AS removed_units,
+         coalesce(string_agg(CASE WHEN rm.pos IS NULL THEN k.line END,
+                             chr(10) ORDER BY k.pos), '') AS clean
+  FROM k LEFT JOIN rm ON rm.doc_id = k.doc_id AND rm.pos = k.pos
+  GROUP BY k.doc_id
+)
+SELECT doc_id, n_units, removed_units,
+       length(clean)::BIGINT AS clean_chars, md5(clean) AS clean_md5
+FROM agg
+"""
 
     # Borůvka needs 2 rounds at sf0.01 (measured; hub-heavy graphs merge
     # in big clumps) — unrolled to 4 with the loud guard arm.

@@ -498,3 +498,96 @@ def duplicate_spans(
             .alias("dup_frac"),
         )
     )
+
+
+def _doc_units(text_col, seg_words: int | None):
+    """array<string> of dedup units for a document: newline-split lines,
+    or non-overlapping ``seg_words``-word segments when the corpus has no
+    line structure (same slice arithmetic as packing.chunk_text)."""
+    if seg_words is None:
+        return F.split(F.col(text_col), "\n")
+    words = F.split(F.col(text_col), " ")
+    k = int(seg_words)
+    n_segs = F.greatest(F.ceil(F.size(words) / F.lit(k)), F.lit(1))
+
+    def _seg(ws):
+        return lambda i: F.array_join(F.slice(ws, i * k + 1, k), " ")
+
+    return F.transform(F.sequence(F.lit(0), n_segs - 1), _seg(words))
+
+
+def line_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_docs: int = 2,
+    seg_words: int | None = None,
+) -> DataFrame:
+    """Cross-document line dedup (CCNet-style — Wenzek et al., LREC 2020):
+    drop every unit whose normalised form appears in ≥ ``min_docs``
+    DISTINCT documents — the boilerplate filter (headers, nav bars,
+    cookie banners) that runs before any whole-doc dedup.
+
+    Unit = newline-split line, or a ``seg_words``-word non-overlapping
+    segment for corpora without line structure.  Normalisation =
+    ``lower(trim(unit))``; units that are empty after trimming are never
+    counted and never removed.  ALL copies of a duplicated unit are
+    dropped (the CCNet contract — the "original" is boilerplate too).
+
+    Returns ``(doc_id, n_units, removed_units, clean_chars, clean_md5)``
+    — counts plus a digest of the cleaned text (kept units joined by
+    newline), so the whole readout is engine-exact without shipping the
+    text twice.
+
+    Scale shape: unit keys are 16-byte md5 + doc_id pairs — the ONLY
+    thing shuffled (one distinct + one count aggregate, map-side
+    combined); the corpus text never rides a shuffle.  The duplicated-key
+    set joins back against slim ``(doc_id, pos, key)`` rows to produce
+    per-doc removed-position arrays, and the final rebuild is a map-only
+    ``F.filter`` over the re-derived unit array.  The removed-positions
+    side is duplication-cut-sized (empty when there is no boilerplate),
+    so AQE broadcasts it in the common case.
+    """
+    d = docs.select("doc_id", F.col(text_col).alias("_text")).withColumn(
+        "_units", _doc_units("_text", seg_words)
+    )
+    lines = d.select(
+        "doc_id",
+        F.posexplode("_units").alias("pos", "line"),
+    ).withColumn("key", F.md5(F.lower(F.trim("line"))))
+    counted = (
+        lines.filter(F.trim("line") != "")
+        .select("key", "doc_id")
+        .distinct()
+        .groupBy("key")
+        .agg(F.count("*").alias("nd"))
+        .filter(F.col("nd") >= int(min_docs))
+        .select("key")
+    )
+    removed = (
+        lines.join(counted, "key")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("pos")).alias("rm"))
+    )
+    rebuilt = (
+        d.join(removed, "doc_id", "left")
+        .withColumn("rm", F.coalesce("rm", F.array().cast("array<int>")))
+        .select(
+            "doc_id",
+            F.size("_units").cast("long").alias("n_units"),
+            F.size("rm").cast("long").alias("removed_units"),
+            F.array_join(
+                F.filter(
+                    "_units",
+                    lambda x, i: ~F.array_contains(F.col("rm"), i),
+                ),
+                "\n",
+            ).alias("_clean"),
+        )
+    )
+    return rebuilt.select(
+        "doc_id",
+        "n_units",
+        "removed_units",
+        F.length("_clean").cast("long").alias("clean_chars"),
+        F.md5("_clean").alias("clean_md5"),
+    )

@@ -337,3 +337,69 @@ def test_knn_components_min_cosine_fragments(vecs):
     for vid, comp in floored.items():
         by_floor.setdefault(comp, set()).add(free[vid])
     assert all(len(s) == 1 for s in by_floor.values())
+
+
+# ------------------------------------------------ cross-doc line dedup
+
+
+def test_line_dedup_removes_cross_doc_lines_only(spark):
+    from linkgraph.pipeline.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (0, "keep me zero\nSHARED BOILERPLATE\nunique tail zero"),
+            (1, "keep me one\nshared boilerplate\nanother tail"),
+            # repeated WITHIN one doc only -> kept (min_docs counts docs)
+            (2, "twice\ntwice\nunique two"),
+            (3, "all original\nlines here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in line_dedup(docs).collect()}
+    # normalisation: lower(trim) matches across case
+    assert out[0]["removed_units"] == 1 and out[1]["removed_units"] == 1
+    assert out[2]["removed_units"] == 0
+    assert out[3]["removed_units"] == 0
+    assert out[0]["n_units"] == 3
+    # digest equals md5 of the kept lines joined by newline
+    import hashlib
+
+    expect = hashlib.md5(
+        "keep me zero\nunique tail zero".encode()
+    ).hexdigest()
+    assert out[0]["clean_md5"] == expect
+    assert out[0]["clean_chars"] == len("keep me zero\nunique tail zero")
+
+
+def test_line_dedup_empty_lines_never_removed(spark):
+    from linkgraph.pipeline.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [(0, "a\n\nb"), (1, "c\n\nd"), (2, "e\n \nf")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in line_dedup(docs).collect()}
+    # the blank line appears in all docs but is exempt
+    assert all(r["removed_units"] == 0 for r in out.values())
+    assert out[0]["n_units"] == 3
+
+
+def test_line_dedup_word_segments(spark):
+    from linkgraph.pipeline.dedup import line_dedup
+
+    shared = "one two three four five"
+    docs = spark.createDataFrame(
+        [
+            (0, shared + " alpha beta gamma delta eps"),
+            (1, shared + " zeta eta theta iota kappa"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in line_dedup(docs, seg_words=5).collect()
+    }
+    # first 5-word segment is shared -> removed from both; second unique
+    for r in out.values():
+        assert r["n_units"] == 2
+        assert r["removed_units"] == 1
