@@ -824,6 +824,24 @@ def q_trade_wcc_warm(spark, sf_dir):
     return res.select(F.col("id").alias("node"), "component")
 
 
+def q_events_distinct_sketch(spark, sf_dir):
+    """Streaming approximate distinct-users-per-hour: bit_or-merged FM
+    registers as a REAL availableNow streaming aggregate
+    (streaming.windowed_distinct_sketch) — the cardinality sketch whose
+    integer register surface the oracle replays bit-exactly; the float
+    estimate is a serving-time readout of this tiny table."""
+    from linkgraph.streaming import (
+        read_event_stream,
+        run_available_now,
+        windowed_distinct_sketch,
+    )
+
+    stream = read_event_stream(spark, _stream_input(sf_dir, "events"))
+    return run_available_now(
+        windowed_distinct_sketch(stream), _stream_ck(), output_mode="complete"
+    )
+
+
 def q_docs_line_dedup(spark, sf_dir):
     """CCNet-style cross-document line dedup (10-word segments — the
     synthetic corpus has no newline structure): every segment appearing
@@ -2180,6 +2198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trade_msf": q_trade_msf,
         "trade_nation_assortativity": q_trade_nation_assortativity,
         "docs_line_dedup": q_docs_line_dedup,
+        "events_distinct_sketch": q_events_distinct_sketch,
         # round-3-green buffer (driver re-confirmation, newest first)
         "trade_closeness": q_trade_closeness,
         "trade_neighbor_sample": q_trade_neighbor_sample,
@@ -5317,6 +5336,34 @@ SELECT sz AS size, count(*) AS n_components FROM sizes GROUP BY sz
     )
 
     sqls["copurchase_densest"] = _densest_oracle_sql(24, eps=0.1)
+
+    _fm_r = 8
+    _fm_masks = ", ".join(
+        "(1::BIGINT << least(bit_count((d{r} & (-d{r})) - 1), 31)) AS k{r}".format(
+            r=r
+        )
+        for r in range(_fm_r)
+    )
+    _fm_draws = ", ".join(
+        "('0x' || substr(md5(concat_ws('|', '42', '{r}', "
+        "user_id::VARCHAR)), 1, 15))::BIGINT AS d{r}".format(r=r)
+        for r in range(_fm_r)
+    )
+    _fm_ors = ", ".join(f"bit_or(k{r}) AS m{r}" for r in range(_fm_r))
+    _fm_rsum = " + ".join(
+        f"CAST(bit_count(((~m{r}) & (m{r} + 1)) - 1) AS BIGINT)"
+        for r in range(_fm_r)
+    )
+    sqls["events_distinct_sketch"] = f"""
+WITH draws AS (SELECT ts, {_fm_draws} FROM events),
+masks AS (SELECT ts, {_fm_masks} FROM draws),
+regs AS (
+  SELECT cast(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS ws,
+         count(*)::BIGINT AS n_events, {_fm_ors}
+  FROM masks GROUP BY 1
+)
+SELECT ws, n_events, ({_fm_rsum}) AS r_sum FROM regs
+"""
 
     sqls["docs_line_dedup"] = """
 WITH d AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),

@@ -281,3 +281,71 @@ def windowed_topk(
         counts.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+def _fm_event_mask_expr(seed: int, r: int) -> str:
+    """Quenched FM mask for one event's user_id, replica ``r`` — identical
+    draw recipe to centrality._fm_mask_expr so register surfaces stay
+    engine-replayable (Spark conv(substr(md5)) == DuckDB
+    ('0x'||substr(md5))::BIGINT)."""
+    d = (
+        "CAST(conv(substring(md5(concat_ws('|'"
+        f",'{seed}','{r}',CAST(user_id AS STRING))),1,15),16,10) AS BIGINT)"
+    )
+    return (
+        f"shiftleft(CAST(1 AS BIGINT), least(bit_count(({d} & (-{d})) - 1), 31))"
+    )
+
+
+def windowed_distinct_sketch(
+    stream: DataFrame,
+    n_replicas: int = 8,
+    seed: int = 42,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Approximate distinct users per tumbling hour — Flajolet–Martin
+    registers merged with ``bit_or`` (ANF — Palmer et al., KDD 2002; the
+    same quenched md5 masks as :func:`~linkgraph.algorithms.hyperball_anf`).
+
+    ``bit_or`` is an associative, commutative, IDEMPOTENT monoid, so
+    Spark's map-side partial aggregation and the streaming state-store
+    merge produce exactly the batch answer regardless of how the input
+    splits into micro-batches — and re-delivered events cannot skew the
+    sketch the way a ``count(distinct)`` approximation could.  State per
+    window is ``n_replicas`` longs, independent of cardinality — the
+    scale path where exact streaming distinct state grows with the
+    number of users.
+
+    Output: ``(ws, n_events, r_sum)`` — window-start epoch seconds, event
+    count, summed least-zero-bit register values across replicas.  The
+    register surface is INTEGER-exact and SQL-replayable; derive the
+    float cardinality estimate at serving time with :func:`fm_estimate`
+    over this tiny result table.
+    """
+    m = int(n_replicas)
+    with_masks = stream.selectExpr(
+        "ts",
+        *[f"{_fm_event_mask_expr(seed, r)} AS _k{r}" for r in range(m)],
+    )
+    agg = (
+        with_masks.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            *[F.expr(f"bit_or(_k{r})").alias(f"m{r}") for r in range(m)],
+        )
+    )
+    r_sum = " + ".join(
+        f"CAST(bit_count(((~m{r}) & (m{r} + 1)) - 1) AS BIGINT)" for r in range(m)
+    )
+    return agg.select(
+        F.unix_timestamp("w.start").alias("ws"),
+        "n_events",
+        F.expr(r_sum).alias("r_sum"),
+    )
+
+
+def fm_estimate(r_sum: int, n_replicas: int) -> float:
+    """Serving-time FM cardinality estimate from a summed register value:
+    ``2^(r_sum/R) / 0.77351`` (Flajolet & Martin 1985, φ correction)."""
+    return (2.0 ** (float(r_sum) / float(n_replicas))) / 0.77351

@@ -166,3 +166,57 @@ def test_windowed_topk_matches_batch_rank(spark, events_dir, tmp_path):
     got = {(r["ws"], r["event_type"], r["n_events"], r["rank"]) for r in out}
     # hour 0: click(2); hour 1: buy(1) beats click(1) on the type tiebreak
     assert got == {(base, "click", 2, 1), (base + 3600, "buy", 1, 1)}
+
+
+# ------------------------------------------ FM distinct-count sketch
+
+
+def test_distinct_sketch_idempotent_and_calibrated(spark, tmp_path):
+    from linkgraph.streaming import (
+        fm_estimate,
+        windowed_distinct_sketch,
+    )
+
+    p = str(tmp_path / "sketch_in")
+    rows = []
+    # hour 0: 40 distinct users (each twice -> idempotence inside a window);
+    # hour 1: 5 distinct users
+    for u in range(40):
+        rows.append((u, _ts(0, u % 60), u, "click", 1.0, "{}"))
+        rows.append((1000 + u, _ts(0, (u + 7) % 60), u, "click", 1.0, "{}"))
+    for u in range(5):
+        rows.append((2000 + u, _ts(1, u), 100 + u, "buy", 1.0, "{}"))
+    _write_events(spark, p, rows)
+
+    out = {
+        r["ws"]: r
+        for r in run_available_now(
+            windowed_distinct_sketch(read_event_stream(spark, p)),
+            str(tmp_path / "ck1"),
+            output_mode="complete",
+        ).collect()
+    }
+    assert len(out) == 2
+    h0 = out[min(out)]
+    h1 = out[max(out)]
+    assert h0["n_events"] == 80 and h1["n_events"] == 5
+    # calibration: FM with 8 replicas is coarse; assert within 3x
+    est0 = fm_estimate(h0["r_sum"], 8)
+    est1 = fm_estimate(h1["r_sum"], 8)
+    assert 40 / 3 <= est0 <= 40 * 3
+    assert 5 / 3 <= est1 <= 5 * 3
+
+    # idempotence: replaying the SAME users again must not move r_sum
+    # (bit_or monoid), only n_events
+    p2 = str(tmp_path / "sketch_in2")
+    _write_events(spark, p2, rows + [(3000 + i, _ts(0, i % 60), i, "x", 0.0, "{}") for i in range(40)])
+    out2 = {
+        r["ws"]: r
+        for r in run_available_now(
+            windowed_distinct_sketch(read_event_stream(spark, p2)),
+            str(tmp_path / "ck2"),
+            output_mode="complete",
+        ).collect()
+    }
+    assert out2[min(out2)]["r_sum"] == h0["r_sum"]
+    assert out2[min(out2)]["n_events"] == 120
