@@ -156,6 +156,22 @@ def main() -> None:
         "copurchase_approx_betweenness",
         "docs_lm_bits",
         "trade_pagerank_warm",
+        # round 4 (cont.): keyword extraction, batching, partition quality,
+        # resampling, graph diff, warm WCC, hard negatives
+        "docs_tfidf_keywords",
+        "docs_length_buckets",
+        "trade_nation_conductance",
+        "docs_weighted_sample",
+        "trade_edge_delta",
+        "events_stream_topk",
+        "trade_wcc_warm",
+        "emb_hard_negatives",
+        # round 4 (cont.): MSF backbone, nominal mixing, boilerplate line
+        # dedup, streaming cardinality sketch
+        "trade_msf",
+        "trade_nation_assortativity",
+        "docs_line_dedup",
+        "events_distinct_sketch",
     ]
     # untimed warmup at the smallest scale factor: run every headline query
     # once over sf0.001 so whole-stage-codegen compilation, the parquet
