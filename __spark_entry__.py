@@ -855,6 +855,18 @@ def q_docs_line_dedup(spark, sf_dir):
     return line_dedup(docs, min_docs=2, seg_words=10)
 
 
+def q_trade_ppr_sweep(spark, sf_dir):
+    """Local community around the 15 PPR seed customers by sweep cut
+    (Andersen–Chung–Lang): prefixes of the top-60 PPR-ranked nodes with
+    integer-exact volume / cut / conductance-ppm per prefix
+    (community.ppr_sweep_cut); rank order is the round-6 score surface
+    the PPR oracle replays, so the whole sweep is engine-exact."""
+    from linkgraph.algorithms.community import ppr_sweep_cut
+
+    g = _trade_graph(spark, sf_dir)
+    return ppr_sweep_cut(g, PPR_SEEDS, k=60, max_iter=100, tol=1e-9)
+
+
 def q_trade_msf(spark, sf_dir):
     """Borůvka minimum spanning forest over the event-count-weighted
     trade graph — the cheapest backbone that keeps every component
@@ -2199,6 +2211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trade_nation_assortativity": q_trade_nation_assortativity,
         "docs_line_dedup": q_docs_line_dedup,
         "events_distinct_sketch": q_events_distinct_sketch,
+        "trade_ppr_sweep": q_trade_ppr_sweep,
         # round-3-green buffer (driver re-confirmation, newest first)
         "trade_closeness": q_trade_closeness,
         "trade_neighbor_sample": q_trade_neighbor_sample,
@@ -3526,6 +3539,67 @@ pr(iter, id, score) AS (
   GROUP BY p.iter + 1, w.v, pv2.p
 )
 SELECT id AS node, round(score, 6) AS score FROM pr WHERE iter = 200
+"""
+
+    # sweep cut: same 200-iter PPR CTE, then rank by (round-6 score DESC,
+    # id ASC), prefix volumes/internal-edge counts by cumulative windows
+    sqls["trade_ppr_sweep"] = f"""
+WITH RECURSIVE {_TRADE_ED}, {_TRADE_NODES},
+sd AS (SELECT unnest([{_ppr_seed_list}]) AS id),
+outdeg AS (SELECT src AS id, count(*)::DOUBLE AS d FROM trade_ed GROUP BY src),
+pv AS (
+  SELECT tn.id,
+         CASE WHEN tn.id IN (SELECT id FROM sd) THEN 1.0 / 15 ELSE 0.0 END AS p
+  FROM trade_nodes tn
+),
+w AS (
+  SELECT e.src AS u, e.dst AS v, 1.0 / od.d AS wt
+  FROM trade_ed e JOIN outdeg od ON od.id = e.src
+  UNION ALL
+  SELECT s.id, t.id, 1.0 / 15
+  FROM (SELECT tn.id FROM trade_nodes tn LEFT JOIN outdeg od ON od.id = tn.id
+        WHERE od.id IS NULL) s
+  CROSS JOIN sd t
+  UNION ALL
+  SELECT id, id, 0.0 FROM trade_nodes
+),
+pr(iter, id, score) AS (
+  SELECT 0, id, p FROM pv
+  UNION ALL
+  SELECT p.iter + 1, w.v, 0.15 * pv2.p + 0.85 * sum(p.score * w.wt)
+  FROM pr p
+  JOIN w ON w.u = p.id
+  JOIN pv pv2 ON pv2.id = w.v
+  WHERE p.iter < 200
+  GROUP BY p.iter + 1, w.v, pv2.p
+),
+sc AS (SELECT id, round(score, 6) AS score FROM pr WHERE iter = 200),
+topk AS (
+  SELECT id, score, row_number() OVER (ORDER BY score DESC, id ASC) AS rank
+  FROM sc ORDER BY score DESC, id ASC LIMIT 60
+),
+und AS (SELECT src AS id, dst AS nbr FROM trade_ed UNION SELECT dst, src FROM trade_ed),
+deg AS (SELECT id, count(*)::BIGINT AS deg FROM und WHERE id <> nbr GROUP BY id),
+vt AS (SELECT sum(deg)::BIGINT AS vol_total FROM deg),
+perr AS (
+  SELECT greatest(a.rank, b.rank) AS rank, count(*)::BIGINT AS ni
+  FROM (SELECT DISTINCT src AS lo, dst AS hi FROM trade_ed) c
+  JOIN topk a ON a.id = c.lo JOIN topk b ON b.id = c.hi
+  GROUP BY 1
+),
+sw AS (
+  SELECT r.rank, r.id, r.score,
+         sum(coalesce(d.deg, 0)) OVER (ORDER BY r.rank) AS vol,
+         sum(coalesce(p.ni, 0)) OVER (ORDER BY r.rank) AS internal
+  FROM topk r LEFT JOIN deg d ON d.id = r.id LEFT JOIN perr p ON p.rank = r.rank
+)
+SELECT rank::BIGINT AS rank, id AS node, score,
+       vol::BIGINT AS vol, (vol - 2 * internal)::BIGINT AS cut,
+       (CASE WHEN least(vol, (SELECT vol_total FROM vt) - vol) > 0
+             THEN (1000000 * (vol - 2 * internal))
+                  // least(vol, (SELECT vol_total FROM vt) - vol) END)::BIGINT
+         AS cond_ppm
+FROM sw
 """
 
     # chunking replay: stride = 800 - 100; n_chunks = max(ceil((len -

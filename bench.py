@@ -172,6 +172,7 @@ def main() -> None:
         "trade_nation_assortativity",
         "docs_line_dedup",
         "events_distinct_sketch",
+        "trade_ppr_sweep",
     ]
     # untimed warmup at the smallest scale factor: run every headline query
     # once over sf0.001 so whole-stage-codegen compilation, the parquet

@@ -39,7 +39,7 @@ from linkgraph.algorithms.sampling import (
     ranked_adjacency,
     sample_neighbors,
 )
-from linkgraph.algorithms.community import louvain, modularity
+from linkgraph.algorithms.community import louvain, modularity, ppr_sweep_cut
 from linkgraph.algorithms.components import (
     in_components,
     out_components,
@@ -143,6 +143,7 @@ __all__ = [
     "pagerank",
     "pagerank_on_ids",
     "personalized_pagerank",
+    "ppr_sweep_cut",
     "per_edge_triangles",
     "random_walks",
     "single_source_shortest_path",

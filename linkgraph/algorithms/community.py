@@ -311,3 +311,88 @@ def louvain(
         if not improved_any:
             break
     return ids.join(mapping, "id").select("name", "id", "community")
+
+
+def ppr_sweep_cut(
+    graph: LinkGraph,
+    seeds: list[str],
+    k: int = 100,
+    damping: float = 0.85,
+    max_iter: int = 100,
+    tol: float = 1e-9,
+) -> DataFrame:
+    """Local community detection by PPR sweep cut (Andersen, Chung & Lang,
+    FOCS 2006) — ``(rank, node, score, vol, cut, cond_ppm)``: one row per
+    prefix of the top-``k`` nodes ranked by personalized PageRank from
+    ``seeds``; the prefix with the smallest conductance is the seed's
+    local community.
+
+    Ranking key is ``(round(score, 6) DESC, id ASC)`` — the same rounded
+    surface the PPR oracle replays, so the order (and therefore every
+    prefix) is engine-exact.  Conductance uses the undirected simple
+    graph without self-loops (the :func:`~linkgraph.algorithms.metrics.
+    community_conductance` convention): ``vol(k) = Σ_prefix deg``,
+    ``cut(k) = vol(k) − 2·internal(k)``, emitted as integer ppm.
+
+    Scale shape: the PPR run is the superstep kernel (one join + one
+    aggregate per iteration); the sweep itself touches only the k-row
+    prefix — degrees join k rows, internal-edge counting joins the edge
+    table against the k-row rank map twice (two broadcast joins at any
+    scale), and the two cumulative windows run over k rows (bounded by
+    construction, so the single-partition window is O(k), not O(n)).
+    """
+    from pyspark.sql import Window
+
+    from linkgraph.algorithms.pagerank import personalized_pagerank
+
+    ppr = personalized_pagerank(
+        graph, seeds, damping=damping, max_iter=max_iter, tol=tol
+    )
+    order = [F.col("score").desc(), F.col("id").asc()]
+    topk = (
+        ppr.select("id", F.round("score", 6).alias("score"))
+        .orderBy(*order)
+        .limit(int(k))
+        .withColumn("rank", F.row_number().over(Window.orderBy(*order)))
+    )
+    und = graph.undirected_edge_ids().filter(F.col("id") != F.col("nbr_id"))
+    deg = und.groupBy("id").agg(F.count("*").alias("deg"))
+    vol_total = deg.agg(F.sum("deg").alias("vol_total"))
+    ranked = topk.join(deg, "id", "left").withColumn(
+        "deg", F.coalesce("deg", F.lit(0))
+    )
+    w_cum = Window.orderBy("rank").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = ranked.withColumn("vol", F.sum("deg").over(w_cum))
+    # internal(k): canonical edges with BOTH endpoints in the prefix,
+    # bucketed by the larger endpoint rank, then accumulated
+    rmap_lo = F.broadcast(
+        topk.select(F.col("id").alias("lo"), F.col("rank").alias("r_lo"))
+    )
+    rmap_hi = F.broadcast(
+        topk.select(F.col("id").alias("hi"), F.col("rank").alias("r_hi"))
+    )
+    per_rank = (
+        graph.canonical_edge_ids()
+        .join(rmap_lo, "lo")
+        .join(rmap_hi, "hi")
+        .groupBy(F.greatest("r_lo", "r_hi").alias("rank"))
+        .agg(F.count("*").alias("new_internal"))
+    )
+    swept = (
+        ranked.join(per_rank, "rank", "left")
+        .withColumn("new_internal", F.coalesce("new_internal", F.lit(0)))
+        .withColumn("internal", F.sum("new_internal").over(w_cum))
+        .withColumn("cut", F.col("vol") - 2 * F.col("internal"))
+        .crossJoin(F.broadcast(vol_total))
+    )
+    side = F.least(F.col("vol"), F.col("vol_total") - F.col("vol"))
+    return swept.select(
+        F.col("rank").cast("long").alias("rank"),
+        F.col("id").alias("node"),
+        "score",
+        F.col("vol").cast("long").alias("vol"),
+        F.col("cut").cast("long").alias("cut"),
+        F.when(side > 0, F.expr("(1000000 * cut) div least(vol, vol_total - vol)"))
+        .cast("long")
+        .alias("cond_ppm"),
+    )

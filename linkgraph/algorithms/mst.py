@@ -79,7 +79,16 @@ def minimum_spanning_forest(
     P = pick_partitions(spark, raw.count())
     forest_parts: list[DataFrame] = []
     with iteration_conf(spark, shuffle_partitions=P):
-        edges = raw.localCheckpoint(eager=True)
+        # static big side of the per-round relabel: hash-partition on the
+        # FIRST join key once (localCheckpoint preserves the partitioning),
+        # so each round shuffles only the node-sized label table for join 1
+        # and the edge-sized intermediate for join 2 — not the static edge
+        # table twice
+        edges = (
+            raw.repartition(P, "lo")
+            .sortWithinPartitions("lo")
+            .localCheckpoint(eager=True)
+        )
         raw.unpersist()
         lab = (
             edges.select(F.col("lo").alias("id"))

@@ -67,3 +67,46 @@ def test_louvain_deterministic(spark):
     a = sorted((r["name"], r["community"]) for r in louvain(g, seed=3).collect())
     b = sorted((r["name"], r["community"]) for r in louvain(g, seed=3).collect())
     assert a == b
+
+
+def test_ppr_sweep_cut_finds_planted_clique(spark):
+    """Barbell: two K4 cliques joined by one bridge — the sweep's minimum
+    conductance must land exactly at the seed's clique (cut=1, vol=13)."""
+    from linkgraph.algorithms.community import ppr_sweep_cut
+    from linkgraph.graph import LinkGraph
+
+    a = ["1", "2", "3", "4"]
+    b = ["11", "12", "13", "14"]
+    edges = []
+    for grp in (a, b):
+        for i in range(4):
+            for j in range(i + 1, 4):
+                edges.append((grp[i], grp[j]))
+    edges.append(("1", "11"))  # bridge
+    g = LinkGraph(
+        spark.createDataFrame(
+            [(i, s, d) for i, (s, d) in enumerate(edges)],
+            "time long, src string, dst string",
+        )
+    )
+    rows = ppr_sweep_cut(g, seeds=["2"], k=8).collect()
+    assert [r["rank"] for r in rows] == list(range(1, 9))
+    by_rank = {r["rank"]: r for r in rows}
+    # prefix of the whole seed clique: vol = 3+3+3+4 = 13, internal = 6
+    # the full-graph prefix has no outside (side = 0) -> NULL conductance
+    assert by_rank[8]["cond_ppm"] is None
+    best = min(
+        (r for r in rows if r["cond_ppm"] is not None),
+        key=lambda r: (r["cond_ppm"], r["rank"]),
+    )
+    assert best["rank"] == 4
+    assert best["cut"] == 1 and best["vol"] == 13
+    assert best["cond_ppm"] == 1_000_000 // 13
+    # the four top-ranked nodes ARE the seed's clique
+    clique_ids = {int(x) for x in a}
+    assert {by_rank[i]["node"] for i in range(1, 5)} == clique_ids
+    # monotone bookkeeping: vol strictly increases, cut returns to 1 only
+    # at the clique boundary before rank 5
+    assert all(
+        by_rank[i]["vol"] < by_rank[i + 1]["vol"] for i in range(1, 8)
+    )

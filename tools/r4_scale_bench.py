@@ -469,6 +469,73 @@ def run_wcc_warm() -> None:
     print(json.dumps({"wcc_warm_ab": out}, indent=2))
 
 
+# ----------------------------------------------------------- Boruvka MSF
+
+MSF_EDGES = int(os.environ.get("MSF_EDGES", 160_000_000))
+MSF_NODES = MSF_EDGES // 8
+
+
+def msf_worker() -> None:
+    """Borůvka MSF at the scaling-gate edge tier: weights derived from the
+    synthetic event stream (count per canonical pair), then the full
+    pick/merge rounds.  Reports rounds, forest size, and edge-merge
+    throughput (n_edges x rounds / wall — the volume the relabel joins
+    actually process)."""
+    from pyspark.sql import functions as F
+
+    from linkgraph.algorithms.mst import minimum_spanning_forest
+    from linkgraph.session import get_spark
+
+    spark = get_spark(
+        app_name="msf160", cores=16, shuffle_partitions=64, driver_memory="24g"
+    )
+    g_edges = synth_edges_mod(spark, MSF_EDGES, MSF_NODES)
+    from linkgraph.graph import LinkGraph
+
+    g = LinkGraph(
+        g_edges.select(
+            F.col("src_id").cast("string").alias("src"),
+            F.col("dst_id").cast("string").alias("dst"),
+            (F.col("src_id") % 1000).alias("time"),
+        )
+    )
+    t0 = time.monotonic()
+    msf = minimum_spanning_forest(g, max_rounds=24)
+    msf.persist()
+    n_forest = msf.count()
+    rounds = msf.agg(F.max("round")).first()[0] + 1
+    wall = time.monotonic() - t0
+    print(
+        "WORKER_RESULT "
+        + json.dumps(
+            {
+                "n_edges": MSF_EDGES,
+                "n_nodes": MSF_NODES,
+                "forest_edges": n_forest,
+                "rounds": int(rounds),
+                "wall_s": round(wall, 1),
+                "edge_merges_per_sec": round(MSF_EDGES * int(rounds) / wall, 1),
+            }
+        )
+    )
+
+
+def run_msf() -> None:
+    log_path = "/tmp/r4_msf.log"
+    with open(log_path, "w") as log:
+        subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--msf-worker"],
+            stdout=log, stderr=subprocess.STDOUT, text=True,
+            cwd=REPO, timeout=5400,
+        )
+    out = {}
+    with open(log_path) as log:
+        for line in log:
+            if line.startswith("WORKER_RESULT "):
+                out = json.loads(line[len("WORKER_RESULT "):])
+    print(json.dumps({"msf_scale": out}, indent=2))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n2v", action="store_true")
@@ -478,6 +545,8 @@ def main() -> None:
     ap.add_argument("--docs-sf1", action="store_true")
     ap.add_argument("--wcc-warm", action="store_true")
     ap.add_argument("--wcc-warm-worker", type=str, default=None)
+    ap.add_argument("--msf", action="store_true")
+    ap.add_argument("--msf-worker", action="store_true")
     args = ap.parse_args()
     if args.n2v_worker:
         n2v_worker(args.n2v_worker)
@@ -493,8 +562,14 @@ def main() -> None:
         wcc_warm_worker(args.wcc_warm_worker)
     elif args.wcc_warm:
         run_wcc_warm()
+    elif args.msf_worker:
+        msf_worker()
+    elif args.msf:
+        run_msf()
     else:
-        ap.error("pick one of --n2v / --resume-demo / --docs-sf1 / --wcc-warm")
+        ap.error(
+            "pick one of --n2v / --resume-demo / --docs-sf1 / --wcc-warm / --msf"
+        )
 
 
 if __name__ == "__main__":
