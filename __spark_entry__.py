@@ -855,6 +855,18 @@ def q_docs_line_dedup(spark, sf_dir):
     return line_dedup(docs, min_docs=2, seg_words=10)
 
 
+def q_trade_salsa(spark, sf_dir):
+    """SALSA hub/authority scores via the Lempel–Moran closed form —
+    degree aggregates + one WCC over the bipartite support graph instead
+    of a power iteration (hits.salsa); the score is a single IEEE
+    division of exact integer products, so even the float surface is
+    engine-exact."""
+    from linkgraph.algorithms.hits import salsa
+
+    g = _trade_graph(spark, sf_dir)
+    return salsa(g)
+
+
 def q_trade_ppr_sweep(spark, sf_dir):
     """Local community around the 15 PPR seed customers by sweep cut
     (Andersen–Chung–Lang): prefixes of the top-60 PPR-ranked nodes with
@@ -2212,6 +2224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_line_dedup": q_docs_line_dedup,
         "events_distinct_sketch": q_events_distinct_sketch,
         "trade_ppr_sweep": q_trade_ppr_sweep,
+        "trade_salsa": q_trade_salsa,
         # round-3-green buffer (driver re-confirmation, newest first)
         "trade_closeness": q_trade_closeness,
         "trade_neighbor_sample": q_trade_neighbor_sample,
@@ -3539,6 +3552,40 @@ pr(iter, id, score) AS (
   GROUP BY p.iter + 1, w.v, pv2.p
 )
 SELECT id AS node, round(score, 6) AS score FROM pr WHERE iter = 200
+"""
+
+    # SALSA closed form: WCC over the bipartite support (hub copy 2u,
+    # auth copy 2v+1), per-(kind, component) degree sums, one division
+    sqls["trade_salsa"] = f"""
+WITH RECURSIVE {_TRADE_ED},
+bp AS (SELECT 2 * src AS a, 2 * dst + 1 AS b FROM trade_ed),
+bn AS (SELECT a AS id FROM bp UNION SELECT b FROM bp),
+bu AS (SELECT a AS id, b AS nbr FROM bp UNION SELECT b, a FROM bp),
+reach(node, lab) AS (
+  SELECT id, id FROM bn
+  UNION
+  SELECT u.id, r.lab FROM reach r JOIN bu u ON u.nbr = r.node
+),
+comp AS (SELECT node AS bid, min(lab) AS component FROM reach GROUP BY node),
+sides AS (
+  SELECT src AS node, count(*)::BIGINT AS deg, 'hub' AS kind,
+         2 * src AS bid
+  FROM trade_ed GROUP BY src
+  UNION ALL
+  SELECT dst, count(*)::BIGINT, 'auth', 2 * dst + 1
+  FROM trade_ed GROUP BY dst
+),
+sc AS (SELECT s.*, c.component FROM sides s JOIN comp c USING (bid)),
+pc AS (
+  SELECT kind, component, count(*)::BIGINT AS comp_nodes,
+         sum(deg)::BIGINT AS comp_deg_sum
+  FROM sc GROUP BY kind, component
+),
+ps AS (SELECT kind, count(*)::BIGINT AS side_nodes FROM sc GROUP BY kind)
+SELECT sc.node, sc.kind, sc.deg, pc.comp_nodes, pc.comp_deg_sum,
+       round((pc.comp_nodes * sc.deg)::DOUBLE
+             / (ps.side_nodes * pc.comp_deg_sum)::DOUBLE, 6) AS score
+FROM sc JOIN pc USING (kind, component) JOIN ps USING (kind)
 """
 
     # sweep cut: same 200-iter PPR CTE, then rank by (round-6 score DESC,

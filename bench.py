@@ -173,6 +173,7 @@ def main() -> None:
         "docs_line_dedup",
         "events_distinct_sketch",
         "trade_ppr_sweep",
+        "trade_salsa",
     ]
     # untimed warmup at the smallest scale factor: run every headline query
     # once over sf0.001 so whole-stage-codegen compilation, the parquet

@@ -45,7 +45,7 @@ from linkgraph.algorithms.components import (
     out_components,
     weakly_connected_components,
 )
-from linkgraph.algorithms.hits import hits
+from linkgraph.algorithms.hits import hits, salsa
 from linkgraph.algorithms.kcore import k_core_ids, k_core_subgraph, k_truss_edges
 from linkgraph.algorithms.linkpred import (
     degree_assortativity,
@@ -124,6 +124,7 @@ __all__ = [
     "global_temporal_three_node_motif",
     "global_triangle_count",
     "hits",
+    "salsa",
     "temporal_three_node_motif_multi",
     "in_components",
     "k_core_ids",

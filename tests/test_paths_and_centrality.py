@@ -228,3 +228,37 @@ def test_components_include_self_on_cycle(spark):
     g = _graph(spark, [(0, 1, 2), (0, 2, 1), (0, 2, 3)])
     res = {r["name"]: sorted(r["members"]) for r in in_components(g).collect()}
     assert res == {"1": [1, 2], "2": [1, 2], "3": [1, 2]}
+
+
+def test_salsa_closed_form_two_components(spark):
+    """Two disjoint star families: component weighting and in-degree
+    proportionality by hand (Lempel-Moran closed form), and each side's
+    scores sum to 1 (stationary distributions are probability masses)."""
+    from linkgraph.algorithms.hits import salsa
+    from linkgraph.graph import LinkGraph
+
+    # component A: hubs 1,2 both -> auths 10, 11   (auth degs 2, 2)
+    # component B: hub 3 -> auth 20                (auth deg 1)
+    edges = [
+        ("1", "10"), ("1", "11"), ("2", "10"), ("2", "11"), ("3", "20"),
+    ]
+    g = LinkGraph(
+        spark.createDataFrame(
+            [(i, s, d) for i, (s, d) in enumerate(edges)],
+            "time long, src string, dst string",
+        )
+    )
+    rows = salsa(g).collect()
+    auth = {r["node"]: r for r in rows if r["kind"] == "auth"}
+    hub = {r["node"]: r for r in rows if r["kind"] == "hub"}
+    assert set(auth) == {10, 11, 20} and set(hub) == {1, 2, 3}
+    # authority side: |A|=3; component A has 2 auth nodes, deg sum 4;
+    # component B has 1 auth node, deg sum 1
+    assert abs(auth[10]["score"] - (2 / 3) * (2 / 4)) < 1e-6
+    assert abs(auth[11]["score"] - (2 / 3) * (2 / 4)) < 1e-6
+    assert abs(auth[20]["score"] - (1 / 3) * (1 / 1)) < 1e-6
+    # hub side: |H|=3; component A hubs 1,2 deg 2 each (sum 4), B hub 3 deg 1
+    assert abs(hub[1]["score"] - (2 / 3) * (2 / 4)) < 1e-6
+    assert abs(hub[3]["score"] - (1 / 3)) < 1e-6
+    for side in (auth, hub):
+        assert abs(sum(r["score"] for r in side.values()) - 1.0) < 1e-5
