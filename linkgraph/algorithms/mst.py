@@ -68,7 +68,18 @@ def minimum_spanning_forest(
     label graph.  Convergence of the inner merge is checked with a
     monotone exact-integer aggregate (labels only decrease, so the sum of
     labels is a fixpoint witness with no row-diff join).
+
+    Memory shape (the 160 M-edge lesson): the working edge set is
+    COMPACTED every round — an edge intra-component under the current
+    labels can never be picked later, so the relabeled cross-component
+    set ``e2`` becomes the next round's input.  Exactly ONE edge-scale
+    localCheckpoint is live at a time (the source relation is computed
+    through, never checkpointed), and the compacted set shrinks
+    geometrically with the component count; superseded checkpoint blocks
+    are released by dropping the reference + a gc kick per round.
     """
+    import gc
+
     spark = graph.spark
     ew = weights if weights is not None else edge_event_weights(graph)
     raw = ew.select(
@@ -79,17 +90,7 @@ def minimum_spanning_forest(
     P = pick_partitions(spark, raw.count())
     forest_parts: list[DataFrame] = []
     with iteration_conf(spark, shuffle_partitions=P):
-        # static big side of the per-round relabel: hash-partition on the
-        # FIRST join key once (localCheckpoint preserves the partitioning),
-        # so each round shuffles only the node-sized label table for join 1
-        # and the edge-sized intermediate for join 2 — not the static edge
-        # table twice
-        edges = (
-            raw.repartition(P, "lo")
-            .sortWithinPartitions("lo")
-            .localCheckpoint(eager=True)
-        )
-        raw.unpersist()
+        edges = raw
         lab = (
             edges.select(F.col("lo").alias("id"))
             .unionByName(edges.select(F.col("hi").alias("id")))
@@ -111,6 +112,8 @@ def minimum_spanning_forest(
                 .filter(F.col("llo") != F.col("lhi"))
                 .localCheckpoint(eager=True)
             )
+            if rnd == 0:
+                raw.unpersist()
             if e2.isEmpty():
                 break
             if rnd >= int(max_rounds):
@@ -190,7 +193,12 @@ def minimum_spanning_forest(
                 .select("id", F.coalesce("_new", F.col("l")).alias("l"))
                 .localCheckpoint(eager=True)
             )
+            # compaction: only cross-component edges can ever be picked
+            # later, so the relabeled set is the next round's input — the
+            # previous round's checkpoint blocks free once dereferenced
+            edges = e2.select("lo", "hi", "w")
             rnd += 1
+            gc.collect()
     if not forest_parts:
         return spark.createDataFrame([], "lo long, hi long, w long, round long")
     out = forest_parts[0]
