@@ -855,6 +855,17 @@ def q_docs_line_dedup(spark, sf_dir):
     return line_dedup(docs, min_docs=2, seg_words=10)
 
 
+def q_docs_novelty(spark, sf_dir):
+    """Corpus-order novelty: fraction of each doc's distinct 8-grams first
+    seen in that doc (textstats.novelty_stats) — the marginal-content
+    curve for curriculum/mixing decisions; only 60-bit gram hashes
+    shuffle, output all-integer."""
+    from linkgraph.pipeline.textstats import novelty_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return novelty_stats(docs, n=8)
+
+
 def q_trade_salsa(spark, sf_dir):
     """SALSA hub/authority scores via the Lempel–Moran closed form —
     degree aggregates + one WCC over the bipartite support graph instead
@@ -2225,6 +2236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_distinct_sketch": q_events_distinct_sketch,
         "trade_ppr_sweep": q_trade_ppr_sweep,
         "trade_salsa": q_trade_salsa,
+        "docs_novelty": q_docs_novelty,
         # round-3-green buffer (driver re-confirmation, newest first)
         "trade_closeness": q_trade_closeness,
         "trade_neighbor_sample": q_trade_neighbor_sample,
@@ -3552,6 +3564,35 @@ pr(iter, id, score) AS (
   GROUP BY p.iter + 1, w.v, pv2.p
 )
 SELECT id AS node, round(score, 6) AS score FROM pr WHERE iter = 200
+"""
+
+    sqls["docs_novelty"] = r"""
+WITH toks AS (
+  SELECT doc_id,
+         regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]') AS tk
+  FROM documents
+),
+gs AS (
+  SELECT DISTINCT doc_id, array_to_string(tk[t.i : t.i + 7], ' ') AS g_str
+  FROM toks, unnest(range(1, len(tk) - 8 + 2)) AS t(i)
+  WHERE len(tk) >= 8
+),
+pairs AS (
+  SELECT doc_id, ('0x' || substr(md5(g_str), 1, 15))::BIGINT AS g FROM gs
+),
+fs AS (SELECT g, min(doc_id) AS fd FROM pairs GROUP BY g),
+agg AS (
+  SELECT p.doc_id, count(*)::BIGINT AS n_grams,
+         sum(CASE WHEN p.doc_id = f.fd THEN 1 ELSE 0 END)::BIGINT
+           AS novel_grams
+  FROM pairs p JOIN fs f USING (g) GROUP BY 1
+)
+SELECT d.doc_id, coalesce(a.n_grams, 0)::BIGINT AS n_grams,
+       coalesce(a.novel_grams, 0)::BIGINT AS novel_grams,
+       (CASE WHEN coalesce(a.n_grams, 0) > 0
+             THEN (1000000 * a.novel_grams) // a.n_grams END)::BIGINT
+         AS novelty_ppm
+FROM documents d LEFT JOIN agg a USING (doc_id)
 """
 
     # SALSA closed form: WCC over the bipartite support (hub copy 2u,

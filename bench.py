@@ -174,6 +174,7 @@ def main() -> None:
         "events_distinct_sketch",
         "trade_ppr_sweep",
         "trade_salsa",
+        "docs_novelty",
     ]
     # untimed warmup at the smallest scale factor: run every headline query
     # once over sf0.001 so whole-stage-codegen compilation, the parquet

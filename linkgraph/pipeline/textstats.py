@@ -410,3 +410,53 @@ def tfidf_keywords(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def novelty_stats(
+    docs: DataFrame, n: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """Corpus-order novelty per document — ``(doc_id, n_grams,
+    novel_grams, novelty_ppm)``: the fraction of a doc's DISTINCT word
+    ``n``-grams whose FIRST appearance in doc_id order is this doc.
+
+    The curriculum/data-mixing readout behind "how much new content does
+    each document add?" (the marginal-value twin of the Lee et al. dup
+    measures): a corpus sorted by source date shows its freshness decay
+    curve; a near-zero novelty doc is template/boilerplate even when no
+    single pairwise duplicate exists.  All-integer output — one exact
+    ppm division per doc.
+
+    Scale shape: one corpus scan explodes distinct ``(doc_id, 60-bit md5
+    gram)`` pairs — ONLY those slim pairs shuffle (the text never rides a
+    join); first-seen owners are one min aggregate (map-side combined),
+    and per-doc novelty is one more count aggregate over the same pairs
+    with an equality flag.  No self-join, no pair blow-up.
+    """
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), 0)
+    grams = F.array_distinct(_word_ngrams(toks, n))
+    pairs = docs.select(
+        "doc_id", F.explode(grams).alias("gram")
+    ).select(
+        "doc_id",
+        F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("g"),
+    )
+    first_seen = pairs.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    flagged = pairs.join(first_seen, "g").groupBy("doc_id").agg(
+        F.count("*").alias("n_grams"),
+        F.sum(
+            F.when(F.col("doc_id") == F.col("first_doc"), 1).otherwise(0)
+        ).alias("novel_grams"),
+    )
+    return docs.select("doc_id").join(flagged, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+        F.coalesce("novel_grams", F.lit(0)).cast("long").alias("novel_grams"),
+        F.when(
+            F.coalesce("n_grams", F.lit(0)) > 0,
+            F.expr("(1000000 * novel_grams) div n_grams"),
+        )
+        .cast("long")
+        .alias("novelty_ppm"),
+    )

@@ -191,3 +191,35 @@ def test_scrub_duckdb_dialect_agrees(spark):
             params={"t": text, "e": EMAIL_RE, "i": IPV4_RE, "k": KEY_RE},
         ).fetchone()[0]
         assert got[doc_id] == want, doc_id
+
+
+def test_novelty_stats_first_seen_rule(spark):
+    from linkgraph.pipeline.textstats import novelty_stats
+
+    base = "a b c d e f"          # grams(3): "a b c","b c d","c d e","d e f"
+    docs = spark.createDataFrame(
+        [
+            (0, base),
+            (1, base),            # exact copy -> zero novelty
+            (2, "c d e f g h"),   # shares "c d e","d e f"; adds 2 new
+            (3, "x y"),           # shorter than n -> no grams
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in novelty_stats(docs, n=3).collect()}
+    assert out[0]["n_grams"] == 4 and out[0]["novelty_ppm"] == 1_000_000
+    assert out[1]["n_grams"] == 4 and out[1]["novel_grams"] == 0
+    assert out[2]["n_grams"] == 4 and out[2]["novel_grams"] == 2
+    assert out[2]["novelty_ppm"] == 500_000
+    assert out[3]["n_grams"] == 0 and out[3]["novelty_ppm"] is None
+
+
+def test_novelty_stats_within_doc_repeat_counts_once(spark):
+    from linkgraph.pipeline.textstats import novelty_stats
+
+    docs = spark.createDataFrame(
+        [(0, "p q r p q r p q r")], "doc_id long, text string"
+    )
+    row = novelty_stats(docs, n=3).first()
+    # distinct grams only: "p q r","q r p","r p q" each counted once
+    assert row["n_grams"] == 3 and row["novel_grams"] == 3
