@@ -855,6 +855,17 @@ def q_docs_line_dedup(spark, sf_dir):
     return line_dedup(docs, min_docs=2, seg_words=10)
 
 
+def q_copurchase_cpm(spark, sf_dir):
+    """Clique-percolation (k=3) overlapping communities on the scoped
+    co-purchase graph — min-label hook+jump over the triangle–edge
+    incidence (community.triangle_communities); community ids are
+    min-member node ids, so the output is hashing-independent."""
+    from linkgraph.algorithms.community import triangle_communities
+
+    g = _copurchase_graph(spark, sf_dir)
+    return triangle_communities(g)
+
+
 def q_docs_novelty(spark, sf_dir):
     """Corpus-order novelty: fraction of each doc's distinct 8-grams first
     seen in that doc (textstats.novelty_stats) — the marginal-content
@@ -2237,6 +2248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trade_ppr_sweep": q_trade_ppr_sweep,
         "trade_salsa": q_trade_salsa,
         "docs_novelty": q_docs_novelty,
+        "copurchase_cpm": q_copurchase_cpm,
         # round-3-green buffer (driver re-confirmation, newest first)
         "trade_closeness": q_trade_closeness,
         "trade_neighbor_sample": q_trade_neighbor_sample,
@@ -2984,6 +2996,74 @@ WHERE EXISTS (SELECT 1 FROM ew e JOIN labF a ON a.node = e.lo
     )
 
 
+def _cpm_oracle_sql(rounds: int) -> str:
+    """Clique-percolation (k=3) replay on the scoped co-purchase graph:
+    same 60-bit md5 typed keys ('t|a|b|c', 'e|lo|hi'), min-label hook +
+    pointer-jump unrolled ``rounds`` times over the triangle–edge
+    incidence, fixpoint guard (the final PARTITION is schedule-
+    independent, so any converged label replay yields the engine's
+    min-member community ids)."""
+    stages = [
+        """tri AS MATERIALIZED (
+  SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+  FROM cp_ed e1
+  JOIN cp_ed e2 ON e1.hi = e2.lo
+  JOIN cp_ed e3 ON e3.lo = e1.lo AND e3.hi = e2.hi
+)""",
+        "tkt AS MATERIALIZED (SELECT a, b, c, ('0x' || substr(md5("
+        "concat_ws('|', 't', a, b, c)), 1, 15))::BIGINT AS tk FROM tri)",
+        """inc AS MATERIALIZED (
+  SELECT tk AS u, ('0x' || substr(md5(concat_ws('|', 'e', a, b)), 1, 15))::BIGINT AS v FROM tkt
+  UNION ALL
+  SELECT tk, ('0x' || substr(md5(concat_ws('|', 'e', a, c)), 1, 15))::BIGINT FROM tkt
+  UNION ALL
+  SELECT tk, ('0x' || substr(md5(concat_ws('|', 'e', b, c)), 1, 15))::BIGINT FROM tkt
+)""",
+        "undi AS MATERIALIZED (SELECT u, v FROM inc UNION ALL SELECT v, u FROM inc)",
+        "l0 AS MATERIALIZED (SELECT DISTINCT u AS c, u AS l FROM undi)",
+    ]
+    for r in range(1, rounds + 1):
+        stages.append(
+            f"""h{r} AS MATERIALIZED (
+  SELECT m.c, least(m.l, coalesce(g.nm, m.l)) AS l
+  FROM l{r-1} m LEFT JOIN (
+    SELECT u.u AS c, min(x.l) AS nm FROM undi u JOIN l{r-1} x ON x.c = u.v
+    GROUP BY u.u
+  ) g USING (c)
+)"""
+        )
+        stages.append(
+            f"l{r} AS MATERIALIZED (SELECT h.c, coalesce(j.l, h.l) AS l "
+            f"FROM h{r} h LEFT JOIN h{r} j ON j.c = h.l)"
+        )
+    stages.append(
+        """mem AS MATERIALIZED (
+  SELECT DISTINCT tk, t.node FROM tkt, unnest([a, b, c]) AS t(node)
+)"""
+    )
+    stages.append(
+        f"lbl AS MATERIALIZED (SELECT m.node, x.l AS comp FROM mem m "
+        f"JOIN l{rounds} x ON x.c = m.tk)"
+    )
+    stages.append(
+        "cmm AS MATERIALIZED (SELECT comp, min(node)::BIGINT AS community "
+        "FROM lbl GROUP BY comp)"
+    )
+    return (
+        f"WITH {_COPURCHASE_ED},\n"
+        + ",\n".join(stages)
+        + f"""
+SELECT DISTINCT c.community, l.node::BIGINT AS node
+FROM lbl l JOIN cmm c USING (comp)
+UNION ALL
+SELECT CAST(error('cpm oracle: {rounds}-round unroll insufficient') AS BIGINT),
+       CAST(NULL AS BIGINT)
+WHERE EXISTS (SELECT 1 FROM l{rounds} a JOIN l{rounds-1} b USING (c)
+              WHERE a.l <> b.l)
+"""
+    )
+
+
 def _bpe_oracle_sql(n_merges: int) -> str:
     """Level-unrolled BPE training replay (DuckDB) — same word-frequency
     formulation, '·'-sentinel symbol strings, overlap-inclusive pair
@@ -3565,6 +3645,11 @@ pr(iter, id, score) AS (
 )
 SELECT id AS node, round(score, 6) AS score FROM pr WHERE iter = 200
 """
+
+    # CPM hook+jump fixpoint measured at 18 rounds on sf0.01 (the giant
+    # 1999-node community's incidence diameter) — unrolled to 22 with the
+    # fixpoint guard arm
+    sqls["copurchase_cpm"] = _cpm_oracle_sql(22)
 
     sqls["docs_novelty"] = r"""
 WITH toks AS (

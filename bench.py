@@ -175,6 +175,7 @@ def main() -> None:
         "trade_ppr_sweep",
         "trade_salsa",
         "docs_novelty",
+        "copurchase_cpm",
     ]
     # untimed warmup at the smallest scale factor: run every headline query
     # once over sf0.001 so whole-stage-codegen compilation, the parquet

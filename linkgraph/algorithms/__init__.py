@@ -39,7 +39,12 @@ from linkgraph.algorithms.sampling import (
     ranked_adjacency,
     sample_neighbors,
 )
-from linkgraph.algorithms.community import louvain, modularity, ppr_sweep_cut
+from linkgraph.algorithms.community import (
+    louvain,
+    modularity,
+    ppr_sweep_cut,
+    triangle_communities,
+)
 from linkgraph.algorithms.components import (
     in_components,
     out_components,
@@ -151,6 +156,7 @@ __all__ = [
     "skipgram_pairs",
     "temporal_seir",
     "temporal_walks",
+    "triangle_communities",
     "temporally_reachable_nodes",
     "triangles_df",
     "triplet_count",

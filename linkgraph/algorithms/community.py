@@ -396,3 +396,133 @@ def ppr_sweep_cut(
         .cast("long")
         .alias("cond_ppm"),
     )
+
+
+def _key60(*cols) -> F.Column:
+    """Quenched 60-bit md5 key of '|'-joined columns (the cross-engine
+    deterministic hash used throughout the dedup/walk family)."""
+    return F.conv(
+        F.substring(F.md5(F.concat_ws("|", *cols)), 1, 15), 16, 10
+    ).cast("long")
+
+
+def triangle_communities(
+    graph: LinkGraph, max_rounds: int = 48, kernel: str = "auto"
+) -> DataFrame:
+    """Clique-percolation communities for k = 3 (Palla et al., Nature
+    2005) — ``(community, node)``: two triangles belong to the same
+    community iff they are connected through shared EDGES; a node can sit
+    in several overlapping communities (one row per membership).
+    ``community`` is the smallest member node id — a canonical label
+    independent of any internal hashing.
+
+    Spark-first shape: the triangle-adjacency graph is never
+    materialised (an edge shared by t triangles would create C(t, 2)
+    adjacency rows — quadratic in local density).  Instead the
+    TRIANGLE–EDGE INCIDENCE bipartite graph (exactly 3 rows per
+    triangle) carries a min-label fixpoint, so state is linear in the
+    triangle count.  Keys are quenched 60-bit md5 of the typed tuples
+    ('t|a|b|c', 'e|lo|hi'), so the run is a pure function of the input;
+    the final PARTITION is schedule-independent, which is what the SQL
+    oracle replays.
+
+    ``kernel``: ``"superstep"`` — distributed hook + pointer-jump rounds
+    with the monotone label-sum fixpoint witness (the Borůvka-merge
+    discipline; convergence ~ half the incidence diameter, measured 18
+    rounds on the sf0.01 co-purchase blob); ``"local"`` — gathered numpy
+    pointer jumping over the incidence pairs, identical partition
+    (components._wcc_local); ``"auto"`` picks local under
+    ``pagerank.DRIVER_KERNEL_MAX`` — at toy scale the distributed
+    round latency dominates, exactly the WCC auto-kernel rationale.
+    """
+    spark = graph.spark
+    from linkgraph.algorithms.triangles import triangles_df
+
+    tri = triangles_df(graph).withColumn(
+        "tk", _key60(F.lit("t"), "a", "b", "c")
+    )
+    tri = tri.localCheckpoint(eager=True)
+    if tri.isEmpty():
+        return spark.createDataFrame([], "community long, node long")
+    inc = None
+    for x, y in (("a", "b"), ("a", "c"), ("b", "c")):
+        part = tri.select(
+            F.col("tk").alias("u"),
+            _key60(F.lit("e"), F.col(x), F.col(y)).alias("v"),
+        )
+        inc = part if inc is None else inc.unionByName(part)
+    if kernel == "auto":
+        from linkgraph.algorithms.pagerank import DRIVER_KERNEL_MAX
+
+        n_inc = tri.count() * 3
+        kernel = "local" if n_inc <= DRIVER_KERNEL_MAX else "superstep"
+    if kernel == "local":
+        from linkgraph.algorithms.components import _wcc_local
+
+        inc_ids = (
+            inc.select(F.col("u").alias("id"))
+            .unionByName(inc.select(F.col("v").alias("id")))
+            .distinct()
+        )
+        m = _wcc_local(
+            spark,
+            inc_ids,
+            inc.select(
+                F.col("u").alias("src_id"), F.col("v").alias("dst_id")
+            ),
+        ).select(F.col("id").alias("c"), F.col("component").alias("l"))
+        mem = tri.select(
+            "tk", F.explode(F.array("a", "b", "c")).alias("node")
+        ).distinct()
+        labeled = mem.join(
+            m.select(F.col("c").alias("tk"), F.col("l").alias("comp")), "tk"
+        )
+        comm = labeled.groupBy("comp").agg(F.min("node").alias("community"))
+        return labeled.join(comm, "comp").select("community", "node").distinct()
+    und = inc.unionByName(
+        inc.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
+    m = (
+        und.select(F.col("u").alias("c"))
+        .distinct()
+        .select("c", F.col("c").alias("l"))
+        .localCheckpoint(eager=True)
+    )
+    prev = m.agg(F.sum(F.col("l").cast("decimal(38,0)"))).first()[0]
+    rounds = 0
+    while True:
+        nbr_min = (
+            und.join(
+                m.select(F.col("c").alias("v"), F.col("l").alias("lv")), "v"
+            )
+            .groupBy("u")
+            .agg(F.min("lv").alias("nm"))
+        )
+        hooked = m.join(
+            nbr_min.select(F.col("u").alias("c"), "nm"), "c", "left"
+        ).select("c", F.least("l", F.coalesce("nm", F.col("l"))).alias("l"))
+        jumped = hooked.join(
+            hooked.select(F.col("c").alias("l"), F.col("l").alias("l2")),
+            "l",
+            "left",
+        ).select("c", F.coalesce("l2", F.col("l")).alias("l"))
+        m = jumped.localCheckpoint(eager=True)
+        cur = m.agg(F.sum(F.col("l").cast("decimal(38,0)"))).first()[0]
+        rounds += 1
+        if cur == prev:
+            break
+        if rounds >= int(max_rounds):
+            raise RuntimeError(
+                f"triangle_communities did not converge in {max_rounds} rounds"
+            )
+        prev = cur
+    mem = tri.select(
+        "tk", F.explode(F.array("a", "b", "c")).alias("node")
+    ).distinct()
+    labeled = mem.join(
+        m.select(F.col("c").alias("tk"), F.col("l").alias("comp")), "tk"
+    )
+    comm = labeled.groupBy("comp").agg(F.min("node").alias("community"))
+    return (
+        labeled.join(comm, "comp").select("community", "node").distinct()
+    )

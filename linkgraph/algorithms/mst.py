@@ -157,7 +157,7 @@ def minimum_spanning_forest(
                 .select("c", F.col("c").alias("l"))
                 .localCheckpoint(eager=True)
             )
-            prev_sum = m.agg(F.sum("l")).first()[0]
+            prev_sum = m.agg(F.sum(F.col("l").cast("decimal(38,0)"))).first()[0]
             while True:
                 # hook: min over neighbours' labels (plus own)
                 nbr_min = (
@@ -180,7 +180,7 @@ def minimum_spanning_forest(
                     "left",
                 ).select("c", F.coalesce("l2", F.col("l")).alias("l"))
                 m = jumped.localCheckpoint(eager=True)
-                cur_sum = m.agg(F.sum("l")).first()[0]
+                cur_sum = m.agg(F.sum(F.col("l").cast("decimal(38,0)"))).first()[0]
                 if cur_sum == prev_sum:
                     break
                 prev_sum = cur_sum

@@ -110,3 +110,64 @@ def test_ppr_sweep_cut_finds_planted_clique(spark):
     assert all(
         by_rank[i]["vol"] < by_rank[i + 1]["vol"] for i in range(1, 8)
     )
+
+
+def test_triangle_communities_overlap_and_kernel_parity(spark):
+    """Two K4s sharing a single NODE: CPM(k=3) keeps them separate
+    communities (merging needs a shared EDGE), the shared node belongs to
+    both, and the superstep kernel produces the identical partition."""
+    from linkgraph.algorithms.community import triangle_communities
+    from linkgraph.graph import LinkGraph
+
+    a = ["1", "2", "3", "4"]       # K4 on 1..4
+    b = ["4", "11", "12", "13"]    # K4 on 4,11..13 — shares node 4 only
+    edges = []
+    for grp in (a, b):
+        for i in range(4):
+            for j in range(i + 1, 4):
+                edges.append((grp[i], grp[j]))
+    g = LinkGraph(
+        spark.createDataFrame(
+            [(i, s, d) for i, (s, d) in enumerate(edges)],
+            "time long, src string, dst string",
+        )
+    )
+    rows = triangle_communities(g).collect()
+    comms = {}
+    for r in rows:
+        comms.setdefault(r["community"], set()).add(r["node"])
+    assert set(comms) == {1, 4}
+    assert comms[1] == {1, 2, 3, 4}
+    assert comms[4] == {4, 11, 12, 13}
+    # node 4 sits in both communities
+    assert sum(1 for r in rows if r["node"] == 4) == 2
+    # kernel parity: the distributed hook+jump path yields the same rows
+    sup = triangle_communities(g, kernel="superstep").collect()
+    assert {(r["community"], r["node"]) for r in sup} == {
+        (r["community"], r["node"]) for r in rows
+    }
+
+
+def test_triangle_communities_edge_shared_merges(spark):
+    """Two triangles sharing an EDGE form one community; a triangle-free
+    graph yields no rows."""
+    from linkgraph.algorithms.community import triangle_communities
+    from linkgraph.graph import LinkGraph
+
+    edges = [("1", "2"), ("2", "3"), ("1", "3"), ("2", "4"), ("3", "4")]
+    g = LinkGraph(
+        spark.createDataFrame(
+            [(i, s, d) for i, (s, d) in enumerate(edges)],
+            "time long, src string, dst string",
+        )
+    )
+    rows = triangle_communities(g).collect()
+    assert {(r["community"], r["node"]) for r in rows} == {
+        (1, 1), (1, 2), (1, 3), (1, 4)
+    }
+    g2 = LinkGraph(
+        spark.createDataFrame(
+            [(0, "1", "2"), (1, "2", "3")], "time long, src string, dst string"
+        )
+    )
+    assert triangle_communities(g2).count() == 0
