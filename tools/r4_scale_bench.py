@@ -351,6 +351,20 @@ def docs_worker() -> None:
         )
         out["quality_rejected"] = qg.filter(F.col("reject_reason").isNotNull()).count()
         out["quality_s"] = round(time.monotonic() - t0, 1)
+        t0 = time.monotonic()
+        from linkgraph.pipeline.dedup import line_dedup
+
+        ld = line_dedup(docs, min_docs=2, seg_words=10)
+        out["line_dedup_removed"] = int(
+            ld.agg(F.sum("removed_units")).first()[0] or 0
+        )
+        out["line_dedup_s"] = round(time.monotonic() - t0, 1)
+        t0 = time.monotonic()
+        from linkgraph.pipeline.textstats import novelty_stats
+
+        nv = novelty_stats(docs, n=8)
+        out["novelty_zero_docs"] = nv.filter(F.col("novelty_ppm") == 0).count()
+        out["novelty_s"] = round(time.monotonic() - t0, 1)
         docs.unpersist()
         print("TIER_RESULT " + json.dumps({tier: out}))
         return out
@@ -360,7 +374,10 @@ def docs_worker() -> None:
     sf1 = run_tier(_sf1_docs(spark), "sf1")
     ratios = {
         k: round(sf1[f"{k}_s"] / max(r01[f"{k}_s"], 0.1), 2)
-        for k in ("minhash", "simhash", "dup_spans", "quality")
+        for k in (
+            "minhash", "simhash", "dup_spans", "quality", "line_dedup",
+            "novelty",
+        )
     }
     print(
         json.dumps(
