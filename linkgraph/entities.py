@@ -67,13 +67,26 @@ class NodeView(_EntityTimeOps):
         node-membership rule: present iff active inside the window)."""
         return self._events().limit(1).count() > 0
 
-    def history(self) -> list[int]:
+    def history(self, limit: int = 1_000_000) -> list[int]:
         """Sorted event times of the node in the view — node.rs history();
         includes add_node upserts and incident-edge events (both land in
-        ``nodes_t``)."""
+        ``nodes_t``).  Returns a driver-side list, so ``limit`` guards the
+        collect against a hub with an unbounded event stream (raises
+        rather than silently truncating; page with ``window()`` views or
+        keep the DataFrame distributed for larger histories)."""
         rows = (
-            self._events().select("time").distinct().orderBy("time").collect()
+            self._events()
+            .select("time")
+            .distinct()
+            .orderBy("time")
+            .limit(int(limit) + 1)
+            .collect()
         )
+        if len(rows) > limit:
+            raise ValueError(
+                f"node {self.name!r} has more than {limit} distinct event "
+                "times; window the view or raise limit= explicitly"
+            )
         return [r["time"] for r in rows]
 
     def earliest_time(self) -> int | None:
@@ -194,11 +207,22 @@ class EdgeView(_EntityTimeOps):
     def exists(self) -> bool:
         return self._events().limit(1).count() > 0
 
-    def history(self) -> list[int]:
-        """Sorted event times of the edge in the view — edge.rs history()."""
+    def history(self, limit: int = 1_000_000) -> list[int]:
+        """Sorted event times of the edge in the view — edge.rs history().
+        Same collect guard as :meth:`NodeView.history`."""
         rows = (
-            self._events().select("time").distinct().orderBy("time").collect()
+            self._events()
+            .select("time")
+            .distinct()
+            .orderBy("time")
+            .limit(int(limit) + 1)
+            .collect()
         )
+        if len(rows) > limit:
+            raise ValueError(
+                f"edge ({self.src!r}, {self.dst!r}) has more than {limit} "
+                "distinct event times; window the view or raise limit="
+            )
         return [r["time"] for r in rows]
 
     def earliest_time(self) -> int | None:
