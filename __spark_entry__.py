@@ -877,6 +877,45 @@ def q_docs_novelty(spark, sf_dir):
     return novelty_stats(docs, n=8)
 
 
+def q_docs_countmin(spark, sf_dir):
+    """Count-min point-frequency estimates (sketch.count_min_frequencies)
+    for the probe set = the first document's distinct tokens.  The corpus
+    contributes only its d*w integer counter table (map-side combined, a
+    mergeable monoid across shards), so the estimate never shuffles the
+    vocabulary; est_n >= exact count always (asserted in pytest)."""
+    from linkgraph.pipeline.sketch import count_min_frequencies
+
+    docs = _t(spark, sf_dir, "documents")
+    probes = (
+        docs.orderBy("doc_id")
+        .limit(1)
+        .select(
+            F.explode(
+                F.regexp_extract_all(
+                    F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0
+                )
+            ).alias("token")
+        )
+        .distinct()
+    )
+    return count_min_frequencies(docs, probes, d=4, w=1024, seed=42)
+
+
+def q_docs_bloom_decontaminate(spark, sf_dir):
+    """Benchmark decontamination through a 2^17-bit Bloom filter
+    (sketch.bloom_decontaminate): the eval split's 8-grams fold to 2048
+    bit_or'd longs (vs broadcasting the gram set itself), each train doc
+    reports its distinct-gram count and Bloom-hit count; hits are a
+    superset of the exact join (no false negatives — the containment is
+    asserted in pytest against textstats.decontaminate)."""
+    from linkgraph.pipeline.sketch import bloom_decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    benchmark = docs.filter(F.col("doc_id") % 37 == 0)
+    train = docs.filter(F.col("doc_id") % 37 != 0)
+    return bloom_decontaminate(train, benchmark, n=8, k=4, m_bits=1 << 17, seed=7)
+
+
 def q_trade_salsa(spark, sf_dir):
     """SALSA hub/authority scores via the Lempel–Moran closed form —
     degree aggregates + one WCC over the bipartite support graph instead
@@ -2249,6 +2288,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trade_salsa": q_trade_salsa,
         "docs_novelty": q_docs_novelty,
         "copurchase_cpm": q_copurchase_cpm,
+        # round-4 continuation (first of the overflow; rotate next round)
+        "docs_countmin": q_docs_countmin,
+        "docs_bloom_decontaminate": q_docs_bloom_decontaminate,
         # round-3-green buffer (driver re-confirmation, newest first)
         "trade_closeness": q_trade_closeness,
         "trade_neighbor_sample": q_trade_neighbor_sample,
@@ -3678,6 +3720,96 @@ SELECT d.doc_id, coalesce(a.n_grams, 0)::BIGINT AS n_grams,
              THEN (1000000 * a.novel_grams) // a.n_grams END)::BIGINT
          AS novelty_ppm
 FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+    # count-min sketch: full bit-exact replay — the d x w counter table,
+    # the probe set (first doc's distinct tokens), min-over-rows estimate
+    sqls["docs_countmin"] = r"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+           AS token
+  FROM documents
+),
+rs AS (SELECT unnest(range(4)) AS r),
+cells AS (
+  SELECT r, ('0x'||substr(md5('cms|42|'||r||'|'||token),1,15))::BIGINT % 1024
+           AS cell
+  FROM toks CROSS JOIN rs
+),
+sk AS (SELECT r, cell, count(*)::BIGINT AS c FROM cells GROUP BY 1, 2),
+probes AS (
+  SELECT DISTINCT
+         unnest(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+           AS token
+  FROM documents WHERE doc_id = (SELECT min(doc_id) FROM documents)
+),
+pc AS (
+  SELECT token, r,
+         ('0x'||substr(md5('cms|42|'||r||'|'||token),1,15))::BIGINT % 1024
+           AS cell
+  FROM probes CROSS JOIN rs
+)
+SELECT token, min(coalesce(sk.c, 0))::BIGINT AS est_n
+FROM pc LEFT JOIN sk USING (r, cell)
+GROUP BY token
+"""
+
+    # Bloom decontamination: replay the 2^17-bit filter exactly — eval
+    # 8-grams -> 4 quenched md5 bit positions -> bit_or'd 64-bit words;
+    # each probe mask replayed with the bit-63 min-long special case
+    # (DuckDB 1<<63 overflows where Java wraps)
+    sqls["docs_bloom_decontaminate"] = r"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]') AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(toks)-7, 0)+1),
+           i -> array_to_string(list_slice(toks, i, i+7), ' ')))) AS gram
+  FROM t
+),
+rs AS (SELECT unnest(range(4)) AS r),
+ep AS (
+  SELECT ('0x'||substr(md5('bloom|7|'||r||'|'||gram),1,15))::BIGINT % 131072
+           AS pos
+  FROM (SELECT DISTINCT gram FROM g WHERE doc_id % 37 = 0) CROSS JOIN rs
+),
+bloom AS (
+  SELECT (pos // 64)::INT AS word,
+         bit_or(CASE WHEN pos % 64 = 63 THEN -9223372036854775807 - 1
+                     ELSE (1::BIGINT << (pos % 64)) END) AS bits
+  FROM ep GROUP BY 1
+),
+cp AS (
+  SELECT doc_id, gram,
+         ('0x'||substr(md5('bloom|7|'||r||'|'||gram),1,15))::BIGINT % 131072
+           AS pos
+  FROM (SELECT DISTINCT doc_id, gram FROM g WHERE doc_id % 37 <> 0)
+       CROSS JOIN rs
+),
+probe AS (
+  SELECT doc_id, gram,
+         CASE WHEN coalesce(b.bits &
+                (CASE WHEN pos % 64 = 63 THEN -9223372036854775807 - 1
+                      ELSE (1::BIGINT << (pos % 64)) END), 0) <> 0
+              THEN 1 ELSE 0 END AS ok
+  FROM cp LEFT JOIN bloom b ON b.word = (pos // 64)::INT
+),
+gh AS (
+  SELECT doc_id, CASE WHEN sum(ok) = 4 THEN 1 ELSE 0 END AS hit
+  FROM probe GROUP BY doc_id, gram
+),
+pd AS (
+  SELECT doc_id, count(*)::BIGINT AS n_grams, sum(hit)::BIGINT AS n_hits
+  FROM gh GROUP BY 1
+)
+SELECT d.doc_id, coalesce(pd.n_grams, 0)::BIGINT AS n_grams,
+       coalesce(pd.n_hits, 0)::BIGINT AS n_hits
+FROM (SELECT doc_id FROM documents WHERE doc_id % 37 <> 0) d
+LEFT JOIN pd USING (doc_id)
 """
 
     # SALSA closed form: WCC over the bipartite support (hub copy 2u,

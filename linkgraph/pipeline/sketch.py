@@ -1,0 +1,213 @@
+"""Frequency / membership sketches with EXACT integer surfaces.
+
+The HyperBall playbook (centrality.py) applied to the classic streaming
+sketches: the *registers* of a probabilistic structure are deterministic
+integer functions of quenched md5 draws, so the whole sketch — not a
+float approximation of it — is bit-exactly replayable by an ANSI SQL
+oracle, while the structure itself keeps its bounded-state scale
+contract.  Two members:
+
+- :func:`count_min_frequencies` — Cormode–Muthukrishnan count-min sketch
+  (J. Algorithms 2005): point frequency estimates for a probe set from
+  ``d x w`` integer counters, never shuffling the corpus vocabulary.
+- :func:`bloom_decontaminate` — Bloom (CACM 1970) membership filter over
+  a benchmark n-gram set, probed by the corpus; the integer bit surface
+  and every per-document probe verdict are SQL-replayable, and the
+  false-positive behaviour is measured against the exact join in pytest.
+
+Raphtory parity anchor: the reference ships no sketch family (its
+`algorithms/metrics` are exact); these extend the table-side pipeline
+the way hyperball extends the graph side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .textstats import TOKEN_RE, _word_ngrams
+
+
+def _md5_cell(parts: str, w: int) -> str:
+    """Spark SQL expr: 60-bit md5 of `parts` (a concat_ws expression) mod w.
+
+    Identical in DuckDB as ``('0x'||substr(md5(x),1,15))::BIGINT % w`` —
+    the 60-bit prefix is non-negative in both engines, so % == pmod.
+    """
+    return (
+        f"CAST(conv(substring(md5({parts}),1,15),16,10) AS BIGINT) % {w}"
+    )
+
+
+def count_min_sketch(
+    docs: DataFrame,
+    d: int = 4,
+    w: int = 1024,
+    seed: int = 42,
+    text_col: str = "text",
+) -> DataFrame:
+    """The ``d x w`` count-min counter table — ``(r, cell, c)``.
+
+    One corpus scan: every token occurrence emits ``d`` (row, cell)
+    increments via ``posexplode`` of its quenched md5 cells; a single
+    hash aggregate folds them.  Map-side combine collapses each task's
+    contribution to at most ``d*w`` rows, so the shuffle carries
+    ``O(d*w * n_partitions)`` rows regardless of corpus size or
+    vocabulary — the whole point of the sketch at 100 TB: per-shard
+    sketches merge by addition (a monoid), never by re-scanning.
+    """
+    toks = docs.select(
+        F.explode(F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), 0)).alias(
+            "token"
+        )
+    )
+    cells = ", ".join(
+        _md5_cell(f"concat_ws('|','cms','{seed}','{r}',token)", w)
+        for r in range(int(d))
+    )
+    return (
+        toks.select(F.posexplode(F.expr(f"array({cells})")).alias("r", "cell"))
+        .groupBy("r", "cell")
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def count_min_frequencies(
+    docs: DataFrame,
+    probes: DataFrame,
+    d: int = 4,
+    w: int = 1024,
+    seed: int = 42,
+    text_col: str = "text",
+) -> DataFrame:
+    """Point frequency estimates for a probe-token set — ``(token, est_n)``.
+
+    ``est_n = min over the d rows of sketch[r][cell_r(token)]`` — the
+    count-min guarantee: ``est_n >= true count`` always (pure
+    overestimate; asserted in pytest against the exact aggregate), and
+    ``est_n <= true + eps*N`` with probability ``1 - (1/2)^d`` for
+    ``w = 2/eps``.
+
+    Scale shape: the corpus contributes only through the ``d*w``-row
+    sketch (see :func:`count_min_sketch`), which BROADCASTS to the probe
+    side — estimating frequencies of a handful of tokens over 100 TB
+    never shuffles the token space, where the exact ``groupBy(token)``
+    shuffles the full vocabulary.  `probes` must have a ``token`` column;
+    a cell no token hashed to estimates 0 (left join, coalesce).
+    """
+    sk = count_min_sketch(docs, d=d, w=w, seed=seed, text_col=text_col)
+    cells = ", ".join(
+        _md5_cell(f"concat_ws('|','cms','{seed}','{r}',token)", w)
+        for r in range(int(d))
+    )
+    probe_cells = probes.select("token").distinct().select(
+        "token", F.posexplode(F.expr(f"array({cells})")).alias("r", "cell")
+    )
+    return (
+        probe_cells.join(F.broadcast(sk), ["r", "cell"], "left")
+        .groupBy("token")
+        .agg(F.min(F.coalesce("c", F.lit(0))).alias("est_n"))
+    )
+
+
+def bloom_decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 8,
+    k: int = 4,
+    m_bits: int = 1 << 16,
+    seed: int = 7,
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination through a Bloom filter —
+    ``(doc_id, n_grams, n_hits)`` per corpus document.
+
+    The exact decontamination join (textstats.decontaminate) broadcasts
+    the full eval n-gram set; at a very large eval suite the broadcast
+    itself binds.  The Bloom variant compresses the eval set to
+    ``m_bits`` bits (``k`` quenched md5 probes per gram, OR-folded into
+    ``m_bits/64`` longs — the same ``bit_or`` integer-register monoid as
+    the FM/HyperBall sketches, so the filter is bit-exactly
+    SQL-replayable), then probes every corpus n-gram against the
+    broadcast bit table.  ``n_hits`` counts the document's distinct
+    n-grams whose k probe bits are ALL set — a superset of the true
+    contaminated grams (no false negatives; false-positive rate
+    ``~(1 - e^{-k*g/m})^k``, measured against the exact join in pytest).
+
+    Scale shape: eval grams fold to ``m_bits/64`` longs via one hash
+    aggregate (map-side combined); the corpus side is one scan + an
+    explode joined to the BROADCAST word table on the probe's word
+    index — the corpus never shuffles, mirroring the exact path's
+    contract with a fixed-size filter instead of the gram set.
+    """
+    m_words = int(m_bits) // 64
+    if m_words * 64 != int(m_bits):
+        raise ValueError("m_bits must be a multiple of 64")
+
+    kk = int(k)
+    # quenched 60-bit md5 probe positions of column `gram`, each hash
+    # PROJECTED ONCE (inlining it into word AND mask re-evaluates md5 —
+    # the minhash expression-layout lesson)
+    probe_pos = ", ".join(
+        f"CAST(conv(substring(md5(concat_ws('|','bloom','{seed}','{r}',gram)"
+        f"),1,15),16,10) AS BIGINT) % {int(m_bits)}"
+        for r in range(kk)
+    )
+    word = F.expr("pos div 64").cast("int").alias("word")
+    mask = F.expr("shiftleft(CAST(1 AS BIGINT), pos % 64)").alias("mask")
+
+    # filter build: eval grams -> (word, or-of-masks), <= m_words rows
+    eval_grams = eval_docs.select(
+        F.explode(
+            _word_ngrams(
+                F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), 0), n
+            )
+        ).alias("gram")
+    ).distinct()
+    bloom = (
+        eval_grams.select(F.explode(F.expr(f"array({probe_pos})")).alias("pos"))
+        .select(word, mask)
+        .groupBy("word")
+        .agg(F.expr("bit_or(mask)").alias("bits"))
+    )
+
+    # corpus probe: ONE pass — all k (word, mask) probes per gram emitted
+    # together, joined once against the broadcast bit table; a gram hits
+    # iff ALL k probe bits are set
+    corpus = docs.select(
+        "doc_id",
+        F.explode(
+            _word_ngrams(
+                F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), 0), n
+            )
+        ).alias("gram"),
+    ).distinct()
+    probed = (
+        corpus.select(
+            "doc_id",
+            "gram",
+            F.explode(F.expr(f"array({probe_pos})")).alias("pos"),
+        )
+        .select("doc_id", "gram", word, mask)
+        .join(F.broadcast(bloom), "word", "left")
+    )
+    gram_hit = probed.groupBy("doc_id", "gram").agg(
+        (
+            F.sum((F.coalesce(F.expr("bits & mask"), F.lit(0)) != 0).cast("int"))
+            == kk
+        )
+        .cast("int")
+        .alias("hit")
+    )
+    per_doc = gram_hit.groupBy("doc_id").agg(
+        F.count("*").alias("n_grams"), F.sum("hit").alias("n_hits")
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+        )
+    )

@@ -1,0 +1,121 @@
+"""Count-min / Bloom sketch invariants (pipeline.sketch) vs exact
+aggregates and a pure-Python register replay."""
+
+import hashlib
+import re
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from linkgraph.pipeline.sketch import (
+    bloom_decontaminate,
+    count_min_frequencies,
+    count_min_sketch,
+)
+from linkgraph.pipeline.textstats import TOKEN_RE
+
+DOCS = [
+    (0, "key agg row scan slow fast table value part hash key agg"),
+    (1, "batch window spark order data column agg join key key key"),
+    (2, "small fast slow filter value small value table scan scan"),
+    (3, "zebra quark xylo phon novel tokens only here once"),
+    (4, ""),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string").cache()
+
+
+def _md5_60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_count_min_never_underestimates(spark, docs):
+    probes = spark.createDataFrame(
+        [(t,) for t in ["key", "agg", "scan", "value", "zebra", "absent"]],
+        "token string",
+    )
+    # w=8 forces collisions on this vocab, so the test sees real
+    # overestimates, not just equalities
+    est = {
+        r["token"]: r["est_n"]
+        for r in count_min_frequencies(docs, probes, d=3, w=8, seed=1).collect()
+    }
+    exact = Counter(
+        t for _, text in DOCS for t in re.findall(TOKEN_RE, text)
+    )
+    assert set(est) == {"key", "agg", "scan", "value", "zebra", "absent"}
+    for tok, e in est.items():
+        assert e >= exact[tok], (tok, e, exact[tok])
+    assert est["absent"] >= 0
+    # a wide sketch on a tiny vocab is collision-free -> exact
+    wide = {
+        r["token"]: r["est_n"]
+        for r in count_min_frequencies(docs, probes, d=3, w=4096, seed=1).collect()
+    }
+    assert all(wide[t] == exact[t] for t in wide)
+
+
+def test_count_min_sketch_matches_python_replay(docs):
+    d, w, seed = 3, 8, 1
+    got = {
+        (r["r"], r["cell"]): r["c"] for r in count_min_sketch(docs, d, w, seed).collect()
+    }
+    want = Counter()
+    for _, text in DOCS:
+        for tok in re.findall(TOKEN_RE, text):
+            for r in range(d):
+                want[(r, _md5_60(f"cms|{seed}|{r}|{tok}") % w)] += 1
+    assert got == dict(want)
+
+
+def test_count_min_total_mass_per_row(docs):
+    # every row of the sketch holds the full occurrence count
+    n_occ = docs.select(
+        F.explode(F.regexp_extract_all("text", F.lit(TOKEN_RE), 0))
+    ).count()
+    rows = count_min_sketch(docs, d=4, w=16, seed=2).groupBy("r").agg(
+        F.sum("c").alias("s")
+    )
+    assert [r["s"] for r in rows.collect()] == [n_occ] * 4
+
+
+def test_bloom_decontaminate_superset_of_exact(spark, docs):
+    from linkgraph.pipeline.textstats import decontaminate
+
+    ev = docs.filter(F.col("doc_id") == 0)
+    train = docs.filter(F.col("doc_id") != 0)
+    bl = {
+        r["doc_id"]: (r["n_grams"], r["n_hits"])
+        for r in bloom_decontaminate(train, ev, n=3, k=4, m_bits=1 << 12).collect()
+    }
+    ex = {
+        r["doc_id"]: r["n_matched_grams"]
+        for r in decontaminate(train, ev, n=3).collect()
+    }
+    assert set(bl) == {1, 2, 3, 4}
+    for did, (_, n_hits) in bl.items():
+        assert n_hits >= ex.get(did, 0), (did, n_hits, ex.get(did))
+    # empty doc: no grams, no hits
+    assert bl[4] == (0, 0)
+
+
+def test_bloom_false_positive_rate_small_filter(spark, docs):
+    # at m=64 bits and k=2 the filter saturates -> false positives appear;
+    # the count still upper-bounds the exact join (no false negatives)
+    from linkgraph.pipeline.textstats import decontaminate
+
+    ev = docs.filter(F.col("doc_id") == 0)
+    train = docs.filter(F.col("doc_id") != 0)
+    bl = bloom_decontaminate(train, ev, n=3, k=2, m_bits=64)
+    tot_hits = bl.agg(F.sum("n_hits")).collect()[0][0]
+    ex = decontaminate(train, ev, n=3).agg(F.sum("n_matched_grams")).collect()[0][0]
+    assert tot_hits >= (ex or 0)
+
+
+def test_bloom_rejects_bad_m_bits(docs):
+    with pytest.raises(ValueError):
+        bloom_decontaminate(docs, docs, m_bits=100)
