@@ -1521,6 +1521,19 @@ def q_trade_sssp(spark, sf_dir):
     )
 
 
+def q_trade_widest_path(spark, sf_dir):
+    """Max-min bottleneck capacities from customer 1 over the undirected
+    trade graph, edge capacity = total traded quantity (paths.widest_paths)
+    — integer label-correcting ascent, 10 rounds to fixpoint at sf0.01;
+    the oracle unrolls 14 with a loud guard arm."""
+    from linkgraph.algorithms.paths import widest_paths
+
+    g = _trade_graph_weighted(spark, sf_dir)
+    return widest_paths(g, "1", "l_quantity").select(
+        F.col("name").cast("long").alias("node"), "capacity"
+    )
+
+
 def q_trade_balance(spark, sf_dir):
     from linkgraph.algorithms.metrics import balance
 
@@ -2291,6 +2304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-4 continuation (first of the overflow; rotate next round)
         "docs_countmin": q_docs_countmin,
         "docs_bloom_decontaminate": q_docs_bloom_decontaminate,
+        "trade_widest_path": q_trade_widest_path,
         # round-3-green buffer (driver re-confirmation, newest first)
         "trade_closeness": q_trade_closeness,
         "trade_neighbor_sample": q_trade_neighbor_sample,
@@ -3248,6 +3262,57 @@ SELECT CAST(error('landmark oracle: {levels}-level unroll insufficient') AS BIGI
        CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
 WHERE (SELECT count(*) FROM b{levels}) <> 0
 """
+    )
+
+
+def _widest_oracle_sql(rounds: int, source: int = 1) -> str:
+    """Unrolled max-min Bellman–Ford ascent (DuckDB) to the widest-path
+    fixpoint on the weighted trade graph: s0 = direct edge capacities from
+    the source, s_{i+1}(v) = max(s_i(v), max over edges (u,v) of
+    least(s_i(u), w)).  Values only increase, so ``rounds`` past the
+    empirical fixpoint (10 at sf0.01) suffices; the error() arm fires if
+    the last two stages still differ."""
+    stages = [
+        """wcap AS MATERIALIZED (
+  SELECT least(src, dst) AS lo, greatest(src, dst) AS hi,
+         sum(qty)::BIGINT AS w
+  FROM (SELECT o_custkey AS src, 1000000 + l_suppkey AS dst,
+               l_quantity::BIGINT AS qty
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
+  GROUP BY 1, 2
+)""",
+        """wund AS MATERIALIZED (
+  SELECT lo AS id, hi AS nbr, w FROM wcap
+  UNION ALL SELECT hi, lo, w FROM wcap
+)""",
+        f"""s0 AS MATERIALIZED (
+  SELECT nbr AS id, max(w) AS capacity FROM wund WHERE id = {source}
+  GROUP BY nbr
+)""",
+    ]
+    for i in range(1, rounds + 1):
+        stages.append(
+            f"""s{i} AS MATERIALIZED (
+  SELECT id, max(capacity) AS capacity FROM (
+    SELECT id, capacity FROM s{i-1}
+    UNION ALL
+    SELECT u.nbr AS id, least(s.capacity, u.w) AS capacity
+    FROM s{i-1} s JOIN wund u ON u.id = s.id
+    WHERE u.nbr <> {source}
+  ) GROUP BY id
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(stages)
+        + f"\nSELECT id AS node, capacity FROM s{rounds}"
+        + "\nUNION ALL\n"
+        + "SELECT CAST(error('widest-path oracle: unroll insufficient "
+        + f"(rounds={rounds})') AS BIGINT), CAST(NULL AS BIGINT)\n"
+        + f"WHERE (SELECT count(*) FROM s{rounds} a JOIN s{rounds - 1} b "
+        + "ON a.id = b.id AND a.capacity <> b.capacity) <> 0"
+        + f" OR (SELECT count(*) FROM s{rounds}) <> "
+        + f"(SELECT count(*) FROM s{rounds - 1})"
     )
 
 
@@ -6101,6 +6166,7 @@ FROM z GROUP BY user_id, sid
 """
 
     sqls["copurchase_coreness"] = _coreness_oracle_sql(rounds=20)
+    sqls["trade_widest_path"] = _widest_oracle_sql(rounds=14)
 
     sqls["docs_c4_rules"] = r"""
 WITH split AS (

@@ -171,6 +171,111 @@ def dijkstra_single_source_shortest_paths(
     return out
 
 
+def widest_paths(
+    graph: LinkGraph,
+    source: str,
+    weight: str,
+    max_iter: int = 64,
+    iters_out: dict | None = None,
+) -> DataFrame:
+    """Max-min bottleneck ("widest path") capacities from ``source`` —
+    ``(name, id, capacity)`` for every OTHER reachable node.
+
+    The (max, min) semiring analogue of
+    :func:`dijkstra_single_source_shortest_paths` (pathing/dijkstra.rs
+    anchors the relaxation shape): a path's capacity is the MINIMUM of
+    its edge capacities; a node's value is the MAXIMUM over paths.  Edge
+    capacity here is the SUM of the ``weight`` property over the logical
+    edge's events, mirrored undirected (total volume between the pair) —
+    an integer, so the whole fixpoint is integer-exact and bit-exactly
+    SQL-replayable (the unrolled-round oracle discipline).
+
+    Distributed shape: label-correcting Bellman–Ford ascent — each round
+    joins the improved frontier to the pre-partitioned adjacency
+    (repartitioned ONCE on the join key, the coreness lesson), keeps
+    strict improvements only, and stops when a round improves nothing.
+    Values only ever increase toward the unique lattice fixpoint, so the
+    result is schedule-independent at any parallelism.  Round count is
+    bounded by the longest USEFUL path (not the diameter — a wide route
+    can be long); ``max_iter`` is a loud safety bound.
+    """
+    spark = graph.spark
+    source = str(source)
+    if weight not in graph.edges_t.columns:
+        raise ValueError(f"weight property {weight!r} not found on edges")
+    if not graph.has_node(source):
+        return spark.createDataFrame([], "name string, id long, capacity long")
+    ids = graph.ids().persist()
+    from linkgraph.graph import name_to_id
+
+    n_part = spark.sparkContext.defaultParallelism
+    pair_cap = (
+        graph.edges_t.select(
+            F.least(name_to_id(F.col("src")), name_to_id(F.col("dst"))).alias("lo"),
+            F.greatest(name_to_id(F.col("src")), name_to_id(F.col("dst"))).alias("hi"),
+            F.col(weight).cast("long").alias("w"),
+        )
+        .groupBy("lo", "hi")
+        .agg(F.sum("w").alias("w"))
+    )
+    adj = (
+        pair_cap.select(F.col("lo").alias("id"), F.col("hi").alias("nbr_id"), "w")
+        .unionByName(
+            pair_cap.select(
+                F.col("hi").alias("id"), F.col("lo").alias("nbr_id"), "w"
+            )
+        )
+        .repartition(n_part, "id")
+        .localCheckpoint()
+    )
+
+    src_id = ids.filter(F.col("name") == source).select("id")
+    # first hop: capacity(v) = cap(source, v); the source itself carries
+    # conceptual capacity +inf and never re-enters the state
+    state = (
+        adj.join(src_id, "id")
+        .groupBy(F.col("nbr_id").alias("id"))
+        .agg(F.max("w").alias("capacity"))
+        .localCheckpoint()
+    )
+    frontier = state
+    it = 0
+    with iteration_conf(spark, shuffle_partitions=n_part):
+        while it < max_iter:
+            it += 1
+            relax = (
+                frontier.join(adj, "id")
+                .join(src_id.select(F.col("id").alias("nbr_id")), "nbr_id", "left_anti")
+                .groupBy(F.col("nbr_id").alias("id"))
+                .agg(F.max(F.least("capacity", "w")).alias("capacity"))
+            )
+            improved = (
+                relax.alias("r")
+                .join(state.alias("s"), "id", "left")
+                .filter(
+                    F.col("s.capacity").isNull()
+                    | (F.col("r.capacity") > F.col("s.capacity"))
+                )
+                .select("id", F.col("r.capacity").alias("capacity"))
+                .localCheckpoint()
+            )
+            if improved.limit(1).count() == 0:
+                break
+            state = (
+                state.join(improved.select("id"), "id", "left_anti")
+                .unionByName(improved)
+                .localCheckpoint()
+            )
+            frontier = improved
+        else:
+            raise RuntimeError(
+                f"widest_paths did not converge in {max_iter} rounds"
+            )
+    if iters_out is not None:
+        iters_out["iterations"] = it
+    return state.join(ids, "id").select("name", "id", "capacity")
+
+
 def temporally_reachable_nodes(
     graph: LinkGraph,
     max_hops: int,

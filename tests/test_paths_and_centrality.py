@@ -262,3 +262,58 @@ def test_salsa_closed_form_two_components(spark):
     assert abs(hub[3]["score"] - (1 / 3)) < 1e-6
     for side in (auth, hub):
         assert abs(sum(r["score"] for r in side.values()) - 1.0) < 1e-5
+
+
+def test_widest_paths_prefers_long_wide_route(spark):
+    """Max-min semiring: A->B->C (bottleneck 10) beats the direct A->C
+    (capacity 3); D is wider still via the 3-hop route; the source is
+    excluded; unreachable Z is absent. Hand-computed fixpoint."""
+    from linkgraph.algorithms.paths import widest_paths
+
+    caps = [
+        ("A", "B", 10), ("B", "C", 12), ("A", "C", 3),
+        ("C", "D", 9), ("A", "D", 2), ("Y", "Z", 5),
+    ]
+    edges_t = spark.createDataFrame(
+        [(s, d, t, "_default", float(w)) for t, (s, d, w) in enumerate(caps)],
+        "src string, dst string, time long, layer string, weight double",
+    )
+    g = LinkGraph(edges_t)
+    io = {}
+    res = {
+        r["name"]: r["capacity"]
+        for r in widest_paths(g, "A", "weight", iters_out=io).collect()
+    }
+    assert res == {"B": 10, "C": 10, "D": 9}
+    assert io["iterations"] >= 2  # the wide route needs >1 relaxation round
+
+
+def test_widest_paths_sums_parallel_events(spark):
+    """Edge capacity is the SUM of the weight property over the logical
+    edge's events, mirrored undirected."""
+    from linkgraph.algorithms.paths import widest_paths
+
+    edges_t = spark.createDataFrame(
+        [("A", "B", 0, "_default", 4.0), ("B", "A", 1, "_default", 5.0),
+         ("B", "C", 2, "_default", 2.0)],
+        "src string, dst string, time long, layer string, weight double",
+    )
+    g = LinkGraph(edges_t)
+    res = {
+        r["name"]: r["capacity"]
+        for r in widest_paths(g, "A", "weight").collect()
+    }
+    assert res == {"B": 9, "C": 2}
+
+
+def test_widest_paths_guards(spark):
+    from linkgraph.algorithms.paths import widest_paths
+
+    edges_t = spark.createDataFrame(
+        [("A", "B", 0, "_default", 1.0)],
+        "src string, dst string, time long, layer string, weight double",
+    )
+    g = LinkGraph(edges_t)
+    with pytest.raises(ValueError, match="weight property"):
+        widest_paths(g, "A", "nope")
+    assert widest_paths(g, "missing", "weight").count() == 0
