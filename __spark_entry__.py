@@ -1595,6 +1595,54 @@ def q_transition_scc(spark, sf_dir):
     )
 
 
+def q_transition_condensation(spark, sf_dir):
+    """SCC condensation DAG of the BACKBONE transition graph — the 8
+    strongest transitions by count, tie-broken (count desc, src, dst) so
+    the subgraph is engine-exact (the full 5-type transition graph is
+    complete, hence one SCC and an empty condensation).  Components are
+    canonicalised to their min member name (internal ids hash the string
+    names, so raw labels are not oracle-comparable)."""
+    from pyspark.sql import Window
+
+    from linkgraph.algorithms.components import (
+        condensation,
+        strongly_connected_components,
+    )
+    from linkgraph.graph import LinkGraph
+
+    ev = _transition_edges(spark, sf_dir)
+    cnt = ev.groupBy("src", "dst").agg(F.count("*").alias("c"))
+    top = (
+        cnt.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.orderBy(F.col("c").desc(), F.col("src"), F.col("dst"))
+            ),
+        )
+        .filter(F.col("rn") <= 8)
+        .select("src", "dst", F.lit(0).cast("long").alias("time"))
+    )
+    g = LinkGraph(top)
+    labels = strongly_connected_components(g)
+    canon = labels.groupBy("scc").agg(F.min("name").alias("scc_name"))
+    dag = condensation(g, labels=labels)
+    return (
+        dag.join(
+            canon.select(
+                F.col("scc").alias("src_scc"), F.col("scc_name").alias("src_comp")
+            ),
+            "src_scc",
+        )
+        .join(
+            canon.select(
+                F.col("scc").alias("dst_scc"), F.col("scc_name").alias("dst_comp")
+            ),
+            "dst_scc",
+        )
+        .select("src_comp", "dst_comp", "n_edges")
+    )
+
+
 def q_trade_edge_prop_agg(spark, sf_dir):
     from linkgraph.properties import edge_temporal_property_agg
 
@@ -1760,6 +1808,17 @@ def q_cosupply_kcore(spark, sf_dir):
 
     g = _cosupply_graph(spark, sf_dir)
     return k_core_ids(g, 30).select(F.col("id").alias("node"))
+
+
+def q_cosupply_squares(spark, sf_dir):
+    """Per-node 4-cycle counts on the co-supplier graph
+    (structure.square_count): one wedge self-join + integer C(cn,2)
+    arithmetic — the general-graph companion of the bipartite butterfly
+    counter."""
+    from linkgraph.algorithms.structure import square_count
+
+    g = _cosupply_graph(spark, sf_dir)
+    return square_count(g).select(F.col("id").alias("node"), "n_squares")
 
 
 def q_transition_lpa_sync(spark, sf_dir):
@@ -2305,6 +2364,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_countmin": q_docs_countmin,
         "docs_bloom_decontaminate": q_docs_bloom_decontaminate,
         "trade_widest_path": q_trade_widest_path,
+        "transition_condensation": q_transition_condensation,
+        "cosupply_squares": q_cosupply_squares,
         # round-3-green buffer (driver re-confirmation, newest first)
         "trade_closeness": q_trade_closeness,
         "trade_neighbor_sample": q_trade_neighbor_sample,
@@ -4428,6 +4489,30 @@ SELECT community, n_nodes, internal_edges, cut_edges, vol,
 FROM per
 """
     sqls["cosupply_kcore"] = _kcore_oracle_sql(30, rounds=96)
+
+    sqls["cosupply_squares"] = f"""
+WITH {_COSUPPLY_ED},
+und AS (
+  SELECT lo AS id, hi AS nbr FROM co_ed
+  UNION ALL SELECT hi, lo FROM co_ed
+),
+cn AS (
+  SELECT a.id AS u, b.nbr AS w, count(*) AS c
+  FROM und a JOIN und b ON b.id = a.nbr
+  WHERE a.id < b.nbr
+  GROUP BY 1, 2
+  HAVING count(*) >= 2
+),
+ps AS (SELECT u, w, (c * (c - 1)) // 2 AS sq FROM cn),
+per AS (
+  SELECT id, sum(sq) AS n_squares FROM (
+    SELECT u AS id, sq FROM ps UNION ALL SELECT w, sq FROM ps
+  ) GROUP BY id
+)
+SELECT n.id AS node, coalesce(p.n_squares, 0)::BIGINT AS n_squares
+FROM (SELECT DISTINCT id FROM und) n
+LEFT JOIN per p USING (id)
+"""
     sqls["trade_pagerank_blocks"] = _PAGERANK_ORACLE
 
     # HITS: the per-iteration normalisation constants cancel (each score is
@@ -4610,6 +4695,38 @@ mutual AS (
 SELECT n.id AS node, least(n.id, coalesce(m.lab, n.id)) AS scc
 FROM tr_nodes n
 LEFT JOIN (SELECT a, min(b) AS lab FROM mutual GROUP BY a) m ON m.a = n.id
+"""
+
+    sqls["transition_condensation"] = f"""
+WITH RECURSIVE {_TRANSITION_ED},
+tr_bb AS (
+  SELECT src, dst FROM (
+    SELECT src, dst, count(*) AS c FROM tr_ev GROUP BY 1, 2
+  ) ORDER BY c DESC, src, dst LIMIT 8
+),
+bb_nodes AS (
+  SELECT DISTINCT id
+  FROM (SELECT src AS id FROM tr_bb UNION ALL SELECT dst FROM tr_bb)
+),
+reach(a, b) AS (
+  SELECT src, dst FROM tr_bb
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN tr_bb e ON e.src = r.b
+),
+mutual AS (
+  SELECT r1.a, r1.b FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a
+),
+lab AS (
+  SELECT n.id AS node, least(n.id, coalesce(m.lab, n.id)) AS scc
+  FROM bb_nodes n
+  LEFT JOIN (SELECT a, min(b) AS lab FROM mutual GROUP BY a) m ON m.a = n.id
+)
+SELECT ls.scc AS src_comp, ld.scc AS dst_comp, count(*)::BIGINT AS n_edges
+FROM tr_bb e
+JOIN lab ls ON ls.node = e.src
+JOIN lab ld ON ld.node = e.dst
+WHERE ls.scc <> ld.scc
+GROUP BY 1, 2
 """
 
     sqls["trade_edge_prop_agg"] = """

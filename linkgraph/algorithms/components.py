@@ -363,6 +363,36 @@ def scc_groups(graph: LinkGraph) -> DataFrame:
     )
 
 
+def condensation(graph: LinkGraph, labels: DataFrame | None = None) -> DataFrame:
+    """The SCC condensation DAG — ``(src_scc, dst_scc, n_edges)``: one row
+    per ordered pair of DISTINCT strongly connected components joined by
+    at least one edge, with the count of logical edges between them.
+
+    Contracting every SCC of :func:`strongly_connected_components` (min-id
+    labels) yields an acyclic quotient — the standard reachability /
+    scheduling skeleton (components/scc.rs's group output is the node-side
+    view of the same structure).  Shape: two label joins against the edge
+    table plus one hash aggregate; the SCC labels themselves come from the
+    forward-backward colouring loop, so no step is driver-bound.
+
+    Pass precomputed ``labels`` (``(id, scc)`` rows) to reuse an existing
+    SCC run; otherwise they are computed here.
+    """
+    if labels is None:
+        labels = strongly_connected_components(graph)
+    labels = labels.select("id", "scc")
+    e = graph.edge_ids().select("src_id", "dst_id").distinct()
+    lab_src = labels.select(F.col("id").alias("src_id"), F.col("scc").alias("src_scc"))
+    lab_dst = labels.select(F.col("id").alias("dst_id"), F.col("scc").alias("dst_scc"))
+    return (
+        e.join(lab_src, "src_id")
+        .join(lab_dst, "dst_id")
+        .filter(F.col("src_scc") != F.col("dst_scc"))
+        .groupBy("src_scc", "dst_scc")
+        .agg(F.count("*").alias("n_edges"))
+    )
+
+
 def _run_loop(loop, state, und, it, max_iter, use_broadcast, iters_out=None):
     while it <= max_iter:
         if iters_out is not None:

@@ -448,3 +448,50 @@ def topological_levels(
     for p_ in parts[1:]:
         out = out.unionByName(p_)
     return out.select(F.col("id").alias("node"), "level")
+
+
+def square_count(graph: LinkGraph) -> DataFrame:
+    """Per-node 4-cycle (square) counts — ``(id, n_squares)`` for every
+    node of the undirected simple graph.
+
+    A square through node ``u`` is determined by its OPPOSITE corner
+    ``w`` and an unordered pair of distinct common neighbours, so
+    ``squares(u) = sum over w != u of C(cn(u, w), 2)`` — the square
+    analogue of the triangle-intersection formulation
+    (motifs/local_triangle_count.rs anchors the triangle version; the
+    bipartite-only butterfly counter in bipartite.py is the special case
+    where corners alternate sides).  Self-loops are excluded by the
+    deduplicated neighbour view, degenerate "squares" by the distinct
+    pair (``C(cn, 2)``) and the ``u < w`` canonical pairing.
+
+    Shape: one wedge self-join through the middle vertex (volume
+    sum-of-degrees-squared — the same budget every common-neighbour
+    operator here pays; cap or sample hubs upstream if that binds), one
+    hash aggregate to common-neighbour counts, pure integer arithmetic
+    (``c*(c-1) div 2``), one per-node sum.  No floats, no UDFs.
+    """
+    und = graph.undirected_edge_ids().filter(F.col("id") != F.col("nbr_id"))
+    a = und.select(F.col("nbr_id").alias("m"), F.col("id").alias("u"))
+    b = und.select(F.col("id").alias("m"), F.col("nbr_id").alias("w"))
+    cn = (
+        a.join(b, "m")
+        .filter(F.col("u") < F.col("w"))
+        .groupBy("u", "w")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 2)
+    )
+    pair_sq = cn.select(
+        "u", "w", F.expr("(c * (c - 1)) div 2").alias("sq")
+    )
+    per_node = (
+        pair_sq.select(F.col("u").alias("id"), "sq")
+        .unionByName(pair_sq.select(F.col("w").alias("id"), "sq"))
+        .groupBy("id")
+        .agg(F.sum("sq").alias("n_squares"))
+    )
+    return (
+        graph.ids()
+        .select("id")
+        .join(per_node, "id", "left")
+        .select("id", F.coalesce("n_squares", F.lit(0)).alias("n_squares"))
+    )

@@ -144,3 +144,39 @@ def test_wcc_warm_start_same_labels_fewer_supersteps(spark):
     }
     assert warm == cold
     assert warm_it["iterations"] < cold_it["iterations"]
+
+
+def test_condensation_dag(spark):
+    """1<->2 -> 3 -> 4<->5 plus 6->7: condensation has one node per SCC
+    and the cross-component edges only; parallel logical edges count."""
+    from linkgraph.algorithms.components import condensation
+    from linkgraph.graph import LinkGraph
+    from linkgraph.synth import source_table
+
+    edges = [(0, 1, 2), (0, 2, 1), (0, 2, 3), (1, 1, 3), (0, 3, 4),
+             (0, 4, 5), (0, 5, 4), (0, 6, 7)]
+    g = LinkGraph.from_source_table(
+        source_table(spark, [(t, str(s), str(d)) for t, s, d in edges])
+    )
+    dag = {
+        (r["src_scc"], r["dst_scc"]): r["n_edges"]
+        for r in condensation(g).collect()
+    }
+    # SCC labels: {1,2}->1, {3}->3, {4,5}->4, {6}->6, {7}->7
+    assert dag == {(1, 3): 2, (3, 4): 1, (6, 7): 1}
+
+
+def test_condensation_reuses_labels(spark):
+    from linkgraph.algorithms.components import (
+        condensation,
+        strongly_connected_components,
+    )
+    from linkgraph.graph import LinkGraph
+    from linkgraph.synth import source_table
+
+    g = LinkGraph.from_source_table(
+        source_table(spark, [(0, "1", "2"), (0, "2", "1"), (0, "2", "3")])
+    )
+    labels = strongly_connected_components(g)
+    dag = condensation(g, labels=labels).collect()
+    assert [(r["src_scc"], r["dst_scc"], r["n_edges"]) for r in dag] == [(1, 3, 1)]

@@ -88,3 +88,35 @@ def test_k_core(spark):
     g = LinkGraph.from_edge_list(spark, edges)
     core = {r.id for r in k_core_ids(g, 2).collect()}
     assert core == {1, 2, 3}
+
+
+def test_square_count_golden(spark):
+    """C4 1-2-3-4 with a chord and a pendant: K4-minus-nothing checks —
+    hand-enumerated squares per node."""
+    from linkgraph.algorithms.structure import square_count
+    from linkgraph.graph import LinkGraph
+    from linkgraph.synth import source_table
+
+    # square 1-2-3-4-1 plus chord 1-3 and pendant 5 on node 1:
+    # the only 4-cycle is (1,2,3,4) -> every member counts 1, others 0
+    edges = [("1", "2"), ("2", "3"), ("3", "4"), ("4", "1"), ("1", "3"),
+             ("1", "5")]
+    g = LinkGraph.from_source_table(
+        source_table(spark, [(0, s, d) for s, d in edges])
+    )
+    got = {r["id"]: r["n_squares"] for r in square_count(g).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 0}
+
+
+def test_square_count_k4(spark):
+    """K4 contains 3 distinct 4-cycles, each node on all 3."""
+    from linkgraph.algorithms.structure import square_count
+    from linkgraph.graph import LinkGraph
+    from linkgraph.synth import source_table
+
+    edges = [(a, b) for a in "1234" for b in "1234" if a < b]
+    g = LinkGraph.from_source_table(
+        source_table(spark, [(0, s, d) for s, d in edges])
+    )
+    got = {r["id"]: r["n_squares"] for r in square_count(g).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
