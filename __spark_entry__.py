@@ -842,6 +842,42 @@ def q_events_distinct_sketch(spark, sf_dir):
     )
 
 
+def q_events_stream_cms(spark, sf_dir):
+    """Streaming count-min frequency estimates per tumbling hour
+    (streaming.windowed_count_min): state is <= d*w counters per window
+    regardless of key cardinality; the readout probes the 5 event types
+    at serving time — min over the 4 sketch rows, integer-exact."""
+    from linkgraph.streaming import (
+        read_event_stream,
+        run_available_now,
+        windowed_count_min,
+    )
+
+    stream = read_event_stream(spark, _stream_input(sf_dir, "events"))
+    cells = run_available_now(
+        windowed_count_min(stream, d=4, w=256, seed=9),
+        _stream_ck(),
+        output_mode="complete",
+    )
+    probe_cells = ", ".join(
+        "CAST(conv(substring(md5(concat_ws('|','cms','9','%d',token)),1,15),16,10)"
+        " AS BIGINT) %% 256" % r
+        for r in range(4)
+    )
+    pc = (
+        _t(spark, sf_dir, "events")
+        .select(F.col("event_type").alias("token"))
+        .distinct()
+        .select("token", F.posexplode(F.expr(f"array({probe_cells})")).alias("r", "cell"))
+    )
+    grid = cells.select("ws").distinct().crossJoin(pc)
+    return (
+        grid.join(cells, ["ws", "r", "cell"], "left")
+        .groupBy("ws", "token")
+        .agg(F.min(F.coalesce("c", F.lit(0))).alias("est_n"))
+    )
+
+
 def q_docs_line_dedup(spark, sf_dir):
     """CCNet-style cross-document line dedup (10-word segments — the
     synthetic corpus has no newline structure): every segment appearing
@@ -899,6 +935,16 @@ def q_docs_countmin(spark, sf_dir):
         .distinct()
     )
     return count_min_frequencies(docs, probes, d=4, w=1024, seed=42)
+
+
+def q_docs_containment(spark, sf_dir):
+    """Asymmetric 8-gram containment pairs at >=30% either direction
+    (dedup.containment_pairs) — quote/boilerplate subsumption detection;
+    all-integer ppm scores."""
+    from linkgraph.pipeline.dedup import containment_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return containment_pairs(docs, n=8, threshold_ppm=300_000)
 
 
 def q_docs_bloom_decontaminate(spark, sf_dir):
@@ -2366,6 +2412,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trade_widest_path": q_trade_widest_path,
         "transition_condensation": q_transition_condensation,
         "cosupply_squares": q_cosupply_squares,
+        "docs_containment": q_docs_containment,
+        "events_stream_cms": q_events_stream_cms,
         # round-3-green buffer (driver re-confirmation, newest first)
         "trade_closeness": q_trade_closeness,
         "trade_neighbor_sample": q_trade_neighbor_sample,
@@ -3846,6 +3894,37 @@ SELECT d.doc_id, coalesce(a.n_grams, 0)::BIGINT AS n_grams,
              THEN (1000000 * a.novel_grams) // a.n_grams END)::BIGINT
          AS novelty_ppm
 FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+    # asymmetric containment: inverted-index join on distinct 8-grams,
+    # integer ppm scores both directions
+    sqls["docs_containment"] = r"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]') AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(toks)-7, 0)+1),
+           i -> array_to_string(list_slice(toks, i, i+7), ' ')))) AS gram
+  FROM t
+),
+sz AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS inter
+  FROM g a JOIN g b USING (gram) WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, inter,
+       sa.sz::BIGINT AS size_a, sb.sz::BIGINT AS size_b,
+       ((1000000 * inter) // sa.sz)::BIGINT AS cont_a_ppm,
+       ((1000000 * inter) // sb.sz)::BIGINT AS cont_b_ppm
+FROM inter
+JOIN sz sa ON sa.doc_id = doc_a
+JOIN sz sb ON sb.doc_id = doc_b
+WHERE (1000000 * inter) // sa.sz >= 300000
+   OR (1000000 * inter) // sb.sz >= 300000
 """
 
     # count-min sketch: full bit-exact replay — the d x w counter table,
@@ -5924,6 +6003,33 @@ regs AS (
   FROM masks GROUP BY 1
 )
 SELECT ws, n_events, ({_fm_rsum}) AS r_sum FROM regs
+"""
+
+    # streaming count-min: the batch replay of the same counter monoid —
+    # hour cells from the event table, then the min-over-rows probe readout
+    sqls["events_stream_cms"] = """
+WITH rs AS (SELECT unnest(range(4)) AS r),
+cells AS (
+  SELECT cast(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS ws, r,
+         ('0x'||substr(md5('cms|9|'||r||'|'||event_type),1,15))::BIGINT % 256
+           AS cell,
+         count(*)::BIGINT AS c
+  FROM events CROSS JOIN rs
+  GROUP BY 1, 2, 3
+),
+probes AS (SELECT DISTINCT event_type AS token FROM events),
+pc AS (
+  SELECT token, r,
+         ('0x'||substr(md5('cms|9|'||r||'|'||token),1,15))::BIGINT % 256
+           AS cell
+  FROM probes CROSS JOIN rs
+),
+grid AS (SELECT ws, token, r, cell FROM (SELECT DISTINCT ws FROM cells)
+         CROSS JOIN pc)
+SELECT g.ws, g.token, min(coalesce(c.c, 0))::BIGINT AS est_n
+FROM grid g
+LEFT JOIN cells c ON c.ws = g.ws AND c.r = g.r AND c.cell = g.cell
+GROUP BY 1, 2
 """
 
     sqls["docs_line_dedup"] = """

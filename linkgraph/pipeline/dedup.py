@@ -78,6 +78,74 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    docs: DataFrame,
+    n: int = 8,
+    threshold_ppm: int = 500_000,
+    text_col: str = "text",
+) -> DataFrame:
+    """ASYMMETRIC n-gram containment pairs —
+    ``(doc_a, doc_b, inter, size_a, size_b, cont_a_ppm, cont_b_ppm)``,
+    ``doc_a < doc_b``, kept when either direction's containment reaches
+    ``threshold_ppm``.
+
+    ``containment(A in B) = |grams(A) ∩ grams(B)| / |grams(A)|`` — the
+    subset-detection complement of Jaccard (Broder's resemblance vs
+    containment distinction): a snippet quoted inside a long page scores
+    near 1.0 containment but tiny Jaccard, so quote/boilerplate
+    subsumption needs this, not :func:`ngram_jaccard_pairs`.  Scores are
+    INTEGER parts-per-million (``1e6 * inter div size``) — no float
+    division anywhere, so the whole operator is bit-exactly
+    SQL-replayable.
+
+    Shape: inverted-index self-join on distinct word n-grams (pair
+    volume is sum of per-gram doc-frequency squared — at corpus scale,
+    run it on LSH/band candidates like the Jaccard variant, or drop
+    grams above a doc-frequency cap first: a gram shared by thousands of
+    docs is boilerplate, not evidence).
+    """
+    from .textstats import TOKEN_RE, _word_ngrams
+
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), 0)
+    sh = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(_word_ngrams(toks, n))).alias("gram"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), "gram")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("size_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("size_b")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter",
+            "size_a",
+            "size_b",
+            F.expr("(1000000 * inter) div size_a").alias("cont_a_ppm"),
+            F.expr("(1000000 * inter) div size_b").alias("cont_b_ppm"),
+        )
+        .filter(
+            (F.col("cont_a_ppm") >= threshold_ppm)
+            | (F.col("cont_b_ppm") >= threshold_ppm)
+        )
+    )
+
+
 def minhash_signatures(
     docs: DataFrame,
     n: int = 3,

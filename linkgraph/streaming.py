@@ -345,6 +345,43 @@ def windowed_distinct_sketch(
     )
 
 
+def windowed_count_min(
+    stream: DataFrame,
+    key_col: str = "event_type",
+    d: int = 4,
+    w: int = 256,
+    seed: int = 9,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Per-tumbling-hour count-min cells — ``(ws, r, cell, c)`` — the
+    Cormode–Muthukrishnan frequency sketch as a streaming aggregate (the
+    batch construction lives in :mod:`linkgraph.pipeline.sketch`).
+
+    Each event emits its ``d`` quenched md5 (row, cell) increments; the
+    streaming state per window is AT MOST ``d*w`` counters regardless of
+    key cardinality — the bounded-state contract exact per-key counts
+    (windowed_topk) cannot give at web-scale key spaces.  Counter merge
+    is addition (a commutative monoid), so micro-batch boundaries cannot
+    change the result; point estimates are a serving-time
+    ``min over r of c`` readout against this tiny table, and the whole
+    integer surface is SQL-replayable.
+    """
+    cells = ", ".join(
+        "CAST(conv(substring(md5(concat_ws('|','cms','%d','%d',%s)),1,15),16,10)"
+        " AS BIGINT) %% %d" % (seed, r, key_col, w)
+        for r in range(int(d))
+    )
+    with_cells = stream.select(
+        "ts", F.posexplode(F.expr(f"array({cells})")).alias("r", "cell")
+    )
+    return (
+        with_cells.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("wdw"), "r", "cell")
+        .agg(F.count("*").alias("c"))
+        .select(F.unix_timestamp("wdw.start").alias("ws"), "r", "cell", "c")
+    )
+
+
 def fm_estimate(r_sum: int, n_replicas: int) -> float:
     """Serving-time FM cardinality estimate from a summed register value:
     ``2^(r_sum/R) / 0.77351`` (Flajolet & Martin 1985, φ correction)."""

@@ -119,3 +119,23 @@ def test_bloom_false_positive_rate_small_filter(spark, docs):
 def test_bloom_rejects_bad_m_bits(docs):
     with pytest.raises(ValueError):
         bloom_decontaminate(docs, docs, m_bits=100)
+
+
+def test_containment_pairs_asymmetric(spark):
+    """A is fully contained in B (every 3-gram of A appears in B) but B
+    is much larger -> cont_a ~ 1e6, cont_b < 1e6; integer ppm."""
+    from linkgraph.pipeline.dedup import containment_pairs
+
+    a = "alpha beta gamma delta epsilon"
+    b = a + " zeta eta theta iota kappa lambda mu nu xi omicron pi rho"
+    docs = spark.createDataFrame(
+        [(0, a), (1, b), (2, "totally different words only here")],
+        "doc_id long, text string",
+    )
+    rows = containment_pairs(docs, n=3, threshold_ppm=500_000).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["doc_a"], r["doc_b"]) == (0, 1)
+    assert r["cont_a_ppm"] == 1_000_000  # A subset of B
+    assert r["cont_b_ppm"] == (1_000_000 * r["inter"]) // r["size_b"]
+    assert r["cont_b_ppm"] < 500_000

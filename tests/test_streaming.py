@@ -220,3 +220,46 @@ def test_distinct_sketch_idempotent_and_calibrated(spark, tmp_path):
     }
     assert out2[min(out2)]["r_sum"] == h0["r_sum"]
     assert out2[min(out2)]["n_events"] == 120
+
+
+def test_windowed_count_min_matches_batch_and_merges(spark, tmp_path):
+    """The CMS counter monoid: a two-arrival incremental run produces the
+    same cells as one batch; estimates upper-bound exact counts."""
+    from collections import Counter
+
+    from linkgraph.streaming import windowed_count_min
+
+    rows1 = [(i, _ts(0, i % 60), i, ["click", "buy"][i % 2], 1.0, "{}")
+             for i in range(30)]
+    rows2 = [(100 + i, _ts(0, (i + 3) % 60), i, "click", 1.0, "{}")
+             for i in range(10)]
+    p = str(tmp_path / "cms_in")
+    ck = str(tmp_path / "cms_ck")
+    _write_events(spark, p, rows1)
+    out1 = run_available_now(
+        windowed_count_min(read_event_stream(spark, p), d=3, w=64, seed=5),
+        ck, output_mode="complete",
+    )
+    _write_events(spark, p, rows2)
+    out2 = run_available_now(
+        windowed_count_min(read_event_stream(spark, p), d=3, w=64, seed=5),
+        ck, output_mode="complete",
+    ).collect()
+
+    # batch replay over ALL rows (pipeline.sketch path on the same recipe)
+    import hashlib
+
+    def cell(r, key, w=64, seed=5):
+        return int(hashlib.md5(f"cms|{seed}|{r}|{key}".encode()).hexdigest()[:15], 16) % w
+
+    want = Counter()
+    for _, _, _, etype, _, _ in rows1 + rows2:
+        for r in range(3):
+            want[(r, cell(r, etype))] += 1
+    got = {(r["r"], r["cell"]): r["c"] for r in out2}
+    assert got == dict(want)
+    # every row of the sketch holds the full event count
+    per_row = Counter()
+    for (r, _), c in got.items():
+        per_row[r] += c
+    assert set(per_row.values()) == {len(rows1) + len(rows2)}
