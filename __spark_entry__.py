@@ -962,6 +962,30 @@ def q_docs_bloom_decontaminate(spark, sf_dir):
     return bloom_decontaminate(train, benchmark, n=8, k=4, m_bits=1 << 17, seed=7)
 
 
+def q_docs_vocab_growth(spark, sf_dir):
+    """Heaps-law vocabulary growth curve in corpus order
+    (textstats.vocab_growth): running token and distinct-type totals per
+    document — the sample-efficiency readout; all-integer."""
+    from linkgraph.pipeline.textstats import vocab_growth
+
+    docs = _t(spark, sf_dir, "documents")
+    return vocab_growth(docs)
+
+
+def q_persistent_snapshot_pagerank(spark, sf_dir):
+    """View composition across graph models, algorithm two: PageRank (30
+    fixed supersteps) over the alive-at-1995-01-01 snapshot of the
+    persistent deletion-semantics graph — deletion_graph.rs aliveness ∘
+    pagerank.rs power iteration."""
+    from linkgraph.algorithms import pagerank
+    from linkgraph.persistent import PersistentLinkGraph
+
+    g = PersistentLinkGraph(_persist_events(spark, sf_dir))
+    snap = g.snapshot_at(PERSIST_WS)
+    res = pagerank(snap, max_iter=PR_ITERS, tol=0.0, norm="l1")
+    return res.select(F.col("id").alias("node"), F.round("score", 6).alias("score"))
+
+
 def q_trade_salsa(spark, sf_dir):
     """SALSA hub/authority scores via the Lempel–Moran closed form —
     degree aggregates + one WCC over the bipartite support graph instead
@@ -2414,6 +2438,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosupply_squares": q_cosupply_squares,
         "docs_containment": q_docs_containment,
         "events_stream_cms": q_events_stream_cms,
+        "docs_vocab_growth": q_docs_vocab_growth,
+        "persistent_snapshot_pagerank": q_persistent_snapshot_pagerank,
         # round-3-green buffer (driver re-confirmation, newest first)
         "trade_closeness": q_trade_closeness,
         "trade_neighbor_sample": q_trade_neighbor_sample,
@@ -3894,6 +3920,31 @@ SELECT d.doc_id, coalesce(a.n_grams, 0)::BIGINT AS n_grams,
              THEN (1000000 * a.novel_grams) // a.n_grams END)::BIGINT
          AS novelty_ppm
 FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+    # Heaps-law vocabulary growth: first-seen type owners + one
+    # doc-cardinality running-total window
+    sqls["docs_vocab_growth"] = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+           AS token
+  FROM documents
+),
+pd AS (SELECT doc_id, count(*)::BIGINT AS n_tokens FROM toks GROUP BY 1),
+fs AS (SELECT token, min(doc_id) AS first_doc FROM toks GROUP BY 1),
+nt AS (SELECT first_doc AS doc_id, count(*)::BIGINT AS new_types FROM fs
+       GROUP BY 1),
+base AS (
+  SELECT d.doc_id, coalesce(pd.n_tokens, 0)::BIGINT AS n_tokens,
+         coalesce(nt.new_types, 0)::BIGINT AS new_types
+  FROM documents d
+  LEFT JOIN pd USING (doc_id) LEFT JOIN nt USING (doc_id)
+)
+SELECT doc_id, n_tokens, new_types,
+       sum(n_tokens) OVER (ORDER BY doc_id)::BIGINT AS cum_tokens,
+       sum(new_types) OVER (ORDER BY doc_id)::BIGINT AS cum_vocab
+FROM base
 """
 
     # asymmetric containment: inverted-index join on distinct 8-grams,
@@ -5524,6 +5575,50 @@ SELECT src::BIGINT, dst::BIGINT, -1, t FROM iv WHERE r = 1 AND ei = 1
 
     # snapshot(alive at WS) -> WCC: aliveness condition as in
     # persistent_window_edges (at t=WS), then recursive min-label closure
+    sqls["persistent_snapshot_pagerank"] = f"""
+WITH RECURSIVE {persist_ev},
+st AS (
+  SELECT src, dst,
+         min(CASE WHEN r = 0 THEN t * 2 END) AS fa,
+         min(CASE WHEN r = 1 THEN t * 2 + 1 END) AS fd,
+         max(CASE WHEN r = 0 AND t <= {PERSIST_WS} THEN t * 2 END) AS la,
+         max(CASE WHEN r = 1 AND t <= {PERSIST_WS} THEN t * 2 + 1 END) AS ld
+  FROM ev GROUP BY src, dst
+),
+alive AS (
+  SELECT src, dst FROM st
+  WHERE (fd IS NOT NULL AND fa IS NOT NULL AND fd < fa
+         AND (fd - 1) // 2 >= {PERSIST_WS})
+     OR (la IS NOT NULL AND (ld IS NULL OR la > ld))
+),
+pnodes AS (
+  SELECT DISTINCT id
+  FROM (SELECT src AS id FROM alive UNION ALL SELECT dst FROM alive)
+),
+poutdeg AS (SELECT src AS id, count(*)::DOUBLE AS d FROM alive GROUP BY src),
+pn AS (SELECT count(*)::DOUBLE AS n FROM pnodes),
+pw AS (
+  SELECT e.src AS u, e.dst AS v, 1.0/od.d AS wt
+  FROM alive e JOIN poutdeg od ON od.id = e.src
+  UNION ALL
+  SELECT s.id, t.id, 1.0/(SELECT n FROM pn)
+  FROM (SELECT tn.id FROM pnodes tn LEFT JOIN poutdeg od ON od.id = tn.id
+        WHERE od.id IS NULL) s
+  CROSS JOIN pnodes t
+  UNION ALL
+  SELECT id, id, 0.0 FROM pnodes
+),
+ppr(iter, id, score) AS (
+  SELECT 0, id, 1.0/(SELECT n FROM pn) FROM pnodes
+  UNION ALL
+  SELECT p.iter + 1, pw.v, 0.15/(SELECT n FROM pn) + 0.85 * sum(p.score * pw.wt)
+  FROM ppr p JOIN pw ON pw.u = p.id
+  WHERE p.iter < {PR_ITERS}
+  GROUP BY p.iter + 1, pw.v
+)
+SELECT id AS node, round(score, 6) AS score FROM ppr WHERE iter = {PR_ITERS}
+"""
+
     sqls["persistent_snapshot_wcc"] = f"""
 WITH RECURSIVE {persist_ev},
 st AS (

@@ -460,3 +460,56 @@ def novelty_stats(
         .cast("long")
         .alias("novelty_ppm"),
     )
+
+
+def vocab_growth(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heaps-law vocabulary growth curve in corpus (doc_id) order —
+    ``(doc_id, n_tokens, new_types, cum_tokens, cum_vocab)``: running
+    token-occurrence and distinct-type totals after each document.
+
+    The sample-efficiency readout behind "is more of this source still
+    adding vocabulary?" — a flattening ``cum_vocab`` vs ``cum_tokens``
+    curve (Heaps' exponent decaying) marks a source that has exhausted
+    its lexical diversity; the per-GRAM twin is :func:`novelty_stats`.
+    All-integer output.
+
+    Scale shape: token counts and first-seen type owners are hash
+    aggregates over slim ``(doc_id, token)`` pairs (map-side combined —
+    text never rides a shuffle); the running totals are a window over
+    ONE ROW PER DOCUMENT (corpus cardinality, not token cardinality) —
+    at billions of documents, swap the global window for the two-pass
+    range-bucketed prefix sum in :func:`~linkgraph.pipeline.packing.
+    pack_sequences` (doc_ids are ordered, so range buckets preserve the
+    corpus order that hash buckets would destroy).
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), 0)).alias(
+            "token"
+        ),
+    )
+    per_doc = toks.groupBy("doc_id").agg(F.count("*").alias("n_tokens"))
+    first_seen = toks.groupBy("token").agg(F.min("doc_id").alias("first_doc"))
+    new_types = first_seen.groupBy(F.col("first_doc").alias("doc_id")).agg(
+        F.count("*").alias("new_types")
+    )
+    base = (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .join(new_types, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("new_types", F.lit(0)).cast("long").alias("new_types"),
+        )
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        "new_types",
+        F.sum("n_tokens").over(w).alias("cum_tokens"),
+        F.sum("new_types").over(w).alias("cum_vocab"),
+    )

@@ -223,3 +223,23 @@ def test_novelty_stats_within_doc_repeat_counts_once(spark):
     row = novelty_stats(docs, n=3).first()
     # distinct grams only: "p q r","q r p","r p q" each counted once
     assert row["n_grams"] == 3 and row["novel_grams"] == 3
+
+
+def test_vocab_growth_matches_python(spark):
+    from linkgraph.pipeline.textstats import vocab_growth
+
+    rows = [(0, "a b a c"), (1, "b c d"), (2, ""), (3, "d e e a")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["new_types"], r["cum_tokens"], r["cum_vocab"])
+        for r in vocab_growth(docs).collect()
+    }
+    seen, cum_t, cum_v, want = set(), 0, 0, {}
+    for did, text in rows:
+        toks = re.findall(TOKEN_RE, text)
+        new = {t for t in toks if t not in seen}
+        seen |= new
+        cum_t += len(toks)
+        cum_v += len(new)
+        want[did] = (len(toks), len(new), cum_t, cum_v)
+    assert got == want
