@@ -176,6 +176,17 @@ def main() -> None:
         "trade_salsa",
         "docs_novelty",
         "copurchase_cpm",
+        # round 4 (cont.): frequency/membership sketches, bottleneck paths,
+        # condensation DAG, 4-cycles, containment, vocab growth, snapshot PR
+        "docs_countmin",
+        "docs_bloom_decontaminate",
+        "trade_widest_path",
+        "transition_condensation",
+        "cosupply_squares",
+        "docs_containment",
+        "events_stream_cms",
+        "docs_vocab_growth",
+        "persistent_snapshot_pagerank",
     ]
     # untimed warmup at the smallest scale factor: run every headline query
     # once over sf0.001 so whole-stage-codegen compilation, the parquet
