@@ -1222,6 +1222,17 @@ def q_trade_mis(spark, sf_dir):
     return maximal_independent_set(g, seed=42).select("node", "round")
 
 
+def q_trade_coloring(spark, sf_dir):
+    """Speculative greedy coloring (Gebremedhin–Manne rounds, quenched md5
+    conflict priorities) — (node, color, round); proper by construction,
+    replayed round-for-round in SQL with the mex as a bounded-range
+    anti-join."""
+    from linkgraph.algorithms import greedy_coloring
+
+    g = _trade_graph(spark, sf_dir)
+    return greedy_coloring(g, seed=42).select("node", "color", "round")
+
+
 def q_trade_matching(spark, sf_dir):
     """Deterministic maximal matching (Israeli–Itai-style rounds, quenched
     md5 edge priorities) — (lo, hi, round); replayed level-for-level in
@@ -2440,6 +2451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_cms": q_events_stream_cms,
         "docs_vocab_growth": q_docs_vocab_growth,
         "persistent_snapshot_pagerank": q_persistent_snapshot_pagerank,
+        "trade_coloring": q_trade_coloring,
         # round-3-green buffer (driver re-confirmation, newest first)
         "trade_closeness": q_trade_closeness,
         "trade_neighbor_sample": q_trade_neighbor_sample,
@@ -3296,6 +3308,81 @@ def _bpe_oracle_sql(n_merges: int) -> str:
             f"FROM b{r}"
         )
     return "WITH " + ",\n".join(stages) + "\n" + "\nUNION ALL\n".join(sels)
+
+
+def _coloring_oracle_sql(rounds: int, seed: int = 42) -> str:
+    """Round-unrolled speculative greedy coloring on the trade graph —
+    identical quenched md5 priorities; per round every active node picks
+    the mex over its FINALIZED neighbours' colors (bounded-range
+    anti-join: mex ≤ #used colors, pigeonhole) and finalizes unless an
+    active neighbour with a strictly smaller priority picked the same
+    color; errors loudly if actives remain after the unroll."""
+    stages = [
+        f"a0 AS MATERIALIZED (SELECT id, ('0x' || substr(md5(concat_ws('|', "
+        f"'{seed}', id::VARCHAR)), 1, 15))::BIGINT AS p FROM trade_nodes)",
+        "e0 AS MATERIALIZED (SELECT id, nbr FROM trade_und WHERE id <> nbr)",
+        "col0 AS MATERIALIZED (SELECT CAST(NULL AS BIGINT) AS id, "
+        "CAST(NULL AS INT) AS color WHERE FALSE)",
+        "gs AS MATERIALIZED (SELECT unnest(range(0, (SELECT max(d) + 2 FROM "
+        "(SELECT count(*) AS d FROM e0 GROUP BY id)))) AS c)",
+    ]
+    sels = []
+    for i in range(1, rounds + 1):
+        stages.append(
+            f"used{i} AS MATERIALIZED (SELECT e.id, c.color FROM e0 e "
+            f"JOIN a{i-1} a ON a.id = e.id JOIN col{i-1} c ON c.id = e.nbr)"
+        )
+        stages.append(
+            f"ucnt{i} AS MATERIALIZED (SELECT id, count(DISTINCT color) "
+            f"AS k FROM used{i} GROUP BY id)"
+        )
+        stages.append(
+            f"""cand{i} AS MATERIALIZED (
+  SELECT m.id, m.p, min(m.c) AS c FROM (
+    SELECT a.id, a.p, g.c
+    FROM a{i-1} a LEFT JOIN ucnt{i} u ON u.id = a.id, gs g
+    WHERE g.c <= coalesce(u.k, 0)
+  ) m LEFT JOIN used{i} x ON x.id = m.id AND x.color = m.c
+  WHERE x.color IS NULL GROUP BY m.id, m.p
+)"""
+        )
+        stages.append(
+            f"""fin{i} AS MATERIALIZED (
+  SELECT c.id, c.c FROM cand{i} c WHERE NOT EXISTS (
+    SELECT 1 FROM e{i-1} e JOIN cand{i} x ON x.id = e.nbr
+    WHERE e.id = c.id AND x.c = c.c AND x.p < c.p
+  )
+)"""
+        )
+        stages.append(
+            f"col{i} AS MATERIALIZED (SELECT id, color FROM col{i-1} "
+            f"UNION ALL SELECT id, c FROM fin{i})"
+        )
+        stages.append(
+            f"a{i} AS MATERIALIZED (SELECT a.id, a.p FROM a{i-1} a "
+            f"WHERE a.id NOT IN (SELECT id FROM fin{i}))"
+        )
+        stages.append(
+            f"e{i} AS MATERIALIZED (SELECT id, nbr FROM e{i-1} "
+            f"WHERE id IN (SELECT id FROM a{i}) "
+            f"AND nbr IN (SELECT id FROM a{i}))"
+        )
+        sels.append(
+            f"SELECT id AS node, CAST(c AS INT) AS color, "
+            f"CAST({i-1} AS BIGINT) AS round FROM fin{i}"
+        )
+    return (
+        f"WITH {_TRADE_ED}, {_TRADE_NODES}, {_TRADE_UND},\n"
+        + ",\n".join(stages)
+        + "\n"
+        + "\nUNION ALL\n".join(sels)
+        + f"""
+UNION ALL
+SELECT CAST(error('coloring oracle: {rounds}-round unroll insufficient') AS BIGINT),
+       CAST(NULL AS INT), CAST(NULL AS BIGINT)
+WHERE (SELECT count(*) FROM a{rounds}) <> 0
+"""
+    )
 
 
 def _matching_oracle_sql(rounds: int, seed: int = 42) -> str:
@@ -6196,6 +6283,8 @@ FROM tot
 """
 
     sqls["trade_mis"] = _mis_oracle_sql(16, seed=42)
+
+    sqls["trade_coloring"] = _coloring_oracle_sql(12, seed=42)
 
     sqls["trade_wl"] = _wl_oracle_sql(3)
 

@@ -24,6 +24,7 @@ from linkgraph.algorithms.centrality import (
 )
 from linkgraph.algorithms.structure import (
     densest_subgraph,
+    greedy_coloring,
     maximal_independent_set,
     maximal_matching,
     topological_levels,
@@ -114,6 +115,7 @@ __all__ = [
     "eccentricity",
     "landmark_distances",
     "densest_subgraph",
+    "greedy_coloring",
     "maximal_independent_set",
     "maximal_matching",
     "topological_levels",

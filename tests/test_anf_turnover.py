@@ -5,6 +5,7 @@ the __spark_entry__ oracles."""
 import hashlib
 
 import pytest
+from pyspark.sql import functions as F
 
 from linkgraph.graph import LinkGraph
 from linkgraph.algorithms import anf_estimate, hyperball_anf
@@ -280,3 +281,32 @@ def test_topological_levels_dag_and_cycle(spark):
     assert lv[ids["d"]] == 2 and lv[ids["e"]] == 3
     # x, y sit on a cycle: never peel
     assert lv[ids["x"]] == -1 and lv[ids["y"]] == -1
+
+
+def test_greedy_coloring_proper_complete_deterministic(spark):
+    from itertools import combinations
+
+    from linkgraph.algorithms import greedy_coloring
+
+    # K4 (forces 4 colors) + a 6-path (2 colors) + a bridge between them
+    k4 = [(i, a, b) for i, (a, b) in enumerate(combinations("abcd", 2))]
+    path = [(100 + i, f"p{i}", f"p{i+1}") for i in range(6)]
+    bridge = [(200, "d", "p0")]
+    g = LinkGraph.from_edge_list(spark, k4 + path + bridge)
+    out = greedy_coloring(g, seed=3).collect()
+    colors = {r["node"]: r["color"] for r in out}
+    all_ids = {r["id"] for r in g.ids().collect()}
+    assert set(colors) == all_ids  # complete
+    und = g.undirected_edge_ids().filter(F.col("id") != F.col("nbr_id")).collect()
+    deg = {}
+    for r in und:
+        deg[r["id"]] = deg.get(r["id"], 0) + 1
+        assert colors[r["id"]] != colors[r["nbr_id"]]  # proper
+    # greedy bound: color(v) <= deg(v); K4 members use exactly {0,1,2,3}
+    for v, c in colors.items():
+        assert c <= deg.get(v, 0)
+    ids = {r["name"]: r["id"] for r in g.ids().collect()}
+    assert {colors[ids[x]] for x in "abcd"} == {0, 1, 2, 3}
+    # determinism across runs
+    again = {r["node"]: r["color"] for r in greedy_coloring(g, seed=3).collect()}
+    assert again == colors
