@@ -1222,6 +1222,16 @@ def q_trade_mis(spark, sf_dir):
     return maximal_independent_set(g, seed=42).select("node", "round")
 
 
+def q_trade_knn_curve(spark, sf_dir):
+    """Degree-correlation curve knn(k) in integer ppm — (degree, knn_ppm,
+    n_nodes); floor-div ppm at both averaging levels, so bit-exact across
+    engines by construction."""
+    from linkgraph.algorithms.metrics import avg_neighbor_degree_curve
+
+    g = _trade_graph(spark, sf_dir)
+    return avg_neighbor_degree_curve(g).select("degree", "knn_ppm", "n_nodes")
+
+
 def q_trade_coloring(spark, sf_dir):
     """Speculative greedy coloring (Gebremedhin–Manne rounds, quenched md5
     conflict priorities) — (node, color, round); proper by construction,
@@ -2452,6 +2462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_vocab_growth": q_docs_vocab_growth,
         "persistent_snapshot_pagerank": q_persistent_snapshot_pagerank,
         "trade_coloring": q_trade_coloring,
+        "trade_knn_curve": q_trade_knn_curve,
         # round-3-green buffer (driver re-confirmation, newest first)
         "trade_closeness": q_trade_closeness,
         "trade_neighbor_sample": q_trade_neighbor_sample,
@@ -6285,6 +6296,24 @@ FROM tot
     sqls["trade_mis"] = _mis_oracle_sql(16, seed=42)
 
     sqls["trade_coloring"] = _coloring_oracle_sql(12, seed=42)
+
+    sqls["trade_knn_curve"] = f"""
+WITH {_TRADE_ED}, {_TRADE_UND},
+und AS (SELECT id, nbr FROM trade_und WHERE id <> nbr),
+deg AS (SELECT id, count(*)::BIGINT AS d FROM und GROUP BY id),
+snd AS (
+  SELECT u.id, sum(x.d)::BIGINT AS s
+  FROM und u JOIN deg x ON x.id = u.nbr GROUP BY u.id
+),
+per_node AS (
+  SELECT deg.d, (1000000 * snd.s) // deg.d AS and_ppm
+  FROM deg JOIN snd ON snd.id = deg.id
+)
+SELECT d AS degree,
+       (sum(and_ppm) // count(*))::BIGINT AS knn_ppm,
+       count(*)::BIGINT AS n_nodes
+FROM per_node GROUP BY d
+"""
 
     sqls["trade_wl"] = _wl_oracle_sql(3)
 

@@ -124,6 +124,48 @@ def degree_histogram(graph: LinkGraph, direction: str = "both") -> DataFrame:
     )
 
 
+def avg_neighbor_degree_curve(graph: LinkGraph) -> DataFrame:
+    """Degree-correlation curve knn(k) (Pastor-Satorras, Vázquez &
+    Vespignani, PRL 2001) — ``(degree, knn_ppm, n_nodes)``: for each
+    BOTH-degree k, the mean over nodes of degree k of their average
+    neighbour degree, in integer parts-per-million.
+
+    The assortativity scalar (`degree_assortativity`) compresses this
+    curve to one correlation; the curve itself is the standard
+    exploratory readout for hub-hub mixing (rising = assortative,
+    falling = disassortative — web/dependency graphs typically fall).
+
+    Integer-exact discipline: per node the average neighbour degree is
+    ``(1_000_000 · Σ deg(nbr)) div deg`` (floor ppm, BIGINT), and the
+    per-k mean is another floor-div — no float accumulation anywhere, so
+    the result is bit-stable across engines, partitionings and summation
+    orders (the docs_domain_mix representation lesson applied at design
+    time).
+
+    Shape: degree table (one hash agg over the deduped undirected view),
+    one join back through the edge list carrying the neighbour's degree,
+    two more hash aggregates — all map-side combinable, no UDFs, no
+    windows.
+    """
+    und = graph.undirected_edge_ids().filter(F.col("id") != F.col("nbr_id"))
+    deg = und.groupBy("id").agg(F.count("*").alias("d"))
+    snd = (
+        und.join(
+            deg.select(F.col("id").alias("nbr_id"), F.col("d").alias("nd")),
+            "nbr_id",
+        )
+        .groupBy("id")
+        .agg(F.sum("nd").alias("s"))
+    )
+    per_node = deg.join(snd, "id").select(
+        "d", F.expr("(1000000 * s) div d").alias("and_ppm")
+    )
+    return per_node.groupBy(F.col("d").alias("degree")).agg(
+        F.expr("sum(and_ppm) div count(*)").alias("knn_ppm"),
+        F.count("*").alias("n_nodes"),
+    )
+
+
 def component_size_histogram(graph: LinkGraph) -> DataFrame:
     """WCC size distribution — ``(size, n_components)``: how fragmented is
     the graph?  One WCC run + two aggregates."""

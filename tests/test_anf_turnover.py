@@ -310,3 +310,21 @@ def test_greedy_coloring_proper_complete_deterministic(spark):
     # determinism across runs
     again = {r["node"]: r["color"] for r in greedy_coloring(g, seed=3).collect()}
     assert again == colors
+
+
+def test_knn_curve_star_golden(spark):
+    from linkgraph.algorithms.metrics import avg_neighbor_degree_curve
+
+    # star S3: center degree 3 (avg nbr deg 1), leaves degree 1 (avg 3)
+    star = [(i, "hub", f"l{i}") for i in range(3)]
+    g = LinkGraph.from_edge_list(spark, star)
+    got = {r["degree"]: (r["knn_ppm"], r["n_nodes"])
+           for r in avg_neighbor_degree_curve(g).collect()}
+    assert got == {1: (3_000_000, 3), 3: (1_000_000, 1)}
+    # 4-path p0-p1-p2-p3: ends deg1 (nbr deg 2), middles deg2
+    # p1's nbrs are p0(1), p2(2) -> 1_500_000; same for p2
+    path = [(10 + i, f"p{i}", f"p{i+1}") for i in range(3)]
+    g2 = LinkGraph.from_edge_list(spark, path)
+    got2 = {r["degree"]: (r["knn_ppm"], r["n_nodes"])
+            for r in avg_neighbor_degree_curve(g2).collect()}
+    assert got2 == {1: (2_000_000, 2), 2: (1_500_000, 2)}
