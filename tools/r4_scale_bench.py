@@ -553,6 +553,115 @@ def run_msf() -> None:
     print(json.dumps({"msf_scale": out}, indent=2))
 
 
+LPA_EDGES = int(os.environ.get("LPA_EDGES", 40_000_000))
+LPA_NODES = LPA_EDGES // 8
+LPA_SWEEPS = int(os.environ.get("LPA_SWEEPS", 16))
+
+TRI_EDGES = int(os.environ.get("TRI_EDGES", 40_000_000))
+TRI_NODES = TRI_EDGES // 8
+
+
+def _scale_graph(spark, n_edges, n_nodes):
+    from pyspark.sql import functions as F
+
+    from linkgraph.graph import LinkGraph
+
+    e = synth_edges_mod(spark, n_edges, n_nodes)
+    return LinkGraph(
+        e.select(
+            F.col("src_id").cast("string").alias("src"),
+            F.col("dst_id").cast("string").alias("dst"),
+        ).withColumn("time", F.lit(0).cast("long"))
+    )
+
+
+def lpa_worker() -> None:
+    """Sync LPA at scale under the bounded-sweep contract: the north rule
+    names label propagation as a core algorithm; this evidences the
+    distributed sweep loop (one frontier shuffle per sweep) at a tier
+    where per-sweep compute dominates scheduler latency."""
+    from pyspark.sql import functions as F
+
+    from linkgraph.algorithms.lpa import label_propagation
+    from linkgraph.session import get_spark
+
+    spark = get_spark(
+        app_name="lpa40", cores=16, shuffle_partitions=64, driver_memory="24g"
+    )
+    g = _scale_graph(spark, LPA_EDGES, LPA_NODES)
+    t0 = time.monotonic()
+    res = label_propagation(g, seed=42, mode="sync", max_sweeps=LPA_SWEEPS)
+    res.persist()
+    n = res.count()
+    n_labels = res.select("label").distinct().count()
+    wall = time.monotonic() - t0
+    print(
+        "WORKER_RESULT "
+        + json.dumps(
+            {
+                "n_edges": LPA_EDGES,
+                "n_nodes_out": n,
+                "n_labels": n_labels,
+                "max_sweeps": LPA_SWEEPS,
+                "wall_s": round(wall, 1),
+                "edge_sweeps_per_sec": round(LPA_EDGES * LPA_SWEEPS / wall, 1),
+            }
+        )
+    )
+
+
+def tri_worker() -> None:
+    """Global triangle count at scale (degree-oriented intersection): the
+    north rule's fourth core algorithm. Reports the count, wall, and the
+    oriented-wedge volume the intersection join actually processed."""
+    from pyspark.sql import functions as F
+
+    from linkgraph.algorithms.triangles import global_triangle_count
+    from linkgraph.session import get_spark
+
+    spark = get_spark(
+        app_name="tri40", cores=16, shuffle_partitions=64, driver_memory="24g"
+    )
+    g = _scale_graph(spark, TRI_EDGES, TRI_NODES)
+    und = g.undirected_edge_ids().filter(F.col("id") != F.col("nbr_id"))
+    deg = und.groupBy("id").agg(F.count("*").alias("d"))
+    wedges = int(
+        deg.agg(F.sum(F.expr("d * (d - 1) div 2"))).first()[0]
+    )
+    t0 = time.monotonic()
+    n_tri = global_triangle_count(g)
+    wall = time.monotonic() - t0
+    print(
+        "WORKER_RESULT "
+        + json.dumps(
+            {
+                "n_edges": TRI_EDGES,
+                "n_nodes": TRI_NODES,
+                "triangles": n_tri,
+                "wedges_upper_bound": wedges,
+                "wall_s": round(wall, 1),
+                "edges_per_sec": round(TRI_EDGES / wall, 1),
+            }
+        )
+    )
+
+
+def _run_single(flag: str, log_name: str, key: str) -> None:
+    log_path = f"/tmp/{log_name}.log"
+    with open(log_path, "w") as log:
+        subprocess.run(
+            [sys.executable, os.path.abspath(__file__), flag],
+            stdout=log, stderr=subprocess.STDOUT, text=True,
+            cwd=REPO, timeout=5400,
+        )
+    out = {}
+    with open(log_path) as log:
+        for line in log:
+            if line.startswith("WORKER_RESULT "):
+                out = json.loads(line[len("WORKER_RESULT "):])
+    print(json.dumps({key: out}, indent=2))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n2v", action="store_true")
@@ -564,6 +673,10 @@ def main() -> None:
     ap.add_argument("--wcc-warm-worker", type=str, default=None)
     ap.add_argument("--msf", action="store_true")
     ap.add_argument("--msf-worker", action="store_true")
+    ap.add_argument("--lpa", action="store_true")
+    ap.add_argument("--lpa-worker", action="store_true")
+    ap.add_argument("--triangles", action="store_true")
+    ap.add_argument("--triangles-worker", action="store_true")
     args = ap.parse_args()
     if args.n2v_worker:
         n2v_worker(args.n2v_worker)
@@ -583,9 +696,18 @@ def main() -> None:
         msf_worker()
     elif args.msf:
         run_msf()
+    elif args.lpa_worker:
+        lpa_worker()
+    elif args.lpa:
+        _run_single("--lpa-worker", "r4_lpa", "lpa_scale")
+    elif args.triangles_worker:
+        tri_worker()
+    elif args.triangles:
+        _run_single("--triangles-worker", "r4_tri", "triangles_scale")
     else:
         ap.error(
-            "pick one of --n2v / --resume-demo / --docs-sf1 / --wcc-warm / --msf"
+            "pick one of --n2v / --resume-demo / --docs-sf1 / --wcc-warm / "
+            "--msf / --lpa / --triangles"
         )
 
 
