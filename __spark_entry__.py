@@ -87,7 +87,7 @@ def _cosupply_graph(spark: SparkSession, sf_dir: str):
     return LinkGraph(e)
 
 
-def _copurchase_graph(spark: SparkSession, sf_dir: str):
+def _copurchase_graph(spark: SparkSession, sf_dir: str, mod: int = 4):
     """Parts co-occurring in the same order (lineitem self-join on
     l_orderkey).  Sparser than the near-complete cosupply graph, so
     non-adjacent pairs with shared neighbours — link-prediction
@@ -102,7 +102,7 @@ def _copurchase_graph(spark: SparkSession, sf_dir: str):
     unscoped graph, `max_hub_degree` for skewed inputs)."""
     from linkgraph.graph import LinkGraph
 
-    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 4 == 0)
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % mod == 0)
     # dedup (order, part) BEFORE the self-join, same shape as _cosupply_graph
     op = li.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p")
@@ -1220,6 +1220,17 @@ def q_trade_mis(spark, sf_dir):
 
     g = _trade_graph(spark, sf_dir)
     return maximal_independent_set(g, seed=42).select("node", "round")
+
+
+def q_copurchase_new_triangles(spark, sf_dir):
+    """Incremental triangle enumeration over an append-only increment —
+    (a, b, c) triples present in the mod-4 co-purchase graph but not its
+    mod-8 subset; cost proportional to the edge delta, not the graph."""
+    from linkgraph.algorithms.triangles import new_triangles
+
+    before = _copurchase_graph(spark, sf_dir, mod=8)
+    after = _copurchase_graph(spark, sf_dir)
+    return new_triangles(before, after)
 
 
 def q_trade_knn_curve(spark, sf_dir):
@@ -2463,6 +2474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "persistent_snapshot_pagerank": q_persistent_snapshot_pagerank,
         "trade_coloring": q_trade_coloring,
         "trade_knn_curve": q_trade_knn_curve,
+        "copurchase_new_triangles": q_copurchase_new_triangles,
         # round-3-green buffer (driver re-confirmation, newest first)
         "trade_closeness": q_trade_closeness,
         "trade_neighbor_sample": q_trade_neighbor_sample,
@@ -6296,6 +6308,28 @@ FROM tot
     sqls["trade_mis"] = _mis_oracle_sql(16, seed=42)
 
     sqls["trade_coloring"] = _coloring_oracle_sql(12, seed=42)
+
+    sqls["copurchase_new_triangles"] = f"""
+WITH {_COPURCHASE_ED},
+ed8 AS (
+  SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  WHERE a.l_orderkey % 8 = 0
+),
+newe AS (SELECT lo, hi FROM cp_ed EXCEPT SELECT lo, hi FROM ed8),
+und AS (SELECT lo AS id, hi AS nbr FROM cp_ed UNION ALL SELECT hi, lo FROM cp_ed),
+cand AS (
+  SELECT n.lo, n.hi, u.nbr AS w
+  FROM newe n JOIN und u ON u.id = n.lo
+  WHERE u.nbr <> n.lo AND u.nbr <> n.hi
+    AND EXISTS (SELECT 1 FROM und v WHERE v.id = n.hi AND v.nbr = u.nbr)
+)
+SELECT DISTINCT least(lo, hi, w)::BIGINT AS a,
+       (lo + hi + w - least(lo, hi, w) - greatest(lo, hi, w))::BIGINT AS b,
+       greatest(lo, hi, w)::BIGINT AS c
+FROM cand
+"""
 
     sqls["trade_knn_curve"] = f"""
 WITH {_TRADE_ED}, {_TRADE_UND},

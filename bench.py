@@ -187,6 +187,11 @@ def main() -> None:
         "events_stream_cms",
         "docs_vocab_growth",
         "persistent_snapshot_pagerank",
+        # round 4 (cont.): distributed coloring, degree correlations,
+        # incremental triangle maintenance
+        "trade_coloring",
+        "trade_knn_curve",
+        "copurchase_new_triangles",
     ]
     # untimed warmup at the smallest scale factor: run every headline query
     # once over sf0.001 so whole-stage-codegen compilation, the parquet

@@ -120,3 +120,24 @@ def test_square_count_k4(spark):
     )
     got = {r["id"]: r["n_squares"] for r in square_count(g).collect()}
     assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_new_triangles_incremental_parity(spark):
+    from linkgraph.algorithms.triangles import new_triangles
+
+    # before: square 1-2-3-4 (no triangles); after: + diagonals 1-3, 2-4
+    # and a fresh K3 on 5,6,7 -> new triangles: 4 in the K4 + 1 = 5
+    before_e = [(0, "1", "2"), (1, "2", "3"), (2, "3", "4"), (3, "4", "1")]
+    delta_e = [(4, "1", "3"), (5, "2", "4"),
+               (6, "5", "6"), (7, "6", "7"), (8, "5", "7")]
+    gb = LinkGraph.from_edge_list(spark, before_e)
+    ga = LinkGraph.from_edge_list(spark, before_e + delta_e)
+    tri = {(r["a"], r["b"], r["c"]) for r in new_triangles(gb, ga).collect()}
+    assert tri == {(1, 2, 3), (1, 3, 4), (1, 2, 4), (2, 3, 4), (5, 6, 7)}
+    # count parity with the full recount
+    assert len(tri) == global_triangle_count(ga) - global_triangle_count(gb)
+    # containment violation is refused loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="before"):
+        new_triangles(ga, gb)

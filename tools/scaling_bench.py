@@ -219,44 +219,29 @@ def main() -> None:
     if os.environ.get("SCALING_NO_REPORT") == "1":
         return
     lo, hi = result[f"local[{LO}]"], result[f"local[{HI}]"]
-    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
+    # APPEND a dated section — BENCH.md accumulates the round's evidence;
+    # overwriting it (the pre-round-4 behavior) destroyed the history once
+    with open(os.path.join(REPO, "BENCH.md"), "a") as f:
         f.write(
-            f"""# BENCH — PageRank throughput & scaling ({time.strftime('%Y-%m-%d')})
+            f"""
 
-North-rule evidence: the same PageRank job (damping 0.85, {ITERS} fixed
-supersteps, {lo['n_edges']:,} distinct edges over {N_NODES:,} nodes of a
-seeded synthetic hub-skewed graph) at two parallelism levels on the same
-input, separate JVMs, each JVM **pinned with `taskset` to exactly its core
-budget** so `local[N]` is a faithful stand-in for N executor cores (GC,
-JIT, and shuffle-compression threads included — unpinned, the small level
-borrows idle host cores and the comparison flatters neither level
-honestly). See tools/scaling_bench.py.
+## Scaling pair ({time.strftime('%Y-%m-%d %H:%M')}) — local[{LO}] → local[{HI}], {ITERS} supersteps, {lo['n_edges']:,} edges / {N_NODES:,} nodes
 
 | parallelism | wall (s) | throughput (edges/sec) |
 |---|---|---|
 | local[{LO}] (N)  | {lo['wall_s']} | {lo['edges_per_sec']:,} |
 | local[{HI}] (4N) | {hi['wall_s']} | {hi['edges_per_sec']:,} |
 
-**Speedup {LO}→{HI} cores: {result['speedup']}x — scaling efficiency
-{result['scaling_efficiency']}** (target ≥ 0.8 per BASELINE.json).
-
-Host ceiling controls (no Spark, embarrassingly parallel, same {LO}→{HI}
-process counts): pure-CPU spin scales at
-**{result['cpu_ceiling_efficiency']}**, memory-streaming (the resource a
-shuffle-heavy job actually contends on) at
-**{result['mem_ceiling_efficiency']}** — a single box shares memory
-bandwidth and turbo budget across cores, so those are the ceilings any job
-can reach here. The PageRank job attains
+Speedup {result['speedup']}x — scaling efficiency
+**{result['scaling_efficiency']}** (target ≥ 0.8 per BASELINE.json).
+Same-window host ceiling controls: pure-CPU spin
+{result['cpu_ceiling_efficiency']}, memory-streaming
+{result['mem_ceiling_efficiency']} — the job attains
 {round(result['scaling_efficiency'] / result['mem_ceiling_efficiency'], 2)}
-of the bandwidth ceiling; on a real cluster, adding executors adds whole
-machines (memory bandwidth included), which is the regime the ≥ 0.8 target
-describes.
-
-Headline per-round numbers (sf0.1 testdata) are produced by `python bench.py`
-and recorded by the driver as `BENCH_r{{N}}.json`.
+of the bandwidth ceiling this window.
 """
         )
-    print("wrote BENCH.md")
+    print("appended to BENCH.md")
 
 
 if __name__ == "__main__":
