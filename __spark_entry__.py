@@ -1222,6 +1222,17 @@ def q_trade_mis(spark, sf_dir):
     return maximal_independent_set(g, seed=42).select("node", "round")
 
 
+def q_trade_spinner(spark, sf_dir):
+    """Deterministic Spinner-style balanced k-way partitioning — (node,
+    part): balanced round-robin md5 init, plurality-label migration
+    gated by per-part capacity and md5 admission priority; round-unrolled
+    SQL replay."""
+    from linkgraph.algorithms.partitioning import spinner_partition
+
+    g = _trade_graph(spark, sf_dir)
+    return spinner_partition(g, k=4, rounds=6, seed=42).select("node", "part")
+
+
 def q_copurchase_new_triangles(spark, sf_dir):
     """Incremental triangle enumeration over an append-only increment —
     (a, b, c) triples present in the mod-4 co-purchase graph but not its
@@ -2475,6 +2486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trade_coloring": q_trade_coloring,
         "trade_knn_curve": q_trade_knn_curve,
         "copurchase_new_triangles": q_copurchase_new_triangles,
+        "trade_spinner": q_trade_spinner,
         # round-3-green buffer (driver re-confirmation, newest first)
         "trade_closeness": q_trade_closeness,
         "trade_neighbor_sample": q_trade_neighbor_sample,
@@ -3331,6 +3343,86 @@ def _bpe_oracle_sql(n_merges: int) -> str:
             f"FROM b{r}"
         )
     return "WITH " + ",\n".join(stages) + "\n" + "\nUNION ALL\n".join(sels)
+
+
+def _spinner_oracle_sql(
+    rounds: int, k: int, seed: int = 42, slack_num: int = 11, slack_den: int = 10
+) -> str:
+    """Round-unrolled deterministic Spinner partitioning on the trade
+    graph — balanced round-robin init over the md5 node order, per round
+    the parity-gated active half proposes its plurality neighbour part
+    (ties to the smaller part id, strictly-better only), and per part the
+    ``cap − load`` smallest-(prio, id) migrants are admitted."""
+
+    def md5l(parts: str) -> str:
+        return (
+            f"('0x' || substr(md5(concat_ws('|', {parts})), 1, 15))::BIGINT"
+        )
+
+    stages = [
+        "und0 AS MATERIALIZED (SELECT id, nbr FROM trade_und WHERE id <> nbr)",
+        f"capc AS MATERIALIZED (SELECT (count(*) * {slack_num}) "
+        f"// ({k} * {slack_den}) + 1 AS cap FROM trade_nodes)",
+        f"""l0 AS MATERIALIZED (
+  SELECT id, CAST((row_number() OVER (ORDER BY {md5l(f"'{seed}', 'i', id::VARCHAR")}, id) - 1) % {k} AS INT) AS part
+  FROM trade_nodes
+)""",
+    ]
+    for i in range(1, rounds + 1):
+        r = i - 1
+        stages.append(
+            f"""nc{i} AS MATERIALIZED (
+  SELECT u.id, x.part AS l, count(*) AS cnt
+  FROM und0 u JOIN l{r} x ON x.id = u.nbr GROUP BY u.id, x.part
+)"""
+        )
+        stages.append(
+            f"""best{i} AS MATERIALIZED (
+  SELECT id, l AS best_l, cnt AS best_cnt FROM (
+    SELECT id, l, cnt,
+           row_number() OVER (PARTITION BY id ORDER BY cnt DESC, l ASC) AS rk
+    FROM nc{i}
+  ) WHERE rk = 1
+)"""
+        )
+        stages.append(
+            f"""prop{i} AS MATERIALIZED (
+  SELECT c.id, b.best_l AS tol,
+         {md5l(f"'{seed}', 'm', c.id::VARCHAR, '{r}'")} AS prio
+  FROM (SELECT x.id, x.part,
+               coalesce((SELECT n.cnt FROM nc{i} n
+                         WHERE n.id = x.id AND n.l = x.part), 0) AS cur_cnt
+        FROM l{r} x) c
+  JOIN best{i} b ON b.id = c.id
+  WHERE ({md5l(f"'{seed}', 'p', c.id::VARCHAR")}) % 2 = {r % 2}
+    AND b.best_cnt > c.cur_cnt AND b.best_l <> c.part
+)"""
+        )
+        stages.append(
+            f"load{i} AS MATERIALIZED (SELECT part AS tol, count(*) AS ld "
+            f"FROM l{r} GROUP BY part)"
+        )
+        stages.append(
+            f"""adm{i} AS MATERIALIZED (
+  SELECT id, tol FROM (
+    SELECT p.id, p.tol,
+           row_number() OVER (PARTITION BY p.tol ORDER BY p.prio, p.id) AS rk,
+           coalesce(d.ld, 0) AS ld
+    FROM prop{i} p LEFT JOIN load{i} d ON d.tol = p.tol
+  ) WHERE rk <= (SELECT cap FROM capc) - ld
+)"""
+        )
+        stages.append(
+            f"""l{i} AS MATERIALIZED (
+  SELECT x.id, CAST(coalesce(a.tol, x.part) AS INT) AS part
+  FROM l{r} x LEFT JOIN adm{i} a ON a.id = x.id
+)"""
+        )
+    return (
+        f"WITH {_TRADE_ED}, {_TRADE_NODES}, {_TRADE_UND},\n"
+        + ",\n".join(stages)
+        + f"\nSELECT id AS node, part FROM l{rounds}"
+    )
 
 
 def _coloring_oracle_sql(rounds: int, seed: int = 42) -> str:
@@ -6308,6 +6400,8 @@ FROM tot
     sqls["trade_mis"] = _mis_oracle_sql(16, seed=42)
 
     sqls["trade_coloring"] = _coloring_oracle_sql(12, seed=42)
+
+    sqls["trade_spinner"] = _spinner_oracle_sql(6, k=4, seed=42)
 
     sqls["copurchase_new_triangles"] = f"""
 WITH {_COPURCHASE_ED},

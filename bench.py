@@ -192,6 +192,7 @@ def main() -> None:
         "trade_coloring",
         "trade_knn_curve",
         "copurchase_new_triangles",
+        "trade_spinner",
     ]
     # untimed warmup at the smallest scale factor: run every headline query
     # once over sf0.001 so whole-stage-codegen compilation, the parquet

@@ -1,0 +1,170 @@
+"""Balanced graph partitioning — the operator a 1000-executor deployment
+runs FIRST, so that every other iterative algorithm here shuffles less.
+
+`spinner_partition` is a deterministic, integer-exact variant of Spinner
+(Martella, Logothetis, Loukas & Siganos, ICDE 2017): label-propagation
+partitioning into k balanced parts, where per round each (half-update
+gated) node proposes to migrate to the part holding the plurality of its
+neighbours, and per-part capacity admits only the highest-priority
+migrants.  Everything that Spinner randomises (initial assignment,
+migration probability) is quenched md5 here, so the whole run is a pure
+function of (graph, k, seed) and replays bit-identically across engines
+and partitionings — the same determinism contract as the walk/MIS/LPA
+family, with a round-unrolled DuckDB oracle in __spark_entry__.
+
+Plan shape per round: one co-partitioned join of the static adjacency
+with the label table + one hash aggregate (neighbour-label counts), one
+struct-argmax per node (no window), one per-part row_number window for
+the capacity gate (k partitions — k is the number of target executors/
+shards, so at deployment scale this stage has exactly as much
+parallelism as the cluster it is partitioning for), two small joins to
+apply migrations.  Label state is O(n) and localCheckpoint'd per round;
+the adjacency never reshuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..graph import LinkGraph
+from ..superstep import iteration_conf, pick_partitions
+
+
+def _md5_long(*cols) -> F.Column:
+    return F.conv(
+        F.substring(F.md5(F.concat_ws("|", *cols)), 1, 15), 16, 10
+    ).cast("long")
+
+
+def spinner_partition(
+    graph: LinkGraph,
+    k: int,
+    rounds: int = 6,
+    seed: int = 42,
+    slack_num: int = 11,
+    slack_den: int = 10,
+) -> DataFrame:
+    """Partition nodes into ``k`` balanced parts — ``(node, part)``.
+
+    - init: ``part(v) = md5(seed|'i'|v) mod k``.
+    - capacity: ``C = (n·slack_num) div (k·slack_den) + 1`` (default 10%
+      slack over perfect balance) — integer, never violated.
+    - per round ``r``, the active half (``md5(seed|'p'|v) mod 2 == r mod
+      2`` — the same oscillation-damping parity gate sync-LPA uses)
+      proposes the part with the most neighbours, ties to the smaller
+      part id, and only if STRICTLY more neighbours than its current
+      part holds; per part, the ``C − load`` highest-md5-priority
+      migrants are admitted (pre-round loads — the synchronous
+      approximation, documented divergence from Spinner's asynchronous
+      counters).
+    - fixed ``rounds`` (no convergence probe): partitioning is a
+      budgeted preprocessing pass, and a fixed unroll is what the SQL
+      oracle replays.
+
+    Returns every node exactly once.  Quality readout (edge-cut, part
+    sizes) composes from the result with one join —
+    ``community_conductance`` accepts it directly as a label table.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    spark = graph.spark
+    und = graph.undirected_edge_ids().filter(F.col("id") != F.col("nbr_id"))
+    raw = und.persist()
+    m = raw.count()
+    P = pick_partitions(spark, m)
+    with iteration_conf(spark, shuffle_partitions=P):
+        adj = raw.repartition(P, "nbr_id").localCheckpoint(eager=True)
+        raw.unpersist()
+        ids = graph.ids().select("id")
+        n = ids.count()
+        cap = (n * slack_num) // (k * slack_den) + 1
+        # balanced-by-construction init: round-robin over the quenched-md5
+        # node order, so every part starts with ⌈n/k⌉ or ⌊n/k⌋ ≤ cap nodes
+        # (a plain md5-mod-k draw can overload a part at init, and the
+        # admission gate can only cap GROWTH, never drain) — one global
+        # sort, once, which is the partitioner's setup cost
+        w_init = Window.orderBy(
+            _md5_long(F.lit(str(seed)), F.lit("i"), F.col("id")), F.col("id")
+        )
+        labels = ids.select(
+            "id",
+            F.pmod(F.row_number().over(w_init) - 1, F.lit(k))
+            .cast("int")
+            .alias("part"),
+        ).localCheckpoint(eager=True)
+        parity = F.pmod(
+            _md5_long(F.lit(str(seed)), F.lit("p"), F.col("id")), F.lit(2)
+        ).cast("int")
+        for r in range(int(rounds)):
+            # neighbour-part counts per node: adjacency ⋈ labels on the
+            # NEIGHBOUR side (adj is pre-partitioned on nbr_id, labels
+            # repartition to match — the one exchange of the round)
+            nbr_cnt = (
+                adj.join(
+                    labels.select(
+                        F.col("id").alias("nbr_id"), F.col("part").alias("l")
+                    ),
+                    "nbr_id",
+                )
+                .groupBy("id", "l")
+                .agg(F.count("*").alias("cnt"))
+            )
+            # deterministic argmax: most neighbours, ties to smaller l
+            best = nbr_cnt.groupBy("id").agg(
+                F.max(F.struct(F.col("cnt"), (-F.col("l")).alias("nl"))).alias(
+                    "b"
+                )
+            )
+            cur = labels.join(
+                nbr_cnt.withColumnRenamed("l", "part"), ["id", "part"], "left"
+            ).select(
+                "id", "part", F.coalesce("cnt", F.lit(0)).alias("cur_cnt")
+            )
+            proposals = (
+                cur.join(best, "id")
+                .filter(parity == F.lit(r % 2))
+                .select(
+                    "id",
+                    "part",
+                    F.col("b.cnt").alias("best_cnt"),
+                    (-F.col("b.nl")).cast("int").alias("best_l"),
+                    "cur_cnt",
+                )
+                .filter(
+                    (F.col("best_cnt") > F.col("cur_cnt"))
+                    & (F.col("best_l") != F.col("part"))
+                )
+                .select(
+                    "id",
+                    F.col("best_l").alias("to"),
+                    _md5_long(
+                        F.lit(str(seed)), F.lit("m"), F.col("id"), F.lit(str(r))
+                    ).alias("prio"),
+                )
+            )
+            # capacity gate: admit the C - load(to) smallest-priority
+            # migrants per destination (pre-round loads)
+            load = labels.groupBy(F.col("part").alias("to")).agg(
+                F.count("*").alias("load")
+            )
+            w = Window.partitionBy("to").orderBy("prio", "id")
+            admitted = (
+                proposals.withColumn("rk", F.row_number().over(w))
+                .join(F.broadcast(load), "to", "left")
+                .filter(
+                    F.col("rk")
+                    <= F.lit(int(cap)) - F.coalesce("load", F.lit(0))
+                )
+                .select("id", F.col("to").alias("new_part"))
+            )
+            labels = (
+                labels.join(admitted, "id", "left")
+                .select(
+                    "id",
+                    F.coalesce("new_part", "part").cast("int").alias("part"),
+                )
+                .localCheckpoint(eager=True)
+            )
+    return labels.select(F.col("id").alias("node"), "part")

@@ -328,3 +328,34 @@ def test_knn_curve_star_golden(spark):
     got2 = {r["degree"]: (r["knn_ppm"], r["n_nodes"])
             for r in avg_neighbor_degree_curve(g2).collect()}
     assert got2 == {1: (2_000_000, 2), 2: (1_500_000, 2)}
+
+
+def test_spinner_partition_balanced_and_cut(spark):
+    from itertools import combinations
+
+    from linkgraph.algorithms.partitioning import spinner_partition
+
+    # two K4 cliques + one bridge: the ideal 2-partition cuts only the
+    # bridge and is perfectly balanced
+    k4a = [(i, a, b) for i, (a, b) in enumerate(combinations(
+        ["a1", "a2", "a3", "a4"], 2))]
+    k4b = [(10 + i, a, b) for i, (a, b) in enumerate(combinations(
+        ["b1", "b2", "b3", "b4"], 2))]
+    g = LinkGraph.from_edge_list(spark, k4a + k4b + [(20, "a1", "b1")])
+    res = spinner_partition(g, k=2, rounds=6, seed=42).collect()
+    parts = {r["node"]: r["part"] for r in res}
+    all_ids = {r["id"] for r in g.ids().collect()}
+    assert set(parts) == all_ids  # every node exactly once
+    sizes = {}
+    for p in parts.values():
+        sizes[p] = sizes.get(p, 0) + 1
+    cap = (len(all_ids) * 11) // (2 * 10) + 1
+    assert all(s <= cap for s in sizes.values())  # capacity respected
+    und = [(r["id"], r["nbr_id"]) for r in g.undirected_edge_ids().collect()
+           if r["id"] < r["nbr_id"]]
+    cut = sum(1 for a, b in und if parts[a] != parts[b])
+    assert cut == 1  # only the bridge is cut
+    assert sorted(sizes.values()) == [4, 4]
+    again = {r["node"]: r["part"]
+             for r in spinner_partition(g, k=2, rounds=6, seed=42).collect()}
+    assert again == parts  # pure function of (graph, k, seed)
