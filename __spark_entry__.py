@@ -1244,6 +1244,32 @@ def q_copurchase_new_triangles(spark, sf_dir):
     return new_triangles(before, after)
 
 
+def q_orders_association_rules(spark, sf_dir):
+    """A-priori 1→1 association rules over order baskets (orders × parts)
+    — (antecedent, consequent, n_baskets, cnt_a, cnt_b, cnt_ab,
+    support_ppm, confidence_ppm, lift_ppm); all-integer ppm output, so the
+    SQL replay is bit-exact.  Support pruning runs BEFORE the per-basket
+    pair join (the a-priori property — the 100 TB knob)."""
+    from linkgraph.pipeline.itemsets import association_rules
+
+    li = _t(spark, sf_dir, "lineitem")
+    baskets = li.select(
+        F.col("l_orderkey").alias("basket_id"), F.col("l_partkey").alias("item")
+    )
+    out = association_rules(baskets, min_item_support=10, min_pair_support=2)
+    return out.select(
+        F.col("antecedent").cast("long").alias("antecedent"),
+        F.col("consequent").cast("long").alias("consequent"),
+        "n_baskets",
+        "cnt_a",
+        "cnt_b",
+        "cnt_ab",
+        "support_ppm",
+        "confidence_ppm",
+        "lift_ppm",
+    )
+
+
 def q_trade_knn_curve(spark, sf_dir):
     """Degree-correlation curve knn(k) in integer ppm — (degree, knn_ppm,
     n_nodes); floor-div ppm at both averaging levels, so bit-exact across
@@ -2487,6 +2513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trade_knn_curve": q_trade_knn_curve,
         "copurchase_new_triangles": q_copurchase_new_triangles,
         "trade_spinner": q_trade_spinner,
+        "orders_association_rules": q_orders_association_rules,
         # round-3-green buffer (driver re-confirmation, newest first)
         "trade_closeness": q_trade_closeness,
         "trade_neighbor_sample": q_trade_neighbor_sample,
@@ -6423,6 +6450,40 @@ SELECT DISTINCT least(lo, hi, w)::BIGINT AS a,
        (lo + hi + w - least(lo, hi, w) - greatest(lo, hi, w))::BIGINT AS b,
        greatest(lo, hi, w)::BIGINT AS c
 FROM cand
+"""
+
+    # a-priori 1→1 association rules: presence-distinct baskets, support
+    # prune before the pair join, both rule directions, integer-ppm stats
+    sqls["orders_association_rules"] = """
+WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS i FROM lineitem),
+n AS (SELECT count(DISTINCT bk) AS n_baskets FROM b),
+ic AS (SELECT i, count(*) AS cnt FROM b GROUP BY i),
+freq AS (SELECT i, cnt FROM ic WHERE cnt >= 10),
+fb AS (SELECT b.bk, b.i FROM b JOIN freq USING (i)),
+pr AS (
+  SELECT x.i AS ia, y.i AS ib, count(*) AS cnt_ab
+  FROM fb x JOIN fb y ON x.bk = y.bk AND x.i < y.i
+  GROUP BY x.i, y.i HAVING count(*) >= 2
+),
+rules AS (
+  SELECT ia AS antecedent, ib AS consequent, cnt_ab FROM pr
+  UNION ALL
+  SELECT ib AS antecedent, ia AS consequent, cnt_ab FROM pr
+)
+SELECT r.antecedent::BIGINT AS antecedent,
+       r.consequent::BIGINT AS consequent,
+       n.n_baskets::BIGINT AS n_baskets,
+       fa.cnt::BIGINT AS cnt_a,
+       fc.cnt::BIGINT AS cnt_b,
+       r.cnt_ab::BIGINT AS cnt_ab,
+       ((1000000 * r.cnt_ab) // n.n_baskets)::BIGINT AS support_ppm,
+       ((1000000 * r.cnt_ab) // fa.cnt)::BIGINT AS confidence_ppm,
+       ((1000000 * r.cnt_ab * n.n_baskets) // (fa.cnt * fc.cnt))::BIGINT
+         AS lift_ppm
+FROM rules r
+JOIN freq fa ON fa.i = r.antecedent
+JOIN freq fc ON fc.i = r.consequent
+CROSS JOIN n
 """
 
     sqls["trade_knn_curve"] = f"""

@@ -193,6 +193,7 @@ def main() -> None:
         "trade_knn_curve",
         "copurchase_new_triangles",
         "trade_spinner",
+        "orders_association_rules",
     ]
     # untimed warmup at the smallest scale factor: run every headline query
     # once over sf0.001 so whole-stage-codegen compilation, the parquet
@@ -301,6 +302,8 @@ def main() -> None:
             {"cores": "2->8", "eff": 0.810, "eps": [1480113, 4795148]},
             {"cores": "4->16", "eff": 0.724, "eps": [2434176, 7045821],
              "note": "memory-bandwidth-saturated pair; exceeds same-window cpu ceiling 0.672"},
+            {"cores": "2->8", "eff": 0.818, "eps": [1588634, 5200515],
+             "note": "round-4 confirmation pair, 24 supersteps; job at 0.98 of same-window bandwidth ceiling"},
         ],
         "detail": "BENCH.md; reproduce with BENCH_SCALING=1 or python tools/scaling_bench.py",
     }

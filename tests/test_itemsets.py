@@ -1,0 +1,130 @@
+"""A-priori association rules and levelwise frequent itemsets against a
+pure-python replay of the same integer-ppm rule (plus hand goldens on a
+tiny basket fixture)."""
+
+from itertools import combinations
+
+from linkgraph.pipeline.itemsets import association_rules, frequent_itemsets
+
+BASKETS = [
+    (1, "milk"), (1, "bread"), (1, "butter"),
+    (2, "milk"), (2, "bread"),
+    (3, "milk"), (3, "bread"), (3, "beer"),
+    (4, "bread"), (4, "beer"),
+    (5, "milk"), (5, "milk"),              # duplicate row: presence semantics
+    (6, "beer"),
+]
+
+
+def _df(spark):
+    return spark.createDataFrame(BASKETS, "basket_id long, item string")
+
+
+def _python_rules(rows, min_item, min_pair):
+    baskets = {}
+    for b, i in rows:
+        baskets.setdefault(b, set()).add(i)
+    n = len(baskets)
+    cnt = {}
+    for items in baskets.values():
+        for i in items:
+            cnt[i] = cnt.get(i, 0) + 1
+    freq = {i: c for i, c in cnt.items() if c >= min_item}
+    pair = {}
+    for items in baskets.values():
+        fi = sorted(i for i in items if i in freq)
+        for a, b in combinations(fi, 2):
+            pair[(a, b)] = pair.get((a, b), 0) + 1
+    out = {}
+    for (a, b), cab in pair.items():
+        if cab < min_pair:
+            continue
+        for ant, con in ((a, b), (b, a)):
+            out[(ant, con)] = (
+                n, freq[ant], freq[con], cab,
+                1_000_000 * cab // n,
+                1_000_000 * cab // freq[ant],
+                1_000_000 * cab * n // (freq[ant] * freq[con]),
+            )
+    return out
+
+
+def test_association_rules_hand_golden(spark):
+    rows = {
+        (r["antecedent"], r["consequent"]): r
+        for r in association_rules(
+            _df(spark), min_item_support=2, min_pair_support=2
+        ).collect()
+    }
+    expect = _python_rules(BASKETS, 2, 2)
+    assert set(rows) == set(expect)
+    for key, (n, ca, cb, cab, sup, conf, lift) in expect.items():
+        r = rows[key]
+        assert (r["n_baskets"], r["cnt_a"], r["cnt_b"], r["cnt_ab"]) == (
+            n, ca, cb, cab
+        )
+        assert (r["support_ppm"], r["confidence_ppm"], r["lift_ppm"]) == (
+            sup, conf, lift
+        )
+    # spot-check one rule by hand: milk->bread in 3 of 6 baskets,
+    # milk in 4, bread in 4 => conf 750000, lift 1e6*3*6/(4*4)=1125000
+    r = rows[("milk", "bread")]
+    assert r["cnt_ab"] == 3 and r["confidence_ppm"] == 750000
+    assert r["lift_ppm"] == 1_125_000
+    # beer count: baskets 3,4,6 -> 3; bread-beer pair in 3,4 -> cnt_ab 2
+    assert rows[("beer", "bread")]["cnt_a"] == 3
+    assert rows[("beer", "bread")]["cnt_ab"] == 2
+
+
+def test_association_rules_apriori_prune(spark):
+    # min_item_support=4 keeps only milk(4) and bread(4); beer(3) pruned
+    # so no beer rule can appear even though (bread,beer) has support 2
+    rows = association_rules(
+        _df(spark), min_item_support=4, min_pair_support=2
+    ).collect()
+    assert {(r["antecedent"], r["consequent"]) for r in rows} == {
+        ("milk", "bread"), ("bread", "milk")
+    }
+
+
+def test_association_rules_basket_cap(spark):
+    # cap=1 keeps only the smallest item id per basket -> no pairs at all
+    rows = association_rules(
+        _df(spark), min_item_support=2, min_pair_support=1,
+        max_basket_items=1,
+    ).collect()
+    assert rows == []
+
+
+def test_frequent_itemsets_levelwise(spark):
+    got = {
+        (tuple(r["items"]), r["size"]): r["cnt"]
+        for r in frequent_itemsets(_df(spark), min_support=2, max_size=3).collect()
+    }
+    # python replay
+    baskets = {}
+    for b, i in BASKETS:
+        baskets.setdefault(b, set()).add(i)
+    expect = {}
+    for size in (1, 2, 3):
+        c = {}
+        for items in baskets.values():
+            for combo in combinations(sorted(items), size):
+                c[combo] = c.get(combo, 0) + 1
+        for combo, n in c.items():
+            if n >= 2:
+                expect[(combo, size)] = n
+    assert got == expect
+    # the one frequent triple: {beer,bread,milk}? beer+bread+milk only in
+    # basket 3 -> not frequent; milk+bread in 1,2,3 -> cnt 3
+    assert got[(("bread", "milk"), 2)] == 3
+    assert (("beer", "bread", "milk"), 3) not in got
+
+
+def test_frequent_itemsets_size_bounds(spark):
+    import pytest
+
+    with pytest.raises(ValueError):
+        frequent_itemsets(_df(spark), max_size=4)
+    one = frequent_itemsets(_df(spark), min_support=2, max_size=1).collect()
+    assert all(r["size"] == 1 for r in one)
