@@ -1270,6 +1270,19 @@ def q_orders_association_rules(spark, sf_dir):
     )
 
 
+def q_trade_onion(spark, sf_dir):
+    """Onion decomposition (batch min-degree peel) — (node, layer,
+    coreness); the layer index refines the core number into a
+    core-periphery depth.  Fully deterministic, so the SQL replay is the
+    same peel unrolled round-for-round with a loud under-unroll guard."""
+    from linkgraph.algorithms import onion_layers
+
+    g = _trade_graph(spark, sf_dir)
+    return onion_layers(g, max_rounds=52).select(
+        F.col("id").alias("node"), "layer", "coreness"
+    )
+
+
 def q_trade_knn_curve(spark, sf_dir):
     """Degree-correlation curve knn(k) in integer ppm — (degree, knn_ppm,
     n_nodes); floor-div ppm at both averaging levels, so bit-exact across
@@ -2514,6 +2527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchase_new_triangles": q_copurchase_new_triangles,
         "trade_spinner": q_trade_spinner,
         "orders_association_rules": q_orders_association_rules,
+        "trade_onion": q_trade_onion,
         # round-3-green buffer (driver re-confirmation, newest first)
         "trade_closeness": q_trade_closeness,
         "trade_neighbor_sample": q_trade_neighbor_sample,
@@ -3449,6 +3463,58 @@ def _spinner_oracle_sql(
         f"WITH {_TRADE_ED}, {_TRADE_NODES}, {_TRADE_UND},\n"
         + ",\n".join(stages)
         + f"\nSELECT id AS node, part FROM l{rounds}"
+    )
+
+
+def _onion_oracle_sql(rounds: int) -> str:
+    """Round-unrolled onion decomposition on the trade graph — identical
+    batch min-degree peel: per round k = greatest(k_prev, min alive
+    degree), peel every node with remaining degree ≤ k; survivors that
+    lose all neighbours stay alive at degree 0.  Errors loudly if nodes
+    remain after the unroll."""
+    stages = [
+        "d0 AS MATERIALIZED (SELECT id, count(*)::BIGINT AS d "
+        "FROM trade_und GROUP BY id)",
+        "k0 AS (SELECT 0::BIGINT AS k)",
+    ]
+    sels = []
+    for r in range(1, rounds + 1):
+        stages.append(
+            f"k{r} AS MATERIALIZED (SELECT greatest((SELECT k FROM k{r-1}), "
+            f"coalesce((SELECT min(d) FROM d{r-1}), (SELECT k FROM k{r-1}))) AS k)"
+        )
+        stages.append(
+            f"p{r} AS MATERIALIZED (SELECT id FROM d{r-1} "
+            f"WHERE d <= (SELECT k FROM k{r}))"
+        )
+        stages.append(
+            f"s{r} AS MATERIALIZED (SELECT id FROM d{r-1} "
+            f"WHERE d > (SELECT k FROM k{r}))"
+        )
+        stages.append(
+            f"""d{r} AS MATERIALIZED (
+  SELECT s.id, count(t.id)::BIGINT AS d
+  FROM s{r} s
+  LEFT JOIN trade_und u ON u.id = s.id
+  LEFT JOIN s{r} t ON t.id = u.nbr
+  GROUP BY s.id
+)"""
+        )
+        sels.append(
+            f"SELECT id AS node, CAST({r} AS BIGINT) AS layer, "
+            f"(SELECT k FROM k{r}) AS coreness FROM p{r}"
+        )
+    return (
+        f"WITH {_TRADE_ED}, {_TRADE_UND},\n"
+        + ",\n".join(stages)
+        + "\n"
+        + "\nUNION ALL\n".join(sels)
+        + f"""
+UNION ALL
+SELECT CAST(error('onion oracle: {rounds}-round unroll insufficient') AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+WHERE (SELECT count(*) FROM d{rounds}) <> 0
+"""
     )
 
 
@@ -6427,6 +6493,8 @@ FROM tot
     sqls["trade_mis"] = _mis_oracle_sql(16, seed=42)
 
     sqls["trade_coloring"] = _coloring_oracle_sql(12, seed=42)
+
+    sqls["trade_onion"] = _onion_oracle_sql(52)
 
     sqls["trade_spinner"] = _spinner_oracle_sql(6, k=4, seed=42)
 

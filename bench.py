@@ -194,6 +194,7 @@ def main() -> None:
         "copurchase_new_triangles",
         "trade_spinner",
         "orders_association_rules",
+        "trade_onion",
     ]
     # untimed warmup at the smallest scale factor: run every headline query
     # once over sf0.001 so whole-stage-codegen compilation, the parquet
@@ -291,20 +292,21 @@ def main() -> None:
     # north-rule scaling evidence: measured by tools/scaling_bench.py in
     # separate taskset-pinned JVMs (it cannot run inside this session's
     # JVM), full tables + same-window host-ceiling controls in BENCH.md.
-    # The recorded pairs are replicated here so the per-round JSON carries
-    # the gate verdict next to the throughput numbers.
+    # A compact gate verdict rides the per-round JSON line; the full pairs
+    # and notes live in BENCH.md and BENCH_full.json.
+    scaling_pairs = [
+        {"cores": "2->8", "eff": 0.805, "eps": [1602990, 5159085]},
+        {"cores": "2->8", "eff": 0.952, "eps": [1297096, 4941229]},
+        {"cores": "2->8", "eff": 0.810, "eps": [1480113, 4795148]},
+        {"cores": "4->16", "eff": 0.724, "eps": [2434176, 7045821],
+         "note": "memory-bandwidth-saturated pair; exceeds same-window cpu ceiling 0.672"},
+        {"cores": "2->8", "eff": 0.818, "eps": [1588634, 5200515],
+         "note": "round-4 confirmation pair, 24 supersteps; job at 0.98 of same-window bandwidth ceiling"},
+    ]
     out["scaling_recorded"] = {
         "gate": "efficiency >= 0.8 from N to 4N cores (BASELINE.json)",
         "job": "PageRank superstep kernel, 159,993,609 edges / 20M nodes, 12 supersteps",
-        "pairs": [
-            {"cores": "2->8", "eff": 0.805, "eps": [1602990, 5159085]},
-            {"cores": "2->8", "eff": 0.952, "eps": [1297096, 4941229]},
-            {"cores": "2->8", "eff": 0.810, "eps": [1480113, 4795148]},
-            {"cores": "4->16", "eff": 0.724, "eps": [2434176, 7045821],
-             "note": "memory-bandwidth-saturated pair; exceeds same-window cpu ceiling 0.672"},
-            {"cores": "2->8", "eff": 0.818, "eps": [1588634, 5200515],
-             "note": "round-4 confirmation pair, 24 supersteps; job at 0.98 of same-window bandwidth ceiling"},
-        ],
+        "pairs": scaling_pairs,
         "detail": "BENCH.md; reproduce with BENCH_SCALING=1 or python tools/scaling_bench.py",
     }
 
@@ -313,6 +315,34 @@ def main() -> None:
 
         out["scaling"] = run_scaling(SF_DIR)
 
+    # the driver captures only the LAST ~2000 chars of stdout and parses
+    # the JSON line out of that window (BENCH_r03.json: rc=0 but
+    # parsed=null — the ~2.6k-char line outgrew the window).  Ship the
+    # full record to BENCH_full.json in the repo, and print a line that is
+    # GUARANTEED to fit: compact scaling verdict, then per-query walls
+    # trimmed smallest-first until the line is under budget, with the
+    # omission counted loudly rather than silently.
+    with open(os.path.join(os.path.dirname(__file__) or ".", "BENCH_full.json"), "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+
+    line_budget = 1900
+    if "budget_single_rep" in out:
+        out["budget_single_rep"] = len(out["budget_single_rep"])
+    if "budget_skipped" in out:
+        out["budget_skipped"] = len(out["budget_skipped"])
+    out["scaling_recorded"] = {
+        "gate": "eff>=0.8 N->4N (BASELINE.json)",
+        "pairs": [[p["cores"], p["eff"]] for p in scaling_pairs],
+        "detail": "BENCH.md + BENCH_full.json",
+    }
+    out["queries"] = {k: round(v, 2) for k, v in timings.items()}
+    out["queries_full"] = "BENCH_full.json"
+    by_wall = sorted(out["queries"], key=lambda k: out["queries"][k])
+    omitted = 0
+    while len(json.dumps(out)) > line_budget and by_wall:
+        out["queries"].pop(by_wall.pop(0))
+        omitted += 1
+        out["queries_omitted"] = omitted
     print(json.dumps(out))
 
 

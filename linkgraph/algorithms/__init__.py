@@ -52,7 +52,13 @@ from linkgraph.algorithms.components import (
     weakly_connected_components,
 )
 from linkgraph.algorithms.hits import hits, salsa
-from linkgraph.algorithms.kcore import k_core_ids, k_core_subgraph, k_truss_edges
+from linkgraph.algorithms.kcore import (
+    coreness,
+    k_core_ids,
+    k_core_subgraph,
+    k_truss_edges,
+    onion_layers,
+)
 from linkgraph.algorithms.linkpred import (
     degree_assortativity,
     link_prediction_scores,
@@ -135,6 +141,8 @@ __all__ = [
     "temporal_three_node_motif_multi",
     "in_components",
     "k_core_ids",
+    "coreness",
+    "onion_layers",
     "k_core_subgraph",
     "label_propagation",
     "link_prediction_scores",

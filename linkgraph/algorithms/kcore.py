@@ -182,6 +182,102 @@ def coreness(graph: LinkGraph, max_iter: int = sys.maxsize) -> DataFrame:
     return state.withColumnRenamed("v", "coreness")
 
 
+def onion_layers(graph: LinkGraph, max_rounds: int = 256) -> DataFrame:
+    """Onion decomposition — ``(id, layer, coreness)`` for every node with
+    at least one BOTH-direction neighbour.
+
+    Batch min-degree peel (Hébert-Dufresne, Grochow & Allard, "Multi-scale
+    structure and topological anomaly detection via a new network
+    statistic: the onion decomposition", Sci. Rep. 2016): per round,
+    ``k = max(k_prev, min alive degree)`` and EVERY node whose remaining
+    degree is ≤ k peels simultaneously; ``layer`` is the 1-based round
+    index, ``coreness`` the k in force when the node peeled.  The layer
+    refines the core number — two nodes of equal coreness can sit in very
+    different layers (periphery vs deep core), which is the
+    core-periphery readout plain ``coreness`` cannot give.
+
+    Because the peel removes min-degree nodes in batches, the coreness
+    column is exactly the peel-based core number, so
+    ``onion_layers(g).select('id', 'coreness')`` must equal
+    ``coreness(g)`` — asserted in tests/test_centrality.py as a
+    cross-kernel check against the h-index fixpoint.
+
+    Scale shape: each round is one semi-joined degree aggregate (shuffles
+    ``id``-keyed counts only, never the edge payload) plus one two-column
+    driver scalar; round count = layer count (bounded by peel depth —
+    tens on heavy-tailed graphs, but Θ(n) on a pure path, hence the loud
+    ``max_rounds`` guard instead of a silent truncation).  Degree
+    semantics are BOTH-distinct with self-loops counted once, matching
+    ``NodeStore::degree`` (node_store.rs:245-257) and ``coreness``.
+    """
+    from linkgraph.superstep import iteration_conf
+
+    spark = graph.spark
+    with iteration_conf(spark):
+        und = graph.undirected_edge_ids().persist()
+        deg = und.groupBy("id").agg(F.count("*").alias("d")).persist()
+        mind, n_alive = deg.agg(F.min("d"), F.count("*")).first()
+        k = 0
+        layer = 0
+        result: DataFrame | None = None
+        while n_alive:
+            layer += 1
+            if layer > max_rounds:
+                raise RuntimeError(
+                    f"onion_layers: not converged after {max_rounds} rounds "
+                    f"({n_alive} nodes alive) — raise max_rounds"
+                )
+            k = max(k, int(mind))
+            # each round's layer slice is tiny (≤ n id rows): cut it eagerly
+            # so the final union is flat and never re-derives a peeled deg
+            peeled = (
+                deg.filter(F.col("d") <= k)
+                .select(
+                    "id",
+                    F.lit(layer).cast("long").alias("layer"),
+                    F.lit(k).cast("long").alias("coreness"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            result = peeled if result is None else result.unionByName(peeled)
+            # subtract formulation: a survivor's new degree is its old
+            # degree minus its edges INTO the peeled layer, so the edge
+            # table is only map-scanned against the (small, broadcast)
+            # layer — never re-shuffled per round like a recount over the
+            # survivor set would.  Zero-degree survivors (star centres)
+            # fall out naturally at d = 0 and peel in a later round.
+            n_peel = peeled.count()
+            pid = peeled.select(F.col("id").alias("nbr_id"))
+            if n_peel <= 2_000_000:  # ~16 MB of longs — broadcastable
+                pid = F.broadcast(pid)
+            drops = und.join(pid, "nbr_id").groupBy("id").agg(
+                F.count("*").alias("c")
+            )
+            new_deg = (
+                deg.filter(F.col("d") > k)
+                .join(drops, "id", "left")
+                .select(
+                    "id",
+                    (F.col("d") - F.coalesce("c", F.lit(0))).alias("d"),
+                )
+            )
+            if layer % 4 == 0:
+                new_deg = new_deg.localCheckpoint(eager=True)
+            else:
+                new_deg = new_deg.persist()
+            # materialize the double buffer BEFORE dropping the old cache —
+            # unpersisting first would recompute the whole deg chain
+            mind, n_alive = new_deg.agg(F.min("d"), F.count("*")).first()
+            deg.unpersist()
+            deg = new_deg
+        und.unpersist()
+        deg.unpersist()
+    if result is None:
+        schema = "id long, layer long, coreness long"
+        return spark.createDataFrame([], schema)
+    return result
+
+
 def k_core_subgraph(graph: LinkGraph, k: int) -> LinkGraph:
     """Induced subgraph on the k-core node set."""
     ids = k_core_ids(graph, k)

@@ -445,3 +445,65 @@ def test_degree_and_component_histograms(spark):
     assert dh == {3: 1, 1: 5}
     ch = {r["size"]: r["n_components"] for r in component_size_histogram(g).collect()}
     assert ch == {4: 1, 2: 1}
+
+
+def test_onion_layers_k4_tail(spark):
+    from linkgraph.algorithms.kcore import onion_layers
+
+    g = LinkGraph.from_edge_list(spark, K4_PLUS_TAIL)
+    got = {r["id"]: (r["layer"], r["coreness"]) for r in onion_layers(g).collect()}
+    # round 1: k=min deg=1, node 5 peels; round 2: 4's degree stays 3
+    # (edge to 5 gone), min deg 3 -> k=3, the K4 peels together
+    assert got == {5: (1, 1), 1: (2, 3), 2: (2, 3), 3: (2, 3), 4: (2, 3)}
+
+
+def test_onion_layers_star_and_path(spark):
+    from linkgraph.algorithms.kcore import onion_layers
+
+    # star: leaves layer 1, centre survives at degree 0 and peels layer 2
+    star = [(i, "0", str(i + 1)) for i in range(5)]
+    g = LinkGraph.from_edge_list(spark, star)
+    got = {r["id"]: (r["layer"], r["coreness"]) for r in onion_layers(g).collect()}
+    assert got[0] == (2, 1)
+    assert all(got[i] == (1, 1) for i in range(1, 6))
+
+    # path 1-2-3-4-5-6: endpoints peel outside-in, one layer per shell
+    path = [(i, str(i + 1), str(i + 2)) for i in range(5)]
+    g = LinkGraph.from_edge_list(spark, path)
+    got = {r["id"]: (r["layer"], r["coreness"]) for r in onion_layers(g).collect()}
+    assert got == {1: (1, 1), 6: (1, 1), 2: (2, 1), 5: (2, 1),
+                   3: (3, 1), 4: (3, 1)}
+
+
+def test_onion_coreness_matches_hindex_fixpoint(spark):
+    import random
+
+    from linkgraph.algorithms.kcore import coreness, onion_layers
+
+    rng = random.Random(7)
+    edges = list(
+        {
+            (min(a, b), max(a, b))
+            for a, b in (
+                (rng.randrange(40), rng.randrange(40)) for _ in range(160)
+            )
+            if a != b
+        }
+    )
+    g = LinkGraph.from_edge_list(
+        spark, [(i, str(a), str(b)) for i, (a, b) in enumerate(edges)]
+    )
+    on = {r["id"]: r["coreness"] for r in onion_layers(g).collect()}
+    hx = {r["id"]: r["coreness"] for r in coreness(g).collect()}
+    assert on == hx
+
+
+def test_onion_layers_max_rounds_guard(spark):
+    import pytest
+
+    from linkgraph.algorithms.kcore import onion_layers
+
+    path = [(i, str(i + 1), str(i + 2)) for i in range(9)]
+    g = LinkGraph.from_edge_list(spark, path)
+    with pytest.raises(RuntimeError, match="not converged"):
+        onion_layers(g, max_rounds=2)
