@@ -1270,6 +1270,20 @@ def q_orders_association_rules(spark, sf_dir):
     )
 
 
+def q_transition_edge_betweenness(spark, sf_dir):
+    """Girvan–Newman edge betweenness (all sources, unnormalized) on the
+    event-type transition digraph — per-edge shortest-path flow
+    σ_sv/σ_sw·(1+δ_s(w)) including source-level edges; self-loop edges
+    score 0.  Same level-unrolled σ/δ SQL replay as the node variant,
+    aggregated per DAG edge instead of per node."""
+    from linkgraph.algorithms import edge_betweenness
+
+    g = _transition_graph(spark, sf_dir)
+    return edge_betweenness(g, k=None, normalized=False).select(
+        "src", "dst", F.round("betweenness", 6).alias("betweenness")
+    )
+
+
 def q_trade_onion(spark, sf_dir):
     """Onion decomposition (batch min-degree peel) — (node, layer,
     coreness); the layer index refines the core number into a
@@ -2528,6 +2542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trade_spinner": q_trade_spinner,
         "orders_association_rules": q_orders_association_rules,
         "trade_onion": q_trade_onion,
+        "transition_edge_betweenness": q_transition_edge_betweenness,
         # round-3-green buffer (driver re-confirmation, newest first)
         "trade_closeness": q_trade_closeness,
         "trade_neighbor_sample": q_trade_neighbor_sample,
@@ -4109,6 +4124,28 @@ UNION ALL
 SELECT CAST(error('brandes oracle: {_bw_levels}-level unroll insufficient')
             AS VARCHAR),
        NULL
+WHERE (SELECT count(*) FROM bwl{_bw_levels}) > 0
+"""
+
+    # per-edge flow from the SAME unrolled σ/δ levels: edge (u,v) on a
+    # source's shortest-path DAG receives sigma_u/sigma_v·(1+delta_v),
+    # including the source's own level-0 edges; self-loops never match a
+    # next-level node and fall to the coalesce(0) arm
+    _ebl_union = "\nUNION ALL\n".join(
+        f"""SELECT c.node AS u, w.node AS v,
+       c.sigma / w.sigma * (1.0 + w.delta) AS f
+FROM bwl{l} c JOIN bw_adj a ON a.u = c.node
+JOIN bwd{l + 1} w ON w.src = c.src AND w.node = a.v"""
+        for l in range(0, _bw_levels)
+    )
+    sqls["transition_edge_betweenness"] = f"""
+WITH {_TRANSITION_ED},{"".join(_bw)[1:]},
+eb AS (SELECT u, v, sum(f) AS s FROM ({_ebl_union}) GROUP BY u, v)
+SELECT e.src AS src, e.dst AS dst, round(coalesce(eb.s, 0.0), 6) AS betweenness
+FROM tr_ed e LEFT JOIN eb ON eb.u = e.src AND eb.v = e.dst
+UNION ALL
+SELECT CAST(error('brandes oracle: {_bw_levels}-level unroll insufficient')
+            AS VARCHAR), NULL, NULL
 WHERE (SELECT count(*) FROM bwl{_bw_levels}) > 0
 """
 

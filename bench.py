@@ -195,6 +195,7 @@ def main() -> None:
         "trade_spinner",
         "orders_association_rules",
         "trade_onion",
+        "transition_edge_betweenness",
     ]
     # untimed warmup at the smallest scale factor: run every headline query
     # once over sf0.001 so whole-stage-codegen compilation, the parquet

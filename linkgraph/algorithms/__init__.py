@@ -3,6 +3,7 @@
 from linkgraph.algorithms.betweenness import (
     approx_betweenness,
     betweenness_centrality,
+    edge_betweenness,
 )
 from linkgraph.algorithms.centrality import (
     anf_estimate,
@@ -102,6 +103,7 @@ from linkgraph.algorithms.triangles import (
 __all__ = [
     "approx_betweenness",
     "betweenness_centrality",
+    "edge_betweenness",
     "clustering_coefficient",
     "decayed_pagerank",
     "degree_assortativity",

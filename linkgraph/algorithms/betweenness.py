@@ -103,10 +103,81 @@ def approx_betweenness(
     )
 
 
-def _brandes_delta_sum(spark, adj: DataFrame, sources: DataFrame) -> DataFrame:
+def edge_betweenness(
+    graph: LinkGraph, k: int | None = None, normalized: bool = False
+) -> DataFrame:
+    """Edge betweenness — ``(src, dst, src_id, dst_id, betweenness)`` for
+    every distinct directed edge: the Girvan–Newman scoring primitive
+    (Girvan & Newman, PNAS 2002), beyond the reference's node variant
+    (betweenness.rs:21-145) but sharing its exact path semantics.
+
+    Within the same batched Brandes sweep as ``betweenness_centrality``,
+    a shortest-path-DAG edge (v, w) receives ``σ_sv/σ_sw · (1 + δ_s(w))``
+    per source s — the flow the node recursion routes through the edge —
+    including the source's own level-0 edges (edge betweenness counts
+    endpoint paths; the node variant excludes them).  Edges on no
+    shortest path (e.g. self-loops) report 0.0.  ``k`` limits sources to
+    the k smallest ids (same contract and divergence note as
+    ``betweenness_centrality``); ``normalized`` divides by ``n(n-1)``,
+    the count of ordered pairs.
+
+    Scale shape: identical to the node sweep — 2·diameter supersteps,
+    state keyed (src, node) — plus one per-level (v, w)-keyed aggregate
+    over the joined DAG rows, which are checkpointed once and shared with
+    the δ aggregate (no second join)."""
+    spark = graph.spark
+    ids = graph.ids().persist()
+    n = ids.count()
+    adj = graph.neighbours("out").persist()
+    adj.count()
+
+    sources = ids.select("id")
+    if k is not None:
+        sources = sources.orderBy("id").limit(k)
+    edge_acc: list[DataFrame] = []
+    _brandes_delta_sum(spark, adj, sources, edge_acc=edge_acc)
+
+    edges = graph.edge_ids()
+    if edge_acc:
+        eb = edge_acc[0]
+        for p in edge_acc[1:]:
+            eb = eb.unionByName(p)
+        eb = eb.groupBy("u", "v").agg(F.sum("eb").alias("eb"))
+    else:
+        eb = spark.createDataFrame([], "u long, v long, eb double")
+    factor = 1.0 / (n * (n - 1.0)) if (normalized and n > 1) else 1.0
+    return (
+        edges.join(
+            eb,
+            (edges.src_id == eb.u) & (edges.dst_id == eb.v),
+            "left",
+        )
+        .join(ids.select(F.col("id").alias("src_id"), F.col("name").alias("src")), "src_id")
+        .join(ids.select(F.col("id").alias("dst_id"), F.col("name").alias("dst")), "dst_id")
+        .select(
+            "src",
+            "dst",
+            "src_id",
+            "dst_id",
+            (F.coalesce("eb", F.lit(0.0)) * F.lit(factor)).alias("betweenness"),
+        )
+    )
+
+
+def _brandes_delta_sum(
+    spark,
+    adj: DataFrame,
+    sources: DataFrame,
+    edge_acc: list[DataFrame] | None = None,
+) -> DataFrame:
     """Batched Brandes core: forward σ levels + backward δ sweep from
     ``sources(id)`` over the cached out-adjacency ``adj(id, nbr_id)``;
-    returns the raw per-node dependency sum ``(id, betweenness)``."""
+    returns the raw per-node dependency sum ``(id, betweenness)``.
+
+    When ``edge_acc`` is a list, each backward level's per-edge DAG
+    contributions ``(u, v, eb)`` are appended to it (for
+    ``edge_betweenness``); the joined rows are checkpointed once per
+    level and feed both the δ and the per-edge aggregate."""
     from linkgraph.superstep import pick_partitions
 
     # size the 2·diameter supersteps' exchanges to the adjacency volume
@@ -151,19 +222,35 @@ def _brandes_delta_sum(spark, adj: DataFrame, sources: DataFrame) -> DataFrame:
                 F.col("sigma").alias("sigma_w"),
                 F.col("delta").alias("delta_w"),
             )
-            contrib = (
-                cur.join(adj, cur.node == adj.id)
-                .join(
-                    succ,
-                    (F.col("src") == F.col("s2")) & (F.col("nbr_id") == F.col("w")),
+            dag_rows = cur.join(adj, cur.node == adj.id).join(
+                succ,
+                (F.col("src") == F.col("s2")) & (F.col("nbr_id") == F.col("w")),
+            )
+            if edge_acc is not None:
+                # materialize the joined DAG rows once; both aggregates
+                # below read the checkpoint instead of re-running the join
+                dag_rows = dag_rows.select(
+                    "src",
+                    "node",
+                    "w",
+                    (
+                        F.col("sigma") / F.col("sigma_w") * (1.0 + F.col("delta_w"))
+                    ).alias("flow"),
+                ).localCheckpoint()
+                edge_acc.append(
+                    dag_rows.groupBy(
+                        F.col("node").alias("u"), F.col("w").alias("v")
+                    ).agg(F.sum("flow").alias("eb"))
                 )
-                .groupBy("src", "node")
-                .agg(
+                contrib = dag_rows.groupBy("src", "node").agg(
+                    F.sum("flow").alias("delta")
+                )
+            else:
+                contrib = dag_rows.groupBy("src", "node").agg(
                     F.sum(
                         F.col("sigma") / F.col("sigma_w") * (1.0 + F.col("delta_w"))
                     ).alias("delta")
                 )
-            )
             delta = (
                 cur.join(contrib, ["src", "node"], "left")
                 .select(

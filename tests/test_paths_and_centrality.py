@@ -317,3 +317,112 @@ def test_widest_paths_guards(spark):
     with pytest.raises(ValueError, match="weight property"):
         widest_paths(g, "A", "nope")
     assert widest_paths(g, "missing", "weight").count() == 0
+
+
+# ------------------------------------------------------------ edge betweenness
+
+
+def _edge_bw_replay(edges, nodes):
+    """Sequential Brandes with edge accumulation (Girvan-Newman scoring)."""
+    from collections import defaultdict, deque
+
+    adj = defaultdict(list)
+    for u, v in edges:
+        if u != v:
+            adj[u].append(v)
+    eb = defaultdict(float)
+    for s in nodes:
+        # forward
+        dist = {s: 0}
+        sigma = defaultdict(float)
+        sigma[s] = 1.0
+        order = []
+        dq = deque([s])
+        while dq:
+            u = dq.popleft()
+            order.append(u)
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    dq.append(v)
+                if dist[v] == dist[u] + 1:
+                    sigma[v] += sigma[u]
+        # backward
+        delta = defaultdict(float)
+        for u in reversed(order):
+            for v in adj[u]:
+                if dist.get(v) == dist[u] + 1:
+                    c = sigma[u] / sigma[v] * (1.0 + delta[v])
+                    eb[(u, v)] += c
+                    delta[u] += c
+    return eb
+
+
+def test_edge_betweenness_path_with_chord(spark):
+    from linkgraph.algorithms import edge_betweenness
+
+    # directed path 1->2->3->4->5 plus a chord 1->3 (splits sigma at 3)
+    raw = [("1", "2"), ("2", "3"), ("3", "4"), ("4", "5"), ("1", "3")]
+    g = LinkGraph.from_edge_list(
+        spark, [(i, a, b) for i, (a, b) in enumerate(raw)]
+    )
+    got = {
+        (r["src"], r["dst"]): r["betweenness"]
+        for r in edge_betweenness(g).collect()
+    }
+    nodes = {x for e in raw for x in e}
+    want = _edge_bw_replay(raw, nodes)
+    assert set(got) == set(raw)
+    for e in raw:
+        assert got[e] == pytest.approx(want.get(e, 0.0), abs=1e-9)
+    # hand spot-checks: 4->5 carries every path ending at 5 (from 1,2,3,4)
+    assert got[("4", "5")] == pytest.approx(4.0)
+    # 1->2 carries paths 1->2 and half of 1->..->nothing further (3 via
+    # chord): only 1->2 itself => 1.0
+    assert got[("1", "2")] == pytest.approx(1.0)
+
+
+def test_edge_betweenness_self_loop_zero_and_norm(spark):
+    from linkgraph.algorithms import edge_betweenness
+
+    raw = [("a", "b"), ("b", "c"), ("b", "b")]
+    g = LinkGraph.from_edge_list(
+        spark, [(i, a, b) for i, (a, b) in enumerate(raw)]
+    )
+    got = {
+        (r["src"], r["dst"]): r["betweenness"]
+        for r in edge_betweenness(g).collect()
+    }
+    assert got[("b", "b")] == 0.0
+    # a->b: paths a->b, a->c => 2; b->c: a->c, b->c => 2
+    assert got[("a", "b")] == pytest.approx(2.0)
+    assert got[("b", "c")] == pytest.approx(2.0)
+    norm = {
+        (r["src"], r["dst"]): r["betweenness"]
+        for r in edge_betweenness(g, normalized=True).collect()
+    }
+    assert norm[("a", "b")] == pytest.approx(2.0 / 6.0)
+
+
+def test_edge_betweenness_random_replay(spark):
+    import random
+
+    from linkgraph.algorithms import edge_betweenness
+
+    rng = random.Random(11)
+    raw = list({(str(rng.randrange(12)), str(rng.randrange(12))) for _ in range(40)})
+    g = LinkGraph.from_edge_list(
+        spark, [(i, a, b) for i, (a, b) in enumerate(raw)]
+    )
+    got = {
+        (r["src"], r["dst"]): r["betweenness"]
+        for r in edge_betweenness(g).collect()
+    }
+    nodes = {x for e in raw for x in e}
+    want = _edge_bw_replay(raw, nodes)
+    assert set(got) == set(raw)
+    for e in raw:
+        assert got[e] == pytest.approx(want.get(e, 0.0), abs=1e-9)
+    # node betweenness consistency: delta(v) = sum of outgoing DAG edge
+    # flows  =>  node score equals sum over out-edges minus the source
+    # terms; checked implicitly by the replay above
