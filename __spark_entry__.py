@@ -1270,6 +1270,26 @@ def q_orders_association_rules(spark, sf_dir):
     )
 
 
+def q_trade_earliest_arrival(spark, sf_dir):
+    """Multi-source earliest-arrival (foremost) temporal paths on the
+    SYMMETRIZED trade event graph (cust→supp and supp→cust share each
+    order's timestamp) — (source, node, arrival): min event time at which
+    node is time-respectingly reachable.  Label-correction fixpoint;
+    the SQL replay unrolls the same min-merge rounds to the fixpoint
+    with an equality guard."""
+    from linkgraph.algorithms import earliest_arrival_times
+    from linkgraph.graph import LinkGraph
+
+    ed = _trade_edges_t(spark, sf_dir).select("src", "dst", "time")
+    sym = ed.unionByName(
+        ed.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "time")
+    )
+    g = LinkGraph(sym)
+    return earliest_arrival_times(
+        g, ["1", "19", "1000003"], max_rounds=32
+    ).select("source", "node", "arrival")
+
+
 def q_transition_edge_betweenness(spark, sf_dir):
     """Girvan–Newman edge betweenness (all sources, unnormalized) on the
     event-type transition digraph — per-edge shortest-path flow
@@ -2543,6 +2563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_association_rules": q_orders_association_rules,
         "trade_onion": q_trade_onion,
         "transition_edge_betweenness": q_transition_edge_betweenness,
+        "trade_earliest_arrival": q_trade_earliest_arrival,
         # round-3-green buffer (driver re-confirmation, newest first)
         "trade_closeness": q_trade_closeness,
         "trade_neighbor_sample": q_trade_neighbor_sample,
@@ -3478,6 +3499,52 @@ def _spinner_oracle_sql(
         f"WITH {_TRADE_ED}, {_TRADE_NODES}, {_TRADE_UND},\n"
         + ",\n".join(stages)
         + f"\nSELECT id AS node, part FROM l{rounds}"
+    )
+
+
+def _earliest_arrival_oracle_sql(rounds: int, seeds: list[int]) -> str:
+    """Round-unrolled foremost-path label correction on the symmetrized
+    trade event graph — per round each (source, node) label min-merges
+    candidate arrivals over events with t ≥ arrival; errors loudly if the
+    final two rounds differ (fixpoint not reached within the unroll)."""
+    seed_rows = ", ".join(f"({s})" for s in seeds)
+    stages = [
+        """eat AS MATERIALIZED (
+  SELECT o_custkey AS u, 1000000 + l_suppkey AS v,
+         epoch_ms(o_orderdate::TIMESTAMP) AS t
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  UNION ALL
+  SELECT 1000000 + l_suppkey, o_custkey, epoch_ms(o_orderdate::TIMESTAMP)
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+)""",
+        f"""ea0 AS MATERIALIZED (
+  SELECT s.source::BIGINT AS source, s.source::BIGINT AS node,
+         (SELECT min(t) FROM eat)::BIGINT AS arrival
+  FROM (VALUES {seed_rows}) s(source)
+)""",
+    ]
+    for r in range(1, rounds + 1):
+        stages.append(
+            f"""ea{r} AS MATERIALIZED (
+  SELECT source, node, min(arrival)::BIGINT AS arrival FROM (
+    SELECT source, node, arrival FROM ea{r-1}
+    UNION ALL
+    SELECT a.source, e.v AS node, e.t AS arrival
+    FROM ea{r-1} a JOIN eat e ON e.u = a.node AND e.t >= a.arrival
+  ) GROUP BY source, node
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(stages)
+        + f"""
+SELECT source, node, arrival FROM ea{rounds}
+UNION ALL
+SELECT CAST(error('earliest-arrival oracle: {rounds}-round unroll '
+                  'insufficient') AS BIGINT), NULL, NULL
+WHERE (SELECT count(*) || '|' || sum(arrival) FROM ea{rounds})
+   <> (SELECT count(*) || '|' || sum(arrival) FROM ea{rounds - 1})
+"""
     )
 
 
@@ -6532,6 +6599,10 @@ FROM tot
     sqls["trade_coloring"] = _coloring_oracle_sql(12, seed=42)
 
     sqls["trade_onion"] = _onion_oracle_sql(52)
+
+    sqls["trade_earliest_arrival"] = _earliest_arrival_oracle_sql(
+        16, seeds=[1, 19, 1000003]
+    )
 
     sqls["trade_spinner"] = _spinner_oracle_sql(6, k=4, seed=42)
 

@@ -196,6 +196,7 @@ def main() -> None:
         "orders_association_rules",
         "trade_onion",
         "transition_edge_betweenness",
+        "trade_earliest_arrival",
     ]
     # untimed warmup at the smallest scale factor: run every headline query
     # once over sf0.001 so whole-stage-codegen compilation, the parquet

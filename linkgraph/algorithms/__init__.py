@@ -80,6 +80,7 @@ from linkgraph.algorithms.pagerank import (
 from linkgraph.algorithms.seir import temporal_seir
 from linkgraph.algorithms.paths import (
     dijkstra_single_source_shortest_paths,
+    earliest_arrival_times,
     single_source_shortest_path,
     temporally_reachable_nodes,
 )
@@ -108,6 +109,7 @@ __all__ = [
     "decayed_pagerank",
     "degree_assortativity",
     "dijkstra_single_source_shortest_paths",
+    "earliest_arrival_times",
     "effective_diameter",
     "eigenvector_centrality",
     "multi_source_bfs",

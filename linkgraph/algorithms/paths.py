@@ -373,3 +373,112 @@ def temporally_reachable_nodes(
             ).alias("history"),
         )
     )
+
+
+def earliest_arrival_times(
+    graph: LinkGraph,
+    sources: list[str],
+    start_time: int | None = None,
+    strict: bool = False,
+    max_rounds: int = 64,
+) -> DataFrame:
+    """Multi-source earliest-arrival (foremost) temporal paths —
+    ``(source, node, arrival)`` for every (source, reachable node) pair.
+
+    A time-respecting path uses edge EVENTS in non-decreasing time order
+    (``strict=True`` requires strictly increasing — no two hops in the
+    same instant); ``arrival(s, v)`` is the minimum event time at which v
+    is reachable from s (s itself arrives at ``start_time``, default the
+    graph's earliest event).  This is the foremost-path distance of the
+    temporal-graph literature (Wu et al., VLDB 2014) and the fixpoint the
+    taint BFS's ``earliest`` column approaches hop-bounded
+    (temporal_reachability.rs:69-204) — here run to convergence with no
+    hop cap.
+
+    Distributed shape: Bellman-Ford-style label correction batched over
+    ALL sources — state keyed ``(source, node)`` (the Brandes batching
+    discipline); per round ONE join of the state against the cached
+    event table (``t ≥/> arrival``), one min-aggregate, one merge.
+    Labels are monotone non-increasing and row count monotone
+    non-decreasing, so the (count, sum) pair is the convergence check in
+    a single driver action.  Rounds ≤ temporal diameter; the loud
+    ``max_rounds`` guard replaces silent truncation.
+    """
+    from linkgraph.graph import name_to_id
+
+    spark = graph.spark
+    if not sources:
+        return spark.createDataFrame([], "source long, node long, arrival long")
+    from linkgraph.superstep import pick_partitions
+
+    ev_raw = graph.edges_t.select(
+        name_to_id(F.col("src")).alias("u"),
+        name_to_id(F.col("dst")).alias("v"),
+        F.col("time").cast("long").alias("t"),
+    ).persist()
+    t0 = start_time
+    if t0 is None:
+        t0 = ev_raw.agg(F.min("t")).first()[0]
+        if t0 is None:
+            ev_raw.unpersist()
+            return spark.createDataFrame([], "source long, node long, arrival long")
+    P = pick_partitions(spark, ev_raw.count())
+    with iteration_conf(spark, shuffle_partitions=P):
+        # events are the big static side: hash-partition once on the join
+        # key so each round re-shuffles only the (source, node) state
+        ev = (
+            ev_raw.filter(F.col("t") >= F.lit(int(t0)))
+            .repartition(P, "u")
+            .sortWithinPartitions("u")
+            .persist()
+        )
+        ev.count()
+        ev_raw.unpersist()
+
+        seed_names = sorted({str(s) for s in sources})
+        seeds = (
+            graph.ids()
+            .filter(F.col("name").isin(seed_names))
+            .select(F.col("id").alias("source"))
+        )
+        state = seeds.select(
+            "source",
+            F.col("source").alias("node"),
+            F.lit(int(t0)).cast("long").alias("arrival"),
+        ).localCheckpoint(eager=True)
+        n_rows, tot = state.agg(F.count("*"), F.sum("arrival")).first()
+        cmp_op = (lambda t, a: t > a) if strict else (lambda t, a: t >= a)
+        rounds = 0
+        while True:
+            rounds += 1
+            if rounds > max_rounds:
+                raise RuntimeError(
+                    f"earliest_arrival_times: not converged after "
+                    f"{max_rounds} rounds — raise max_rounds"
+                )
+            cand = (
+                state.join(ev, state.node == ev.u)
+                .filter(cmp_op(F.col("t"), F.col("arrival")))
+                .groupBy("source", F.col("v").alias("node"))
+                .agg(F.min("t").alias("cand"))
+            )
+            new_state = (
+                state.join(cand, ["source", "node"], "full")
+                .select(
+                    "source",
+                    "node",
+                    # Spark least() skips NULLs — a side missing from the
+                    # full join contributes nothing to the min
+                    F.least("arrival", "cand").alias("arrival"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            new_rows, new_tot = new_state.agg(
+                F.count("*"), F.sum("arrival")
+            ).first()
+            state = new_state
+            if new_rows == n_rows and new_tot == tot:
+                break
+            n_rows, tot = new_rows, new_tot
+        ev.unpersist()
+    return state

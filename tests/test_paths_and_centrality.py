@@ -426,3 +426,100 @@ def test_edge_betweenness_random_replay(spark):
     # node betweenness consistency: delta(v) = sum of outgoing DAG edge
     # flows  =>  node score equals sum over out-edges minus the source
     # terms; checked implicitly by the replay above
+
+
+# ------------------------------------------------------- earliest arrival
+
+
+def _ea_replay(events, sources, t0, strict=False):
+    """Sequential foremost-path label correction."""
+    arr = {(s, s): t0 for s in sources}
+    changed = True
+    while changed:
+        changed = False
+        for u, v, t in events:
+            if t < t0:
+                continue
+            for s in sources:
+                au = arr.get((s, u))
+                if au is None:
+                    continue
+                if (t > au) if strict else (t >= au):
+                    cur = arr.get((s, v))
+                    if cur is None or t < cur:
+                        arr[(s, v)] = t
+                        changed = True
+    return arr
+
+
+EA_EVENTS = [
+    # (time, src, dst): diamond with a late shortcut and a dead-end in time
+    (10, "a", "b"), (20, "b", "c"), (15, "a", "d"), (12, "d", "c"),
+    (5, "c", "e"),   # too early: usable only from sources arriving <= 5
+    (30, "c", "e"), (10, "x", "a"),
+]
+
+
+def test_earliest_arrival_diamond(spark):
+    from linkgraph.algorithms import earliest_arrival_times
+    from linkgraph.graph import LinkGraph, name_to_id
+
+    g = LinkGraph.from_edge_list(
+        spark, [(t, s, d) for (t, s, d) in EA_EVENTS]
+    )
+    out = earliest_arrival_times(g, ["a", "x"])
+    id_of = {r["name"]: r["id"] for r in g.ids().collect()}
+    got = {(r["source"], r["node"]): r["arrival"] for r in out.collect()}
+    want = _ea_replay([(s, d, t) for (t, s, d) in EA_EVENTS], ["a", "x"], 5)
+    want_ids = {(id_of[s], id_of[v]): t for (s, v), t in want.items()}
+    assert got == want_ids
+    # hand checks: the d->c event (t=12) predates arrival at d (15), so
+    # c is reached via b at 20; e then needs t>=20 -> the t=30 event
+    assert got[(id_of["a"], id_of["c"])] == 20
+    assert got[(id_of["a"], id_of["e"])] == 30
+    # x reaches a at 10, then b requires t>=10 -> 10? edge (a,b) at 10: ok
+    assert got[(id_of["x"], id_of["b"])] == 10
+
+
+def test_earliest_arrival_strict(spark):
+    from linkgraph.algorithms import earliest_arrival_times
+    from linkgraph.graph import LinkGraph
+
+    # strict: two hops cannot share an instant (start before the first
+    # event so the seed's own t=10 edge stays usable under t > arrival)
+    ev = [(10, "p", "q"), (10, "q", "r"), (11, "q", "r2")]
+    g = LinkGraph.from_edge_list(spark, ev)
+    id_of = {r["name"]: r["id"] for r in g.ids().collect()}
+    got = {
+        (r["source"], r["node"]): r["arrival"]
+        for r in earliest_arrival_times(
+            g, ["p"], start_time=9, strict=True
+        ).collect()
+    }
+    assert (id_of["p"], id_of["r"]) not in got       # 10 then 10 blocked
+    assert got[(id_of["p"], id_of["r2"])] == 11      # 10 then 11 fine
+    loose = {
+        (r["source"], r["node"]): r["arrival"]
+        for r in earliest_arrival_times(g, ["p"]).collect()
+    }
+    assert loose[(id_of["p"], id_of["r"])] == 10
+
+
+def test_earliest_arrival_start_time_and_guard(spark):
+    from linkgraph.algorithms import earliest_arrival_times
+    from linkgraph.graph import LinkGraph
+
+    ev = [(10, "a", "b"), (20, "b", "c")]
+    g = LinkGraph.from_edge_list(spark, ev)
+    id_of = {r["name"]: r["id"] for r in g.ids().collect()}
+    # start after the first edge: a can no longer reach b via t=10
+    got = {
+        (r["source"], r["node"]): r["arrival"]
+        for r in earliest_arrival_times(g, ["a"], start_time=11).collect()
+    }
+    assert got == {(id_of["a"], id_of["a"]): 11}
+    with pytest.raises(RuntimeError, match="not converged"):
+        chain = [(i, str(i), str(i + 1)) for i in range(10)]
+        earliest_arrival_times(
+            LinkGraph.from_edge_list(spark, chain), ["0"], max_rounds=2
+        )
