@@ -1270,6 +1270,37 @@ def q_orders_association_rules(spark, sf_dir):
     )
 
 
+def q_docs_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking over the documents corpus — (doc_id,
+    chunk_idx, start_tok, n_tokens, chunk_hash): boundaries from quenched
+    60-bit token hashes mod target, so edits shift only adjacent chunks;
+    entirely map-only (no shuffle), bit-exact SQL replay."""
+    from linkgraph.pipeline.packing import cdc_chunks
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return cdc_chunks(docs, target_tokens=32)
+
+
+def q_transition_simrank(spark, sf_dir):
+    """SimRank (c=0.8, 4 rounds) on the event-type transition digraph —
+    (a, b, score) name-canonical pairs; diagonal-implicit pair
+    propagation replayed round-for-round in SQL."""
+    from linkgraph.algorithms import simrank
+
+    g = _transition_graph(spark, sf_dir)
+    ids = g.ids()
+    out = simrank(g, c=0.8, iterations=4)
+    return (
+        out.join(ids.select(F.col("id").alias("a"), F.col("name").alias("na")), "a")
+        .join(ids.select(F.col("id").alias("b"), F.col("name").alias("nb")), "b")
+        .select(
+            F.least("na", "nb").alias("a"),
+            F.greatest("na", "nb").alias("b"),
+            F.round("score", 6).alias("score"),
+        )
+    )
+
+
 def q_trade_earliest_arrival(spark, sf_dir):
     """Multi-source earliest-arrival (foremost) temporal paths on the
     SYMMETRIZED trade event graph (cust→supp and supp→cust share each
@@ -1288,6 +1319,24 @@ def q_trade_earliest_arrival(spark, sf_dir):
     return earliest_arrival_times(
         g, ["1", "19", "1000003"], max_rounds=32
     ).select("source", "node", "arrival")
+
+
+def q_trade_latest_departure(spark, sf_dir):
+    """Reverse-foremost temporal paths (latest departure still reaching
+    the target set) on the symmetrized trade event graph — (target, node,
+    departure); the max-merge dual of trade_earliest_arrival, replayed
+    with the same unrolled label-correction rounds."""
+    from linkgraph.algorithms import latest_departure_times
+    from linkgraph.graph import LinkGraph
+
+    ed = _trade_edges_t(spark, sf_dir).select("src", "dst", "time")
+    sym = ed.unionByName(
+        ed.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "time")
+    )
+    g = LinkGraph(sym)
+    return latest_departure_times(
+        g, ["1", "19", "1000003"], max_rounds=32
+    ).select("target", "node", "departure")
 
 
 def q_transition_edge_betweenness(spark, sf_dir):
@@ -1312,7 +1361,9 @@ def q_trade_onion(spark, sf_dir):
     from linkgraph.algorithms import onion_layers
 
     g = _trade_graph(spark, sf_dir)
-    return onion_layers(g, max_rounds=52).select(
+    # 46 layers at sf0.01 (oracle unrolls 52 with its own loud guard);
+    # 68 at sf0.1 (bench tier) — the Spark cap covers both with slack
+    return onion_layers(g, max_rounds=128).select(
         F.col("id").alias("node"), "layer", "coreness"
     )
 
@@ -2564,6 +2615,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trade_onion": q_trade_onion,
         "transition_edge_betweenness": q_transition_edge_betweenness,
         "trade_earliest_arrival": q_trade_earliest_arrival,
+        "transition_simrank": q_transition_simrank,
+        "docs_cdc_chunks": q_docs_cdc_chunks,
+        "trade_latest_departure": q_trade_latest_departure,
         # round-3-green buffer (driver re-confirmation, newest first)
         "trade_closeness": q_trade_closeness,
         "trade_neighbor_sample": q_trade_neighbor_sample,
@@ -3502,6 +3556,53 @@ def _spinner_oracle_sql(
     )
 
 
+def _simrank_oracle_sql(rounds: int, c: float = 0.8) -> str:
+    """Round-unrolled SimRank on the transition digraph — per round the
+    pair sum is the constant common-in-neighbour diagonal term plus the
+    previous round's off-diagonal state propagated through the
+    O(i)×O(j) product (each unordered assignment realised once), scaled
+    by c/(|I(a)||I(b)|)."""
+    stages = [
+        "sr_in AS MATERIALIZED (SELECT DISTINCT dst AS node, src AS inn FROM tr_ed)",
+        "sr_din AS MATERIALIZED (SELECT node, count(*) AS din FROM sr_in GROUP BY node)",
+        """sr_common AS MATERIALIZED (
+  SELECT x.node AS a, y.node AS b, count(*)::DOUBLE AS s
+  FROM sr_in x JOIN sr_in y ON x.inn = y.inn AND x.node < y.node
+  GROUP BY x.node, y.node
+)""",
+        f"""sr1 AS MATERIALIZED (
+  SELECT c.a, c.b, {c} * c.s / (da.din * db.din) AS score
+  FROM sr_common c
+  JOIN sr_din da ON da.node = c.a JOIN sr_din db ON db.node = c.b
+)""",
+    ]
+    for r in range(2, rounds + 1):
+        stages.append(
+            f"""sr{r} AS MATERIALIZED (
+  SELECT t.a, t.b, {c} * sum(t.s) / (any_value(da.din) * any_value(db.din)) AS score
+  FROM (
+    SELECT a, b, s FROM sr_common
+    UNION ALL
+    SELECT least(u.node, v.node) AS a, greatest(u.node, v.node) AS b,
+           p.score AS s
+    FROM sr{r-1} p
+    JOIN sr_in u ON u.inn = p.a
+    JOIN sr_in v ON v.inn = p.b
+    WHERE u.node <> v.node
+  ) t
+  JOIN sr_din da ON da.node = t.a JOIN sr_din db ON db.node = t.b
+  GROUP BY t.a, t.b
+)"""
+        )
+    return (
+        f"WITH {_TRANSITION_ED},\n"
+        + ",\n".join(stages)
+        + f"""
+SELECT a, b, round(score, 6) AS score FROM sr{rounds}
+"""
+    )
+
+
 def _earliest_arrival_oracle_sql(rounds: int, seeds: list[int]) -> str:
     """Round-unrolled foremost-path label correction on the symmetrized
     trade event graph — per round each (source, node) label min-merges
@@ -3544,6 +3645,51 @@ SELECT CAST(error('earliest-arrival oracle: {rounds}-round unroll '
                   'insufficient') AS BIGINT), NULL, NULL
 WHERE (SELECT count(*) || '|' || sum(arrival) FROM ea{rounds})
    <> (SELECT count(*) || '|' || sum(arrival) FROM ea{rounds - 1})
+"""
+    )
+
+
+def _latest_departure_oracle_sql(rounds: int, targets: list[int]) -> str:
+    """Round-unrolled reverse-foremost label correction on the symmetrized
+    trade event graph — max-merge dual of the earliest-arrival oracle;
+    errors loudly if the final two rounds differ."""
+    seed_rows = ", ".join(f"({s})" for s in targets)
+    stages = [
+        """ldt AS MATERIALIZED (
+  SELECT o_custkey AS u, 1000000 + l_suppkey AS v,
+         epoch_ms(o_orderdate::TIMESTAMP) AS t
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  UNION ALL
+  SELECT 1000000 + l_suppkey, o_custkey, epoch_ms(o_orderdate::TIMESTAMP)
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+)""",
+        f"""ld0 AS MATERIALIZED (
+  SELECT s.target::BIGINT AS target, s.target::BIGINT AS node,
+         (SELECT max(t) FROM ldt)::BIGINT AS departure
+  FROM (VALUES {seed_rows}) s(target)
+)""",
+    ]
+    for r in range(1, rounds + 1):
+        stages.append(
+            f"""ld{r} AS MATERIALIZED (
+  SELECT target, node, max(departure)::BIGINT AS departure FROM (
+    SELECT target, node, departure FROM ld{r-1}
+    UNION ALL
+    SELECT a.target, e.u AS node, e.t AS departure
+    FROM ld{r-1} a JOIN ldt e ON e.v = a.node AND e.t <= a.departure
+  ) GROUP BY target, node
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(stages)
+        + f"""
+SELECT target, node, departure FROM ld{rounds}
+UNION ALL
+SELECT CAST(error('latest-departure oracle: {rounds}-round unroll '
+                  'insufficient') AS BIGINT), NULL, NULL
+WHERE (SELECT count(*) || '|' || sum(departure) FROM ld{rounds})
+   <> (SELECT count(*) || '|' || sum(departure) FROM ld{rounds - 1})
 """
     )
 
@@ -6603,6 +6749,50 @@ FROM tot
     sqls["trade_earliest_arrival"] = _earliest_arrival_oracle_sql(
         16, seeds=[1, 19, 1000003]
     )
+
+    sqls["transition_simrank"] = _simrank_oracle_sql(4, c=0.8)
+
+    sqls["trade_latest_departure"] = _latest_departure_oracle_sql(
+        16, targets=[1, 19, 1000003]
+    )
+
+    # content-defined chunking: boundary tokens by 60-bit md5 mod 32 (final
+    # token forced), chunks via inclusive 1-based list slices; identical
+    # tokeniser/hash/joiner to the Spark expressions
+    sqls["docs_cdc_chunks"] = r"""
+WITH d AS (
+  SELECT doc_id,
+         regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]') AS toks
+  FROM documents
+),
+f AS (
+  SELECT doc_id, toks,
+         list_filter(
+           range(1, len(toks) + 1),
+           i -> (('0x' || substr(md5('cdc:' || toks[i::INT]), 1, 15))::BIGINT
+                 % 32 = 0) OR i = len(toks)
+         ) AS bpos
+  FROM d WHERE len(toks) > 0
+),
+u AS (
+  SELECT doc_id, toks, bpos,
+         unnest(range(1, len(bpos) + 1)) AS k
+  FROM f
+),
+c AS (
+  SELECT doc_id, k,
+         CASE WHEN k = 1 THEN 1 ELSE bpos[(k - 1)::INT] + 1 END AS st,
+         bpos[k::INT] AS en, toks
+  FROM u
+)
+SELECT doc_id,
+       (k - 1)::BIGINT AS chunk_idx,
+       st::BIGINT AS start_tok,
+       (en - st + 1)::BIGINT AS n_tokens,
+       ('0x' || substr(md5(array_to_string(toks[st::INT : en::INT], chr(31))),
+                       1, 15))::BIGINT AS chunk_hash
+FROM c
+"""
 
     sqls["trade_spinner"] = _spinner_oracle_sql(6, k=4, seed=42)
 

@@ -197,6 +197,9 @@ def main() -> None:
         "trade_onion",
         "transition_edge_betweenness",
         "trade_earliest_arrival",
+        "trade_latest_departure",
+        "transition_simrank",
+        "docs_cdc_chunks",
     ]
     # untimed warmup at the smallest scale factor: run every headline query
     # once over sf0.001 so whole-stage-codegen compilation, the parquet

@@ -63,6 +63,7 @@ from linkgraph.algorithms.kcore import (
 from linkgraph.algorithms.linkpred import (
     degree_assortativity,
     link_prediction_scores,
+    simrank,
     nominal_assortativity,
 )
 from linkgraph.algorithms.mst import edge_event_weights, minimum_spanning_forest
@@ -81,6 +82,7 @@ from linkgraph.algorithms.seir import temporal_seir
 from linkgraph.algorithms.paths import (
     dijkstra_single_source_shortest_paths,
     earliest_arrival_times,
+    latest_departure_times,
     single_source_shortest_path,
     temporally_reachable_nodes,
 )
@@ -110,6 +112,7 @@ __all__ = [
     "degree_assortativity",
     "dijkstra_single_source_shortest_paths",
     "earliest_arrival_times",
+    "latest_departure_times",
     "effective_diameter",
     "eigenvector_centrality",
     "multi_source_bfs",
@@ -150,6 +153,7 @@ __all__ = [
     "k_core_subgraph",
     "label_propagation",
     "link_prediction_scores",
+    "simrank",
     "louvain",
     "minimum_spanning_forest",
     "edge_event_weights",

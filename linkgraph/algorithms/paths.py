@@ -482,3 +482,105 @@ def earliest_arrival_times(
             n_rows, tot = new_rows, new_tot
         ev.unpersist()
     return state
+
+
+def latest_departure_times(
+    graph: LinkGraph,
+    targets: list[str],
+    end_time: int | None = None,
+    strict: bool = False,
+    max_rounds: int = 64,
+) -> DataFrame:
+    """Reverse-foremost temporal paths — ``(target, node, departure)``:
+    the LATEST time one can leave ``node`` and still reach ``target``
+    through a time-respecting path ending by ``end_time`` (default the
+    graph's latest event; the target itself departs at ``end_time``).
+
+    The exact dual of :func:`earliest_arrival_times` (Wu et al., VLDB
+    2014 call it reverse-foremost): labels are monotone non-DEcreasing
+    maxima, propagated BACKWARD along events — an event ``(u, v, t)``
+    lets u depart at ``t`` whenever ``t ≤ departure(v)`` (``<`` under
+    ``strict``).  Together the two give per-pair travel windows
+    (``arrival − departure`` bounds the fastest-path duration).
+
+    Same distributed shape as the forward op: events hash-partitioned
+    once on the REVERSE join key, per round one state join + max-merge,
+    (count, sum) convergence pair, loud ``max_rounds`` guard.
+    """
+    from linkgraph.graph import name_to_id
+
+    spark = graph.spark
+    if not targets:
+        return spark.createDataFrame([], "target long, node long, departure long")
+    from linkgraph.superstep import iteration_conf, pick_partitions
+
+    ev_raw = graph.edges_t.select(
+        name_to_id(F.col("src")).alias("u"),
+        name_to_id(F.col("dst")).alias("v"),
+        F.col("time").cast("long").alias("t"),
+    ).persist()
+    t1 = end_time
+    if t1 is None:
+        t1 = ev_raw.agg(F.max("t")).first()[0]
+        if t1 is None:
+            ev_raw.unpersist()
+            return spark.createDataFrame(
+                [], "target long, node long, departure long"
+            )
+    P = pick_partitions(spark, ev_raw.count())
+    with iteration_conf(spark, shuffle_partitions=P):
+        ev = (
+            ev_raw.filter(F.col("t") <= F.lit(int(t1)))
+            .repartition(P, "v")
+            .sortWithinPartitions("v")
+            .persist()
+        )
+        ev.count()
+        ev_raw.unpersist()
+
+        names = sorted({str(s) for s in targets})
+        seeds = (
+            graph.ids()
+            .filter(F.col("name").isin(names))
+            .select(F.col("id").alias("target"))
+        )
+        state = seeds.select(
+            "target",
+            F.col("target").alias("node"),
+            F.lit(int(t1)).cast("long").alias("departure"),
+        ).localCheckpoint(eager=True)
+        n_rows, tot = state.agg(F.count("*"), F.sum("departure")).first()
+        cmp_op = (lambda t, d: t < d) if strict else (lambda t, d: t <= d)
+        rounds = 0
+        while True:
+            rounds += 1
+            if rounds > max_rounds:
+                raise RuntimeError(
+                    f"latest_departure_times: not converged after "
+                    f"{max_rounds} rounds — raise max_rounds"
+                )
+            cand = (
+                state.join(ev, state.node == ev.v)
+                .filter(cmp_op(F.col("t"), F.col("departure")))
+                .groupBy("target", F.col("u").alias("node"))
+                .agg(F.max("t").alias("cand"))
+            )
+            new_state = (
+                state.join(cand, ["target", "node"], "full")
+                .select(
+                    "target",
+                    "node",
+                    # greatest() skips NULLs, mirroring least() forward
+                    F.greatest("departure", "cand").alias("departure"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            new_rows, new_tot = new_state.agg(
+                F.count("*"), F.sum("departure")
+            ).first()
+            state = new_state
+            if new_rows == n_rows and new_tot == tot:
+                break
+            n_rows, tot = new_rows, new_tot
+        ev.unpersist()
+    return state

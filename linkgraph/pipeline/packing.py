@@ -224,3 +224,110 @@ def length_buckets(
             ).alias("pad_tokens"),
         )
     )
+
+
+def cdc_chunks(
+    docs: DataFrame,
+    target_tokens: int = 64,
+    salt: str = "cdc",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Content-defined chunking — ``(doc_id, chunk_idx, start_tok,
+    n_tokens, chunk_hash)``, one row per chunk.
+
+    A token ENDS a chunk when its 60-bit quenched hash
+    ``md5('<salt>:' + token)`` is ``≡ 0 (mod target_tokens)`` — a
+    boundary decided by local content only, so inserting or deleting a
+    sentence shifts at most the two adjacent chunks while every other
+    chunk (and its hash) survives byte-identical.  That is the property
+    fixed-stride chunking (``chunk_text`` above) lacks and the reason
+    storage dedup systems cut content-defined (Muthitacharoen et al.,
+    LBFS, SOSP 2001 — here in Rabin-free md5 form so the rule replays
+    bit-exactly in any engine).  Expected chunk length =
+    ``target_tokens``; the final token always closes the last chunk.
+    ``chunk_hash`` is the 60-bit md5 of the chunk's tokens joined by the
+    unit separator — equal hash ⇔ equal token content, the cross-doc
+    dedup join key.
+
+    Scale shape: ENTIRELY map-only — tokenise, hash-test and collect
+    boundary positions as array expressions, then explode one row per
+    chunk with array-slice arithmetic; no window, no shuffle, fuses into
+    the parquet scan (same discipline as ``chunk_text``).  Min/max chunk
+    guards are deliberately omitted: they would make boundary eligibility
+    depend on the previous boundary (sequential state); the unguarded
+    rule is the one that stays embarrassingly parallel, and pathological
+    short/long chunks are bounded in expectation by the geometric gap
+    distribution.
+    """
+    if target_tokens < 2:
+        raise ValueError("target_tokens must be >= 2")
+    from linkgraph.pipeline.textstats import TOKEN_RE
+
+    div = int(target_tokens)
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), 0)
+    tok_h = (
+        lambda t: F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt + ":"), t)), 1, 15), 16, 10
+        ).cast("long")
+    )
+    with_b = (
+        docs.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
+        .withColumn("n", F.size("toks"))
+        .filter(F.col("n") > 0)
+        # 1-based positions whose token closes a chunk, with the final
+        # token forced closed.  The when() guard is load-bearing even
+        # after the n > 0 filter: Catalyst collapses the projection into
+        # the filter's stage and sequence(1, 0) descends ([1, 0], step
+        # defaults to -1), indexing the empty array under ANSI
+        .withColumn(
+            "bpos",
+            F.when(
+                F.col("n") > 0,
+                F.filter(
+                    F.sequence(F.lit(1), F.col("n")),
+                    lambda i: (tok_h(F.element_at("toks", i)) % div == 0)
+                    | (i == F.col("n")),
+                ),
+            ).otherwise(F.array().cast("array<int>")),
+        )
+    )
+    return with_b.select(
+        "doc_id",
+        F.posexplode("bpos").alias("chunk_idx", "end_tok"),
+        F.col("bpos"),
+        F.col("toks"),
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        F.when(F.col("chunk_idx") == 0, F.lit(1))
+        .otherwise(F.element_at("bpos", F.col("chunk_idx")) + 1)
+        .alias("start_tok"),
+        "end_tok",
+        "toks",
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("start_tok").cast("long").alias("start_tok"),
+        (F.col("end_tok") - F.col("start_tok") + 1).cast("long").alias("n_tokens"),
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.array_join(
+                        F.slice(
+                            "toks",
+                            F.col("start_tok"),
+                            F.col("end_tok") - F.col("start_tok") + 1,
+                        ),
+                        "\x1f",
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("chunk_hash"),
+    )

@@ -8,6 +8,8 @@ BOTH-deduplicated simple graph the reference algorithms use.
 
 import math
 import random
+
+import pytest
 from collections import defaultdict
 
 from linkgraph.algorithms import degree_assortativity, link_prediction_scores
@@ -115,3 +117,74 @@ def test_assortativity_randomized_vs_oracle(spark):
     r = degree_assortativity(g).first()["assortativity"]
     want = _assortativity_oracle([(int(s), int(d)) for _, s, d in edges])
     assert abs(r - want) < 1e-9
+
+
+# ---------------------------------------------------------------- simrank
+
+
+def _simrank_replay(edges, c, iters):
+    """Dense reference SimRank over in-neighbour sets."""
+    nodes = sorted({x for e in edges for x in e})
+    inn = {v: sorted({u for (u, w) in edges if w == v}) for v in nodes}
+    s = {(u, v): (1.0 if u == v else 0.0) for u in nodes for v in nodes}
+    for _ in range(iters):
+        ns = {}
+        for a in nodes:
+            for b in nodes:
+                if a == b:
+                    ns[(a, b)] = 1.0
+                elif inn[a] and inn[b]:
+                    tot = sum(s[(i, j)] for i in inn[a] for j in inn[b])
+                    ns[(a, b)] = c * tot / (len(inn[a]) * len(inn[b]))
+                else:
+                    ns[(a, b)] = 0.0
+        s = ns
+    return s
+
+
+def test_simrank_matches_dense_replay(spark):
+    from linkgraph.algorithms import simrank
+    from linkgraph.graph import LinkGraph
+
+    # the Jeh-Widom university example shape: two "professors" pointing
+    # at shared "students", plus a cycle for multi-round dynamics
+    raw = [("u", "p1"), ("u", "p2"), ("p1", "s1"), ("p2", "s1"),
+           ("p1", "s2"), ("p2", "s3"), ("s1", "u"), ("s2", "u")]
+    g = LinkGraph.from_edge_list(
+        spark, [(i, a, b) for i, (a, b) in enumerate(raw)]
+    )
+    id_of = {r["name"]: r["id"] for r in g.ids().collect()}
+    for iters in (1, 3, 5):
+        got = {
+            (r["a"], r["b"]): r["score"]
+            for r in simrank(g, c=0.8, iterations=iters).collect()
+        }
+        want = _simrank_replay(raw, 0.8, iters)
+        for (na, nb), sc in want.items():
+            if na >= nb:
+                continue
+            ia, ib = id_of[na], id_of[nb]
+            key = (min(ia, ib), max(ia, ib))
+            assert got.get(key, 0.0) == pytest.approx(sc, abs=1e-9), (
+                na, nb, iters
+            )
+
+
+def test_simrank_round1_closed_form(spark):
+    from linkgraph.algorithms import simrank
+    from linkgraph.graph import LinkGraph
+
+    # p1, p2 share 1 of their 2/1 in-neighbours
+    raw = [("x", "p1"), ("y", "p1"), ("x", "p2")]
+    g = LinkGraph.from_edge_list(
+        spark, [(i, a, b) for i, (a, b) in enumerate(raw)]
+    )
+    id_of = {r["name"]: r["id"] for r in g.ids().collect()}
+    got = {
+        (r["a"], r["b"]): r["score"]
+        for r in simrank(g, c=0.6, iterations=1).collect()
+    }
+    ia, ib = sorted([id_of["p1"], id_of["p2"]])
+    assert got[(ia, ib)] == pytest.approx(0.6 * 1 / (2 * 1))
+    with pytest.raises(ValueError):
+        simrank(g, c=1.5)

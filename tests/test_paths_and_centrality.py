@@ -523,3 +523,70 @@ def test_earliest_arrival_start_time_and_guard(spark):
         earliest_arrival_times(
             LinkGraph.from_edge_list(spark, chain), ["0"], max_rounds=2
         )
+
+
+def test_latest_departure_relay(spark):
+    from linkgraph.algorithms import latest_departure_times
+    from linkgraph.graph import LinkGraph
+
+    # relay into t: leave a by 10 -> b by 20 -> t; a's t=30 edge to b is
+    # too late to use b->t (t=20)
+    ev = [(10, "a", "b"), (20, "b", "t"), (30, "a", "b"), (25, "c", "t")]
+    g = LinkGraph.from_edge_list(spark, ev)
+    id_of = {r["name"]: r["id"] for r in g.ids().collect()}
+    got = {
+        (r["target"], r["node"]): r["departure"]
+        for r in latest_departure_times(g, ["t"]).collect()
+    }
+    it = id_of["t"]
+    assert got[(it, it)] == 30            # end_time = latest event
+    assert got[(it, id_of["b"])] == 20    # b departs on its own edge
+    assert got[(it, id_of["a"])] == 10    # via b: must use the t=10 edge
+    assert got[(it, id_of["c"])] == 25
+
+
+def test_latest_departure_duality_with_earliest(spark):
+    import random
+
+    from linkgraph.algorithms import (
+        earliest_arrival_times,
+        latest_departure_times,
+    )
+    from linkgraph.graph import LinkGraph
+
+    rng = random.Random(13)
+    ev = [
+        (rng.randrange(100), str(rng.randrange(8)), str(rng.randrange(8)))
+        for _ in range(40)
+    ]
+    g = LinkGraph.from_edge_list(spark, ev)
+    id_of = {r["name"]: r["id"] for r in g.ids().collect()}
+    # duality: v reachable from s by time T  <=>  s can depart for v
+    ea = {
+        (r["source"], r["node"])
+        for r in earliest_arrival_times(g, ["3"], start_time=0).collect()
+    }
+    ld = {
+        (r["node"], r["target"])
+        for r in latest_departure_times(g, ["5"], end_time=99).collect()
+    }
+    s3, t5 = id_of.get("3"), id_of.get("5")
+    if s3 is not None and t5 is not None and (s3, t5) in ea:
+        assert (s3, t5) in ld  # a path s->t exists in both readings
+    # python replay of the max-merge fixpoint
+    arr = {(t5, t5): 99}
+    changed = True
+    while changed:
+        changed = False
+        for t, u, v in ev:
+            dv = arr.get((id_of[v], t5))
+            if dv is not None and t <= dv:
+                cur = arr.get((id_of[u], t5))
+                if cur is None or t > cur:
+                    arr[(id_of[u], t5)] = t
+                    changed = True
+    got = {
+        (r["node"], r["target"]): r["departure"]
+        for r in latest_departure_times(g, ["5"], end_time=99).collect()
+    }
+    assert got == {k: v for k, v in arr.items()}

@@ -646,6 +646,49 @@ def tri_worker() -> None:
     )
 
 
+# ------------------------------------------------------------------ onion
+
+ONION_EDGES = int(os.environ.get("ONION_EDGES", 40_000_000))
+ONION_NODES = ONION_EDGES // 8
+
+
+def onion_worker() -> None:
+    """Onion decomposition at the 40M-edge tier: evidences that the
+    subtract-formulation peel (edge table map-scanned against the
+    broadcast layer, never re-shuffled) holds when per-round compute
+    dominates scheduler latency.  Reports layers, max coreness, and the
+    edge-scan throughput n_edges x layers / wall."""
+    from pyspark.sql import functions as F
+
+    from linkgraph.algorithms.kcore import coreness, onion_layers
+    from linkgraph.session import get_spark
+
+    spark = get_spark(
+        app_name="onion40", cores=16, shuffle_partitions=64, driver_memory="24g"
+    )
+    g = _scale_graph(spark, ONION_EDGES, ONION_NODES)
+    t0 = time.monotonic()
+    o = onion_layers(g, max_rounds=512)
+    o.persist()
+    n = o.count()
+    layers = o.agg(F.max("layer")).first()[0]
+    kmax = o.agg(F.max("coreness")).first()[0]
+    wall = time.monotonic() - t0
+    print(
+        "WORKER_RESULT "
+        + json.dumps(
+            {
+                "n_edges": ONION_EDGES,
+                "n_nodes_out": n,
+                "layers": int(layers),
+                "max_coreness": int(kmax),
+                "wall_s": round(wall, 1),
+                "edge_scans_per_sec": round(ONION_EDGES * int(layers) / wall, 1),
+            }
+        )
+    )
+
+
 def _run_single(flag: str, log_name: str, key: str) -> None:
     log_path = f"/tmp/{log_name}.log"
     with open(log_path, "w") as log:
@@ -677,6 +720,8 @@ def main() -> None:
     ap.add_argument("--lpa-worker", action="store_true")
     ap.add_argument("--triangles", action="store_true")
     ap.add_argument("--triangles-worker", action="store_true")
+    ap.add_argument("--onion", action="store_true")
+    ap.add_argument("--onion-worker", action="store_true")
     args = ap.parse_args()
     if args.n2v_worker:
         n2v_worker(args.n2v_worker)
@@ -704,10 +749,14 @@ def main() -> None:
         tri_worker()
     elif args.triangles:
         _run_single("--triangles-worker", "r4_tri", "triangles_scale")
+    elif args.onion_worker:
+        onion_worker()
+    elif args.onion:
+        _run_single("--onion-worker", "r4_onion", "onion_scale")
     else:
         ap.error(
             "pick one of --n2v / --resume-demo / --docs-sf1 / --wcc-warm / "
-            "--msf / --lpa / --triangles"
+            "--msf / --lpa / --triangles / --onion"
         )
 
 
