@@ -1339,6 +1339,26 @@ def q_trade_latest_departure(spark, sf_dir):
     ).select("target", "node", "departure")
 
 
+def q_trade_fastest_path(spark, sf_dir):
+    """Fastest (minimum-duration) temporal paths on the symmetrized
+    trade event graph — (source, node, duration): least elapsed time of
+    any time-respecting path, per-departure Pareto-frontier labels with
+    a dominance prune each round.  Completes the foremost /
+    reverse-foremost / fastest trilogy; the SQL replay unrolls the same
+    min-merge + suffix-min prune rounds with an equality guard."""
+    from linkgraph.algorithms import fastest_path_durations
+    from linkgraph.graph import LinkGraph
+
+    ed = _trade_edges_t(spark, sf_dir).select("src", "dst", "time")
+    sym = ed.unionByName(
+        ed.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "time")
+    )
+    g = LinkGraph(sym)
+    return fastest_path_durations(
+        g, ["1", "19", "1000003"], max_rounds=32
+    ).select("source", "node", "duration")
+
+
 def q_transition_edge_betweenness(spark, sf_dir):
     """Girvan–Newman edge betweenness (all sources, unnormalized) on the
     event-type transition digraph — per-edge shortest-path flow
@@ -2618,6 +2638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transition_simrank": q_transition_simrank,
         "docs_cdc_chunks": q_docs_cdc_chunks,
         "trade_latest_departure": q_trade_latest_departure,
+        "trade_fastest_path": q_trade_fastest_path,
         # round-3-green buffer (driver re-confirmation, newest first)
         "trade_closeness": q_trade_closeness,
         "trade_neighbor_sample": q_trade_neighbor_sample,
@@ -3690,6 +3711,67 @@ SELECT CAST(error('latest-departure oracle: {rounds}-round unroll '
                   'insufficient') AS BIGINT), NULL, NULL
 WHERE (SELECT count(*) || '|' || sum(departure) FROM ld{rounds})
    <> (SELECT count(*) || '|' || sum(departure) FROM ld{rounds - 1})
+"""
+    )
+
+
+def _fastest_path_oracle_sql(rounds: int, seeds: list[int]) -> str:
+    """Round-unrolled fastest-path label correction on the symmetrized
+    trade event graph — per round each (source, node, dep) Pareto label
+    min-merges candidate arrivals over events with t ≥ arrival, then a
+    suffix-min dominance prune (identical to the engine's window) drops
+    labels beaten by a strictly later departure; errors loudly if the
+    final two rounds differ."""
+    seed_rows = ", ".join(f"({s})" for s in seeds)
+    stages = [
+        """fpt AS MATERIALIZED (
+  SELECT o_custkey AS u, 1000000 + l_suppkey AS v,
+         epoch_ms(o_orderdate::TIMESTAMP) AS t
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  UNION ALL
+  SELECT 1000000 + l_suppkey, o_custkey, epoch_ms(o_orderdate::TIMESTAMP)
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+)""",
+        f"""fp0 AS MATERIALIZED (
+  SELECT DISTINCT s.source::BIGINT AS source, e.v::BIGINT AS node,
+         e.t::BIGINT AS dep, e.t::BIGINT AS arrival
+  FROM (VALUES {seed_rows}) s(source) JOIN fpt e ON e.u = s.source
+)""",
+    ]
+    for r in range(1, rounds + 1):
+        stages.append(
+            f"""fp{r} AS MATERIALIZED (
+  SELECT source, node, dep, arrival FROM (
+    SELECT source, node, dep, arrival,
+           min(arrival) OVER (PARTITION BY source, node ORDER BY dep DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS sm
+    FROM (
+      SELECT source, node, dep, min(arrival)::BIGINT AS arrival FROM (
+        SELECT source, node, dep, arrival FROM fp{r-1}
+        UNION ALL
+        SELECT a.source, e.v AS node, a.dep, e.t AS arrival
+        FROM fp{r-1} a JOIN fpt e ON e.u = a.node AND e.t >= a.arrival
+      ) GROUP BY source, node, dep
+    )
+  ) WHERE sm IS NULL OR arrival < sm
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(stages)
+        + f"""
+SELECT source, node, min(duration)::BIGINT AS duration FROM (
+  SELECT source, node, min(arrival - dep) AS duration
+  FROM fp{rounds} GROUP BY source, node
+  UNION ALL
+  SELECT s.source::BIGINT, s.source::BIGINT, 0
+  FROM (VALUES {seed_rows}) s(source)
+) GROUP BY source, node
+UNION ALL
+SELECT CAST(error('fastest-path oracle: {rounds}-round unroll '
+                  'insufficient') AS BIGINT), NULL, NULL
+WHERE (SELECT count(*) || '|' || sum(dep) || '|' || sum(arrival) FROM fp{rounds})
+   <> (SELECT count(*) || '|' || sum(dep) || '|' || sum(arrival) FROM fp{rounds - 1})
 """
     )
 
@@ -6754,6 +6836,10 @@ FROM tot
 
     sqls["trade_latest_departure"] = _latest_departure_oracle_sql(
         16, targets=[1, 19, 1000003]
+    )
+
+    sqls["trade_fastest_path"] = _fastest_path_oracle_sql(
+        20, seeds=[1, 19, 1000003]
     )
 
     # content-defined chunking: boundary tokens by 60-bit md5 mod 32 (final

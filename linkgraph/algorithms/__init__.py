@@ -82,6 +82,7 @@ from linkgraph.algorithms.seir import temporal_seir
 from linkgraph.algorithms.paths import (
     dijkstra_single_source_shortest_paths,
     earliest_arrival_times,
+    fastest_path_durations,
     latest_departure_times,
     single_source_shortest_path,
     temporally_reachable_nodes,
@@ -112,6 +113,7 @@ __all__ = [
     "degree_assortativity",
     "dijkstra_single_source_shortest_paths",
     "earliest_arrival_times",
+    "fastest_path_durations",
     "latest_departure_times",
     "effective_diameter",
     "eigenvector_centrality",

@@ -584,3 +584,137 @@ def latest_departure_times(
             n_rows, tot = new_rows, new_tot
         ev.unpersist()
     return state
+
+
+def fastest_path_durations(
+    graph: LinkGraph,
+    sources: list[str],
+    strict: bool = False,
+    max_rounds: int = 64,
+) -> DataFrame:
+    """Fastest (minimum-duration) temporal paths — ``(source, node,
+    duration)``: the least elapsed time of any time-respecting path from
+    ``source`` to ``node`` (``duration(s, s) = 0``).
+
+    Completes the Wu et al. (VLDB 2014) temporal-path trilogy next to
+    :func:`earliest_arrival_times` (foremost) and
+    :func:`latest_departure_times` (reverse-foremost) — the hop-bounded
+    taint BFS (temporal_reachability.rs:69-204) approximates only the
+    foremost member; fastest paths need per-departure labels because the
+    best start time differs per destination.
+
+    State is the **Pareto frontier** keyed ``(source, node, dep)`` where
+    ``dep`` is the time the first hop leaves the source and the value is
+    the min arrival among paths with that departure.  Per round: ONE join
+    of the state against the cached event table (``t ≥ arrival``, ``>``
+    under ``strict``), a min-merge, then a dominance prune — a label
+    survives only if its arrival beats the min arrival over strictly
+    later departures (suffix-min window per ``(source, node)``, ordered
+    by ``dep`` desc).  Pruned labels cannot seed a fastest path: a
+    dominator departs later and arrives no later, so every extension it
+    misses is dominated too.  The prune is what bounds state at scale —
+    frontier size per (source, node) is the number of Pareto-optimal
+    departure/arrival pairs, not the number of source out-events.
+
+    Convergence: frontiers only improve in the dominance order, so the
+    state reaches a fixpoint; the (count, sum(dep), sum(arrival)) triple
+    is the single-action convergence check, with a loud ``max_rounds``
+    guard.  The SQL oracle unrolls identical rounds (same prune) with an
+    equality guard on the final two.
+    """
+    from pyspark.sql import Window
+
+    from linkgraph.graph import name_to_id
+    from linkgraph.superstep import pick_partitions
+
+    spark = graph.spark
+    if not sources:
+        return spark.createDataFrame([], "source long, node long, duration long")
+    ev_raw = graph.edges_t.select(
+        name_to_id(F.col("src")).alias("u"),
+        name_to_id(F.col("dst")).alias("v"),
+        F.col("time").cast("long").alias("t"),
+    ).persist()
+    P = pick_partitions(spark, ev_raw.count())
+    with iteration_conf(spark, shuffle_partitions=P):
+        ev = ev_raw.repartition(P, "u").sortWithinPartitions("u").persist()
+        ev.count()
+        ev_raw.unpersist()
+
+        seed_names = sorted({str(s) for s in sources})
+        seeds = (
+            graph.ids()
+            .filter(F.col("name").isin(seed_names))
+            .select(F.col("id").alias("source"))
+        )
+        # round 0: the source's own out-events — one label per distinct
+        # first-hop departure (dep = arrival = t)
+        state = (
+            seeds.join(ev, seeds.source == ev.u)
+            .select(
+                "source",
+                F.col("v").alias("node"),
+                F.col("t").alias("dep"),
+                F.col("t").alias("arrival"),
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        sig = state.agg(
+            F.count("*"), F.sum("dep"), F.sum("arrival")
+        ).first()
+        cmp_op = (lambda t, a: t > a) if strict else (lambda t, a: t >= a)
+        # dominance prune: keep a label iff no strictly-later departure
+        # arrives no later (suffix min over dep desc, excluding self)
+        w = (
+            Window.partitionBy("source", "node")
+            .orderBy(F.desc("dep"))
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        rounds = 0
+        while True:
+            rounds += 1
+            if rounds > max_rounds:
+                raise RuntimeError(
+                    f"fastest_path_durations: not converged after "
+                    f"{max_rounds} rounds — raise max_rounds"
+                )
+            cand = (
+                state.join(ev, state.node == ev.u)
+                .filter(cmp_op(F.col("t"), F.col("arrival")))
+                .select("source", F.col("v").alias("node"), "dep",
+                        F.col("t").alias("arrival"))
+            )
+            merged = (
+                state.unionByName(cand)
+                .groupBy("source", "node", "dep")
+                .agg(F.min("arrival").alias("arrival"))
+            )
+            new_state = (
+                merged.withColumn("sm", F.min("arrival").over(w))
+                .filter(F.col("sm").isNull() | (F.col("arrival") < F.col("sm")))
+                .drop("sm")
+                .localCheckpoint(eager=True)
+            )
+            new_sig = new_state.agg(
+                F.count("*"), F.sum("dep"), F.sum("arrival")
+            ).first()
+            state = new_state
+            if tuple(new_sig) == tuple(sig):
+                break
+            sig = new_sig
+        ev.unpersist()
+        out = (
+            state.groupBy("source", "node")
+            .agg(F.min(F.col("arrival") - F.col("dep")).alias("duration"))
+            .unionByName(
+                seeds.select(
+                    "source",
+                    F.col("source").alias("node"),
+                    F.lit(0).cast("long").alias("duration"),
+                )
+            )
+            .groupBy("source", "node")
+            .agg(F.min("duration").alias("duration"))
+        )
+    return out

@@ -590,3 +590,89 @@ def test_latest_departure_duality_with_earliest(spark):
         for r in latest_departure_times(g, ["5"], end_time=99).collect()
     }
     assert got == {k: v for k, v in arr.items()}
+
+
+def _fastest_replay(events, sources, max_len):
+    """Brute-force fastest-path replay: enumerate every time-respecting
+    event sequence up to max_len hops, min span t_last - t_first."""
+    best = {}
+    from collections import deque
+
+    for s in sources:
+        best[(s, s)] = 0
+        # states: (node, dep, arrival, hops)
+        q = deque(
+            (d, t, t, 1) for (t, u, d) in events if u == s
+        )
+        while q:
+            node, dep, arr, hops = q.popleft()
+            k = (s, node)
+            if k not in best or arr - dep < best[k]:
+                best[k] = arr - dep
+            if hops >= max_len:
+                continue
+            for (t, u, d) in events:
+                if u == node and t >= arr:
+                    q.append((d, dep, t, hops + 1))
+    return best
+
+
+def test_fastest_path_diamond(spark):
+    from linkgraph.algorithms import fastest_path_durations
+    from linkgraph.graph import LinkGraph
+
+    g = LinkGraph.from_edge_list(spark, EA_EVENTS)
+    id_of = {r["name"]: r["id"] for r in g.ids().collect()}
+    out = fastest_path_durations(g, ["a", "x"])
+    got = {(r["source"], r["node"]): r["duration"] for r in out.collect()}
+    want = _fastest_replay(EA_EVENTS, ["a", "x"], 6)
+    want_ids = {(id_of[s], id_of[v]): d for (s, v), d in want.items()}
+    assert got == want_ids
+    # a reaches c fastest via the d relay? d@15 then c needs t>=15 -> only
+    # b@10->c@20 (span 10) vs a->d@15 (d->c@12 predates) — span via b is 10
+    assert got[(id_of["a"], id_of["c"])] == 10
+    # e needs c first (arr 20, dep 10) then c->e@30: span 20
+    assert got[(id_of["a"], id_of["e"])] == 20
+
+
+def test_fastest_path_late_departure_beats_foremost(spark):
+    from linkgraph.algorithms import fastest_path_durations
+    from linkgraph.graph import LinkGraph
+
+    # foremost path departs at 0 (span 100); fastest departs at 90 (span 10)
+    ev = [(0, "a", "b"), (90, "a", "b"), (100, "b", "c")]
+    g = LinkGraph.from_edge_list(spark, ev)
+    id_of = {r["name"]: r["id"] for r in g.ids().collect()}
+    got = {
+        (r["source"], r["node"]): r["duration"]
+        for r in fastest_path_durations(g, ["a"]).collect()
+    }
+    assert got[(id_of["a"], id_of["c"])] == 10
+    assert got[(id_of["a"], id_of["b"])] == 0  # single hop is instantaneous
+    assert got[(id_of["a"], id_of["a"])] == 0
+
+
+def test_fastest_path_strict_and_guard(spark):
+    import pytest as _pytest
+
+    from linkgraph.algorithms import fastest_path_durations
+    from linkgraph.graph import LinkGraph
+
+    ev = [(5, "p", "q"), (5, "q", "r"), (11, "q", "r")]
+    g = LinkGraph.from_edge_list(spark, ev)
+    id_of = {r["name"]: r["id"] for r in g.ids().collect()}
+    loose = {
+        (r["source"], r["node"]): r["duration"]
+        for r in fastest_path_durations(g, ["p"]).collect()
+    }
+    assert loose[(id_of["p"], id_of["r"])] == 0  # 5 then 5 allowed
+    strict = {
+        (r["source"], r["node"]): r["duration"]
+        for r in fastest_path_durations(g, ["p"], strict=True).collect()
+    }
+    assert strict[(id_of["p"], id_of["r"])] == 6  # 5 then 11
+    with _pytest.raises(RuntimeError, match="not converged"):
+        chain = [(i, str(i), str(i + 1)) for i in range(10)]
+        fastest_path_durations(
+            LinkGraph.from_edge_list(spark, chain), ["0"], max_rounds=2
+        )
