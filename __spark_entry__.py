@@ -1339,6 +1339,35 @@ def q_trade_latest_departure(spark, sf_dir):
     ).select("target", "node", "departure")
 
 
+def q_transition_recip_latency(spark, sf_dir):
+    """Reciprocation latency on the TIMESTAMPED event-type transition
+    graph (per user, consecutive event types at the second event's
+    epoch-ms) — per ordered pair: event count, how many events get
+    answered by the earliest strictly-later opposite-direction event,
+    min and total latency.  As-of join expressed as one window pass
+    (conditional running minima over the RANGE (t+1, inf) frame), no
+    self-join of the event table."""
+    from linkgraph.algorithms.metrics import reciprocation_latency
+    from linkgraph.graph import LinkGraph
+
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ed = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .select(
+            F.col("prev_type").alias("src"),
+            F.col("event_type").alias("dst"),
+            # ts is TIMESTAMP_NTZ; session tz is UTC, so the cast matches
+            # DuckDB's epoch_ms(naive-as-UTC)
+            F.unix_millis(F.col("ts").cast("timestamp")).alias("time"),
+        )
+    )
+    return reciprocation_latency(LinkGraph(ed)).select(
+        "src", "dst", "n_events", "n_reciprocated", "min_latency", "sum_latency"
+    )
+
+
 def q_trade_fastest_path(spark, sf_dir):
     """Fastest (minimum-duration) temporal paths on the symmetrized
     trade event graph — (source, node, duration): least elapsed time of
@@ -2639,6 +2668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_cdc_chunks": q_docs_cdc_chunks,
         "trade_latest_departure": q_trade_latest_departure,
         "trade_fastest_path": q_trade_fastest_path,
+        "transition_recip_latency": q_transition_recip_latency,
         # round-3-green buffer (driver re-confirmation, newest first)
         "trade_closeness": q_trade_closeness,
         "trade_neighbor_sample": q_trade_neighbor_sample,
@@ -6841,6 +6871,33 @@ FROM tot
     sqls["trade_fastest_path"] = _fastest_path_oracle_sql(
         20, seeds=[1, 19, 1000003]
     )
+
+    # as-of reciprocation: identical conditional running-min window on both
+    # engines (RANGE (t+1, inf) frame — strictly-later, tie-safe)
+    sqls["transition_recip_latency"] = """
+WITH tr AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src,
+         event_type AS dst, epoch_ms(ts) AS t
+  FROM events
+), ev AS (
+  SELECT src, dst, t,
+         least(src, dst) AS a, greatest(src, dst) AS b,
+         (src = least(src, dst)) AS fwd
+  FROM tr WHERE src IS NOT NULL AND src <> dst
+), scored AS (
+  SELECT src, dst, t,
+         CASE WHEN fwd THEN min(CASE WHEN NOT fwd THEN t END) OVER w
+              ELSE min(CASE WHEN fwd THEN t END) OVER w END AS recip_t
+  FROM ev
+  WINDOW w AS (PARTITION BY a, b ORDER BY t
+               RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+)
+SELECT src, dst, count(*)::BIGINT AS n_events,
+       count(recip_t)::BIGINT AS n_reciprocated,
+       min(recip_t - t)::BIGINT AS min_latency,
+       sum(recip_t - t)::BIGINT AS sum_latency
+FROM scored GROUP BY src, dst
+"""
 
     # content-defined chunking: boundary tokens by 60-bit md5 mod 32 (final
     # token forced), chunks via inclusive 1-based list slices; identical

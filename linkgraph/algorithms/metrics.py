@@ -510,3 +510,53 @@ def edge_delta(before: LinkGraph, after: LinkGraph) -> DataFrame:
             .alias("status"),
         )
     )
+
+
+def reciprocation_latency(graph: LinkGraph) -> DataFrame:
+    """Per directed pair, how fast edge events get reciprocated —
+    ``(src, dst, n_events, n_reciprocated, min_latency, sum_latency)``.
+
+    For every edge EVENT ``(u, v, t)`` the reciprocation time is the
+    earliest opposite-direction event ``(v, u, t')`` with ``t' > t``
+    (strictly later; same-instant mutual events do not reciprocate each
+    other), its latency ``t' − t``.  Latencies aggregate per ordered
+    pair; ``n_reciprocated`` counts events that ever get answered.
+    Self-loops are excluded (direction is undefined).
+
+    This is an as-of join expressed WITHOUT a join: events shuffle once
+    on the unordered pair key, and two conditional running minima over
+    the ``RANGE (t+1 … ∞)`` frame (one per direction) give each event
+    its next opposite-direction time in a single window pass — the
+    temporal dual of the reciprocity operators above
+    (metrics/reciprocity.rs:88-160), which see only the deduplicated
+    logical edge set.  Scale shape: one exchange (pair key), one
+    window, one hash aggregate on the same key — no shuffle of a
+    self-joined event table, no skew beyond the pair key itself.
+    """
+    from pyspark.sql import Window
+
+    ev = (
+        graph.edges_t.select("src", "dst", F.col("time").cast("long").alias("t"))
+        .filter(F.col("src") != F.col("dst"))
+        .withColumn("a", F.least("src", "dst"))
+        .withColumn("b", F.greatest("src", "dst"))
+        .withColumn("fwd", F.col("src") == F.col("a"))
+    )
+    # RANGE frame over t ascending, starting at t+1: strictly-later events
+    # only, deterministic under same-instant ties at any parallelism
+    w = (
+        Window.partitionBy("a", "b")
+        .orderBy("t")
+        .rangeBetween(1, Window.unboundedFollowing)
+    )
+    nxt_fwd = F.min(F.when(F.col("fwd"), F.col("t"))).over(w)
+    nxt_rev = F.min(F.when(~F.col("fwd"), F.col("t"))).over(w)
+    scored = ev.withColumn(
+        "recip_t", F.when(F.col("fwd"), nxt_rev).otherwise(nxt_fwd)
+    )
+    return scored.groupBy("src", "dst").agg(
+        F.count("*").alias("n_events"),
+        F.count("recip_t").alias("n_reciprocated"),
+        F.min(F.col("recip_t") - F.col("t")).alias("min_latency"),
+        F.sum(F.col("recip_t") - F.col("t")).alias("sum_latency"),
+    )

@@ -359,3 +359,35 @@ def test_spinner_partition_balanced_and_cut(spark):
     again = {r["node"]: r["part"]
              for r in spinner_partition(g, k=2, rounds=6, seed=42).collect()}
     assert again == parts  # pure function of (graph, k, seed)
+
+
+def test_reciprocation_latency_hand_example(spark):
+    from linkgraph.algorithms.metrics import reciprocation_latency
+    from linkgraph.graph import LinkGraph
+
+    ev = [
+        (0, "a", "b"),    # answered by b->a@7 (latency 7)
+        (5, "a", "b"),    # answered by b->a@7 (latency 2)
+        (7, "b", "a"),    # answered by a->b@9 (latency 2)
+        (9, "a", "b"),    # never answered
+        (3, "c", "d"),    # same-instant mutual events do NOT reciprocate
+        (3, "d", "c"),
+        (4, "e", "e"),    # self-loop excluded entirely
+        (1, "f", "g"),    # one-way only: never reciprocated
+    ]
+    g = LinkGraph.from_edge_list(spark, ev)
+    rows = {
+        (r["src"], r["dst"]): r
+        for r in reciprocation_latency(g).collect()
+    }
+    ab = rows[("a", "b")]
+    assert (ab["n_events"], ab["n_reciprocated"]) == (3, 2)
+    assert (ab["min_latency"], ab["sum_latency"]) == (2, 9)
+    ba = rows[("b", "a")]
+    assert (ba["n_events"], ba["n_reciprocated"]) == (1, 1)
+    assert (ba["min_latency"], ba["sum_latency"]) == (2, 2)
+    assert rows[("c", "d")]["n_reciprocated"] == 0
+    assert rows[("d", "c")]["n_reciprocated"] == 0
+    assert rows[("f", "g")]["n_reciprocated"] == 0
+    assert rows[("f", "g")]["min_latency"] is None
+    assert ("e", "e") not in rows
