@@ -1339,6 +1339,17 @@ def q_trade_latest_departure(spark, sf_dir):
     ).select("target", "node", "departure")
 
 
+def q_copurchase_k4(spark, sf_dir):
+    """Per-node 4-clique counts on the co-purchase graph
+    (structure.k4_counts): degree-ordered orientation, oriented
+    triangles + one apex probe from the highest-ranked corner — every
+    K4 enumerated exactly once, pure integer 2-column hash joins."""
+    from linkgraph.algorithms.structure import k4_counts
+
+    g = _copurchase_graph(spark, sf_dir)
+    return k4_counts(g).select(F.col("id").alias("node"), "n_k4")
+
+
 def q_transition_recip_latency(spark, sf_dir):
     """Reciprocation latency on the TIMESTAMPED event-type transition
     graph (per user, consecutive event types at the second event's
@@ -2669,6 +2680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trade_latest_departure": q_trade_latest_departure,
         "trade_fastest_path": q_trade_fastest_path,
         "transition_recip_latency": q_transition_recip_latency,
+        "copurchase_k4": q_copurchase_k4,
         # round-3-green buffer (driver re-confirmation, newest first)
         "trade_closeness": q_trade_closeness,
         "trade_neighbor_sample": q_trade_neighbor_sample,
@@ -6871,6 +6883,37 @@ FROM tot
     sqls["trade_fastest_path"] = _fastest_path_oracle_sql(
         20, seeds=[1, 19, 1000003]
     )
+
+    # K4: identical degree-ordered orientation on both engines — ties on
+    # degree break by id, so the enumeration order is engine-independent
+    sqls["copurchase_k4"] = f"""
+WITH {_COPURCHASE_ED}, {_CP_NODES_UND_FRAG},
+deg AS (SELECT id, count(*) AS d FROM cp_und GROUP BY id),
+oe AS (
+  SELECT u.id AS lo, u.nbr AS hi
+  FROM cp_und u JOIN deg d1 ON d1.id = u.id JOIN deg d2 ON d2.id = u.nbr
+  WHERE d1.d < d2.d OR (d1.d = d2.d AND u.id < u.nbr)
+),
+tri AS (
+  SELECT e1.lo AS u, e1.hi AS v, e2.hi AS w
+  FROM oe e1 JOIN oe e2 ON e2.lo = e1.hi
+             JOIN oe e3 ON e3.lo = e1.lo AND e3.hi = e2.hi
+),
+k4 AS (
+  SELECT t.u, t.v, t.w, e4.hi AS x
+  FROM tri t JOIN oe e4 ON e4.lo = t.w
+             JOIN oe e5 ON e5.lo = t.v AND e5.hi = e4.hi
+             JOIN oe e6 ON e6.lo = t.u AND e6.hi = e4.hi
+),
+per AS (
+  SELECT id, count(*)::BIGINT AS n_k4 FROM (
+    SELECT u AS id FROM k4 UNION ALL SELECT v FROM k4
+    UNION ALL SELECT w FROM k4 UNION ALL SELECT x FROM k4
+  ) GROUP BY id
+)
+SELECT n.id AS node, coalesce(p.n_k4, 0)::BIGINT AS n_k4
+FROM cp_nodes n LEFT JOIN per p ON p.id = n.id
+"""
 
     # as-of reciprocation: identical conditional running-min window on both
     # engines (RANGE (t+1, inf) frame — strictly-later, tie-safe)

@@ -635,3 +635,57 @@ def square_count(graph: LinkGraph) -> DataFrame:
         .join(per_node, "id", "left")
         .select("id", F.coalesce("n_squares", F.lit(0)).alias("n_squares"))
     )
+
+
+def k4_counts(graph: LinkGraph) -> DataFrame:
+    """Per-node 4-clique (K4) counts — ``(id, n_k4)`` for every node of
+    the undirected simple graph.
+
+    Degree-ordered orientation (the Chiba–Nishizeki discipline the
+    triangle kernels use, triangles.py): each edge points from the
+    (degree, id)-smaller endpoint, so every K4 is enumerated exactly
+    once as an oriented triangle ``(u, v, w)`` plus an apex ``x`` with
+    oriented edges from all three.  Out-degrees under this orientation
+    are bounded by O(sqrt(m)) on any graph (arboricity argument), which
+    is what keeps the candidate volume polynomial at scale — the joins
+    are all 2-column hash joins on oriented edge keys, and the apex
+    probe starts from ``w`` (the highest-ranked corner, hence the
+    fewest oriented out-neighbours).  Pure integer counting: no floats,
+    no UDFs; the final explode is four slim long columns.
+    """
+    und = graph.undirected_edge_ids().filter(F.col("id") != F.col("nbr_id"))
+    deg = und.groupBy("id").agg(F.count("*").alias("d"))
+    e = (
+        und.join(deg, "id")
+        .join(
+            deg.select(F.col("id").alias("nbr_id"), F.col("d").alias("d2")),
+            "nbr_id",
+        )
+        .filter(
+            (F.col("d") < F.col("d2"))
+            | ((F.col("d") == F.col("d2")) & (F.col("id") < F.col("nbr_id")))
+        )
+        .select(F.col("id").alias("lo"), F.col("nbr_id").alias("hi"))
+    )
+    e12 = e.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+    e23 = e.select(F.col("lo").alias("v"), F.col("hi").alias("w"))
+    e13 = e.select(F.col("lo").alias("u"), F.col("hi").alias("w"))
+    tri = e12.join(e23, "v").join(e13, ["u", "w"])
+    ewx = e.select(F.col("lo").alias("w"), F.col("hi").alias("x"))
+    evx = e.select(F.col("lo").alias("v"), F.col("hi").alias("x"))
+    eux = e.select(F.col("lo").alias("u"), F.col("hi").alias("x"))
+    k4 = tri.join(ewx, "w").join(evx, ["v", "x"]).join(eux, ["u", "x"])
+    per_node = (
+        k4.select(F.col("u").alias("id"))
+        .unionByName(k4.select(F.col("v").alias("id")))
+        .unionByName(k4.select(F.col("w").alias("id")))
+        .unionByName(k4.select(F.col("x").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("n_k4"))
+    )
+    return (
+        graph.ids()
+        .select("id")
+        .join(per_node, "id", "left")
+        .select("id", F.coalesce("n_k4", F.lit(0)).alias("n_k4"))
+    )

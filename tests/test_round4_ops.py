@@ -463,3 +463,30 @@ def test_hard_negatives_pair_guard(spark):
     )
     with pytest.raises(ValueError):
         hard_negatives(emb, emb, max_pairs=10)
+
+
+def test_k4_counts_k5_minus_edge(spark):
+    from itertools import combinations
+
+    from linkgraph.algorithms.structure import k4_counts
+    from linkgraph.graph import LinkGraph
+
+    nodes = ["a", "b", "c", "d", "e"]
+    edges = [(i, u, v) for i, (u, v) in enumerate(combinations(nodes, 2))
+             if {u, v} != {"a", "b"}]
+    g = LinkGraph.from_edge_list(spark, edges)
+    id_of = {r["name"]: r["id"] for r in g.ids().collect()}
+    got = {r["id"]: r["n_k4"] for r in k4_counts(g).collect()}
+    # K5 minus (a,b): the only K4s are {a,c,d,e} and {b,c,d,e}
+    want = {"a": 1, "b": 1, "c": 2, "d": 2, "e": 2}
+    assert got == {id_of[n]: k for n, k in want.items()}
+
+
+def test_k4_counts_no_clique(spark):
+    from linkgraph.algorithms.structure import k4_counts
+    from linkgraph.graph import LinkGraph
+
+    # a 4-cycle has no triangles, hence no K4
+    ev = [(0, "1", "2"), (1, "2", "3"), (2, "3", "4"), (3, "4", "1")]
+    g = LinkGraph.from_edge_list(spark, ev)
+    assert {r["n_k4"] for r in k4_counts(g).collect()} == {0}
