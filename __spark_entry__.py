@@ -1339,6 +1339,20 @@ def q_trade_latest_departure(spark, sf_dir):
     ).select("target", "node", "departure")
 
 
+def q_copurchase_cycle_ranks(spark, sf_dir):
+    """Cycle rank (cyclomatic number m − n + 1) per WCC on the sparse
+    mod-64 co-purchase graph (45 clique-ish components at sf0.01) —
+    (component, n_nodes, n_edges, cycle_rank); rank 0 = tree, k = k
+    independent cycles.  One WCC run, one endpoint join, two hash
+    aggregates."""
+    from linkgraph.algorithms.metrics import component_cycle_ranks
+
+    g = _copurchase_graph(spark, sf_dir, mod=64)
+    return component_cycle_ranks(g).select(
+        "component", "n_nodes", "n_edges", "cycle_rank"
+    )
+
+
 def q_copurchase_k4(spark, sf_dir):
     """Per-node 4-clique counts on the co-purchase graph
     (structure.k4_counts): degree-ordered orientation, oriented
@@ -2681,6 +2695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trade_fastest_path": q_trade_fastest_path,
         "transition_recip_latency": q_transition_recip_latency,
         "copurchase_k4": q_copurchase_k4,
+        "copurchase_cycle_ranks": q_copurchase_cycle_ranks,
         # round-3-green buffer (driver re-confirmation, newest first)
         "trade_closeness": q_trade_closeness,
         "trade_neighbor_sample": q_trade_neighbor_sample,
@@ -6721,6 +6736,33 @@ reach(node, lab) AS (
 comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY node),
 sizes AS (SELECT component, count(*) AS sz FROM comp GROUP BY component)
 SELECT sz AS size, count(*) AS n_components FROM sizes GROUP BY sz
+"""
+
+    sqls["copurchase_cycle_ranks"] = """
+WITH RECURSIVE cr_ed AS (
+  SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  WHERE a.l_orderkey % 64 = 0
+),
+cr_nodes AS (
+  SELECT DISTINCT id FROM (SELECT lo AS id FROM cr_ed UNION ALL SELECT hi FROM cr_ed)
+),
+und AS (SELECT lo AS id, hi AS nbr FROM cr_ed UNION SELECT hi, lo FROM cr_ed),
+reach(node, lab) AS (
+  SELECT id, id FROM cr_nodes
+  UNION
+  SELECT u.id, r.lab FROM reach r JOIN und u ON u.nbr = r.node
+),
+comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY node),
+n AS (SELECT component, count(*)::BIGINT AS n_nodes FROM comp GROUP BY component),
+m AS (
+  SELECT c.component, count(*)::BIGINT AS n_edges
+  FROM cr_ed p JOIN comp c ON c.node = p.lo GROUP BY c.component
+)
+SELECT n.component, n.n_nodes, coalesce(m.n_edges, 0)::BIGINT AS n_edges,
+       (coalesce(m.n_edges, 0) - n.n_nodes + 1)::BIGINT AS cycle_rank
+FROM n LEFT JOIN m ON m.component = n.component
 """
 
     sqls["trade_harmonic"] = _harmonic_oracle_sql(8, levels=12)

@@ -560,3 +560,43 @@ def reciprocation_latency(graph: LinkGraph) -> DataFrame:
         F.min(F.col("recip_t") - F.col("t")).alias("min_latency"),
         F.sum(F.col("recip_t") - F.col("t")).alias("sum_latency"),
     )
+
+
+def component_cycle_ranks(graph: LinkGraph) -> DataFrame:
+    """Cycle rank (cyclomatic number) per weakly connected component —
+    ``(component, n_nodes, n_edges, cycle_rank)`` with ``cycle_rank =
+    m − n + 1`` over the deduplicated undirected logical edge set.
+
+    Rank 0 means the component is a tree (no redundant links); rank k
+    means k independent cycles — a structural health metric for link
+    graphs (how much of the component survives any single edge loss).
+    One WCC run + one semi-join of the logical edges onto their
+    component + two hash aggregates; the edge side joins on one
+    endpoint only (both endpoints share a component by definition).
+    """
+    from linkgraph.algorithms.components import weakly_connected_components
+
+    wcc = weakly_connected_components(graph)
+    pairs = (
+        graph.undirected_edge_ids()
+        .filter(F.col("id") < F.col("nbr_id"))
+        .select("id", "nbr_id")
+        .distinct()
+    )
+    nodes = wcc.groupBy("component").agg(F.count("*").alias("n_nodes"))
+    edges = (
+        pairs.join(wcc.select("id", "component"), "id")
+        .groupBy("component")
+        .agg(F.count("*").alias("n_edges"))
+    )
+    return (
+        nodes.join(edges, "component", "left")
+        .select(
+            "component",
+            "n_nodes",
+            F.coalesce("n_edges", F.lit(0)).alias("n_edges"),
+            (F.coalesce("n_edges", F.lit(0)) - F.col("n_nodes") + F.lit(1)).alias(
+                "cycle_rank"
+            ),
+        )
+    )

@@ -490,3 +490,24 @@ def test_k4_counts_no_clique(spark):
     ev = [(0, "1", "2"), (1, "2", "3"), (2, "3", "4"), (3, "4", "1")]
     g = LinkGraph.from_edge_list(spark, ev)
     assert {r["n_k4"] for r in k4_counts(g).collect()} == {0}
+
+
+def test_component_cycle_ranks(spark):
+    from linkgraph.algorithms.metrics import component_cycle_ranks
+    from linkgraph.graph import LinkGraph
+
+    # component A: triangle + tail (4 nodes, 4 edges -> rank 1)
+    # component B: path of 3 (3 nodes, 2 edges -> rank 0, a tree)
+    # component C: two triangles sharing a node (5 nodes, 6 edges -> rank 2)
+    ev = [
+        (0, "a1", "a2"), (1, "a2", "a3"), (2, "a3", "a1"), (3, "a3", "a4"),
+        (4, "b1", "b2"), (5, "b2", "b3"),
+        (6, "c1", "c2"), (7, "c2", "c3"), (8, "c3", "c1"),
+        (9, "c3", "c4"), (10, "c4", "c5"), (11, "c5", "c3"),
+    ]
+    g = LinkGraph.from_edge_list(spark, ev)
+    rows = {
+        (r["n_nodes"], r["n_edges"]): r["cycle_rank"]
+        for r in component_cycle_ranks(g).collect()
+    }
+    assert rows == {(4, 4): 1, (3, 2): 0, (5, 6): 2}
