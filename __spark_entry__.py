@@ -1339,6 +1339,20 @@ def q_trade_latest_departure(spark, sf_dir):
     ).select("target", "node", "departure")
 
 
+def q_trade_role_features(spark, sf_dir):
+    """ReFeX-style recursive role features on the trade graph — per node
+    base degrees plus two rounds of neighbour sum/mean (means in integer
+    ppm, floor division: bit-identical across engines).  Two slim joins
+    + hash aggregates, no iteration state."""
+    from linkgraph.algorithms.structure import role_features
+
+    g = _trade_graph(spark, sf_dir)
+    return role_features(g).select(
+        F.col("id").alias("node"), "deg", "in_deg", "out_deg",
+        "r1_sum", "r1_mean_ppm", "r2_sum", "r2_mean_ppm",
+    )
+
+
 def q_copurchase_cycle_ranks(spark, sf_dir):
     """Cycle rank (cyclomatic number m − n + 1) per WCC on the sparse
     mod-64 co-purchase graph (45 clique-ish components at sf0.01) —
@@ -2696,6 +2710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transition_recip_latency": q_transition_recip_latency,
         "copurchase_k4": q_copurchase_k4,
         "copurchase_cycle_ranks": q_copurchase_cycle_ranks,
+        "trade_role_features": q_trade_role_features,
         # round-3-green buffer (driver re-confirmation, newest first)
         "trade_closeness": q_trade_closeness,
         "trade_neighbor_sample": q_trade_neighbor_sample,
@@ -6736,6 +6751,42 @@ reach(node, lab) AS (
 comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY node),
 sizes AS (SELECT component, count(*) AS sz FROM comp GROUP BY component)
 SELECT sz AS size, count(*) AS n_components FROM sizes GROUP BY sz
+"""
+
+    # ReFeX role features: means in integer ppm (floor division) on both
+    # engines — no float drift; und excludes self-loops (trade has none)
+    sqls["trade_role_features"] = f"""
+WITH {_TRADE_ED}, {_TRADE_NODES}, {_TRADE_UND},
+deg AS (
+  SELECT n.id,
+         coalesce(u.c, 0)::BIGINT AS deg,
+         coalesce(i.c, 0)::BIGINT AS in_deg,
+         coalesce(o.c, 0)::BIGINT AS out_deg
+  FROM trade_nodes n
+  LEFT JOIN (SELECT src, count(*) c FROM trade_ed GROUP BY src) o ON o.src = n.id
+  LEFT JOIN (SELECT dst, count(*) c FROM trade_ed GROUP BY dst) i ON i.dst = n.id
+  LEFT JOIN (SELECT id, count(*) c FROM trade_und GROUP BY id) u ON u.id = n.id
+),
+r1 AS (
+  SELECT u.id,
+         sum(d.deg)::BIGINT AS r1_sum,
+         ((1000000 * sum(d.deg)) // count(*))::BIGINT AS r1_mean_ppm
+  FROM trade_und u JOIN deg d ON d.id = u.nbr
+  GROUP BY u.id
+),
+r2 AS (
+  SELECT u.id,
+         sum(r.r1_sum)::BIGINT AS r2_sum,
+         ((1000000 * sum(r.r1_sum)) // count(*))::BIGINT AS r2_mean_ppm
+  FROM trade_und u JOIN r1 r ON r.id = u.nbr
+  GROUP BY u.id
+)
+SELECT d.id AS node, d.deg, d.in_deg, d.out_deg,
+       coalesce(r1.r1_sum, 0)::BIGINT AS r1_sum,
+       coalesce(r1.r1_mean_ppm, 0)::BIGINT AS r1_mean_ppm,
+       coalesce(r2.r2_sum, 0)::BIGINT AS r2_sum,
+       coalesce(r2.r2_mean_ppm, 0)::BIGINT AS r2_mean_ppm
+FROM deg d LEFT JOIN r1 ON r1.id = d.id LEFT JOIN r2 ON r2.id = d.id
 """
 
     sqls["copurchase_cycle_ranks"] = """

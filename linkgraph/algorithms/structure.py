@@ -689,3 +689,59 @@ def k4_counts(graph: LinkGraph) -> DataFrame:
         .join(per_node, "id", "left")
         .select("id", F.coalesce("n_k4", F.lit(0)).alias("n_k4"))
     )
+
+
+def role_features(graph: LinkGraph) -> DataFrame:
+    """ReFeX-style recursive structural role features — per node:
+    ``(id, deg, in_deg, out_deg, r1_sum, r1_mean_ppm, r2_sum,
+    r2_mean_ppm)``.
+
+    Base features are the distinct-neighbour degrees (degree.rs:49-90
+    semantics); recursive rounds aggregate over the BOTH-direction
+    deduplicated neighbourhood: round 1 sums/means the neighbours' base
+    degree, round 2 sums/means the neighbours' round-1 sums (Henderson
+    et al., ReFeX KDD 2011 — the sum/mean recursion that separates
+    structural roles hubs/bridges/peripheral without any labels).
+
+    Means are integer micro-units (``(1e6·sum) div count`` — floor
+    division), so every engine computes bit-identical features: no
+    float representation drift between Spark and the SQL replay, and
+    downstream role clustering (k-means on the feature table) sees
+    identical inputs.  Shape: each round is one join of the slim
+    (id, feature) table onto the cached undirected pair list + one hash
+    aggregate — two rounds, two shuffles, no iteration state.
+    """
+    und = graph.undirected_edge_ids().filter(F.col("id") != F.col("nbr_id"))
+    deg = graph.degrees().select(
+        "id",
+        F.col("degree").alias("deg"),
+        F.col("in_degree").alias("in_deg"),
+        F.col("out_degree").alias("out_deg"),
+    )
+    nbr_deg = und.join(
+        deg.select(F.col("id").alias("nbr_id"), F.col("deg").alias("nd")),
+        "nbr_id",
+    )
+    r1 = nbr_deg.groupBy("id").agg(
+        F.sum("nd").alias("r1_sum"),
+        F.expr("(1000000 * sum(nd)) div count(*)").alias("r1_mean_ppm"),
+    )
+    nbr_r1 = und.join(
+        r1.select(F.col("id").alias("nbr_id"), F.col("r1_sum").alias("ns")),
+        "nbr_id",
+    )
+    r2 = nbr_r1.groupBy("id").agg(
+        F.sum("ns").alias("r2_sum"),
+        F.expr("(1000000 * sum(ns)) div count(*)").alias("r2_mean_ppm"),
+    )
+    return (
+        deg.join(r1, "id", "left")
+        .join(r2, "id", "left")
+        .select(
+            "id", "deg", "in_deg", "out_deg",
+            F.coalesce("r1_sum", F.lit(0)).alias("r1_sum"),
+            F.coalesce("r1_mean_ppm", F.lit(0)).alias("r1_mean_ppm"),
+            F.coalesce("r2_sum", F.lit(0)).alias("r2_sum"),
+            F.coalesce("r2_mean_ppm", F.lit(0)).alias("r2_mean_ppm"),
+        )
+    )

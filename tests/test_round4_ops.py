@@ -511,3 +511,24 @@ def test_component_cycle_ranks(spark):
         for r in component_cycle_ranks(g).collect()
     }
     assert rows == {(4, 4): 1, (3, 2): 0, (5, 6): 2}
+
+
+def test_role_features_star(spark):
+    from linkgraph.algorithms.structure import role_features
+    from linkgraph.graph import LinkGraph
+
+    # star: hub h -> l1,l2,l3 (directed out)
+    ev = [(0, "h", "l1"), (1, "h", "l2"), (2, "h", "l3")]
+    g = LinkGraph.from_edge_list(spark, ev)
+    id_of = {r["name"]: r["id"] for r in g.ids().collect()}
+    rows = {r["id"]: r for r in role_features(g).collect()}
+    h = rows[id_of["h"]]
+    assert (h["deg"], h["in_deg"], h["out_deg"]) == (3, 0, 3)
+    # hub's neighbours are three leaves of degree 1
+    assert (h["r1_sum"], h["r1_mean_ppm"]) == (3, 1_000_000)
+    # each leaf's r1_sum = hub degree 3; hub's r2 = sum of leaf r1_sums = 9
+    l1 = rows[id_of["l1"]]
+    assert (l1["deg"], l1["r1_sum"], l1["r1_mean_ppm"]) == (1, 3, 3_000_000)
+    assert (h["r2_sum"], h["r2_mean_ppm"]) == (9, 3_000_000)
+    # leaf r2 = hub's r1_sum = 3
+    assert (l1["r2_sum"], l1["r2_mean_ppm"]) == (3, 3_000_000)
