@@ -808,6 +808,18 @@ def q_events_stream_topk(spark, sf_dir):
     return windowed_topk(spark, stream, _stream_ck(), k=3)
 
 
+def q_events_stream_anomaly(spark, sf_dir):
+    """Streaming rate anomalies: watermarked hourly counts run as a real
+    availableNow streaming query, then each hour's count is scored
+    against the trailing-3-hour sum in exact integer ppm (sign split
+    out so floor-vs-truncate division can never diverge across
+    engines); |deviation| ≥ 50% flags an anomaly."""
+    from linkgraph.streaming import rate_anomalies, read_event_stream
+
+    stream = read_event_stream(spark, _stream_input(sf_dir, "events"))
+    return rate_anomalies(spark, stream, _stream_ck())
+
+
 def q_trade_wcc_warm(spark, sf_dir):
     """Warm-started WCC over an EXPANDING window — incremental temporal
     analytics path #2: the 1994 window's component labels seed the
@@ -2711,6 +2723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchase_k4": q_copurchase_k4,
         "copurchase_cycle_ranks": q_copurchase_cycle_ranks,
         "trade_role_features": q_trade_role_features,
+        "events_stream_anomaly": q_events_stream_anomaly,
         # round-3-green buffer (driver re-confirmation, newest first)
         "trade_closeness": q_trade_closeness,
         "trade_neighbor_sample": q_trade_neighbor_sample,
@@ -5245,6 +5258,30 @@ SELECT ws, event_type, n_events, rank FROM (
   )::BIGINT AS rank
   FROM c
 ) WHERE rank <= 3
+"""
+
+    sqls["events_stream_anomaly"] = """
+WITH c AS (
+  SELECT cast(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS ws,
+         event_type, count(*)::BIGINT AS n_events
+  FROM events GROUP BY 1, 2
+),
+s AS (
+  SELECT ws, event_type, n_events,
+         sum(n_events) OVER w AS trailing_sum,
+         count(n_events) OVER w AS n_prior
+  FROM c
+  WINDOW w AS (PARTITION BY event_type ORDER BY ws
+               ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+)
+SELECT ws, event_type, n_events, trailing_sum::BIGINT AS trailing_sum,
+       (CASE WHEN 3 * n_events - trailing_sum >= 0 THEN 1 ELSE -1 END)::INT
+         AS dev_sign,
+       ((abs(3 * n_events - trailing_sum) * 1000000) // trailing_sum)::BIGINT
+         AS dev_ppm,
+       ((abs(3 * n_events - trailing_sum) * 1000000) // trailing_sum)
+         >= 500000 AS is_anomaly
+FROM s WHERE n_prior = 3
 """
 
     # warm-started WCC reaches the same fixpoint as cold (proof sketch in

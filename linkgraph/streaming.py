@@ -386,3 +386,72 @@ def fm_estimate(r_sum: int, n_replicas: int) -> float:
     """Serving-time FM cardinality estimate from a summed register value:
     ``2^(r_sum/R) / 0.77351`` (Flajolet & Martin 1985, φ correction)."""
     return (2.0 ** (float(r_sum) / float(n_replicas))) / 0.77351
+
+
+def rate_anomalies(
+    spark: SparkSession,
+    stream: DataFrame,
+    checkpoint: str,
+    trailing: int = 3,
+    threshold_ppm: int = 500_000,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming rate-anomaly detection — per (hour, event_type):
+    ``(ws, event_type, n_events, trailing_sum, dev_sign, dev_ppm,
+    is_anomaly)``.
+
+    Two-stage streaming pattern (same split as :func:`windowed_topk`):
+    the STATEFUL stage — watermarked tumbling hourly counts — runs as a
+    real availableNow streaming query; the trailing-baseline comparison
+    is one window pass over the emitted table, because a deviation
+    against the previous ``trailing`` hours re-reads closed windows and
+    is not incrementally updatable inside the live aggregation.
+
+    Deviation is exact integer arithmetic: against the trailing sum
+    ``s`` over the previous ``trailing`` emitted hours (ROWS frame,
+    full history required — the first ``trailing`` hours of a type get
+    no verdict), the relative deviation of count ``c`` is
+    ``|trailing·c − s| · 1e6 div s`` with a separate ±1 sign column —
+    magnitudes stay non-negative so floor vs truncating integer
+    division can never disagree across engines.  ``is_anomaly`` flags
+    ``dev_ppm ≥ threshold_ppm`` (default ±50%).
+    """
+    from pyspark.sql import Window
+
+    counts = run_available_now(
+        hourly_event_counts(stream, watermark=watermark).select(
+            "ws", "event_type", "n_events"
+        ),
+        checkpoint,
+        output_mode="complete",
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ws")
+        .rowsBetween(-trailing, -1)
+    )
+    scored = (
+        counts.withColumn("trailing_sum", F.sum("n_events").over(w))
+        .withColumn("n_prior", F.count("n_events").over(w))
+        .filter(F.col("n_prior") == trailing)
+        .drop("n_prior")
+    )
+    diff = F.lit(trailing) * F.col("n_events") - F.col("trailing_sum")
+    return scored.select(
+        "ws",
+        "event_type",
+        "n_events",
+        "trailing_sum",
+        F.when(diff >= 0, F.lit(1)).otherwise(F.lit(-1)).alias("dev_sign"),
+        F.expr(
+            f"(abs({trailing}L * n_events - trailing_sum) * 1000000L)"
+            " div trailing_sum"
+        ).alias("dev_ppm"),
+        (
+            F.expr(
+                f"(abs({trailing}L * n_events - trailing_sum) * 1000000L)"
+                " div trailing_sum"
+            )
+            >= F.lit(threshold_ppm)
+        ).alias("is_anomaly"),
+    )

@@ -263,3 +263,37 @@ def test_windowed_count_min_matches_batch_and_merges(spark, tmp_path):
     for (r, _), c in got.items():
         per_row[r] += c
     assert set(per_row.values()) == {len(rows1) + len(rows2)}
+
+
+# ------------------------------------------ rate anomalies
+
+
+def test_rate_anomalies_trailing_baseline(spark, tmp_path):
+    from linkgraph.streaming import rate_anomalies
+
+    p = str(tmp_path / "anom_in")
+    rows, eid = [], 0
+    # clicks: hours 0-2 at 4/hour (baseline), hour 3 spikes to 12 (+200%),
+    # hour 4 drops to 2 (-50%, boundary: flagged at >= threshold)
+    for h, n in [(0, 4), (1, 4), (2, 4), (3, 12), (4, 2)]:
+        for i in range(n):
+            rows.append((eid, _ts(h, i), 1, "click", 1.0, "{}"))
+            eid += 1
+    _write_events(spark, p, rows)
+    out = rate_anomalies(
+        spark, read_event_stream(spark, p), str(tmp_path / "ck_anom")
+    ).collect()
+    base = int(
+        dt.datetime(2024, 1, 1).replace(tzinfo=dt.timezone.utc).timestamp()
+    )
+    got = {r["ws"]: r for r in out}
+    # hours 0-2 have <3 prior hours: no verdict rows at all
+    assert set(got) == {base + 3 * 3600, base + 4 * 3600}
+    spike = got[base + 3 * 3600]
+    assert (spike["n_events"], spike["trailing_sum"]) == (12, 12)
+    assert (spike["dev_sign"], spike["dev_ppm"]) == (1, 2_000_000)
+    assert spike["is_anomaly"]
+    dip = got[base + 4 * 3600]
+    assert (dip["n_events"], dip["trailing_sum"]) == (2, 20)
+    assert (dip["dev_sign"], dip["dev_ppm"]) == (-1, 700_000)
+    assert dip["is_anomaly"]
