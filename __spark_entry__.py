@@ -808,6 +808,18 @@ def q_events_stream_topk(spark, sf_dir):
     return windowed_topk(spark, stream, _stream_ck(), k=3)
 
 
+def q_docs_zipf(spark, sf_dir):
+    """Zipf rank-frequency profile — top-100 terms with rank, count,
+    and per-term/cumulative corpus share in integer ppm (ties break on
+    the term string; floor-division ppm — bit-identical across
+    engines)."""
+    from linkgraph.pipeline.textstats import zipf_profile
+
+    return zipf_profile(_t(spark, sf_dir, "documents"), top_k=100).select(
+        "rank", "term", "freq", "freq_ppm", "cum_ppm"
+    )
+
+
 def q_events_stream_anomaly(spark, sf_dir):
     """Streaming rate anomalies: watermarked hourly counts run as a real
     availableNow streaming query, then each hour's count is scored
@@ -2724,6 +2736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchase_cycle_ranks": q_copurchase_cycle_ranks,
         "trade_role_features": q_trade_role_features,
         "events_stream_anomaly": q_events_stream_anomaly,
+        "docs_zipf": q_docs_zipf,
         # round-3-green buffer (driver re-confirmation, newest first)
         "trade_closeness": q_trade_closeness,
         "trade_neighbor_sample": q_trade_neighbor_sample,
@@ -5258,6 +5271,27 @@ SELECT ws, event_type, n_events, rank FROM (
   )::BIGINT AS rank
   FROM c
 ) WHERE rank <= 3
+"""
+
+    sqls["docs_zipf"] = r"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+           AS term
+  FROM documents
+),
+tf AS (SELECT term, count(*)::BIGINT AS freq FROM toks GROUP BY term),
+ranked AS (
+  SELECT term, freq,
+         row_number() OVER (ORDER BY freq DESC, term ASC)::BIGINT AS rank,
+         sum(freq) OVER (ORDER BY freq DESC, term ASC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_freq
+  FROM tf
+)
+SELECT rank, term, freq,
+       ((freq * 1000000) // (SELECT count(*) FROM toks))::BIGINT AS freq_ppm,
+       ((cum_freq * 1000000) // (SELECT count(*) FROM toks))::BIGINT AS cum_ppm
+FROM ranked WHERE rank <= 100
 """
 
     sqls["events_stream_anomaly"] = """

@@ -513,3 +513,55 @@ def vocab_growth(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.sum("n_tokens").over(w).alias("cum_tokens"),
         F.sum("new_types").over(w).alias("cum_vocab"),
     )
+
+
+def zipf_profile(
+    docs: DataFrame, text_col: str = "text", top_k: int = 100
+) -> DataFrame:
+    """Zipf rank–frequency profile of the corpus — the top ``top_k``
+    terms as ``(rank, term, freq, freq_ppm, cum_ppm)``: frequency rank
+    (ties broken by the term string, deterministic), occurrence count,
+    per-term and cumulative corpus share in integer ppm.
+
+    The rank-frequency twin of :func:`vocab_growth` (Heaps) — a corpus
+    whose head deviates from the reference slope (cum share climbing
+    too fast) is template/boilerplate-heavy; the curve is the standard
+    diagnostic before dedup thresholds are picked.  All-integer output
+    (floor-division ppm), bit-identical across engines.
+
+    Scale shape: one tokenize→hash-aggregate pass (map-side combined,
+    text never rides a shuffle); the rank window runs over the
+    term-frequency table, and only because ``top_k`` needs a global
+    order — cap the window's input first with a cheap frequency
+    threshold at 100TB (any term in a global top-100 appears more than
+    once per million tokens, so pre-filter ``freq >= total/1e6 div
+    heads`` before the sort; the aggregate side never changes).
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), 0)
+        ).alias("term")
+    )
+    tf = toks.groupBy("term").agg(F.count("*").alias("freq"))
+    w = Window.orderBy(F.desc("freq"), F.asc("term"))
+    ranked = (
+        tf.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= top_k)
+        .withColumn("cum_freq", F.sum("freq").over(
+            Window.orderBy(F.desc("freq"), F.asc("term"))
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ))
+    )
+    total = toks.agg(F.count("*").alias("total"))
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .select(
+            "rank",
+            "term",
+            "freq",
+            F.expr("(freq * 1000000) div total").alias("freq_ppm"),
+            F.expr("(cum_freq * 1000000) div total").alias("cum_ppm"),
+        )
+    )

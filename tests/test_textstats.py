@@ -243,3 +243,19 @@ def test_vocab_growth_matches_python(spark):
         cum_v += len(new)
         want[did] = (len(toks), len(new), cum_t, cum_v)
     assert got == want
+
+
+def test_zipf_profile_hand_corpus(spark):
+    from linkgraph.pipeline.textstats import zipf_profile
+
+    docs = spark.createDataFrame(
+        [(0, "a a a b b c"), (1, "a b d")], "doc_id long, text string"
+    )
+    rows = {r["rank"]: r for r in zipf_profile(docs, top_k=3).collect()}
+    # freqs: a=4, b=3, c=1, d=1 (ties break on term: c before d); total 9
+    assert (rows[1]["term"], rows[1]["freq"]) == ("a", 4)
+    assert (rows[2]["term"], rows[2]["freq"]) == ("b", 3)
+    assert (rows[3]["term"], rows[3]["freq"]) == ("c", 1)
+    assert rows[1]["freq_ppm"] == 4 * 1_000_000 // 9
+    assert rows[2]["cum_ppm"] == 7 * 1_000_000 // 9
+    assert rows[3]["cum_ppm"] == 8 * 1_000_000 // 9
