@@ -808,6 +808,20 @@ def q_events_stream_topk(spark, sf_dir):
     return windowed_topk(spark, stream, _stream_ck(), k=3)
 
 
+def q_trade_efficiency(spark, sf_dir):
+    """Sampled Wiener index + Latora-Marchiori global efficiency on the
+    trade graph (first-8 seeds, BOTH direction): one row of exact
+    integer sums — each pair contributes 1e6 div d efficiency ppm, so
+    the scalar is bit-stable at any partitioning."""
+    from linkgraph.algorithms import graph_efficiency
+
+    g = _trade_graph(spark, sf_dir)
+    return graph_efficiency(g, first_k=8).select(
+        "n_seeds", "n_pairs", "wiener_sum", "avg_dist_ppm",
+        "eff_ppm_sum", "avg_eff_ppm",
+    )
+
+
 def q_docs_zipf(spark, sf_dir):
     """Zipf rank-frequency profile — top-100 terms with rank, count,
     and per-term/cumulative corpus share in integer ppm (ties break on
@@ -2737,6 +2751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trade_role_features": q_trade_role_features,
         "events_stream_anomaly": q_events_stream_anomaly,
         "docs_zipf": q_docs_zipf,
+        "trade_efficiency": q_trade_efficiency,
         # round-3-green buffer (driver re-confirmation, newest first)
         "trade_closeness": q_trade_closeness,
         "trade_neighbor_sample": q_trade_neighbor_sample,
@@ -4216,6 +4231,43 @@ FROM v{levels} WHERE dist > 0 GROUP BY dist
 UNION ALL
 SELECT CAST(error('neighborhood oracle: {levels}-level unroll insufficient') AS BIGINT),
        CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+WHERE (SELECT count(*) FROM b{levels}) <> 0
+"""
+    )
+
+
+def _efficiency_oracle_sql(first_k: int, levels: int) -> str:
+    """Wiener/efficiency scalars from the same level-unrolled BFS as
+    :func:`_neighborhood_oracle_sql` (shared guard semantics); per-pair
+    1e6//d terms are exact integers, so the sums are bit-stable."""
+    stages = [
+        f"seeds AS MATERIALIZED (SELECT id FROM trade_nodes ORDER BY id LIMIT {first_k})",
+        "b0 AS MATERIALIZED (SELECT id AS seed, id AS node, 0 AS dist FROM seeds)",
+        "v0 AS MATERIALIZED (SELECT * FROM b0)",
+    ]
+    for i in range(1, levels + 1):
+        stages.append(
+            f"b{i} AS MATERIALIZED (SELECT DISTINCT f.seed, u.id AS node, {i} AS dist "
+            f"FROM b{i-1} f JOIN trade_und u ON u.nbr = f.node "
+            f"WHERE NOT EXISTS (SELECT 1 FROM v{i-1} x "
+            f"WHERE x.seed = f.seed AND x.node = u.id))"
+        )
+        stages.append(
+            f"v{i} AS MATERIALIZED (SELECT * FROM v{i-1} UNION ALL SELECT * FROM b{i})"
+        )
+    return (
+        f"WITH {_TRADE_ED}, {_TRADE_NODES}, {_TRADE_UND},\n"
+        + ",\n".join(stages)
+        + f"""
+SELECT count(DISTINCT seed)::BIGINT AS n_seeds, count(*)::BIGINT AS n_pairs,
+       sum(dist)::BIGINT AS wiener_sum,
+       ((sum(dist) * 1000000) // count(*))::BIGINT AS avg_dist_ppm,
+       sum(1000000 // dist)::BIGINT AS eff_ppm_sum,
+       (sum(1000000 // dist) // count(*))::BIGINT AS avg_eff_ppm
+FROM v{levels} WHERE dist > 0
+UNION ALL
+SELECT CAST(error('efficiency oracle: {levels}-level unroll insufficient') AS BIGINT),
+       NULL, NULL, NULL, NULL, NULL
 WHERE (SELECT count(*) FROM b{levels}) <> 0
 """
     )
@@ -6890,6 +6942,8 @@ FROM n LEFT JOIN m ON m.component = n.component
     sqls["trade_harmonic"] = _harmonic_oracle_sql(8, levels=12)
 
     sqls["trade_neighborhood"] = _neighborhood_oracle_sql(8, levels=12)
+
+    sqls["trade_efficiency"] = _efficiency_oracle_sql(8, levels=12)
 
     sqls["trade_closeness"] = _closeness_oracle_sql(8, levels=12)
 

@@ -13,6 +13,7 @@ from linkgraph.algorithms.centrality import (
     decayed_pagerank,
     effective_diameter,
     eigenvector_centrality,
+    graph_efficiency,
     harmonic_centrality,
     hyperball_anf,
     landmark_distances,
@@ -120,6 +121,7 @@ __all__ = [
     "multi_source_bfs",
     "negative_edges",
     "neighborhood_function",
+    "graph_efficiency",
     "harmonic_centrality",
     "hyperball_anf",
     "hyperball_centrality",

@@ -962,3 +962,39 @@ def approx_distance(
         .agg(F.min(F.col("du") + F.col("dv")).alias("dist_ub"))
         .join(pairs, ["u", "v"], "right")
     )
+
+
+def graph_efficiency(
+    graph: LinkGraph,
+    seeds: list[str] | None = None,
+    first_k: int = 8,
+    direction: str = "both",
+    max_depth: int = 64,
+) -> DataFrame:
+    """Wiener index and global efficiency over a seed sample — ONE row
+    ``(n_seeds, n_pairs, wiener_sum, avg_dist_ppm, eff_ppm_sum,
+    avg_eff_ppm)``.
+
+    Over the exact (seed, node) BFS distances (the same batched
+    :func:`multi_source_bfs` behind harmonic/closeness/eccentricity):
+    ``wiener_sum = Σ d`` (the sampled Wiener index), ``eff_ppm_sum =
+    Σ (1e6 div d)`` (Latora–Marchiori efficiency, each pair's 1/d as an
+    exact integer-ppm term — no float accumulation, so the scalar is
+    bit-stable at any partitioning), and their per-pair means in floor
+    ppm.  Unreachable pairs contribute nothing to either sum (the
+    standard convention: efficiency 0, distance excluded); pairs at
+    dist 0 (the seeds) are excluded.  All aggregation is one hash
+    aggregate over the shared BFS table.
+    """
+    visited = multi_source_bfs(
+        graph, _resolve_seed_ids(graph, seeds, first_k), direction, max_depth
+    )
+    pairs = visited.filter(F.col("dist") >= 1)
+    return pairs.agg(
+        F.countDistinct("seed").alias("n_seeds"),
+        F.count("*").alias("n_pairs"),
+        F.sum("dist").alias("wiener_sum"),
+        F.expr("(sum(dist) * 1000000) div count(*)").alias("avg_dist_ppm"),
+        F.sum(F.expr("1000000 div dist")).alias("eff_ppm_sum"),
+        F.expr("sum(1000000 div dist) div count(*)").alias("avg_eff_ppm"),
+    )

@@ -532,3 +532,19 @@ def test_role_features_star(spark):
     assert (h["r2_sum"], h["r2_mean_ppm"]) == (9, 3_000_000)
     # leaf r2 = hub's r1_sum = 3
     assert (l1["r2_sum"], l1["r2_mean_ppm"]) == (3, 3_000_000)
+
+
+def test_graph_efficiency_path(spark):
+    from linkgraph.algorithms import graph_efficiency
+    from linkgraph.graph import LinkGraph
+
+    # path a-b-c-d, seeds restricted to a and b via first_k over sorted names
+    ev = [(0, "a", "b"), (1, "b", "c"), (2, "c", "d")]
+    g = LinkGraph.from_edge_list(spark, ev)
+    row = graph_efficiency(g, seeds=["a", "b"]).collect()[0]
+    # from a: d(b)=1 d(c)=2 d(d)=3; from b: d(a)=1 d(c)=1 d(d)=2
+    assert (row["n_seeds"], row["n_pairs"], row["wiener_sum"]) == (2, 6, 10)
+    assert row["avg_dist_ppm"] == 10 * 1_000_000 // 6
+    want_eff = (1_000_000 + 500_000 + 333_333) + (1_000_000 * 2 + 500_000)
+    assert row["eff_ppm_sum"] == want_eff
+    assert row["avg_eff_ppm"] == want_eff // 6
