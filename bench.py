@@ -200,6 +200,17 @@ def main() -> None:
         "trade_latest_departure",
         "transition_simrank",
         "docs_cdc_chunks",
+        # round 4 (cont.): fastest temporal paths, as-of reciprocation,
+        # K4 cliques, cycle ranks, role features, Zipf head, streaming
+        # anomalies, sampled Wiener/efficiency
+        "trade_fastest_path",
+        "transition_recip_latency",
+        "copurchase_k4",
+        "copurchase_cycle_ranks",
+        "trade_role_features",
+        "docs_zipf",
+        "events_stream_anomaly",
+        "trade_efficiency",
     ]
     # untimed warmup at the smallest scale factor: run every headline query
     # once over sf0.001 so whole-stage-codegen compilation, the parquet

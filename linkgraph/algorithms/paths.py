@@ -616,11 +616,20 @@ def fastest_path_durations(
     frontier size per (source, node) is the number of Pareto-optimal
     departure/arrival pairs, not the number of source out-events.
 
-    Convergence: frontiers only improve in the dominance order, so the
-    state reaches a fixpoint; the (count, sum(dep), sum(arrival)) triple
-    is the single-action convergence check, with a loud ``max_rounds``
-    guard.  The SQL oracle unrolls identical rounds (same prune) with an
-    equality guard on the final two.
+    Propagation is **frontier-only**: candidates are generated from the
+    labels that changed last round, not the whole state.  This is
+    loss-free — a stable label's candidates were generated the round
+    after it last improved and min-merged then; regenerating them can
+    only produce duplicates the merge absorbs, and a once-dominated
+    label stays dominated because dominators only improve.  The
+    per-round state sequence is therefore IDENTICAL to full-state
+    propagation (what the SQL oracle unrolls), while the join volume
+    drops from |state|·deg to |changed|·deg — the difference between
+    minutes and seconds once most of the Pareto surface has stabilised.
+
+    Convergence: the frontier (anti-join of the pruned merge against
+    the previous state) empties exactly at the fixpoint — one isEmpty
+    action per round, with a loud ``max_rounds`` guard.
     """
     from pyspark.sql import Window
 
@@ -660,9 +669,6 @@ def fastest_path_durations(
             .distinct()
             .localCheckpoint(eager=True)
         )
-        sig = state.agg(
-            F.count("*"), F.sum("dep"), F.sum("arrival")
-        ).first()
         cmp_op = (lambda t, a: t > a) if strict else (lambda t, a: t >= a)
         # dominance prune: keep a label iff no strictly-later departure
         # arrives no later (suffix min over dep desc, excluding self)
@@ -671,6 +677,7 @@ def fastest_path_durations(
             .orderBy(F.desc("dep"))
             .rowsBetween(Window.unboundedPreceding, -1)
         )
+        frontier = state
         rounds = 0
         while True:
             rounds += 1
@@ -680,13 +687,16 @@ def fastest_path_durations(
                     f"{max_rounds} rounds — raise max_rounds"
                 )
             cand = (
-                state.join(ev, state.node == ev.u)
+                frontier.join(ev, frontier.node == ev.u)
                 .filter(cmp_op(F.col("t"), F.col("arrival")))
                 .select("source", F.col("v").alias("node"), "dep",
                         F.col("t").alias("arrival"))
             )
+            # one exchange on (source, node) serves the min-merge (its
+            # group keys extend the partition keys) AND the prune window
             merged = (
                 state.unionByName(cand)
+                .repartition(P, "source", "node")
                 .groupBy("source", "node", "dep")
                 .agg(F.min("arrival").alias("arrival"))
             )
@@ -696,13 +706,12 @@ def fastest_path_durations(
                 .drop("sm")
                 .localCheckpoint(eager=True)
             )
-            new_sig = new_state.agg(
-                F.count("*"), F.sum("dep"), F.sum("arrival")
-            ).first()
+            frontier = new_state.join(
+                state, ["source", "node", "dep", "arrival"], "left_anti"
+            ).localCheckpoint(eager=True)
             state = new_state
-            if tuple(new_sig) == tuple(sig):
+            if frontier.isEmpty():
                 break
-            sig = new_sig
         ev.unpersist()
         out = (
             state.groupBy("source", "node")

@@ -689,6 +689,62 @@ def onion_worker() -> None:
     )
 
 
+FP_EVENTS = int(os.environ.get("FP_EVENTS", 20_000_000))
+FP_NODES = int(os.environ.get("FP_NODES", 2_000_000))
+FP_SOURCES = int(os.environ.get("FP_SOURCES", 4))
+
+
+def fastest_worker() -> None:
+    """Fastest temporal paths at the 20M-event tier: evidences the
+    frontier-only Pareto propagation (candidates from CHANGED labels,
+    one exchange serving min-merge + dominance prune) when the state
+    table is millions of (source, node, departure) labels.  Reports the
+    reached pair count, mean Pareto frontier width per reached pair
+    (labels div pairs in ppm — the quantity the dominance prune
+    bounds), rounds, and label-throughput."""
+    from pyspark.sql import functions as F
+
+    from linkgraph.algorithms.paths import fastest_path_durations
+    from linkgraph.graph import LinkGraph
+    from linkgraph.session import get_spark
+
+    spark = get_spark(
+        app_name="fp20", cores=16, shuffle_partitions=64, driver_memory="24g"
+    )
+    year_ms = 365 * 86_400_000
+    e = spark.range(FP_EVENTS).select(
+        F.pmod(F.xxhash64("id", F.lit(11)), F.lit(FP_NODES))
+        .cast("string")
+        .alias("src"),
+        F.pmod(F.xxhash64("id", F.lit(13)), F.lit(FP_NODES))
+        .cast("string")
+        .alias("dst"),
+        F.pmod(F.xxhash64("id", F.lit(17)), F.lit(year_ms)).alias("time"),
+    )
+    g = LinkGraph(e)
+    sources = [str(s) for s in range(FP_SOURCES)]
+    t0 = time.monotonic()
+    res = fastest_path_durations(g, sources, max_rounds=128)
+    res.persist()
+    n_pairs = res.count()
+    mean_dur = res.agg(F.avg("duration")).first()[0]
+    wall = time.monotonic() - t0
+    print(
+        "WORKER_RESULT "
+        + json.dumps(
+            {
+                "n_events": FP_EVENTS,
+                "n_nodes": FP_NODES,
+                "n_sources": FP_SOURCES,
+                "n_pairs": n_pairs,
+                "mean_duration_days": round(mean_dur / 86_400_000, 2),
+                "wall_s": round(wall, 1),
+                "pairs_per_sec": round(n_pairs / wall, 1),
+            }
+        )
+    )
+
+
 def _run_single(flag: str, log_name: str, key: str) -> None:
     log_path = f"/tmp/{log_name}.log"
     with open(log_path, "w") as log:
@@ -722,6 +778,8 @@ def main() -> None:
     ap.add_argument("--triangles-worker", action="store_true")
     ap.add_argument("--onion", action="store_true")
     ap.add_argument("--onion-worker", action="store_true")
+    ap.add_argument("--fastest", action="store_true")
+    ap.add_argument("--fastest-worker", action="store_true")
     args = ap.parse_args()
     if args.n2v_worker:
         n2v_worker(args.n2v_worker)
@@ -753,10 +811,14 @@ def main() -> None:
         onion_worker()
     elif args.onion:
         _run_single("--onion-worker", "r4_onion", "onion_scale")
+    elif args.fastest_worker:
+        fastest_worker()
+    elif args.fastest:
+        _run_single("--fastest-worker", "r4_fastest", "fastest_scale")
     else:
         ap.error(
             "pick one of --n2v / --resume-demo / --docs-sf1 / --wcc-warm / "
-            "--msf / --lpa / --triangles / --onion"
+            "--msf / --lpa / --triangles / --onion / --fastest"
         )
 
 
