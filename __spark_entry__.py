@@ -1377,6 +1377,19 @@ def q_trade_latest_departure(spark, sf_dir):
     ).select("target", "node", "departure")
 
 
+def q_trade_chain_contraction(spark, sf_dir):
+    """Topology compression on a 2-week trade window — every maximal
+    degree-2 path collapsed to one weighted edge via pointer doubling
+    (O(log L) half-edge self-joins, not O(L) frontier steps); output
+    (lo, hi, n_edges, n_chains) between branch nodes.  The SQL replay
+    walks each branch-rooted half-edge step-by-step with a recursive
+    CTE — same canonical fold, schedule-independent result."""
+    from linkgraph.algorithms.structure import contract_chains
+
+    g = _trade_graph(spark, sf_dir).window(788918400000, 790128000000)
+    return contract_chains(g).select("lo", "hi", "n_edges", "n_chains")
+
+
 def q_trade_role_features(spark, sf_dir):
     """ReFeX-style recursive role features on the trade graph — per node
     base degrees plus two rounds of neighbour sum/mean (means in integer
@@ -2759,6 +2772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_anomaly": q_events_stream_anomaly,
         "docs_zipf": q_docs_zipf,
         "trade_efficiency": q_trade_efficiency,
+        "trade_chain_contraction": q_trade_chain_contraction,
         # round-3-green buffer (driver re-confirmation, newest first)
         "trade_closeness": q_trade_closeness,
         "trade_neighbor_sample": q_trade_neighbor_sample,
@@ -6881,6 +6895,35 @@ reach(node, lab) AS (
 comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY node),
 sizes AS (SELECT component, count(*) AS sz FROM comp GROUP BY component)
 SELECT sz AS size, count(*) AS n_components FROM sizes GROUP BY sz
+"""
+
+    # chain contraction: the recursive CTE walks one hop per recursion from
+    # each branch-rooted half-edge (chains are short at window scale); the
+    # engine's pointer doubling reaches the same schedule-free fold
+    sqls["trade_chain_contraction"] = """
+WITH RECURSIVE wed AS (
+  SELECT DISTINCT o_custkey AS src, 1000000 + l_suppkey AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  WHERE epoch_ms(o_orderdate) >= 788918400000 AND epoch_ms(o_orderdate) < 790128000000
+),
+und AS (SELECT src AS id, dst AS nbr FROM wed UNION SELECT dst, src FROM wed),
+deg AS (SELECT id, count(*) AS d FROM und GROUP BY id),
+walk(su, cu, cv, len) AS (
+  SELECT h.id, h.id, h.nbr, 1::BIGINT
+  FROM und h JOIN deg d ON d.id = h.id AND d.d <> 2
+  UNION ALL
+  SELECT w.su, w.cv, n.nbr, w.len + 1
+  FROM walk w
+  JOIN deg d ON d.id = w.cv AND d.d = 2
+  JOIN und n ON n.id = w.cv AND n.nbr <> w.cu
+),
+term AS (
+  SELECT w.su, w.cv AS ev, w.len
+  FROM walk w JOIN deg d ON d.id = w.cv AND d.d <> 2
+)
+SELECT least(su, ev)::BIGINT AS lo, greatest(su, ev)::BIGINT AS hi,
+       len AS n_edges, (count(*) / 2)::BIGINT AS n_chains
+FROM term GROUP BY 1, 2, 3
 """
 
     # ReFeX role features: means in integer ppm (floor division) on both

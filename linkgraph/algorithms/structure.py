@@ -745,3 +745,119 @@ def role_features(graph: LinkGraph) -> DataFrame:
             F.coalesce("r2_mean_ppm", F.lit(0)).alias("r2_mean_ppm"),
         )
     )
+
+
+def contract_chains(graph: LinkGraph, max_rounds: int = 40) -> DataFrame:
+    """Topology compression: collapse every maximal degree-2 path into a
+    single weighted edge — ``(lo, hi, n_edges, n_chains)``: chain
+    endpoints (branch nodes, i.e. degree ≠ 2), the chain's edge count,
+    and how many parallel chains share that signature.  A direct
+    branch–branch edge is a chain of ``n_edges = 1``; a "petal" (chain
+    leaving and re-entering the same branch node) has ``lo = hi``.
+    PURE cycles (every node degree 2) have no branch ends and are
+    excluded — count them with :func:`~linkgraph.algorithms.metrics.
+    component_cycle_ranks` on the residual.
+
+    The workhorse is **pointer doubling** on the half-edge successor
+    function (list ranking): each directed half-edge ``(u→v)`` has at
+    most one successor (``v``'s other neighbour when ``deg(v) = 2``),
+    so the state ``(ptr, len, end)`` halves every chain in each round —
+    ``ptr ← ptr(ptr)``, ``len ← len + len(ptr)`` — and the whole
+    contraction costs O(log L) self-joins for maximal chain length L,
+    not O(L) frontier steps.  No merge conflicts: the successor map is
+    functional, so doubling is schedule-free and deterministic.  Each
+    chain is discovered from both ends; the canonical (lo, hi) fold
+    halves the traversal count.  Pure-cycle half-edges are detected by
+    wraparound — their accumulated ``len`` exceeds the graph's total
+    edge count, which no real chain can — and dropped.  The loud
+    ``max_rounds`` guard fires only if a chain outruns 2^max_rounds
+    edges.
+    """
+    und = graph.undirected_edge_ids().filter(F.col("id") != F.col("nbr_id"))
+    deg = und.groupBy("id").agg(F.count("*").alias("d"))
+    interior = deg.filter(F.col("d") == 2).select(F.col("id").alias("v"))
+    half = und.select(F.col("id").alias("u"), F.col("nbr_id").alias("v"))
+    # v interior: successor of (u -> v) is (v -> w), w = v's other neighbour
+    succ = (
+        half.join(interior, "v")
+        .join(
+            und.select(
+                F.col("id").alias("v2"), F.col("nbr_id").alias("w")
+            ),
+            F.col("v") == F.col("v2"),
+        )
+        .filter(F.col("w") != F.col("u"))
+        .select("u", "v", "w")
+    )
+    # state keyed by half-edge (u, v): ptr = next half-edge head (the node
+    # the chain continues toward) or NULL, len = edges covered, end = the
+    # terminal node once known
+    state = (
+        half.join(succ, ["u", "v"], "left")
+        .select(
+            "u",
+            "v",
+            F.col("w").alias("ptr_v"),
+            F.when(F.col("w").isNotNull(), F.col("v")).alias("ptr_u"),
+            F.lit(1).cast("long").alias("len"),
+            F.when(F.col("w").isNull(), F.col("v")).alias("end"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    m_edges = und.count() // 2
+    rounds = 0
+    while True:
+        rounds += 1
+        if rounds > max_rounds:
+            raise RuntimeError(
+                f"contract_chains: chains longer than 2^{max_rounds} edges "
+                "— raise max_rounds"
+            )
+        live = state.filter(F.col("end").isNull())
+        if live.isEmpty():
+            break
+        nxt = state.select(
+            F.col("u").alias("ptr_u"),
+            F.col("v").alias("ptr_v"),
+            F.col("ptr_u").alias("n_ptr_u"),
+            F.col("ptr_v").alias("n_ptr_v"),
+            F.col("len").alias("n_len"),
+            F.col("end").alias("n_end"),
+        )
+        state = (
+            state.join(nxt, ["ptr_u", "ptr_v"], "left")
+            .select(
+                "u",
+                "v",
+                F.when(F.col("end").isNull(), F.col("n_ptr_v"))
+                .otherwise(F.lit(None))
+                .alias("ptr_v"),
+                F.when(F.col("end").isNull(), F.col("n_ptr_u"))
+                .otherwise(F.lit(None))
+                .alias("ptr_u"),
+                (
+                    F.col("len")
+                    + F.when(
+                        F.col("end").isNull(), F.coalesce("n_len", F.lit(0))
+                    ).otherwise(F.lit(0))
+                ).alias("len"),
+                F.coalesce("end", "n_end").alias("end"),
+            )
+            # wraparound ⇒ pure cycle: no chain can cover more edges than
+            # the graph has, so these half-edges can never terminate
+            .filter(
+                F.col("end").isNotNull() | (F.col("len") <= F.lit(m_edges))
+            )
+            .localCheckpoint(eager=True)
+        )
+    branch = deg.filter(F.col("d") != 2).select(F.col("id").alias("u"))
+    rooted = state.join(branch, "u", "left_semi")
+    return (
+        rooted.select(
+            F.least("u", "end").alias("lo"),
+            F.greatest("u", "end").alias("hi"),
+            F.col("len").alias("n_edges"),
+        )
+        .groupBy("lo", "hi", "n_edges")
+        .agg((F.count("*") / 2).cast("long").alias("n_chains"))
+    )

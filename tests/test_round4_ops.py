@@ -548,3 +548,47 @@ def test_graph_efficiency_path(spark):
     want_eff = (1_000_000 + 500_000 + 333_333) + (1_000_000 * 2 + 500_000)
     assert row["eff_ppm_sum"] == want_eff
     assert row["avg_eff_ppm"] == want_eff // 6
+
+
+def test_contract_chains_paths_petal_cycle(spark):
+    from linkgraph.algorithms.structure import contract_chains
+    from linkgraph.graph import LinkGraph
+
+    # Y-shape: center C with three chains: C-a1-a2-A (3 edges),
+    # C-b1-B (2 edges), C-D direct (1 edge); a petal C-p1-p2-C (3 edges);
+    # plus a pure 4-cycle (excluded from output)
+    ev = [
+        (0, "C", "a1"), (1, "a1", "a2"), (2, "a2", "A"),
+        (3, "C", "b1"), (4, "b1", "B"),
+        (5, "C", "D"),
+        (6, "C", "p1"), (7, "p1", "p2"), (8, "p2", "C"),
+        (9, "z1", "z2"), (10, "z2", "z3"), (11, "z3", "z4"), (12, "z4", "z1"),
+    ]
+    g = LinkGraph.from_edge_list(spark, ev)
+    id_of = {r["name"]: r["id"] for r in g.ids().collect()}
+    lo = lambda a, b: min(id_of[a], id_of[b])
+    hi = lambda a, b: max(id_of[a], id_of[b])
+    got = {
+        (r["lo"], r["hi"], r["n_edges"]): r["n_chains"]
+        for r in contract_chains(g).collect()
+    }
+    want = {
+        (lo("C", "A"), hi("C", "A"), 3): 1,
+        (lo("C", "B"), hi("C", "B"), 2): 1,
+        (lo("C", "D"), hi("C", "D"), 1): 1,
+        (id_of["C"], id_of["C"], 3): 1,   # the petal
+    }
+    assert got == want
+
+
+def test_contract_chains_long_path_doubles(spark):
+    from linkgraph.algorithms.structure import contract_chains
+    from linkgraph.graph import LinkGraph
+
+    # a 33-edge path: endpoints have degree 1 (branch), interior 2 —
+    # must finish in ~log2(33) doubling rounds, well under max_rounds
+    ev = [(i, f"n{i}", f"n{i+1}") for i in range(33)]
+    g = LinkGraph.from_edge_list(spark, ev)
+    rows = contract_chains(g, max_rounds=8).collect()
+    assert len(rows) == 1
+    assert rows[0]["n_edges"] == 33 and rows[0]["n_chains"] == 1
