@@ -1377,6 +1377,20 @@ def q_trade_latest_departure(spark, sf_dir):
     ).select("target", "node", "departure")
 
 
+def q_trade_attack_robustness(spark, sf_dir):
+    """Targeted-attack percolation curve on the 2-week trade window —
+    remove the top-k hubs by (degree desc, id asc) for k in {0,1,2,4,
+    8,16} and report survivors / giant-component size / component count
+    (isolated survivors are singletons).  Deterministic tie-break, so
+    both engines delete identical sets."""
+    from linkgraph.algorithms.metrics import attack_robustness
+
+    g = _trade_graph(spark, sf_dir).window(788918400000, 790128000000)
+    return attack_robustness(g, ks=[0, 1, 2, 4, 8, 16]).select(
+        "k", "n_nodes_left", "giant_size", "n_components"
+    )
+
+
 def q_trade_chain_contraction(spark, sf_dir):
     """Topology compression on a 2-week trade window — every maximal
     degree-2 path collapsed to one weighted edge via pointer doubling
@@ -2773,6 +2787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_zipf": q_docs_zipf,
         "trade_efficiency": q_trade_efficiency,
         "trade_chain_contraction": q_trade_chain_contraction,
+        "trade_attack_robustness": q_trade_attack_robustness,
         # round-3-green buffer (driver re-confirmation, newest first)
         "trade_closeness": q_trade_closeness,
         "trade_neighbor_sample": q_trade_neighbor_sample,
@@ -3846,6 +3861,56 @@ SELECT CAST(error('latest-departure oracle: {rounds}-round unroll '
 WHERE (SELECT count(*) || '|' || sum(departure) FROM ld{rounds})
    <> (SELECT count(*) || '|' || sum(departure) FROM ld{rounds - 1})
 """
+    )
+
+
+def _attack_oracle_sql(ks: list[int]) -> str:
+    """Per-k hub-removal percolation on the 2-week trade window — one
+    recursive min-label reach CTE per k over the residual edge set;
+    isolated survivors are added back as singleton components."""
+    base = """aw_ed AS (
+  SELECT DISTINCT o_custkey AS src, 1000000 + l_suppkey AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  WHERE epoch_ms(o_orderdate) >= 788918400000 AND epoch_ms(o_orderdate) < 790128000000
+),
+aw_und AS (SELECT src AS id, dst AS nbr FROM aw_ed UNION SELECT dst, src FROM aw_ed),
+aw_deg AS (SELECT id, count(*) AS d FROM aw_und GROUP BY id),
+aw_rk AS (
+  SELECT id, row_number() OVER (ORDER BY d DESC, id ASC) AS rk FROM aw_deg
+)"""
+    stages, rows = [base], []
+    for k in ks:
+        stages.append(
+            f"""u{k} AS (
+  SELECT u.id, u.nbr FROM aw_und u
+  JOIN aw_rk a ON a.id = u.id AND a.rk > {k}
+  JOIN aw_rk b ON b.id = u.nbr AND b.rk > {k}
+),
+reach{k}(node, lab) AS (
+  SELECT DISTINCT id, id FROM u{k}
+  UNION
+  SELECT u.id, r.lab FROM reach{k} r JOIN u{k} u ON u.nbr = r.node
+),
+comp{k} AS (
+  SELECT node, min(lab) AS component FROM reach{k} GROUP BY node
+),
+sizes{k} AS (SELECT component, count(*) AS sz FROM comp{k} GROUP BY component)"""
+        )
+        rows.append(
+            f"""SELECT {k}::BIGINT AS k,
+       (SELECT count(*) FROM aw_rk WHERE rk > {k})::BIGINT AS n_nodes_left,
+       coalesce((SELECT max(sz) FROM sizes{k}),
+                least(1, (SELECT count(*) FROM aw_rk WHERE rk > {k})))::BIGINT
+         AS giant_size,
+       ((SELECT count(*) FROM sizes{k})
+        + (SELECT count(*) FROM aw_rk WHERE rk > {k})
+        - (SELECT count(*) FROM comp{k}))::BIGINT AS n_components"""
+        )
+    return (
+        "WITH RECURSIVE "
+        + ",\n".join(stages)
+        + "\n"
+        + "\nUNION ALL\n".join(rows)
     )
 
 
@@ -7151,6 +7216,8 @@ FROM tot
     sqls["trade_fastest_path"] = _fastest_path_oracle_sql(
         20, seeds=[1, 19, 37]
     )
+
+    sqls["trade_attack_robustness"] = _attack_oracle_sql([0, 1, 2, 4, 8, 16])
 
     # K4: identical degree-ordered orientation on both engines — ties on
     # degree break by id, so the enumeration order is engine-independent

@@ -592,3 +592,20 @@ def test_contract_chains_long_path_doubles(spark):
     rows = contract_chains(g, max_rounds=8).collect()
     assert len(rows) == 1
     assert rows[0]["n_edges"] == 33 and rows[0]["n_chains"] == 1
+
+
+def test_attack_robustness_star_plus_edge(spark):
+    from linkgraph.algorithms.metrics import attack_robustness
+    from linkgraph.graph import LinkGraph
+
+    # hub h connected to 5 leaves, plus a separate edge (x, y):
+    # k=0 -> giant 6, comps 2; k=1 (h removed) -> 5 isolated leaves + (x,y)
+    ev = [(i, "h", f"l{i}") for i in range(5)] + [(9, "x", "y")]
+    g = LinkGraph.from_edge_list(spark, ev)
+    got = {r["k"]: r for r in attack_robustness(g, ks=[0, 1, 2]).collect()}
+    assert (got[0]["n_nodes_left"], got[0]["giant_size"], got[0]["n_components"]) == (8, 6, 2)
+    assert (got[1]["n_nodes_left"], got[1]["giant_size"], got[1]["n_components"]) == (7, 2, 6)
+    # k=2: next-highest degree after h is tied at 1 -> smallest id removed;
+    # removing one of {leaves, x, y} leaves 6 nodes
+    assert got[2]["n_nodes_left"] == 6
+    assert got[2]["giant_size"] in (1, 2)
