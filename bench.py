@@ -211,6 +211,8 @@ def main() -> None:
         "docs_zipf",
         "events_stream_anomaly",
         "trade_efficiency",
+        "trade_chain_contraction",
+        "trade_attack_robustness",
     ]
     # untimed warmup at the smallest scale factor: run every headline query
     # once over sf0.001 so whole-stage-codegen compilation, the parquet
