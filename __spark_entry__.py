@@ -1377,6 +1377,20 @@ def q_trade_latest_departure(spark, sf_dir):
     ).select("target", "node", "departure")
 
 
+def q_trade_max_coverage(spark, sf_dir):
+    """Greedy 8-seed max coverage on the trade graph — (rank, node,
+    gain, covered): each pick maximizes newly covered closed-
+    neighbourhood nodes, ties on node id.  The (1-1/e) submodular seed
+    selector; stops early once everything is covered, and the SQL
+    replay unrolls the same rounds with the same gain>0 stop rule."""
+    from linkgraph.algorithms.sampling import greedy_max_coverage
+
+    g = _trade_graph(spark, sf_dir)
+    return greedy_max_coverage(g, k=8).select(
+        "rank", "node", "gain", "covered"
+    )
+
+
 def q_trade_attack_robustness(spark, sf_dir):
     """Targeted-attack percolation curve on the 2-week trade window —
     remove the top-k hubs by (degree desc, id asc) for k in {0,1,2,4,
@@ -2788,6 +2802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trade_efficiency": q_trade_efficiency,
         "trade_chain_contraction": q_trade_chain_contraction,
         "trade_attack_robustness": q_trade_attack_robustness,
+        "trade_max_coverage": q_trade_max_coverage,
         # round-3-green buffer (driver re-confirmation, newest first)
         "trade_closeness": q_trade_closeness,
         "trade_neighbor_sample": q_trade_neighbor_sample,
@@ -3861,6 +3876,50 @@ SELECT CAST(error('latest-departure oracle: {rounds}-round unroll '
 WHERE (SELECT count(*) || '|' || sum(departure) FROM ld{rounds})
    <> (SELECT count(*) || '|' || sum(departure) FROM ld{rounds - 1})
 """
+    )
+
+
+def _maxcover_oracle_sql(k: int) -> str:
+    """Unrolled greedy max-coverage on the trade graph — per round the
+    argmax-by-(gain desc, id asc) pick over still-uncovered closed
+    neighbourhoods, with the same gain>0 stop rule as the engine
+    (greedy gains are non-increasing, so one condition per row)."""
+    stages = [
+        """mc_closed AS MATERIALIZED (
+  SELECT id AS v, nbr AS covers FROM trade_und
+  UNION
+  SELECT id, id FROM trade_nodes
+)""",
+        "c0 AS MATERIALIZED (SELECT NULL::BIGINT AS id WHERE FALSE)",
+    ]
+    rows = []
+    for r in range(1, k + 1):
+        stages.append(
+            f"""cand{r} AS MATERIALIZED (
+  SELECT v, covers FROM mc_closed
+  WHERE covers NOT IN (SELECT id FROM c{r-1})
+),
+p{r} AS MATERIALIZED (
+  SELECT v, count(*) AS g FROM cand{r} GROUP BY v
+  ORDER BY g DESC, v ASC LIMIT 1
+),
+c{r} AS MATERIALIZED (
+  SELECT id FROM c{r-1}
+  UNION
+  SELECT covers FROM cand{r} WHERE v = (SELECT v FROM p{r})
+)"""
+        )
+        rows.append(
+            f"""SELECT {r}::BIGINT AS rank, (SELECT v FROM p{r})::BIGINT AS node,
+       (SELECT g FROM p{r})::BIGINT AS gain,
+       (SELECT count(*) FROM c{r})::BIGINT AS covered
+WHERE (SELECT g FROM p{r}) > 0"""
+        )
+    return (
+        f"WITH {_TRADE_ED}, {_TRADE_NODES}, {_TRADE_UND},\n"
+        + ",\n".join(stages)
+        + "\n"
+        + "\nUNION ALL\n".join(rows)
     )
 
 
@@ -7218,6 +7277,8 @@ FROM tot
     )
 
     sqls["trade_attack_robustness"] = _attack_oracle_sql([0, 1, 2, 4, 8, 16])
+
+    sqls["trade_max_coverage"] = _maxcover_oracle_sql(8)
 
     # K4: identical degree-ordered orientation on both engines — ties on
     # degree break by id, so the enumeration order is engine-independent

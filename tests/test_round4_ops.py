@@ -609,3 +609,24 @@ def test_attack_robustness_star_plus_edge(spark):
     # removing one of {leaves, x, y} leaves 6 nodes
     assert got[2]["n_nodes_left"] == 6
     assert got[2]["giant_size"] in (1, 2)
+
+
+def test_greedy_max_coverage_two_stars(spark):
+    from linkgraph.algorithms.sampling import greedy_max_coverage
+    from linkgraph.graph import LinkGraph
+
+    # star A (hub a, 4 leaves), star B (hub b, 2 leaves), one shared leaf:
+    # a covers 5+itself=6? a's closed nbrhood = {a, l1..l4} (5). b's = {b, m1, l4} (3 w/ shared l4)
+    ev = (
+        [(i, "a", f"l{i}") for i in range(1, 5)]
+        + [(10, "b", "m1"), (11, "b", "l4")]
+    )
+    g = LinkGraph.from_edge_list(spark, ev)
+    id_of = {r["name"]: r["id"] for r in g.ids().collect()}
+    rows = greedy_max_coverage(g, k=8).collect()
+    # pick 1: a (gain 5); pick 2: b (gain 2: b, m1; l4 covered);
+    # then leaves with gain 0 -> stop
+    assert [(r["node"], r["gain"], r["covered"]) for r in rows] == [
+        (id_of["a"], 5, 5),
+        (id_of["b"], 2, 7),
+    ]
