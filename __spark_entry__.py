@@ -1377,6 +1377,18 @@ def q_trade_latest_departure(spark, sf_dir):
     ).select("target", "node", "departure")
 
 
+def q_docs_fertility(spark, sf_dir):
+    """Tokenizer fertility per language bucket — subword-ish tokens per
+    whitespace word and chars per subword, integer ppm; the
+    mixture-weight cost signal next to docs_domain_mix."""
+    from linkgraph.pipeline.textstats import tokenizer_fertility
+
+    return tokenizer_fertility(_t(spark, sf_dir, "documents")).select(
+        "bucket", "n_docs", "n_chars", "ws_tokens", "sub_tokens",
+        "fertility_ppm", "chars_per_sub_ppm",
+    )
+
+
 def q_trade_max_coverage(spark, sf_dir):
     """Greedy 8-seed max coverage on the trade graph — (rank, node,
     gain, covered): each pick maximizes newly covered closed-
@@ -2803,6 +2815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trade_chain_contraction": q_trade_chain_contraction,
         "trade_attack_robustness": q_trade_attack_robustness,
         "trade_max_coverage": q_trade_max_coverage,
+        "docs_fertility": q_docs_fertility,
         # round-3-green buffer (driver re-confirmation, newest first)
         "trade_closeness": q_trade_closeness,
         "trade_neighbor_sample": q_trade_neighbor_sample,
@@ -7279,6 +7292,22 @@ FROM tot
     sqls["trade_attack_robustness"] = _attack_oracle_sql([0, 1, 2, 4, 8, 16])
 
     sqls["trade_max_coverage"] = _maxcover_oracle_sql(8)
+
+    sqls["docs_fertility"] = r"""
+SELECT lang AS bucket, count(*)::BIGINT AS n_docs,
+       sum(length(text))::BIGINT AS n_chars,
+       sum(len(regexp_split_to_array(trim(text), '\s+')))::BIGINT AS ws_tokens,
+       sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')))::BIGINT
+         AS sub_tokens,
+       ((sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')))
+         * 1000000)
+        // sum(len(regexp_split_to_array(trim(text), '\s+'))))::BIGINT
+         AS fertility_ppm,
+       ((sum(length(text)) * 1000000)
+        // sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))))::BIGINT
+         AS chars_per_sub_ppm
+FROM documents GROUP BY lang
+"""
 
     # K4: identical degree-ordered orientation on both engines — ties on
     # degree break by id, so the enumeration order is engine-independent

@@ -565,3 +565,38 @@ def zipf_profile(
             F.expr("(cum_freq * 1000000) div total").alias("cum_ppm"),
         )
     )
+
+
+def tokenizer_fertility(
+    docs: DataFrame, by: str = "lang", text_col: str = "text"
+) -> DataFrame:
+    """Tokenizer fertility per corpus bucket — ``(bucket, n_docs,
+    n_chars, ws_tokens, sub_tokens, fertility_ppm, chars_per_sub_ppm)``.
+
+    Fertility = subword-ish tokens per whitespace word (integer ppm,
+    floor division) — the standard readout for "how expensive is this
+    slice to tokenize": a language/source whose fertility ppm is 2x the
+    corpus mean doubles its effective training cost per word, which is
+    what mixture weights (see ``domain_mix``) should price in.  The
+    subword proxy is the BPE-ish ``TOKEN_RE`` segmentation used by
+    ``doc_stats``/``token_counts`` — swap in real tokenizer counts per
+    doc upstream if available; the aggregation shape is unchanged.
+    One scan, map-side-combined aggregate; all-integer output.
+    """
+    t = F.col(text_col)
+    per_doc = docs.select(
+        F.col(by).alias("bucket"),
+        F.length(t).alias("chars"),
+        F.size(F.split(F.trim(t), r"\s+")).alias("ws"),
+        F.size(F.regexp_extract_all(t, F.lit(TOKEN_RE), 0)).alias("sub"),
+    )
+    return per_doc.groupBy("bucket").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("chars").alias("n_chars"),
+        F.sum("ws").alias("ws_tokens"),
+        F.sum("sub").alias("sub_tokens"),
+        F.expr("(sum(sub) * 1000000) div sum(ws)").alias("fertility_ppm"),
+        F.expr("(sum(chars) * 1000000) div sum(sub)").alias(
+            "chars_per_sub_ppm"
+        ),
+    )

@@ -259,3 +259,21 @@ def test_zipf_profile_hand_corpus(spark):
     assert rows[1]["freq_ppm"] == 4 * 1_000_000 // 9
     assert rows[2]["cum_ppm"] == 7 * 1_000_000 // 9
     assert rows[3]["cum_ppm"] == 8 * 1_000_000 // 9
+
+
+def test_tokenizer_fertility_hand(spark):
+    from linkgraph.pipeline.textstats import tokenizer_fertility
+
+    docs = spark.createDataFrame(
+        [(0, "en", "don't stop"), (1, "en", "a b"), (2, "fr", "c'est-la")],
+        "doc_id long, lang string, text string",
+    )
+    rows = {r["bucket"]: r for r in tokenizer_fertility(docs).collect()}
+    # en: ws = 2+2 = 4; sub: "don't stop" -> don,',t,stop (4), "a b" -> 2
+    en = rows["en"]
+    assert (en["n_docs"], en["ws_tokens"], en["sub_tokens"]) == (2, 4, 6)
+    assert en["fertility_ppm"] == 6 * 1_000_000 // 4
+    # fr: "c'est-la" -> ws 1; sub: c,',est,-,la (5)
+    fr = rows["fr"]
+    assert (fr["ws_tokens"], fr["sub_tokens"]) == (1, 5)
+    assert fr["fertility_ppm"] == 5_000_000
