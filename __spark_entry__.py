@@ -1377,6 +1377,17 @@ def q_trade_latest_departure(spark, sf_dir):
     ).select("target", "node", "departure")
 
 
+def q_trade_vertex_cover(spark, sf_dir):
+    """2-approximation vertex cover — both endpoints of the
+    deterministic maximal matching (Gavril/Yannakakis bound); (node,
+    partner, round).  Pure projection over trade_matching's fixpoint,
+    replayed by wrapping the same level-unrolled oracle."""
+    from linkgraph.algorithms.structure import vertex_cover_2approx
+
+    g = _trade_graph(spark, sf_dir)
+    return vertex_cover_2approx(g, seed=42).select("node", "partner", "round")
+
+
 def q_docs_fertility(spark, sf_dir):
     """Tokenizer fertility per language bucket — subword-ish tokens per
     whitespace word and chars per subword, integer ppm; the
@@ -2816,6 +2827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trade_attack_robustness": q_trade_attack_robustness,
         "trade_max_coverage": q_trade_max_coverage,
         "docs_fertility": q_docs_fertility,
+        "trade_vertex_cover": q_trade_vertex_cover,
         # round-3-green buffer (driver re-confirmation, newest first)
         "trade_closeness": q_trade_closeness,
         "trade_neighbor_sample": q_trade_neighbor_sample,
@@ -7292,6 +7304,15 @@ FROM tot
     sqls["trade_attack_robustness"] = _attack_oracle_sql([0, 1, 2, 4, 8, 16])
 
     sqls["trade_max_coverage"] = _maxcover_oracle_sql(8)
+
+    sqls["trade_vertex_cover"] = f"""
+WITH vc_m AS MATERIALIZED (
+{_matching_oracle_sql(16, seed=42)}
+)
+SELECT lo AS node, hi AS partner, round FROM vc_m
+UNION ALL
+SELECT hi, lo, round FROM vc_m
+"""
 
     sqls["docs_fertility"] = r"""
 SELECT lang AS bucket, count(*)::BIGINT AS n_docs,

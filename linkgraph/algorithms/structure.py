@@ -861,3 +861,21 @@ def contract_chains(graph: LinkGraph, max_rounds: int = 40) -> DataFrame:
         .groupBy("lo", "hi", "n_edges")
         .agg((F.count("*") / 2).cast("long").alias("n_chains"))
     )
+
+
+def vertex_cover_2approx(graph: LinkGraph, seed: int = 42) -> DataFrame:
+    """2-approximation vertex cover — ``(node, partner, round)``: BOTH
+    endpoints of every edge of the deterministic maximal matching
+    (:func:`maximal_matching`).  Matching maximality means every edge
+    touches a matched node, so the endpoint set covers all edges; it is
+    within 2x of the optimum because any cover must take ≥ 1 endpoint
+    per matched edge (the Gavril/Yannakakis argument).  ``partner`` is
+    the mate whose matched edge put the node in the cover — useful when
+    auditing why a node was selected.  Cost: the matching itself; this
+    is a projection."""
+    m = maximal_matching(graph, seed=seed)
+    return m.select(
+        F.col("lo").alias("node"), F.col("hi").alias("partner"), "round"
+    ).unionByName(
+        m.select(F.col("hi").alias("node"), F.col("lo").alias("partner"), "round")
+    )

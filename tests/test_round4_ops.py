@@ -630,3 +630,17 @@ def test_greedy_max_coverage_two_stars(spark):
         (id_of["a"], 5, 5),
         (id_of["b"], 2, 7),
     ]
+
+
+def test_vertex_cover_covers_all_edges(spark):
+    from linkgraph.algorithms.structure import vertex_cover_2approx
+    from linkgraph.graph import LinkGraph
+
+    ev = [(0, "a", "b"), (1, "b", "c"), (2, "c", "d"), (3, "d", "a"),
+          (4, "a", "c"), (5, "e", "f")]
+    g = LinkGraph.from_edge_list(spark, ev)
+    cover = {r["node"] for r in vertex_cover_2approx(g).collect()}
+    und = [(r["id"], r["nbr_id"]) for r in g.undirected_edge_ids().collect()]
+    assert all(u in cover or v in cover for u, v in und)
+    # matching-based: cover size is even and <= 2 * optimum
+    assert len(cover) % 2 == 0
