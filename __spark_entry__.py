@@ -1377,6 +1377,29 @@ def q_trade_latest_departure(spark, sf_dir):
     ).select("target", "node", "departure")
 
 
+def q_events_funnel(spark, sf_dir):
+    """Ordered signup→view→click→purchase funnel — per stage the users
+    who performed the steps in strict time order (earliest-completion
+    semantics), with stage and cumulative conversion in integer ppm."""
+    from linkgraph.pipeline.analytics import funnel_counts
+
+    return funnel_counts(
+        _t(spark, sf_dir, "events"), ["signup", "view", "click", "purchase"]
+    ).select("step_idx", "step", "n_users", "conv_prev_ppm", "conv_first_ppm")
+
+
+def q_events_retention(spark, sf_dir):
+    """Hourly retention cohorts — users bucketed by first active hour,
+    re-counted at offsets {1, 2, 3, 24}; offset 0 rows carry cohort
+    sizes.  Exact integers, one distinct activity table + bounded join
+    batch."""
+    from linkgraph.pipeline.analytics import retention_cohorts
+
+    return retention_cohorts(
+        _t(spark, sf_dir, "events"), offsets=[1, 2, 3, 24]
+    ).select("cohort", "offset", "n_active")
+
+
 def q_trade_vertex_cover(spark, sf_dir):
     """2-approximation vertex cover — both endpoints of the
     deterministic maximal matching (Gavril/Yannakakis bound); (node,
@@ -2828,6 +2851,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trade_max_coverage": q_trade_max_coverage,
         "docs_fertility": q_docs_fertility,
         "trade_vertex_cover": q_trade_vertex_cover,
+        "events_funnel": q_events_funnel,
+        "events_retention": q_events_retention,
         # round-3-green buffer (driver re-confirmation, newest first)
         "trade_closeness": q_trade_closeness,
         "trade_neighbor_sample": q_trade_neighbor_sample,
@@ -7304,6 +7329,59 @@ FROM tot
     sqls["trade_attack_robustness"] = _attack_oracle_sql([0, 1, 2, 4, 8, 16])
 
     sqls["trade_max_coverage"] = _maxcover_oracle_sql(8)
+
+    # ordered funnel: stage k = min event time of step k strictly after the
+    # user's stage k-1 time; counts replayed as chained scalar CTEs
+    sqls["events_funnel"] = """
+WITH s1 AS (
+  SELECT user_id AS u, min(epoch_ms(ts)) AS st FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id AS u, min(epoch_ms(e.ts)) AS st
+  FROM events e JOIN s1 ON s1.u = e.user_id AND epoch_ms(e.ts) > s1.st
+  WHERE e.event_type = 'view' GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id AS u, min(epoch_ms(e.ts)) AS st
+  FROM events e JOIN s2 ON s2.u = e.user_id AND epoch_ms(e.ts) > s2.st
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+),
+s4 AS (
+  SELECT e.user_id AS u, min(epoch_ms(e.ts)) AS st
+  FROM events e JOIN s3 ON s3.u = e.user_id AND epoch_ms(e.ts) > s3.st
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+),
+c AS (
+  SELECT 1 AS step_idx, 'signup' AS step, (SELECT count(*) FROM s1) AS n
+  UNION ALL SELECT 2, 'view', (SELECT count(*) FROM s2)
+  UNION ALL SELECT 3, 'click', (SELECT count(*) FROM s3)
+  UNION ALL SELECT 4, 'purchase', (SELECT count(*) FROM s4)
+)
+SELECT step_idx::BIGINT AS step_idx, step, n::BIGINT AS n_users,
+       CASE WHEN coalesce(lag(n) OVER (ORDER BY step_idx), n) = 0 THEN 0
+            ELSE (1000000 * n) // coalesce(lag(n) OVER (ORDER BY step_idx), n)
+       END::BIGINT AS conv_prev_ppm,
+       CASE WHEN first_value(n) OVER (ORDER BY step_idx) = 0 THEN 0
+            ELSE (1000000 * n) // first_value(n) OVER (ORDER BY step_idx)
+       END::BIGINT AS conv_first_ppm
+FROM c
+"""
+
+    sqls["events_retention"] = """
+WITH act AS (
+  SELECT DISTINCT user_id AS u, epoch_ms(ts) // 3600000 AS b FROM events
+),
+first AS (SELECT u, min(b) AS cohort FROM act GROUP BY u),
+offs AS (SELECT unnest([1, 2, 3, 24]) AS off)
+SELECT cohort, 0::BIGINT AS offset, count(*)::BIGINT AS n_active
+FROM first GROUP BY cohort
+UNION ALL
+SELECT f.cohort, o.off::BIGINT, count(DISTINCT a.u)::BIGINT
+FROM act a JOIN first f ON f.u = a.u
+JOIN offs o ON a.b = f.cohort + o.off
+GROUP BY f.cohort, o.off
+"""
 
     sqls["trade_vertex_cover"] = f"""
 WITH vc_m AS MATERIALIZED (

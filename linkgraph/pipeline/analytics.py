@@ -1,0 +1,115 @@
+"""Event-stream product analytics: ordered funnels and retention cohorts.
+
+Classic session-analytics queries over the event table — the "did the
+user do A, then B, then C?" and "did the cohort come back?" readouts
+that sit next to the sessionization/follow-up operators in
+streaming.py.  Both are pure composition of hash aggregates and bounded
+join chains (funnel depth = number of steps, a query constant), exact
+integer outputs with ppm conversions, and bit-identical SQL replays.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: list[str],
+    type_col: str = "event_type",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered funnel — ``(step_idx, step, n_users, conv_prev_ppm,
+    conv_first_ppm)``: how many users performed the steps IN ORDER
+    (each step strictly later than the previous one's earliest valid
+    occurrence), with stage-to-stage and cumulative conversion in
+    integer ppm.
+
+    Earliest-completion semantics: a user's stage-k time is the minimum
+    event time of step k that is strictly after their stage-(k−1) time
+    — the standard funnel definition, deterministic and insensitive to
+    event multiplicity.  Shape: one filtered min-aggregate per step
+    joined against the previous stage (funnel depth is a small query
+    constant, so this is a bounded join chain, not an iteration); each
+    aggregate is map-side combined and the join key is the user id.
+    """
+    spark = events.sparkSession
+    t = F.unix_millis(F.col(ts_col).cast("timestamp"))
+    stage = None
+    counts = []
+    for step in steps:
+        ev = events.filter(F.col(type_col) == step).select(
+            F.col(user_col).alias("user"), t.alias("t")
+        )
+        if stage is None:
+            stage = ev.groupBy("user").agg(F.min("t").alias("st"))
+        else:
+            stage = (
+                ev.join(stage, "user")
+                .filter(F.col("t") > F.col("st"))
+                .groupBy("user")
+                .agg(F.min("t").alias("st"))
+            )
+        counts.append(stage.count())
+    rows = []
+    for i, (step, n) in enumerate(zip(steps, counts)):
+        prev = counts[i - 1] if i else counts[0]
+        rows.append(
+            (
+                i + 1,
+                step,
+                n,
+                (1_000_000 * n) // prev if prev else 0,
+                (1_000_000 * n) // counts[0] if counts[0] else 0,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "step_idx long, step string, n_users long, "
+        "conv_prev_ppm long, conv_first_ppm long",
+    )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    offsets: list[int],
+    bucket_ms: int = 3_600_000,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Retention matrix — ``(cohort, offset, n_active)`` plus the
+    ``offset = 0`` cohort-size rows: users bucketed by their FIRST
+    active time bucket (``epoch_ms div bucket_ms``), counted again in
+    each ``cohort + offset`` bucket they were active in.
+
+    The cohort-retention readout behind "does this source's audience
+    come back?" — hourly buckets by default (pass 86_400_000 for
+    daily).  Shape: one min-aggregate for first-seen, one distinct
+    (user, bucket) activity table, one join per matrix cell batch —
+    all hash joins on the user id, exact integers.
+    """
+    t = F.unix_millis(F.col(ts_col).cast("timestamp"))
+    act = (
+        events.select(
+            F.col(user_col).alias("user"),
+            (t / F.lit(bucket_ms)).cast("long").alias("b"),
+        )
+        .distinct()
+    )
+    first = act.groupBy("user").agg(F.min("b").alias("cohort"))
+    base = first.groupBy("cohort").agg(F.count("*").alias("n_active"))
+    out = base.select("cohort", F.lit(0).cast("long").alias("offset"), "n_active")
+    joined = act.join(first, "user")
+    for off in offsets:
+        got = (
+            joined.filter(F.col("b") == F.col("cohort") + F.lit(int(off)))
+            .groupBy("cohort")
+            .agg(F.countDistinct("user").alias("n_active"))
+            .select(
+                "cohort", F.lit(int(off)).cast("long").alias("offset"), "n_active"
+            )
+        )
+        out = out.unionByName(got)
+    return out

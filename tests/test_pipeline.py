@@ -403,3 +403,63 @@ def test_line_dedup_word_segments(spark):
     for r in out.values():
         assert r["n_units"] == 2
         assert r["removed_units"] == 1
+
+
+def test_funnel_counts_strict_order(spark):
+    import datetime as dt
+
+    from linkgraph.pipeline.analytics import funnel_counts
+
+    T = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    rows = [
+        # u1 completes A -> B -> C in order
+        (0, T(0), 1, "A", 0.0, "{}"), (1, T(1), 1, "B", 0.0, "{}"),
+        (2, T(2), 1, "C", 0.0, "{}"),
+        # u2 does B before A: stage B must use a B AFTER the first A
+        (3, T(5), 2, "B", 0.0, "{}"), (4, T(6), 2, "A", 0.0, "{}"),
+        (5, T(7), 2, "B", 0.0, "{}"),
+        # u3 only A
+        (6, T(9), 3, "A", 0.0, "{}"),
+        # u4: A and B at the SAME instant -> strict order rejects B
+        (7, T(10), 4, "A", 0.0, "{}"), (8, T(10), 4, "B", 0.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    got = {r["step"]: r for r in funnel_counts(ev, ["A", "B", "C"]).collect()}
+    assert got["A"]["n_users"] == 4
+    assert got["B"]["n_users"] == 2          # u1 and u2 (via the later B)
+    assert got["C"]["n_users"] == 1
+    assert got["B"]["conv_prev_ppm"] == 500_000
+    assert got["C"]["conv_first_ppm"] == 250_000
+
+
+def test_retention_cohorts_hand(spark):
+    import datetime as dt
+
+    from linkgraph.pipeline.analytics import retention_cohorts
+
+    H = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)
+    rows = [
+        # u1 first hour 0, active hours 0,1,3; u2 first hour 0, active 0,1
+        (0, H(0), 1, "x", 0.0, "{}"), (1, H(1, 5), 1, "x", 0.0, "{}"),
+        (2, H(3), 1, "x", 0.0, "{}"),
+        (3, H(0, 30), 2, "x", 0.0, "{}"), (4, H(1, 59), 2, "x", 0.0, "{}"),
+        # u3 first hour 2 only
+        (5, H(2), 3, "x", 0.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    base = int(dt.datetime(2024, 1, 1).replace(
+        tzinfo=dt.timezone.utc).timestamp() * 1000) // 3_600_000
+    got = {
+        (r["cohort"], r["offset"]): r["n_active"]
+        for r in retention_cohorts(ev, offsets=[1, 2, 3]).collect()
+    }
+    assert got[(base, 0)] == 2 and got[(base + 2, 0)] == 1
+    assert got[(base, 1)] == 2          # u1, u2 active at hour 1
+    assert (base, 2) not in got         # nobody active at hour 2 from cohort 0
+    assert got[(base, 3)] == 1          # u1 at hour 3
