@@ -1377,6 +1377,16 @@ def q_trade_latest_departure(spark, sf_dir):
     ).select("target", "node", "departure")
 
 
+def q_copurchase_local_bridges(spark, sf_dir):
+    """Local bridges (edges in no triangle, span > 2) on the sparse
+    mod-64 co-purchase graph — Granovetter weak ties; one wedge
+    anti-join."""
+    from linkgraph.algorithms.triangles import local_bridges
+
+    g = _copurchase_graph(spark, sf_dir, mod=64)
+    return local_bridges(g).select("lo", "hi")
+
+
 def q_events_funnel(spark, sf_dir):
     """Ordered signup→view→click→purchase funnel — per stage the users
     who performed the steps in strict time order (earliest-completion
@@ -2853,6 +2863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trade_vertex_cover": q_trade_vertex_cover,
         "events_funnel": q_events_funnel,
         "events_retention": q_events_retention,
+        "copurchase_local_bridges": q_copurchase_local_bridges,
         # round-3-green buffer (driver re-confirmation, newest first)
         "trade_closeness": q_trade_closeness,
         "trade_neighbor_sample": q_trade_neighbor_sample,
@@ -7329,6 +7340,21 @@ FROM tot
     sqls["trade_attack_robustness"] = _attack_oracle_sql([0, 1, 2, 4, 8, 16])
 
     sqls["trade_max_coverage"] = _maxcover_oracle_sql(8)
+
+    sqls["copurchase_local_bridges"] = """
+WITH lb_ed AS (
+  SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  WHERE a.l_orderkey % 64 = 0
+),
+und AS (SELECT lo AS id, hi AS nbr FROM lb_ed UNION SELECT hi, lo FROM lb_ed)
+SELECT e.lo, e.hi FROM lb_ed e
+WHERE NOT EXISTS (
+  SELECT 1 FROM und a JOIN und b ON a.nbr = b.nbr
+  WHERE a.id = e.lo AND b.id = e.hi
+)
+"""
 
     # ordered funnel: stage k = min event time of step k strictly after the
     # user's stage k-1 time; counts replayed as chained scalar CTEs

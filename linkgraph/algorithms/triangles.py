@@ -420,3 +420,30 @@ def new_triangles(
         F.element_at("t", 2).alias("b"),
         F.element_at("t", 3).alias("c"),
     )
+
+
+def local_bridges(graph: LinkGraph) -> DataFrame:
+    """Local bridges — ``(lo, hi)``: the edges whose endpoints share NO
+    common neighbour (span > 2), i.e. the edges in no triangle.
+
+    Granovetter's weak ties: removing a local bridge forces traffic
+    between its endpoints through a detour of ≥ 3 hops, so these are
+    the edges whose loss most lengthens paths — the edge-level
+    complement of :func:`per_edge_triangles` (which omits exactly these
+    zero-triangle edges).  One wedge semi-join: canonical edges
+    anti-joined against the triangle-closed pair set — Σdeg² wedge
+    budget, the same as every common-neighbour operator here (cap hubs
+    upstream if that binds).
+    """
+    und = graph.undirected_edge_ids().filter(F.col("id") != F.col("nbr_id"))
+    edges = und.filter(F.col("id") < F.col("nbr_id")).select(
+        F.col("id").alias("lo"), F.col("nbr_id").alias("hi")
+    )
+    a = und.select(F.col("nbr_id").alias("w"), F.col("id").alias("lo"))
+    b = und.select(F.col("nbr_id").alias("w2"), F.col("id").alias("hi"))
+    closed = (
+        a.join(b, F.col("w") == F.col("w2"))
+        .filter(F.col("lo") < F.col("hi"))
+        .select("lo", "hi")
+    )
+    return edges.join(closed, ["lo", "hi"], "left_anti")

@@ -141,3 +141,24 @@ def test_new_triangles_incremental_parity(spark):
 
     with _pytest.raises(ValueError, match="before"):
         new_triangles(ga, gb)
+
+
+def test_local_bridges_triangle_plus_tail(spark):
+    from linkgraph.algorithms.triangles import local_bridges
+    from linkgraph.graph import LinkGraph
+
+    # triangle a-b-c plus tail c-d and bridge d-e: tail+bridge edges are
+    # local bridges, triangle edges are not
+    ev = [(0, "a", "b"), (1, "b", "c"), (2, "c", "a"),
+          (3, "c", "d"), (4, "d", "e")]
+    g = LinkGraph.from_edge_list(spark, ev)
+    id_of = {r["name"]: r["id"] for r in g.ids().collect()}
+    got = {
+        tuple(sorted((r["lo"], r["hi"])))
+        for r in local_bridges(g).collect()
+    }
+    want = {
+        tuple(sorted((id_of["c"], id_of["d"]))),
+        tuple(sorted((id_of["d"], id_of["e"]))),
+    }
+    assert got == want
