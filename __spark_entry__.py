@@ -1377,6 +1377,19 @@ def q_trade_latest_departure(spark, sf_dir):
     ).select("target", "node", "departure")
 
 
+def q_docs_sorted_blocking(spark, sf_dir):
+    """Sorted-neighborhood blocking (merge/purge) — candidates within 3
+    sort positions of the normalized 12-char blocking key, scored with
+    exact 3-gram Jaccard in integer ppm.  The third blocking family
+    next to MinHash-LSH and SimHash; deterministic positions (key,
+    doc_id ties)."""
+    from linkgraph.pipeline.dedup import sorted_blocking_pairs
+
+    return sorted_blocking_pairs(_t(spark, sf_dir, "documents")).select(
+        "doc_a", "doc_b", "pos_gap", "jaccard_ppm"
+    )
+
+
 def q_copurchase_local_bridges(spark, sf_dir):
     """Local bridges (edges in no triangle, span > 2) on the sparse
     mod-64 co-purchase graph — Granovetter weak ties; one wedge
@@ -2864,6 +2877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": q_events_funnel,
         "events_retention": q_events_retention,
         "copurchase_local_bridges": q_copurchase_local_bridges,
+        "docs_sorted_blocking": q_docs_sorted_blocking,
         # round-3-green buffer (driver re-confirmation, newest first)
         "trade_closeness": q_trade_closeness,
         "trade_neighbor_sample": q_trade_neighbor_sample,
@@ -7340,6 +7354,33 @@ FROM tot
     sqls["trade_attack_robustness"] = _attack_oracle_sql([0, 1, 2, 4, 8, 16])
 
     sqls["trade_max_coverage"] = _maxcover_oracle_sql(8)
+
+    sqls["docs_sorted_blocking"] = """
+WITH keyed AS (
+  SELECT doc_id,
+         substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), 1, 12) AS k,
+         list_distinct(list_transform(
+           range(1, greatest(length(text) - 2, 1) + 1),
+           i -> substr(text, i::INT, 3))) AS sh
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, k, sh, substr(k, 1, 2) AS blk,
+         row_number() OVER (PARTITION BY substr(k, 1, 2)
+                            ORDER BY k, doc_id) AS pos
+  FROM keyed
+)
+SELECT least(a.doc_id, b.doc_id)::BIGINT AS doc_a,
+       greatest(a.doc_id, b.doc_id)::BIGINT AS doc_b,
+       (b.pos - a.pos)::BIGINT AS pos_gap,
+       (CASE WHEN (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) = 0
+             THEN 1000000
+             ELSE (len(list_intersect(a.sh, b.sh))::BIGINT * 1000000)
+                  // (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+        END)::BIGINT AS jaccard_ppm
+FROM pos a JOIN pos b
+  ON a.blk = b.blk AND b.pos > a.pos AND b.pos <= a.pos + 3
+"""
 
     sqls["copurchase_local_bridges"] = """
 WITH lb_ed AS (

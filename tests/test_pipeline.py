@@ -463,3 +463,25 @@ def test_retention_cohorts_hand(spark):
     assert got[(base, 1)] == 2          # u1, u2 active at hour 1
     assert (base, 2) not in got         # nobody active at hour 2 from cohort 0
     assert got[(base, 3)] == 1          # u1 at hour 3
+
+
+def test_sorted_blocking_pairs_hand(spark):
+    from linkgraph.pipeline.dedup import sorted_blocking_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha doc one shared prefix"),
+            (2, "alpha doc one shared prefix!"),   # near-dup of 1, same key
+            (3, "alpha doc two different tail"),
+            (4, "zeta completely elsewhere"),      # other block
+        ],
+        "doc_id long, text string",
+    )
+    rows = sorted_blocking_pairs(docs, window=1).collect()
+    pairs = {(r["doc_a"], r["doc_b"]): r for r in rows}
+    # within the 'al' block sorted by key: 1,2 share the exact key (tie ->
+    # doc_id order), 3 sorts adjacent; window=1 pairs (1,2) and (2,3)
+    assert set(pairs) == {(1, 2), (2, 3)}
+    assert pairs[(1, 2)]["jaccard_ppm"] > 900_000
+    assert pairs[(2, 3)]["jaccard_ppm"] < pairs[(1, 2)]["jaccard_ppm"]
+    assert all(r["pos_gap"] == 1 for r in rows)
