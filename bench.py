@@ -213,6 +213,13 @@ def main() -> None:
         "trade_efficiency",
         "trade_chain_contraction",
         "trade_attack_robustness",
+        "trade_max_coverage",
+        "trade_vertex_cover",
+        "copurchase_local_bridges",
+        "events_funnel",
+        "events_retention",
+        "docs_fertility",
+        "docs_sorted_blocking",
     ]
     # untimed warmup at the smallest scale factor: run every headline query
     # once over sf0.001 so whole-stage-codegen compilation, the parquet
