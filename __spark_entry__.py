@@ -1377,6 +1377,33 @@ def q_trade_latest_departure(spark, sf_dir):
     ).select("target", "node", "departure")
 
 
+def q_docs_hashed_features(spark, sf_dir):
+    """Feature hashing over every 10th doc — (doc_id, bucket, count)
+    with bucket = quenched md5 mod 256 over unigrams + word bigrams;
+    the vocabulary-free featurizer for shallow quality/router
+    classifiers, engine-identical by construction."""
+    from linkgraph.pipeline.textstats import hashed_features
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    return hashed_features(docs, n_buckets=256).select(
+        "doc_id", "bucket", "count"
+    )
+
+
+def q_copurchase_trussness(spark, sf_dir):
+    """Full truss decomposition on the sparse mod-64 co-purchase graph —
+    (lo, hi, trussness): the greatest-fixpoint h-index formulation
+    (tau = max_i min(rho_i, i+2) over descending triangle strengths),
+    which converges in a handful of TOTAL rounds where the ascending
+    per-k peel pays Sigma-rounds of scheduler latency; no-triangle
+    edges are trussness 2.  Replayed round-for-round in SQL with an
+    equality guard."""
+    from linkgraph.algorithms.kcore import truss_decomposition
+
+    g = _copurchase_graph(spark, sf_dir, mod=64)
+    return truss_decomposition(g).select("lo", "hi", "trussness")
+
+
 def q_docs_sorted_blocking(spark, sf_dir):
     """Sorted-neighborhood blocking (merge/purge) — candidates within 3
     sort positions of the normalized 12-char blocking key, scored with
@@ -2878,6 +2905,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_retention": q_events_retention,
         "copurchase_local_bridges": q_copurchase_local_bridges,
         "docs_sorted_blocking": q_docs_sorted_blocking,
+        "copurchase_trussness": q_copurchase_trussness,
+        "docs_hashed_features": q_docs_hashed_features,
         # round-3-green buffer (driver re-confirmation, newest first)
         "trade_closeness": q_trade_closeness,
         "trade_neighbor_sample": q_trade_neighbor_sample,
@@ -3950,6 +3979,69 @@ SELECT CAST(error('latest-departure oracle: {rounds}-round unroll '
                   'insufficient') AS BIGINT), NULL, NULL
 WHERE (SELECT count(*) || '|' || sum(departure) FROM ld{rounds})
    <> (SELECT count(*) || '|' || sum(departure) FROM ld{rounds - 1})
+"""
+    )
+
+
+def _trussness_oracle_sql(rounds: int) -> str:
+    """Round-unrolled h-index truss fixpoint on the mod-64 co-purchase
+    graph — identical synchronous update to the engine: tau starts at
+    support+2 and drops to max_i min(rho_i, i+2) over the descending
+    triangle strengths rho = min(tau_f, tau_g); errors loudly if the
+    final two rounds differ."""
+    stages = [
+        """tr_e AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  WHERE a.l_orderkey % 64 = 0
+),
+tr_tri AS MATERIALIZED (
+  SELECT e1.lo AS u, e1.hi AS v, e2.hi AS w
+  FROM tr_e e1 JOIN tr_e e2 ON e2.lo = e1.hi
+               JOIN tr_e e3 ON e3.lo = e1.lo AND e3.hi = e2.hi
+),
+tr_inc AS MATERIALIZED (
+  SELECT u AS lo, v AS hi, u AS o1l, w AS o1h, v AS o2l, w AS o2h FROM tr_tri
+  UNION ALL
+  SELECT u, w, u, v, v, w FROM tr_tri
+  UNION ALL
+  SELECT v, w, u, v, u, w FROM tr_tri
+),
+tau0 AS MATERIALIZED (
+  SELECT e.lo, e.hi, (coalesce(s.sup, 0) + 2)::BIGINT AS tau
+  FROM tr_e e LEFT JOIN (
+    SELECT lo, hi, count(*) AS sup FROM tr_inc GROUP BY lo, hi
+  ) s ON s.lo = e.lo AND s.hi = e.hi
+)"""
+    ]
+    for r in range(1, rounds + 1):
+        stages.append(
+            f"""h{r} AS MATERIALIZED (
+  SELECT lo, hi, max(least(rho, rn + 2)) AS h FROM (
+    SELECT i.lo, i.hi, least(t1.tau, t2.tau) AS rho,
+           row_number() OVER (PARTITION BY i.lo, i.hi
+                              ORDER BY least(t1.tau, t2.tau) DESC) AS rn
+    FROM tr_inc i
+    JOIN tau{r-1} t1 ON t1.lo = i.o1l AND t1.hi = i.o1h
+    JOIN tau{r-1} t2 ON t2.lo = i.o2l AND t2.hi = i.o2h
+  ) GROUP BY lo, hi
+),
+tau{r} AS MATERIALIZED (
+  SELECT e.lo, e.hi, greatest(2, coalesce(h.h, 2))::BIGINT AS tau
+  FROM tr_e e LEFT JOIN h{r} h ON h.lo = e.lo AND h.hi = e.hi
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(stages)
+        + f"""
+SELECT lo, hi, tau AS trussness FROM tau{rounds}
+UNION ALL
+SELECT CAST(error('trussness oracle: fixpoint not reached in {rounds} '
+                  'rounds') AS BIGINT), NULL, NULL
+WHERE (SELECT sum(tau) FROM tau{rounds})
+   <> (SELECT sum(tau) FROM tau{rounds - 1})
 """
     )
 
@@ -7354,6 +7446,27 @@ FROM tot
     sqls["trade_attack_robustness"] = _attack_oracle_sql([0, 1, 2, 4, 8, 16])
 
     sqls["trade_max_coverage"] = _maxcover_oracle_sql(8)
+
+    sqls["copurchase_trussness"] = _trussness_oracle_sql(rounds=12)
+
+    sqls["docs_hashed_features"] = r"""
+WITH toks AS (
+  SELECT doc_id,
+         regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]') AS ws
+  FROM documents WHERE doc_id % 10 = 0
+),
+grams AS (
+  SELECT doc_id, unnest(ws) AS g FROM toks
+  UNION ALL
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(ws) - 1, 0) + 1),
+                               i -> ws[i::INT] || ' ' || ws[(i + 1)::INT]))
+  FROM toks
+)
+SELECT doc_id, (('0x' || substr(md5(g), 1, 15))::BIGINT % 256) AS bucket,
+       count(*)::BIGINT AS count
+FROM grams GROUP BY 1, 2
+"""
 
     sqls["docs_sorted_blocking"] = """
 WITH keyed AS (

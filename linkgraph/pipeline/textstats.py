@@ -600,3 +600,55 @@ def tokenizer_fertility(
             "chars_per_sub_ppm"
         ),
     )
+
+
+def hashed_features(
+    docs: DataFrame,
+    n_buckets: int = 1024,
+    bigrams: bool = True,
+    text_col: str = "text",
+) -> DataFrame:
+    """Feature hashing (the fastText / Vowpal trick) — sparse hashed
+    bag-of-ngrams per document: ``(doc_id, bucket, count)`` with
+    ``bucket = md5(token) mod n_buckets`` over unigrams and (optionally)
+    word bigrams.
+
+    The fixed-width featurizer for training shallow classifiers
+    (quality filters, language ID, domain routers) over corpus-scale
+    data: no vocabulary pass, no fitting state, identical features on
+    every engine and at any parallelism (quenched md5, the repo-wide
+    determinism contract).  Shape: tokenize → explode → one map-side-
+    combined hash aggregate; features never materialise densely.
+    """
+    toks = docs.select(
+        "doc_id",
+        F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), 0).alias("ws"),
+    )
+    grams = toks.select(
+        "doc_id", F.explode("ws").alias("g")
+    )
+    if bigrams:
+        bi = toks.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(1),
+                        F.greatest(F.size("ws") - 1, F.lit(0)),
+                    ),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at("ws", i), F.element_at("ws", i + 1)
+                    ),
+                )
+            ).alias("g"),
+        )
+        grams = grams.unionByName(bi)
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("g")), 1, 15), 16, 10).cast("long"),
+        F.lit(n_buckets),
+    )
+    return (
+        grams.select("doc_id", bucket.alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("count"))
+    )

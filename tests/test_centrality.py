@@ -507,3 +507,31 @@ def test_onion_layers_max_rounds_guard(spark):
     g = LinkGraph.from_edge_list(spark, path)
     with pytest.raises(RuntimeError, match="not converged"):
         onion_layers(g, max_rounds=2)
+
+
+def test_truss_decomposition_k4_with_tail(spark):
+    from itertools import combinations
+
+    from linkgraph.algorithms.kcore import k_truss_edges, truss_decomposition
+    from linkgraph.graph import LinkGraph
+
+    # K4 on a..d (trussness 4), a triangle x-y-z sharing node a via edge
+    # a-x (trussness 2 for the bridge), tail y-t (trussness 2)
+    k4 = [(i, u, v) for i, (u, v) in enumerate(combinations("abcd", 2))]
+    tri = [(10, "x", "y"), (11, "y", "z"), (12, "z", "x")]
+    extra = [(13, "a", "x"), (14, "y", "t")]
+    g = LinkGraph.from_edge_list(spark, k4 + tri + extra)
+    id_of = {r["name"]: r["id"] for r in g.ids().collect()}
+    got = {
+        (r["lo"], r["hi"]): r["trussness"]
+        for r in truss_decomposition(g).collect()
+    }
+    canon = lambda u, v: (min(id_of[u], id_of[v]), max(id_of[u], id_of[v]))
+    for u, v in combinations("abcd", 2):
+        assert got[canon(u, v)] == 4
+    for u, v in [("x", "y"), ("y", "z"), ("z", "x")]:
+        assert got[canon(u, v)] == 3
+    assert got[canon("a", "x")] == 2 and got[canon("y", "t")] == 2
+    # consistency with the fixed-k probe: 4-truss = edges with trussness >= 4
+    k4_edges = {(r["lo"], r["hi"]) for r in k_truss_edges(g, 4).collect()}
+    assert k4_edges == {e for e, t in got.items() if t >= 4}

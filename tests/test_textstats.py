@@ -277,3 +277,22 @@ def test_tokenizer_fertility_hand(spark):
     fr = rows["fr"]
     assert (fr["ws_tokens"], fr["sub_tokens"]) == (1, 5)
     assert fr["fertility_ppm"] == 5_000_000
+
+
+def test_hashed_features_deterministic_and_counts(spark):
+    from linkgraph.pipeline.textstats import hashed_features
+
+    docs = spark.createDataFrame(
+        [(0, "a b a"), (1, "a b a")], "doc_id long, text string"
+    )
+    rows = hashed_features(docs, n_buckets=8).collect()
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], {})[r["bucket"]] = r["count"]
+    # identical docs -> identical feature maps (determinism)
+    assert per_doc[0] == per_doc[1]
+    # unigrams a,b,a + bigrams "a b","b a" = 5 gram occurrences per doc
+    assert sum(per_doc[0].values()) == 5
+    # no-bigram variant: 3 occurrences
+    uni = hashed_features(docs, n_buckets=8, bigrams=False).collect()
+    assert sum(r["count"] for r in uni if r["doc_id"] == 0) == 3
