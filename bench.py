@@ -220,6 +220,8 @@ def main() -> None:
         "events_retention",
         "docs_fertility",
         "docs_sorted_blocking",
+        "copurchase_trussness",
+        "docs_hashed_features",
     ]
     # untimed warmup at the smallest scale factor: run every headline query
     # once over sf0.001 so whole-stage-codegen compilation, the parquet
