@@ -1377,6 +1377,27 @@ def q_trade_latest_departure(spark, sf_dir):
     ).select("target", "node", "departure")
 
 
+def q_copurchase_path_counts(spark, sf_dir):
+    """Source-to-node path counts on the id-oriented mod-64 co-purchase
+    DAG — P(v) = 1_source + sum of in-neighbour counts, iterated to the
+    DAG fixpoint; exact integers, unrolled identically in SQL."""
+    from linkgraph.algorithms.structure import dag_path_counts
+
+    g = _copurchase_graph(spark, sf_dir, mod=64)
+    return dag_path_counts(g).select("node", "n_paths")
+
+
+def q_trade_degree_gini(spark, sf_dir):
+    """Degree-inequality Gini in floor ppm over the trade graph's
+    distinct BOTH-degrees — the hub-concentration scalar; sorted-sum
+    identity with (degree, id) rank ties, exact integers."""
+    from linkgraph.algorithms.metrics import degree_gini
+
+    return degree_gini(_trade_graph(spark, sf_dir)).select(
+        "n_nodes", "sum_degree", "gini_ppm"
+    )
+
+
 def q_docs_hashed_features(spark, sf_dir):
     """Feature hashing over every 10th doc — (doc_id, bucket, count)
     with bucket = quenched md5 mod 256 over unigrams + word bigrams;
@@ -2907,6 +2928,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_sorted_blocking": q_docs_sorted_blocking,
         "copurchase_trussness": q_copurchase_trussness,
         "docs_hashed_features": q_docs_hashed_features,
+        "trade_degree_gini": q_trade_degree_gini,
+        "copurchase_path_counts": q_copurchase_path_counts,
         # round-3-green buffer (driver re-confirmation, newest first)
         "trade_closeness": q_trade_closeness,
         "trade_neighbor_sample": q_trade_neighbor_sample,
@@ -4042,6 +4065,52 @@ SELECT CAST(error('trussness oracle: fixpoint not reached in {rounds} '
                   'rounds') AS BIGINT), NULL, NULL
 WHERE (SELECT sum(tau) FROM tau{rounds})
    <> (SELECT sum(tau) FROM tau{rounds - 1})
+"""
+    )
+
+
+def _path_counts_oracle_sql(rounds: int) -> str:
+    """Round-unrolled DAG path-count DP on the id-oriented mod-64
+    co-purchase graph — P(v) = 1_source + Σ in-neighbour P; errors
+    loudly if the final two rounds differ (longest path deeper than the
+    unroll)."""
+    stages = [
+        """pc_e AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  WHERE a.l_orderkey % 64 = 0
+),
+pc_n AS MATERIALIZED (
+  SELECT DISTINCT id FROM (SELECT lo AS id FROM pc_e UNION ALL SELECT hi FROM pc_e)
+),
+pc_base AS MATERIALIZED (
+  SELECT n.id,
+         (CASE WHEN NOT EXISTS (SELECT 1 FROM pc_e e WHERE e.hi = n.id)
+               THEN 1 ELSE 0 END)::BIGINT AS s
+  FROM pc_n n
+),
+p0 AS MATERIALIZED (SELECT id, s AS p FROM pc_base)"""
+    ]
+    for r in range(1, rounds + 1):
+        stages.append(
+            f"""p{r} AS MATERIALIZED (
+  SELECT b.id, (b.s + coalesce(c.inc, 0))::BIGINT AS p
+  FROM pc_base b LEFT JOIN (
+    SELECT e.hi AS id, sum(pp.p) AS inc
+    FROM pc_e e JOIN p{r-1} pp ON pp.id = e.lo GROUP BY e.hi
+  ) c ON c.id = b.id
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(stages)
+        + f"""
+SELECT id AS node, p AS n_paths FROM p{rounds}
+UNION ALL
+SELECT CAST(error('path-count oracle: {rounds}-round unroll insufficient')
+            AS BIGINT), NULL
+WHERE (SELECT sum(p) FROM p{rounds}) <> (SELECT sum(p) FROM p{rounds - 1})
 """
     )
 
@@ -7448,6 +7517,26 @@ FROM tot
     sqls["trade_max_coverage"] = _maxcover_oracle_sql(8)
 
     sqls["copurchase_trussness"] = _trussness_oracle_sql(rounds=12)
+
+    sqls["copurchase_path_counts"] = _path_counts_oracle_sql(20)
+
+    sqls["trade_degree_gini"] = f"""
+WITH {_TRADE_ED}, {_TRADE_NODES}, {_TRADE_UND},
+deg AS (
+  SELECT n.id, coalesce(u.c, 0)::BIGINT AS degree
+  FROM trade_nodes n
+  LEFT JOIN (SELECT id, count(*) c FROM trade_und GROUP BY id) u ON u.id = n.id
+),
+ranked AS (
+  SELECT degree, row_number() OVER (ORDER BY degree ASC, id ASC)::BIGINT AS i
+  FROM deg
+)
+SELECT count(*)::BIGINT AS n_nodes, sum(degree)::BIGINT AS sum_degree,
+       (CASE WHEN sum(degree) = 0 OR count(*) = 0 THEN 0 ELSE
+         ((2 * sum(i * degree) - (count(*) + 1) * sum(degree)) * 1000000)
+         // (count(*) * sum(degree)) END)::BIGINT AS gini_ppm
+FROM ranked
+"""
 
     sqls["docs_hashed_features"] = r"""
 WITH toks AS (

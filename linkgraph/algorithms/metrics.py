@@ -670,3 +670,34 @@ def attack_robustness(graph: LinkGraph, ks: list[int]) -> DataFrame:
     return spark.createDataFrame(
         out_rows, "k long, n_nodes_left long, giant_size long, n_components long"
     )
+
+
+def degree_gini(graph: LinkGraph) -> DataFrame:
+    """Degree-inequality Gini coefficient — ONE row ``(n_nodes,
+    sum_degree, gini_ppm)`` over the BOTH-direction distinct degrees.
+
+    The Lorenz-curve readout of hub concentration: 0 = perfectly even
+    crawl load, towards 1 = a few hub repos hold almost all links (the
+    same skew the salting/broadcast machinery exists to absorb — this
+    is the scalar that says how much that machinery matters for a given
+    snapshot).  Exact integer arithmetic via the sorted-sum identity
+    ``G = (2·Σ i·d_i − (n+1)·Σd) / (n·Σd)`` with ranks assigned by
+    (degree, id) — deterministic under ties — and the result in floor
+    ppm.  One window rank + one aggregate; at 100 TB swap the global
+    rank for the two-pass range-bucketed prefix sum used elsewhere
+    (degrees are boundedly skewed, so range buckets stay balanced).
+    """
+    from pyspark.sql import Window
+
+    deg = graph.degrees().select("id", "degree")
+    w = Window.orderBy(F.asc("degree"), F.asc("id"))
+    ranked = deg.withColumn("i", F.row_number().over(w).cast("long"))
+    return ranked.agg(
+        F.count("*").alias("n_nodes"),
+        F.sum("degree").alias("sum_degree"),
+        F.expr(
+            "CASE WHEN sum(degree) = 0 OR count(*) = 0 THEN 0 ELSE "
+            "((2 * sum(i * degree) - (count(*) + 1) * sum(degree)) * 1000000)"
+            " div (count(*) * sum(degree)) END"
+        ).alias("gini_ppm"),
+    )

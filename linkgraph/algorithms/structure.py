@@ -879,3 +879,62 @@ def vertex_cover_2approx(graph: LinkGraph, seed: int = 42) -> DataFrame:
     ).unionByName(
         m.select(F.col("hi").alias("node"), F.col("lo").alias("partner"), "round")
     )
+
+
+def dag_path_counts(graph: LinkGraph, max_rounds: int = 64) -> DataFrame:
+    """Source-to-node path counting on the id-oriented DAG —
+    ``(node, n_paths)``: the number of distinct directed paths from any
+    source (in-degree-0 node) to each node, over the acyclic
+    orientation ``lo → hi`` of the canonical edge set.
+
+    The dependency-fan-in readout ("how many build orders reach this
+    module"); id orientation guarantees acyclicity on ANY graph, so
+    the count is always finite.  Pure-join DP: ``P(v) = 1_source(v) +
+    Σ_{u→v} P(u)`` iterated synchronously — on a DAG the sequence
+    stabilises once rounds exceed the longest path, and the
+    sum-aggregate equality is the convergence check (counts only
+    grow).  One join + one aggregate per round over slim (id, count)
+    state; loud ``max_rounds`` guard.  Counts can be exponential in
+    depth on dense DAGs — they fit BIGINT far beyond any fixture here,
+    and overflow raises under ANSI mode rather than wrapping.
+    """
+    edges = graph.canonical_edge_ids()
+    nodes = (
+        edges.select(F.col("lo").alias("id"))
+        .unionByName(edges.select(F.col("hi").alias("id")))
+        .distinct()
+    )
+    targets = edges.select(F.col("hi").alias("id")).distinct()
+    src_flag = nodes.join(targets, "id", "left_anti").select(
+        "id", F.lit(1).cast("long").alias("s")
+    )
+    base = nodes.join(src_flag, "id", "left").select(
+        "id", F.coalesce("s", F.lit(0)).cast("long").alias("s")
+    ).localCheckpoint(eager=True)
+    state = base.select("id", F.col("s").alias("p"))
+    tot = state.agg(F.sum("p")).first()[0]
+    rounds = 0
+    while True:
+        rounds += 1
+        if rounds > max_rounds:
+            raise RuntimeError(
+                f"dag_path_counts: not converged after {max_rounds} rounds"
+            )
+        contrib = (
+            edges.join(state.select(F.col("id").alias("lo"), "p"), "lo")
+            .groupBy(F.col("hi").alias("id"))
+            .agg(F.sum("p").alias("inc"))
+        )
+        state = (
+            base.join(contrib, "id", "left")
+            .select(
+                "id",
+                (F.col("s") + F.coalesce("inc", F.lit(0))).alias("p"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        new_tot = state.agg(F.sum("p")).first()[0]
+        if new_tot == tot:
+            break
+        tot = new_tot
+    return state.select(F.col("id").alias("node"), F.col("p").alias("n_paths"))

@@ -644,3 +644,33 @@ def test_vertex_cover_covers_all_edges(spark):
     assert all(u in cover or v in cover for u, v in und)
     # matching-based: cover size is even and <= 2 * optimum
     assert len(cover) % 2 == 0
+
+
+def test_degree_gini_star_vs_ring(spark):
+    from linkgraph.algorithms.metrics import degree_gini
+    from linkgraph.graph import LinkGraph
+
+    # ring of 4: all degrees 2 -> Gini 0
+    ring = [(0, "1", "2"), (1, "2", "3"), (2, "3", "4"), (3, "4", "1")]
+    g = LinkGraph.from_edge_list(spark, ring)
+    assert degree_gini(g).collect()[0]["gini_ppm"] == 0
+    # star with 4 leaves: degrees [1,1,1,1,4]; sorted i*d = 1+2+3+4+20=30
+    # G = (2*30 - 6*8) / (5*8) = 12/40 = 0.3
+    star = [(i, "h", f"l{i}") for i in range(4)]
+    g2 = LinkGraph.from_edge_list(spark, star)
+    row = degree_gini(g2).collect()[0]
+    assert (row["n_nodes"], row["sum_degree"]) == (5, 8)
+    assert row["gini_ppm"] == 300_000
+
+
+def test_dag_path_counts_diamond(spark):
+    from linkgraph.algorithms.structure import dag_path_counts
+    from linkgraph.graph import LinkGraph
+
+    # canonical orientation lo->hi by id: use numeric names 1..5
+    # edges: 1->2, 1->3, 2->4, 3->4, 4->5 (diamond + tail)
+    ev = [(0, "1", "2"), (1, "1", "3"), (2, "2", "4"), (3, "3", "4"),
+          (4, "4", "5")]
+    g = LinkGraph.from_edge_list(spark, ev)
+    got = {r["node"]: r["n_paths"] for r in dag_path_counts(g).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 2, 5: 2}
