@@ -222,6 +222,8 @@ def main() -> None:
         "docs_sorted_blocking",
         "copurchase_trussness",
         "docs_hashed_features",
+        "trade_degree_gini",
+        "copurchase_path_counts",
     ]
     # untimed warmup at the smallest scale factor: run every headline query
     # once over sf0.001 so whole-stage-codegen compilation, the parquet
