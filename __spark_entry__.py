@@ -1377,6 +1377,19 @@ def q_trade_latest_departure(spark, sf_dir):
     ).select("target", "node", "departure")
 
 
+def q_trade_summary(spark, sf_dir):
+    """One-row graph profile of the trade graph — counts, time bounds,
+    density/Gini/giant-share in floor ppm, max degree, component count;
+    the describe() composition of individually-oracled surfaces."""
+    from linkgraph.algorithms.metrics import graph_summary
+
+    return graph_summary(_trade_graph(spark, sf_dir)).select(
+        "n_nodes", "n_edges", "n_events", "earliest", "latest",
+        "density_ppm", "max_degree", "degree_gini_ppm", "n_components",
+        "giant_ppm",
+    )
+
+
 def q_copurchase_path_counts(spark, sf_dir):
     """Source-to-node path counts on the id-oriented mod-64 co-purchase
     DAG — P(v) = 1_source + sum of in-neighbour counts, iterated to the
@@ -2930,6 +2943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_hashed_features": q_docs_hashed_features,
         "trade_degree_gini": q_trade_degree_gini,
         "copurchase_path_counts": q_copurchase_path_counts,
+        "trade_summary": q_trade_summary,
         # round-3-green buffer (driver re-confirmation, newest first)
         "trade_closeness": q_trade_closeness,
         "trade_neighbor_sample": q_trade_neighbor_sample,
@@ -7519,6 +7533,51 @@ FROM tot
     sqls["copurchase_trussness"] = _trussness_oracle_sql(rounds=12)
 
     sqls["copurchase_path_counts"] = _path_counts_oracle_sql(20)
+
+    sqls["trade_summary"] = f"""
+WITH RECURSIVE {_TRADE_ED}, {_TRADE_NODES}, {_TRADE_UND},
+ev AS (
+  SELECT o_custkey AS src, 1000000 + l_suppkey AS dst,
+         epoch_ms(o_orderdate::TIMESTAMP) AS t
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+deg AS (
+  SELECT n.id, coalesce(u.c, 0)::BIGINT AS degree
+  FROM trade_nodes n
+  LEFT JOIN (SELECT id, count(*) c FROM trade_und GROUP BY id) u ON u.id = n.id
+),
+granked AS (
+  SELECT degree, row_number() OVER (ORDER BY degree ASC, id ASC)::BIGINT AS i
+  FROM deg
+),
+gini AS (
+  SELECT (CASE WHEN sum(degree) = 0 OR count(*) = 0 THEN 0 ELSE
+    ((2 * sum(i * degree) - (count(*) + 1) * sum(degree)) * 1000000)
+    // (count(*) * sum(degree)) END)::BIGINT AS g
+  FROM granked
+),
+reach(node, lab) AS (
+  SELECT id, id FROM trade_nodes
+  UNION
+  SELECT u.id, r.lab FROM reach r JOIN trade_und u ON u.nbr = r.node
+),
+comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY node),
+csizes AS (SELECT component, count(*) AS sz FROM comp GROUP BY component)
+SELECT
+  (SELECT count(*) FROM trade_nodes)::BIGINT AS n_nodes,
+  (SELECT count(*) FROM trade_ed)::BIGINT AS n_edges,
+  (SELECT count(*) FROM ev)::BIGINT AS n_events,
+  (SELECT min(t) FROM ev)::BIGINT AS earliest,
+  (SELECT max(t) FROM ev)::BIGINT AS latest,
+  ((1000000 * (SELECT count(*) FROM trade_ed))
+   // ((SELECT count(*) FROM trade_nodes)
+       * ((SELECT count(*) FROM trade_nodes) - 1)))::BIGINT AS density_ppm,
+  (SELECT max(degree) FROM deg)::BIGINT AS max_degree,
+  (SELECT g FROM gini)::BIGINT AS degree_gini_ppm,
+  (SELECT count(*) FROM csizes)::BIGINT AS n_components,
+  ((1000000 * (SELECT max(sz) FROM csizes))
+   // (SELECT count(*) FROM trade_nodes))::BIGINT AS giant_ppm
+"""
 
     sqls["trade_degree_gini"] = f"""
 WITH {_TRADE_ED}, {_TRADE_NODES}, {_TRADE_UND},

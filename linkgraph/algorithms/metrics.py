@@ -701,3 +701,58 @@ def degree_gini(graph: LinkGraph) -> DataFrame:
             " div (count(*) * sum(degree)) END"
         ).alias("gini_ppm"),
     )
+
+
+def graph_summary(graph: LinkGraph) -> DataFrame:
+    """One-row graph profile — ``(n_nodes, n_edges, n_events, earliest,
+    latest, density_ppm, max_degree, degree_gini_ppm, n_components,
+    giant_ppm)``: the `describe()` of a link graph, composing the
+    counting, window, degree, inequality, and component surfaces into a
+    single diagnostic row (directed density E/(V·(V−1)) in floor ppm;
+    ``giant_ppm`` = share of nodes in the largest WCC).
+
+    Everything is exact integer arithmetic over operators that are
+    individually oracle-checked; cost = one scan for the counts + one
+    degree aggregate + one WCC run — the natural first query against an
+    unfamiliar snapshot, and cheap enough to run per ingest batch as a
+    data-quality gate (alert on density or giant-share drift).
+    """
+    from linkgraph.algorithms.components import weakly_connected_components
+
+    spark = graph.spark
+    n_nodes = graph.count_nodes()
+    n_edges = graph.count_edges()
+    n_events = graph.count_temporal_edges()
+    # inclusive event-time extremes (time_bounds() is end-EXCLUSIVE — a
+    # windowing convention, not a profile one)
+    t0, t1 = graph.edges_t.agg(F.min("time"), F.max("time")).first()
+    deg = graph.degrees()
+    max_deg = deg.agg(F.max("degree")).first()[0] or 0
+    gini = degree_gini(graph).first()["gini_ppm"]
+    wcc = weakly_connected_components(graph)
+    sizes = wcc.groupBy("component").agg(F.count("*").alias("sz"))
+    giant, n_comp = sizes.agg(F.max("sz"), F.count("*")).first()
+    density_ppm = (
+        (1_000_000 * n_edges) // (n_nodes * (n_nodes - 1))
+        if n_nodes > 1
+        else 0
+    )
+    return spark.createDataFrame(
+        [
+            (
+                n_nodes,
+                n_edges,
+                n_events,
+                t0,
+                t1,
+                density_ppm,
+                int(max_deg),
+                int(gini),
+                int(n_comp or 0),
+                (1_000_000 * int(giant or 0)) // n_nodes if n_nodes else 0,
+            )
+        ],
+        "n_nodes long, n_edges long, n_events long, earliest long, "
+        "latest long, density_ppm long, max_degree long, "
+        "degree_gini_ppm long, n_components long, giant_ppm long",
+    )

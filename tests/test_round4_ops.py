@@ -674,3 +674,19 @@ def test_dag_path_counts_diamond(spark):
     g = LinkGraph.from_edge_list(spark, ev)
     got = {r["node"]: r["n_paths"] for r in dag_path_counts(g).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 2, 5: 2}
+
+
+def test_graph_summary_hand(spark):
+    from linkgraph.algorithms.metrics import graph_summary
+    from linkgraph.graph import LinkGraph
+
+    # two components: triangle (1,2,3) with 2 events on one edge + edge (7,8)
+    ev = [(10, "1", "2"), (20, "1", "2"), (15, "2", "3"), (12, "3", "1"),
+          (30, "7", "8")]
+    g = LinkGraph.from_edge_list(spark, ev)
+    r = graph_summary(g).collect()[0]
+    assert (r["n_nodes"], r["n_edges"], r["n_events"]) == (5, 4, 5)
+    assert (r["earliest"], r["latest"]) == (10, 30)
+    assert r["density_ppm"] == 1_000_000 * 4 // 20
+    assert (r["max_degree"], r["n_components"]) == (2, 2)
+    assert r["giant_ppm"] == 1_000_000 * 3 // 5
