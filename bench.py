@@ -224,6 +224,7 @@ def main() -> None:
         "docs_hashed_features",
         "trade_degree_gini",
         "copurchase_path_counts",
+        "trade_summary",
     ]
     # untimed warmup at the smallest scale factor: run every headline query
     # once over sf0.001 so whole-stage-codegen compilation, the parquet
