@@ -255,6 +255,7 @@ def main() -> None:
     budget_s = float(os.environ.get("BENCH_BUDGET_S", "2400"))
     skipped: list[str] = []
     single_rep: list[str] = []
+    errors: dict[str, str] = {}
     for name in headline:
         elapsed = time.monotonic() - t_session
         if elapsed > 1.25 * budget_s:
@@ -264,12 +265,18 @@ def main() -> None:
         if n_runs < reps:
             single_rep.append(name)
         best = None
-        for _ in range(n_runs):
-            _isolate(spark)
-            t0 = time.monotonic()
-            _force(qs[name](spark, SF_DIR))
-            wall = time.monotonic() - t0
-            best = wall if best is None or wall < best else best
+        try:
+            for _ in range(n_runs):
+                _isolate(spark)
+                t0 = time.monotonic()
+                _force(qs[name](spark, SF_DIR))
+                wall = time.monotonic() - t0
+                best = wall if best is None or wall < best else best
+        except Exception as e:  # record loudly, never kill the session —
+            # one query's bad fixture (e.g. a seed that only exists at a
+            # larger SF) must not cost the other ~130 measurements
+            errors[name] = f"{type(e).__name__}: {e}"[:200]
+            continue
         timings[name] = round(best, 3)
     _isolate(spark)
 
@@ -318,6 +325,8 @@ def main() -> None:
         out["budget_single_rep"] = single_rep
     if skipped:
         out["budget_skipped"] = skipped
+    if errors:
+        out["query_errors"] = errors
 
     # north-rule scaling evidence: measured by tools/scaling_bench.py in
     # separate taskset-pinned JVMs (it cannot run inside this session's
@@ -360,6 +369,9 @@ def main() -> None:
         out["budget_single_rep"] = len(out["budget_single_rep"])
     if "budget_skipped" in out:
         out["budget_skipped"] = len(out["budget_skipped"])
+    if "query_errors" in out:
+        # compact line: names only; full messages live in BENCH_full.json
+        out["query_errors"] = sorted(out["query_errors"])
     out["scaling_recorded"] = {
         "gate": "eff>=0.8 N->4N (BASELINE.json)",
         "pairs": [[p["cores"], p["eff"]] for p in scaling_pairs],
