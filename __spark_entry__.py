@@ -1377,6 +1377,19 @@ def q_trade_latest_departure(spark, sf_dir):
     ).select("target", "node", "departure")
 
 
+def q_copurchase_edge_geometry(spark, sf_dir):
+    """Per-edge Forman-Ricci curvature (4 - du - dv + 3t) and Onnela
+    neighbourhood overlap (floor ppm) on the sparse mod-64 co-purchase
+    graph — negative curvature marks bottleneck edges, the geometric
+    complement of the local-bridge set."""
+    from linkgraph.algorithms.triangles import edge_geometry
+
+    g = _copurchase_graph(spark, sf_dir, mod=64)
+    return edge_geometry(g).select(
+        "lo", "hi", "n_common", "curvature", "overlap_ppm"
+    )
+
+
 def q_trade_summary(spark, sf_dir):
     """One-row graph profile of the trade graph — counts, time bounds,
     density/Gini/giant-share in floor ppm, max degree, component count;
@@ -2944,6 +2957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trade_degree_gini": q_trade_degree_gini,
         "copurchase_path_counts": q_copurchase_path_counts,
         "trade_summary": q_trade_summary,
+        "copurchase_edge_geometry": q_copurchase_edge_geometry,
         # round-3-green buffer (driver re-confirmation, newest first)
         "trade_closeness": q_trade_closeness,
         "trade_neighbor_sample": q_trade_neighbor_sample,
@@ -7533,6 +7547,33 @@ FROM tot
     sqls["copurchase_trussness"] = _trussness_oracle_sql(rounds=12)
 
     sqls["copurchase_path_counts"] = _path_counts_oracle_sql(20)
+
+    sqls["copurchase_edge_geometry"] = """
+WITH eg_ed AS (
+  SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  WHERE a.l_orderkey % 64 = 0
+),
+und AS (SELECT lo AS id, hi AS nbr FROM eg_ed UNION SELECT hi, lo FROM eg_ed),
+deg AS (SELECT id, count(*) AS d FROM und GROUP BY id),
+cn AS (
+  SELECT a.id AS lo, b.id AS hi, count(*) AS n_common
+  FROM und a JOIN und b ON a.nbr = b.nbr AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT e.lo, e.hi,
+       coalesce(c.n_common, 0)::BIGINT AS n_common,
+       (4 - du.d - dv.d + 3 * coalesce(c.n_common, 0))::BIGINT AS curvature,
+       (CASE WHEN du.d + dv.d - 2 - coalesce(c.n_common, 0) <= 0 THEN 0
+             ELSE (coalesce(c.n_common, 0) * 1000000)
+                  // (du.d + dv.d - 2 - coalesce(c.n_common, 0))
+        END)::BIGINT AS overlap_ppm
+FROM eg_ed e
+LEFT JOIN cn c ON c.lo = e.lo AND c.hi = e.hi
+JOIN deg du ON du.id = e.lo
+JOIN deg dv ON dv.id = e.hi
+"""
 
     sqls["trade_summary"] = f"""
 WITH RECURSIVE {_TRADE_ED}, {_TRADE_NODES}, {_TRADE_UND},

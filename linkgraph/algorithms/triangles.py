@@ -447,3 +447,52 @@ def local_bridges(graph: LinkGraph) -> DataFrame:
         .select("lo", "hi")
     )
     return edges.join(closed, ["lo", "hi"], "left_anti")
+
+
+def edge_geometry(graph: LinkGraph) -> DataFrame:
+    """Per-edge discrete geometry — ``(lo, hi, n_common, curvature,
+    overlap_ppm)`` over the undirected simple graph: common-neighbour
+    count, augmented Forman–Ricci curvature ``4 − deg(u) − deg(v) +
+    3·t(e)``, and Onnela neighbourhood overlap ``t / (deg(u) + deg(v)
+    − 2 − t)`` in floor ppm (0 when the denominator is ≤ 0).
+
+    The geometric complement of :func:`local_bridges`: strongly
+    negative curvature marks bottleneck "highway" edges (traffic
+    concentrators — exactly where congestion and oversquashing live),
+    positive curvature marks intra-community redundancy, and overlap
+    is the Granovetter tie-strength proxy.  One wedge join for the
+    common-neighbour counts (Σdeg² budget, the family's standard), one
+    degree join, pure integer arithmetic.
+    """
+    und = graph.undirected_edge_ids().filter(F.col("id") != F.col("nbr_id"))
+    edges = und.filter(F.col("id") < F.col("nbr_id")).select(
+        F.col("id").alias("lo"), F.col("nbr_id").alias("hi")
+    )
+    deg = und.groupBy("id").agg(F.count("*").alias("d"))
+    a = und.select(F.col("nbr_id").alias("w"), F.col("id").alias("lo"))
+    b = und.select(F.col("nbr_id").alias("w2"), F.col("id").alias("hi"))
+    cn = (
+        a.join(b, F.col("w") == F.col("w2"))
+        .filter(F.col("lo") < F.col("hi"))
+        .groupBy("lo", "hi")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        edges.join(cn, ["lo", "hi"], "left")
+        .join(deg.select(F.col("id").alias("lo"), F.col("d").alias("du")), "lo")
+        .join(deg.select(F.col("id").alias("hi"), F.col("d").alias("dv")), "hi")
+        .select(
+            "lo",
+            "hi",
+            F.coalesce("n_common", F.lit(0)).cast("long").alias("n_common"),
+            (
+                F.lit(4) - F.col("du") - F.col("dv")
+                + F.lit(3) * F.coalesce("n_common", F.lit(0))
+            ).cast("long").alias("curvature"),
+            F.expr(
+                "CASE WHEN du + dv - 2 - coalesce(n_common, 0) <= 0 THEN 0 "
+                "ELSE (coalesce(n_common, 0) * 1000000) "
+                "div (du + dv - 2 - coalesce(n_common, 0)) END"
+            ).cast("long").alias("overlap_ppm"),
+        )
+    )

@@ -162,3 +162,26 @@ def test_local_bridges_triangle_plus_tail(spark):
         tuple(sorted((id_of["d"], id_of["e"]))),
     }
     assert got == want
+
+
+def test_edge_geometry_triangle_with_tail(spark):
+    from linkgraph.algorithms.triangles import edge_geometry
+    from linkgraph.graph import LinkGraph
+
+    # triangle a-b-c with tail c-d
+    ev = [(0, "a", "b"), (1, "b", "c"), (2, "c", "a"), (3, "c", "d")]
+    g = LinkGraph.from_edge_list(spark, ev)
+    id_of = {r["name"]: r["id"] for r in g.ids().collect()}
+    rows = {
+        tuple(sorted((r["lo"], r["hi"]))): r
+        for r in edge_geometry(g).collect()
+    }
+    ab = rows[tuple(sorted((id_of["a"], id_of["b"])))]
+    # deg a=2, b=2, t=1: curvature 4-2-2+3 = 3; overlap 1/(2+2-2-1)=1
+    assert (ab["n_common"], ab["curvature"], ab["overlap_ppm"]) == (3 - 2, 3, 1_000_000)
+    bc = rows[tuple(sorted((id_of["b"], id_of["c"])))]
+    # deg b=2, c=3, t=1: curvature 4-2-3+3 = 2; overlap 1/(2+3-2-1) = 0.5
+    assert (bc["curvature"], bc["overlap_ppm"]) == (2, 500_000)
+    cd = rows[tuple(sorted((id_of["c"], id_of["d"])))]
+    # deg c=3, d=1, t=0: curvature 4-3-1 = 0; overlap 0/(3+1-2) = 0
+    assert (cd["n_common"], cd["curvature"], cd["overlap_ppm"]) == (0, 0, 0)
