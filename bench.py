@@ -225,6 +225,7 @@ def main() -> None:
         "trade_degree_gini",
         "copurchase_path_counts",
         "trade_summary",
+        "copurchase_edge_geometry",
     ]
     # untimed warmup at the smallest scale factor: run every headline query
     # once over sf0.001 so whole-stage-codegen compilation, the parquet
