@@ -1377,6 +1377,16 @@ def q_trade_latest_departure(spark, sf_dir):
     ).select("target", "node", "departure")
 
 
+def q_copurchase_ck_curve(spark, sf_dir):
+    """Clustering-vs-degree curve c(k) on the sparse mod-64 co-purchase
+    graph — per degree bucket the mean local clustering in floor ppm
+    (Vazquez/Ravasz hierarchy diagnostic); exact integers end to end."""
+    from linkgraph.algorithms.metrics import clustering_degree_curve
+
+    g = _copurchase_graph(spark, sf_dir, mod=64)
+    return clustering_degree_curve(g).select("degree", "n_nodes", "mean_c_ppm")
+
+
 def q_copurchase_edge_geometry(spark, sf_dir):
     """Per-edge Forman-Ricci curvature (4 - du - dv + 3t) and Onnela
     neighbourhood overlap (floor ppm) on the sparse mod-64 co-purchase
@@ -2958,6 +2968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchase_path_counts": q_copurchase_path_counts,
         "trade_summary": q_trade_summary,
         "copurchase_edge_geometry": q_copurchase_edge_geometry,
+        "copurchase_ck_curve": q_copurchase_ck_curve,
         # round-3-green buffer (driver re-confirmation, newest first)
         "trade_closeness": q_trade_closeness,
         "trade_neighbor_sample": q_trade_neighbor_sample,
@@ -7547,6 +7558,32 @@ FROM tot
     sqls["copurchase_trussness"] = _trussness_oracle_sql(rounds=12)
 
     sqls["copurchase_path_counts"] = _path_counts_oracle_sql(20)
+
+    sqls["copurchase_ck_curve"] = """
+WITH ck_ed AS (
+  SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  WHERE a.l_orderkey % 64 = 0
+),
+und AS (SELECT lo AS id, hi AS nbr FROM ck_ed UNION SELECT hi, lo FROM ck_ed),
+deg AS (SELECT id, count(*) AS d FROM und GROUP BY id),
+tri AS (
+  SELECT a.id, (count(*) / 2)::BIGINT AS t
+  FROM und a JOIN und b ON b.id = a.id AND a.nbr <> b.nbr
+  WHERE EXISTS (SELECT 1 FROM und c WHERE c.id = a.nbr AND c.nbr = b.nbr)
+  GROUP BY a.id
+),
+pern AS (
+  SELECT d.d,
+         ((2 * coalesce(t.t, 0) * 1000000) // (d.d * (d.d - 1)))::BIGINT AS c_ppm
+  FROM deg d LEFT JOIN tri t ON t.id = d.id
+  WHERE d.d >= 2
+)
+SELECT d AS degree, count(*)::BIGINT AS n_nodes,
+       (sum(c_ppm) // count(*))::BIGINT AS mean_c_ppm
+FROM pern GROUP BY d
+"""
 
     sqls["copurchase_edge_geometry"] = """
 WITH eg_ed AS (

@@ -756,3 +756,50 @@ def graph_summary(graph: LinkGraph) -> DataFrame:
         "latest long, density_ppm long, max_degree long, "
         "degree_gini_ppm long, n_components long, giant_ppm long",
     )
+
+
+def clustering_degree_curve(graph: LinkGraph) -> DataFrame:
+    """Clustering-vs-degree curve c(k) — ``(degree, n_nodes,
+    mean_c_ppm)``: per distinct-degree bucket, the mean local
+    clustering coefficient in floor ppm (per node ``c = 2t/(d(d−1))``
+    as integer ppm first, then a floor-ppm mean over the bucket).
+
+    The Vázquez/Ravasz hierarchical-structure diagnostic: a c(k) that
+    decays like 1/k marks modular hierarchy (hub edges bridge
+    communities), flat c(k) marks degree-independent cohesion.  Pure
+    composition: one wedge self-join for per-node triangle counts, the
+    degree table, two floor divisions — all exact integers, so the
+    curve is bit-stable at any parallelism.  Degree-1 nodes (undefined
+    c) are excluded, matching the clustering-coefficient convention.
+    """
+    und = graph.undirected_edge_ids().filter(F.col("id") != F.col("nbr_id"))
+    deg = und.groupBy("id").agg(F.count("*").alias("d"))
+    # per-node triangle participation: wedges (w)-(id)-(w2) closed by an
+    # edge between w and w2 — each triangle counted twice per corner,
+    # so t = closed_wedges / 2
+    a = und.select(F.col("id").alias("id"), F.col("nbr_id").alias("w"))
+    b = und.select(F.col("id").alias("id"), F.col("nbr_id").alias("w2"))
+    closure = und.select(
+        F.col("id").alias("w"), F.col("nbr_id").alias("w2")
+    )
+    tri2 = (
+        a.join(b, "id")
+        .filter(F.col("w") != F.col("w2"))
+        .join(closure, ["w", "w2"], "left_semi")
+        .groupBy("id")
+        .agg((F.count("*") / 2).cast("long").alias("t"))
+    )
+    per_node = (
+        deg.filter(F.col("d") >= 2)
+        .join(tri2, "id", "left")
+        .select(
+            "d",
+            F.expr(
+                "(2 * coalesce(t, 0) * 1000000) div (d * (d - 1))"
+            ).alias("c_ppm"),
+        )
+    )
+    return per_node.groupBy(F.col("d").alias("degree")).agg(
+        F.count("*").alias("n_nodes"),
+        F.expr("sum(c_ppm) div count(*)").alias("mean_c_ppm"),
+    )

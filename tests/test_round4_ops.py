@@ -690,3 +690,20 @@ def test_graph_summary_hand(spark):
     assert r["density_ppm"] == 1_000_000 * 4 // 20
     assert (r["max_degree"], r["n_components"]) == (2, 2)
     assert r["giant_ppm"] == 1_000_000 * 3 // 5
+
+
+def test_clustering_degree_curve_hand(spark):
+    from linkgraph.algorithms.metrics import clustering_degree_curve
+    from linkgraph.graph import LinkGraph
+
+    # triangle a-b-c plus tail c-d: a,b have d=2, c=1 triangle each;
+    # c has d=3 t=1; d has d=1 (excluded)
+    ev = [(0, "a", "b"), (1, "b", "c"), (2, "c", "a"), (3, "c", "d")]
+    g = LinkGraph.from_edge_list(spark, ev)
+    got = {
+        r["degree"]: (r["n_nodes"], r["mean_c_ppm"])
+        for r in clustering_degree_curve(g).collect()
+    }
+    # degree 2 bucket: a and b, c = 2*1/(2*1) = 1 -> mean 1e6
+    # degree 3 bucket: c, c = 2*1/(3*2) = 1/3 -> 333333
+    assert got == {2: (2, 1_000_000), 3: (1, 333_333)}
