@@ -226,6 +226,7 @@ def main() -> None:
         "copurchase_path_counts",
         "trade_summary",
         "copurchase_edge_geometry",
+        "copurchase_ck_curve",
     ]
     # untimed warmup at the smallest scale factor: run every headline query
     # once over sf0.001 so whole-stage-codegen compilation, the parquet
