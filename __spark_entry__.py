@@ -2871,60 +2871,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     queries already driver-verified in earlier rounds and the no-oracle
     (golden-gated) ones.  Rotation policy documented in COVERAGE.md."""
     return {
-        # never driver-attested (r01-r03 overflow; in-repo oracle green)
-        "trade_monthly_rolling": q_trade_monthly_rolling,
-        "trade_two_hop": q_trade_two_hop,
-        "docs_search_bm25": q_docs_search_bm25,
-        "docs_fuzzy_search": q_docs_fuzzy_search,
-        "emb_ivf_topk": q_emb_ivf_topk,
-        "events_hourly_stream": q_events_hourly_stream,
-        "events_user_state_stream": q_events_user_state_stream,
-        "trade_node_window_edges": q_trade_node_window_edges,
-        "trade_edge_window_history": q_trade_edge_window_history,
-        "trade_search_nodes": q_trade_search_nodes,
-        "transition_search_edges": q_transition_search_edges,
-        "docs_dedup_clusters": q_docs_dedup_clusters,
-        "docs_hash_split": q_docs_hash_split,
-        "docs_stratified_sample": q_docs_stratified_sample,
-        "docs_pack_sequences": q_docs_pack_sequences,
-        "docs_repetition": q_docs_repetition,
-        "docs_decontaminate": q_docs_decontaminate,
-        "docs_quality_gate": q_docs_quality_gate,
-        "trade_decayed_pagerank": q_trade_decayed_pagerank,
-        "trade_degree_histogram": q_trade_degree_histogram,
-        "trade_windowed_component_sizes": q_trade_windowed_component_sizes,
-        "emb_knn_components": q_emb_knn_components,
-        "docs_scrub": q_docs_scrub,
-        # re-attest: output or implementation changed since the last driver row
-        "docs_domain_mix": q_docs_domain_mix,
-        "trade_hyperball_nodes": q_trade_hyperball_nodes,
-        "emb_cosine_topk": q_emb_cosine_topk,
-        "trade_weighted_pagerank": q_trade_weighted_pagerank,
-        "trade_personalized_pagerank": q_trade_personalized_pagerank,
-        "trade_windowed_lpa_sync": q_trade_windowed_lpa_sync,
-        "trade_node2vec_walks": q_trade_node2vec_walks,
-        # new in round 4
-        "emb_semantic_dedup": q_emb_semantic_dedup,
-        "copurchase_approx_betweenness": q_copurchase_approx_betweenness,
-        "docs_lm_bits": q_docs_lm_bits,
-        "trade_pagerank_warm": q_trade_pagerank_warm,
-        "docs_tfidf_keywords": q_docs_tfidf_keywords,
-        "docs_length_buckets": q_docs_length_buckets,
-        "trade_nation_conductance": q_trade_nation_conductance,
-        "docs_weighted_sample": q_docs_weighted_sample,
-        "trade_edge_delta": q_trade_edge_delta,
-        "events_stream_topk": q_events_stream_topk,
-        "trade_wcc_warm": q_trade_wcc_warm,
-        "emb_hard_negatives": q_emb_hard_negatives,
-        "trade_msf": q_trade_msf,
-        "trade_nation_assortativity": q_trade_nation_assortativity,
-        "docs_line_dedup": q_docs_line_dedup,
-        "events_distinct_sketch": q_events_distinct_sketch,
-        "trade_ppr_sweep": q_trade_ppr_sweep,
-        "trade_salsa": q_trade_salsa,
-        "docs_novelty": q_docs_novelty,
-        "copurchase_cpm": q_copurchase_cpm,
-        # round-4 continuation (first of the overflow; rotate next round)
+        # positions 1-44: the round-4 continuation block — never driver-
+        # attested (landed after the r04 rotation); judge re-verified all 44
+        # oracle-exact at sf0.01 in the r04 session (VERDICT r04 task #3)
         "docs_countmin": q_docs_countmin,
         "docs_bloom_decontaminate": q_docs_bloom_decontaminate,
         "trade_widest_path": q_trade_widest_path,
@@ -2969,6 +2918,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trade_summary": q_trade_summary,
         "copurchase_edge_geometry": q_copurchase_edge_geometry,
         "copurchase_ck_curve": q_copurchase_ck_curve,
+        # positions 45-46: the two r04 hash-red rows — oracle SQL fixed
+        # (DuckDB sum()->HUGEINT->float64; ::BIGINT casts added, VERDICT #1)
+        "docs_pack_sequences": q_docs_pack_sequences,
+        "docs_domain_mix": q_docs_domain_mix,
+        # positions 47-50: new in round 5 (oracle-bearing)
+        # (filled as round-5 operators land)
+        # r01-r03 overflow, driver-green r04
+        "trade_monthly_rolling": q_trade_monthly_rolling,
+        "trade_two_hop": q_trade_two_hop,
+        "docs_search_bm25": q_docs_search_bm25,
+        "docs_fuzzy_search": q_docs_fuzzy_search,
+        "emb_ivf_topk": q_emb_ivf_topk,
+        "events_hourly_stream": q_events_hourly_stream,
+        "events_user_state_stream": q_events_user_state_stream,
+        "trade_node_window_edges": q_trade_node_window_edges,
+        "trade_edge_window_history": q_trade_edge_window_history,
+        "trade_search_nodes": q_trade_search_nodes,
+        "transition_search_edges": q_transition_search_edges,
+        "docs_dedup_clusters": q_docs_dedup_clusters,
+        "docs_hash_split": q_docs_hash_split,
+        "docs_stratified_sample": q_docs_stratified_sample,
+        "docs_repetition": q_docs_repetition,
+        "docs_decontaminate": q_docs_decontaminate,
+        "docs_quality_gate": q_docs_quality_gate,
+        "trade_decayed_pagerank": q_trade_decayed_pagerank,
+        "trade_degree_histogram": q_trade_degree_histogram,
+        "trade_windowed_component_sizes": q_trade_windowed_component_sizes,
+        "emb_knn_components": q_emb_knn_components,
+        "docs_scrub": q_docs_scrub,
+        # re-attest: output or implementation changed since the last driver row
+        "trade_hyperball_nodes": q_trade_hyperball_nodes,
+        "emb_cosine_topk": q_emb_cosine_topk,
+        "trade_weighted_pagerank": q_trade_weighted_pagerank,
+        "trade_personalized_pagerank": q_trade_personalized_pagerank,
+        "trade_windowed_lpa_sync": q_trade_windowed_lpa_sync,
+        "trade_node2vec_walks": q_trade_node2vec_walks,
+        # new in round 4
+        "emb_semantic_dedup": q_emb_semantic_dedup,
+        "copurchase_approx_betweenness": q_copurchase_approx_betweenness,
+        "docs_lm_bits": q_docs_lm_bits,
+        "trade_pagerank_warm": q_trade_pagerank_warm,
+        "docs_tfidf_keywords": q_docs_tfidf_keywords,
+        "docs_length_buckets": q_docs_length_buckets,
+        "trade_nation_conductance": q_trade_nation_conductance,
+        "docs_weighted_sample": q_docs_weighted_sample,
+        "trade_edge_delta": q_trade_edge_delta,
+        "events_stream_topk": q_events_stream_topk,
+        "trade_wcc_warm": q_trade_wcc_warm,
+        "emb_hard_negatives": q_emb_hard_negatives,
+        "trade_msf": q_trade_msf,
+        "trade_nation_assortativity": q_trade_nation_assortativity,
+        "docs_line_dedup": q_docs_line_dedup,
+        "events_distinct_sketch": q_events_distinct_sketch,
+        "trade_ppr_sweep": q_trade_ppr_sweep,
+        "trade_salsa": q_trade_salsa,
+        "docs_novelty": q_docs_novelty,
+        "copurchase_cpm": q_copurchase_cpm,
         # round-3-green buffer (driver re-confirmation, newest first)
         "trade_closeness": q_trade_closeness,
         "trade_neighbor_sample": q_trade_neighbor_sample,
@@ -6354,7 +6360,7 @@ o AS (
   SELECT doc_id, n_tokens,
          coalesce(sum(n_tokens) OVER (
            ORDER BY hv % 256, hv, doc_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS start
   FROM t
 )
 SELECT doc_id, n_tokens, start // 512 AS seq_id, start % 512 AS offset FROM o
@@ -8307,7 +8313,7 @@ FROM verdict
     sqls["docs_domain_mix"] = r"""
 WITH per AS (
   SELECT lang AS domain, count(*) AS n_docs,
-         sum(len(regexp_split_to_array(trim(text), '\s+'))) AS n_tokens
+         sum(len(regexp_split_to_array(trim(text), '\s+')))::BIGINT AS n_tokens
   FROM documents GROUP BY lang
 ),
 tot AS (SELECT sum(n_tokens)::DOUBLE AS tt, count(*) AS nd FROM per)

@@ -18,10 +18,26 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Canonicalize the way the driver's hash does: every cell becomes its
+    text rendering, so a dtype drift (DuckDB sum()->HUGEINT->float64 "123.0"
+    vs Spark BIGINT "123") FAILS here instead of surviving a check_dtype=False
+    comparison. This exact class of bug shipped red twice (VERDICT r03/r04)
+    because the old canon compared values, not representations."""
+    def cell(v):
+        if hasattr(v, "tolist"):  # numpy scalar or array
+            v = v.tolist()
+        if isinstance(v, (list, tuple)):
+            return "[" + ", ".join(cell(x) for x in v) + "]"
+        try:
+            if v is None or pd.isna(v):
+                return "NULL"
+        except (TypeError, ValueError):
+            pass
+        return str(v)
+
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
-        if df[c].dtype == object:
-            df[c] = df[c].astype(str)
+        df[c] = df[c].map(cell)
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
