@@ -591,6 +591,7 @@ def fastest_path_durations(
     sources: list[str],
     strict: bool = False,
     max_rounds: int = 64,
+    max_source_departures: int | None = 5000,
 ) -> DataFrame:
     """Fastest (minimum-duration) temporal paths — ``(source, node,
     duration)``: the least elapsed time of any time-respecting path from
@@ -630,6 +631,19 @@ def fastest_path_durations(
     Convergence: the frontier (anti-join of the pruned merge against
     the previous state) empties exactly at the fixpoint — one isEmpty
     action per round, with a loud ``max_rounds`` guard.
+
+    **Hub-source guard**: per-source cost scales with the source's
+    *departure multiplicity* — round 0 seeds one Pareto label per
+    distinct first-hop departure time, so a hub with tens of thousands
+    of distinct out-event times carries a Pareto surface that wide
+    through every round (measured: >590s from a hub supplier at sf0.1
+    vs 36s from customer sources, BENCH.md "Pareto-width finding").
+    Before iterating, the per-source distinct-departure count is
+    computed in one cheap pass over the sources' out-events; any source
+    above ``max_source_departures`` raises ``ValueError`` in seconds
+    with the documented mitigation (``graph.window(...)`` to shrink the
+    departure set, or pass a higher/``None`` cap to accept the wall).
+    The guard never silently caps or samples — results stay exact.
     """
     from pyspark.sql import Window
 
@@ -656,6 +670,32 @@ def fastest_path_durations(
             .filter(F.col("name").isin(seed_names))
             .select(F.col("id").alias("source"))
         )
+        if max_source_departures is not None:
+            widths = (
+                seeds.join(ev, seeds.source == ev.u)
+                .select("source", "t")
+                .distinct()
+                .groupBy("source")
+                .count()
+                .filter(F.col("count") > max_source_departures)
+                .join(graph.ids(), F.col("source") == F.col("id"))
+                .select("name", "count")
+                .orderBy(F.desc("count"))
+                .limit(5)
+                .collect()
+            )
+            if widths:
+                worst = ", ".join(f"{r['name']}={r['count']}" for r in widths)
+                ev.unpersist()
+                raise ValueError(
+                    "fastest_path_durations: hub source(s) exceed the "
+                    f"departure-multiplicity cap ({max_source_departures}): "
+                    f"{worst}. Pareto-frontier width (and per-round join "
+                    "volume) scales with distinct first-hop departure "
+                    "times. Window the graph first (graph.window(...)) to "
+                    "shrink the departure set, or pass a higher "
+                    "max_source_departures (or None) to accept the cost."
+                )
         # round 0: the source's own out-events — one label per distinct
         # first-hop departure (dep = arrival = t)
         state = (

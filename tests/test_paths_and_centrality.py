@@ -676,3 +676,43 @@ def test_fastest_path_strict_and_guard(spark):
         fastest_path_durations(
             LinkGraph.from_edge_list(spark, chain), ["0"], max_rounds=2
         )
+
+
+def test_fastest_path_hub_source_guard(spark):
+    """A hub source above the departure-multiplicity cap must fail loudly
+    (in seconds, before any Pareto round runs) with windowing guidance;
+    a higher cap or None accepts the cost and stays exact."""
+    import pytest as _pytest
+
+    from linkgraph.algorithms import fastest_path_durations
+    from linkgraph.graph import LinkGraph
+
+    # hub: 12 distinct departure times fanning to 3 targets; quiet: 1
+    ev = [(t, "hub", f"v{t % 3}") for t in range(12)] + [(50, "quiet", "v0")]
+    g = LinkGraph.from_edge_list(spark, ev)
+    id_of = {r["name"]: r["id"] for r in g.ids().collect()}
+
+    with _pytest.raises(ValueError, match="departure-multiplicity cap"):
+        fastest_path_durations(g, ["hub", "quiet"], max_source_departures=10)
+
+    # the message names the offending source, not the quiet one
+    with _pytest.raises(ValueError, match="hub=12"):
+        fastest_path_durations(g, ["hub", "quiet"], max_source_departures=10)
+
+    # quiet source alone passes under the same cap
+    ok = {
+        (r["source"], r["node"]): r["duration"]
+        for r in fastest_path_durations(
+            g, ["quiet"], max_source_departures=10
+        ).collect()
+    }
+    assert ok[(id_of["quiet"], id_of["v0"])] == 0
+
+    # raising the cap (or None) accepts the hub and results stay exact
+    got = {
+        (r["source"], r["node"]): r["duration"]
+        for r in fastest_path_durations(
+            g, ["hub"], max_source_departures=None
+        ).collect()
+    }
+    assert got[(id_of["hub"], id_of["v0"])] == 0
