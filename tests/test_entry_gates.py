@@ -1,0 +1,68 @@
+"""Driver-contract gates for the five no-SQL-oracle queries (VERDICT r04
+task #6): the three golden-gated queries now carry a whole-result stability
+digest in every row (pinned here, so cross-round drift is a visible diff),
+and the two ANN queries self-gate on recall@5 against the exact IVF plan —
+a rows-only driver CORRECTNESS row therefore proves the recall floor held,
+not just the row count."""
+
+import os
+
+import pytest
+
+import __spark_entry__ as entry
+
+SF = "/root/testdata/sf0.001"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF), reason="driver testdata not present"
+)
+
+# Pinned whole-result digests at sf0.001 (md5 over the sorted canonical
+# text of the full result — see _with_stability_digest).  All three
+# queries are seeded/deterministic; a digest change means the RESULT
+# changed, and must be an intentional, documented event.
+PINNED = {
+    "transition_lpa_sync": (5, "dfca54e625da91ab0f798848db5ffcee"),
+    "trade_louvain": (160, "e66e88a905888e584f29c256d46fba38"),
+    "transition_motifs": (40, "5f04a91561074eefd3be0c43da0baf7e"),
+}
+
+
+@pytest.mark.parametrize("name", sorted(PINNED))
+def test_stability_digest_pinned(spark, name):
+    want_rows, want_digest = PINNED[name]
+    df = entry.queries()[name](spark, SF)
+    rows = df.collect()
+    assert len(rows) == want_rows
+    digests = {r["digest"] for r in rows}
+    assert digests == {want_digest}, (
+        f"{name} digest drifted: {digests} != {want_digest} — the result "
+        "content changed; re-pin only if the change is intentional"
+    )
+
+
+@pytest.mark.parametrize(
+    "name,floor",
+    [("emb_ivf_topk", 300_000), ("emb_lsh_topk", 200_000)],
+)
+def test_ann_recall_gate_passes(spark, name, floor):
+    df = entry.queries()[name](spark, SF)
+    rows = df.collect()
+    assert rows, "ANN query returned no rows"
+    ppm = {r["recall_ppm"] for r in rows}
+    assert len(ppm) == 1
+    assert ppm.pop() >= floor
+
+
+def test_ann_recall_gate_raises_on_impossible_floor(spark):
+    """The gate is live: an unattainable floor must raise, proving a green
+    driver row cannot come from a gate that never fires."""
+    from pyspark.sql import functions as F
+
+    from linkgraph.pipeline.simsearch import ivf_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") % 50 == 0)
+    approx = ivf_topk(emb, qs, k=5, nprobe=4)
+    with pytest.raises(RuntimeError, match="below the 1.01 floor"):
+        entry._ann_recall_gate(emb, qs, approx, k=5, bound=1.01)
