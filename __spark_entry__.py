@@ -7870,12 +7870,14 @@ SELECT lang AS bucket, count(*)::BIGINT AS n_docs,
        sum(len(regexp_split_to_array(trim(text), '\s+')))::BIGINT AS ws_tokens,
        sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')))::BIGINT
          AS sub_tokens,
-       ((sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')))
+       (CASE WHEN sum(len(regexp_split_to_array(trim(text), '\s+'))) = 0 THEN 0
+        ELSE (sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')))
          * 1000000)
-        // sum(len(regexp_split_to_array(trim(text), '\s+'))))::BIGINT
+        // sum(len(regexp_split_to_array(trim(text), '\s+'))) END)::BIGINT
          AS fertility_ppm,
-       ((sum(length(text)) * 1000000)
-        // sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))))::BIGINT
+       (CASE WHEN sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) = 0 THEN 0
+        ELSE (sum(length(text)) * 1000000)
+        // sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) END)::BIGINT
          AS chars_per_sub_ppm
 FROM documents GROUP BY lang
 """

@@ -973,22 +973,38 @@ def graph_efficiency(
 ) -> DataFrame:
     """Wiener index and global efficiency over a seed sample — ONE row
     ``(n_seeds, n_pairs, wiener_sum, avg_dist_ppm, eff_ppm_sum,
-    avg_eff_ppm)``.
+    avg_eff_ppm, n_pairs_total, global_eff_ppm)``.
 
     Over the exact (seed, node) BFS distances (the same batched
     :func:`multi_source_bfs` behind harmonic/closeness/eccentricity):
     ``wiener_sum = Σ d`` (the sampled Wiener index), ``eff_ppm_sum =
     Σ (1e6 div d)`` (Latora–Marchiori efficiency, each pair's 1/d as an
     exact integer-ppm term — no float accumulation, so the scalar is
-    bit-stable at any partitioning), and their per-pair means in floor
-    ppm.  Unreachable pairs contribute nothing to either sum (the
-    standard convention: efficiency 0, distance excluded); pairs at
-    dist 0 (the seeds) are excluded.  All aggregation is one hash
-    aggregate over the shared BFS table.
+    bit-stable at any partitioning).  Two means are emitted and they
+    differ on disconnected graphs:
+
+    - ``avg_eff_ppm`` is the **reached-pair mean** — ``eff_ppm_sum``
+      over reached pairs only (``n_pairs``); unreachable pairs are
+      EXCLUDED from this denominator, so it is NOT standard global
+      efficiency on a disconnected graph.
+    - ``global_eff_ppm`` is the **standard Latora–Marchiori global
+      efficiency** — ``eff_ppm_sum div n_pairs_total`` where
+      ``n_pairs_total = n_seeds_resolved · (n − 1)`` counts every
+      ordered (seed, other-node) pair, reached or not (unreachable
+      pairs contribute efficiency 0 to the numerator and 1 to the
+      denominator).
+
+    ``wiener_sum``/``avg_dist_ppm`` keep the reached-pair convention
+    (an unreachable pair has no finite distance to sum).  Pairs at
+    dist 0 (the seeds) are excluded everywhere.  All aggregation is one
+    hash aggregate over the shared BFS table plus two driver-side
+    scalars (node count, resolved seed count).
     """
-    visited = multi_source_bfs(
-        graph, _resolve_seed_ids(graph, seeds, first_k), direction, max_depth
-    )
+    seed_ids = _resolve_seed_ids(graph, seeds, first_k)
+    n_seeds_resolved = seed_ids.count()
+    n_nodes = graph.ids().count()
+    n_pairs_total = max(1, n_seeds_resolved * max(0, n_nodes - 1))
+    visited = multi_source_bfs(graph, seed_ids, direction, max_depth)
     pairs = visited.filter(F.col("dist") >= 1)
     return pairs.agg(
         F.countDistinct("seed").alias("n_seeds"),
@@ -997,4 +1013,8 @@ def graph_efficiency(
         F.expr("(sum(dist) * 1000000) div count(*)").alias("avg_dist_ppm"),
         F.sum(F.expr("1000000 div dist")).alias("eff_ppm_sum"),
         F.expr("sum(1000000 div dist) div count(*)").alias("avg_eff_ppm"),
+        F.lit(n_pairs_total).cast("long").alias("n_pairs_total"),
+        F.expr(f"sum(1000000 div dist) div {n_pairs_total}L").alias(
+            "global_eff_ppm"
+        ),
     )

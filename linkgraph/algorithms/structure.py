@@ -937,4 +937,16 @@ def dag_path_counts(graph: LinkGraph, max_rounds: int = 64) -> DataFrame:
         if new_tot == tot:
             break
         tot = new_tot
-    return state.select(F.col("id").alias("node"), F.col("p").alias("n_paths"))
+    # isolated nodes (in graph.ids() but touching no edge) are trivially
+    # in-degree-0 sources: exactly one path (the empty one) reaches them —
+    # same convention as sibling operators (k4_counts, role_features) that
+    # left-join the full id universe instead of the edge-endpoint set
+    isolated = (
+        graph.ids()
+        .select("id")
+        .join(nodes, "id", "left_anti")
+        .select("id", F.lit(1).cast("long").alias("p"))
+    )
+    return state.unionByName(isolated).select(
+        F.col("id").alias("node"), F.col("p").alias("n_paths")
+    )

@@ -102,7 +102,12 @@ def retention_cohorts(
     base = first.groupBy("cohort").agg(F.count("*").alias("n_active"))
     out = base.select("cohort", F.lit(0).cast("long").alias("offset"), "n_active")
     joined = act.join(first, "user")
+    # the base rows ARE the offset-0 cells (every user is active in their
+    # cohort bucket by definition) — computing offset 0 in the loop too
+    # would emit duplicate rows for those matrix cells
     for off in offsets:
+        if int(off) == 0:
+            continue
         got = (
             joined.filter(F.col("b") == F.col("cohort") + F.lit(int(off)))
             .groupBy("cohort")

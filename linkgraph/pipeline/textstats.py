@@ -581,7 +581,11 @@ def tokenizer_fertility(
     subword proxy is the BPE-ish ``TOKEN_RE`` segmentation used by
     ``doc_stats``/``token_counts`` — swap in real tokenizer counts per
     doc upstream if available; the aggregation shape is unchanged.
-    One scan, map-side-combined aggregate; all-integer output.
+    One scan, map-side-combined aggregate; all-integer output.  A bucket
+    whose docs are all empty/whitespace has ``sum(ws)=0`` (resp.
+    ``sum(sub)=0``): the ratio is reported as 0 rather than NULL (or an
+    ANSI division error), keeping the all-integer/non-null contract —
+    same zero-denominator convention as ``degree_gini``.
     """
     t = F.col(text_col)
     per_doc = docs.select(
@@ -595,10 +599,14 @@ def tokenizer_fertility(
         F.sum("chars").alias("n_chars"),
         F.sum("ws").alias("ws_tokens"),
         F.sum("sub").alias("sub_tokens"),
-        F.expr("(sum(sub) * 1000000) div sum(ws)").alias("fertility_ppm"),
-        F.expr("(sum(chars) * 1000000) div sum(sub)").alias(
-            "chars_per_sub_ppm"
-        ),
+        F.expr(
+            "CASE WHEN sum(ws) = 0 THEN 0L "
+            "ELSE (sum(sub) * 1000000) div sum(ws) END"
+        ).alias("fertility_ppm"),
+        F.expr(
+            "CASE WHEN sum(sub) = 0 THEN 0L "
+            "ELSE (sum(chars) * 1000000) div sum(sub) END"
+        ).alias("chars_per_sub_ppm"),
     )
 
 

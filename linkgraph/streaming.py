@@ -172,7 +172,14 @@ def run_available_now(
     rows: list = []
 
     def sink(bdf: DataFrame, batch_id: int) -> None:
-        rows.extend(bdf.collect())
+        batch = bdf.collect()
+        if output_mode == "complete":
+            # complete mode re-emits the FULL result table every
+            # micro-batch; keeping earlier batches would duplicate (and
+            # stale-date) rows whenever availableNow splits the input
+            # (file source maxFilesPerTrigger) — keep only the last
+            rows.clear()
+        rows.extend(batch)
 
     q = (
         result.writeStream.foreachBatch(sink)

@@ -464,6 +464,17 @@ def test_retention_cohorts_hand(spark):
     assert (base, 2) not in got         # nobody active at hour 2 from cohort 0
     assert got[(base, 3)] == 1          # u1 at hour 3
 
+    # a 0 in offsets must NOT duplicate the base cohort-size rows
+    with_zero = retention_cohorts(ev, offsets=[0, 1]).collect()
+    keys = [(r["cohort"], r["offset"]) for r in with_zero]
+    assert len(keys) == len(set(keys)), "duplicate (cohort, offset) rows"
+    z = {
+        (r["cohort"], r["offset"]): r["n_active"]
+        for r in with_zero
+        if r["offset"] == 0
+    }
+    assert z[(base, 0)] == 2 and z[(base + 2, 0)] == 1
+
 
 def test_sorted_blocking_pairs_hand(spark):
     from linkgraph.pipeline.dedup import sorted_blocking_pairs

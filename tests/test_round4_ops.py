@@ -548,6 +548,28 @@ def test_graph_efficiency_path(spark):
     want_eff = (1_000_000 + 500_000 + 333_333) + (1_000_000 * 2 + 500_000)
     assert row["eff_ppm_sum"] == want_eff
     assert row["avg_eff_ppm"] == want_eff // 6
+    # connected graph: every (seed, other) pair is reached, so the
+    # standard Latora-Marchiori mean equals the reached-pair mean
+    assert row["n_pairs_total"] == 2 * 3
+    assert row["global_eff_ppm"] == want_eff // 6
+
+
+def test_graph_efficiency_disconnected_denominator(spark):
+    """On a disconnected graph avg_eff_ppm (reached-pair mean) and
+    global_eff_ppm (standard global efficiency: unreachable pairs count
+    0 in the numerator and 1 in the denominator) must diverge."""
+    from linkgraph.algorithms import graph_efficiency
+    from linkgraph.graph import LinkGraph
+
+    # two components: a-b and c-d; seeds a, c
+    ev = [(0, "a", "b"), (1, "c", "d")]
+    g = LinkGraph.from_edge_list(spark, ev)
+    row = graph_efficiency(g, seeds=["a", "c"]).collect()[0]
+    # a reaches b (d=1), c reaches d (d=1): 2 reached pairs of 2*3 total
+    assert (row["n_pairs"], row["eff_ppm_sum"]) == (2, 2_000_000)
+    assert row["avg_eff_ppm"] == 1_000_000
+    assert row["n_pairs_total"] == 6
+    assert row["global_eff_ppm"] == 2_000_000 // 6
 
 
 def test_contract_chains_paths_petal_cycle(spark):
@@ -674,6 +696,27 @@ def test_dag_path_counts_diamond(spark):
     g = LinkGraph.from_edge_list(spark, ev)
     got = {r["node"]: r["n_paths"] for r in dag_path_counts(g).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 2, 5: 2}
+
+
+def test_dag_path_counts_isolated_node(spark):
+    """A node in graph.ids() with no incident edge is a trivial source
+    (one empty path) — it must appear in the output, consistent with the
+    'for each node' contract and siblings like k4_counts/role_features."""
+    from pyspark.sql import functions as F
+
+    from linkgraph.algorithms.structure import dag_path_counts
+    from linkgraph.graph import LinkGraph
+
+    edges = spark.createDataFrame(
+        [("1", "2", 0, "_default")],
+        "src string, dst string, time long, layer string",
+    )
+    nodes = spark.createDataFrame(
+        [("1", 0), ("2", 0), ("9", 5)], "name string, time long"
+    )
+    g = LinkGraph(edges, nodes_t=nodes)
+    got = {r["node"]: r["n_paths"] for r in dag_path_counts(g).collect()}
+    assert got == {1: 1, 2: 1, 9: 1}
 
 
 def test_graph_summary_hand(spark):

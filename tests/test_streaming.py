@@ -297,3 +297,44 @@ def test_rate_anomalies_trailing_baseline(spark, tmp_path):
     assert (dip["n_events"], dip["trailing_sum"]) == (2, 20)
     assert (dip["dev_sign"], dip["dev_ppm"]) == (-1, 700_000)
     assert dip["is_anomaly"]
+
+
+def test_rate_anomalies_multibatch_complete_mode(spark, tmp_path):
+    """availableNow may split the file source into several micro-batches
+    (maxFilesPerTrigger); in complete output mode each batch re-emits the
+    FULL result table, so run_available_now must keep only the LAST
+    batch's rows — otherwise duplicate/stale (ws, event_type) counts
+    corrupt the trailing ROWS window (the builder previously accumulated
+    every batch).  Two input files + maxFilesPerTrigger=1 forces >= 2
+    batches; the result must equal the single-batch run bit-for-bit."""
+    from linkgraph.streaming import rate_anomalies
+
+    rows, eid = [], 0
+    for h, n in [(0, 4), (1, 4), (2, 4), (3, 12), (4, 2)]:
+        for i in range(n):
+            rows.append((eid, _ts(h, i), 1, "click", 1.0, "{}"))
+            eid += 1
+    # two separate files (append twice) so maxFilesPerTrigger=1 -> 2 batches
+    p = str(tmp_path / "anom_mb_in")
+    _write_events(spark, p, rows[:10])
+    _write_events(spark, p, rows[10:])
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(p)
+    )
+    out = rate_anomalies(spark, stream, str(tmp_path / "ck_anom_mb")).collect()
+    keys = [(r["ws"], r["event_type"]) for r in out]
+    assert len(keys) == len(set(keys)), "duplicate (ws, type) verdict rows"
+    base = int(
+        dt.datetime(2024, 1, 1).replace(tzinfo=dt.timezone.utc).timestamp()
+    )
+    got = {r["ws"]: r for r in out}
+    assert set(got) == {base + 3 * 3600, base + 4 * 3600}
+    assert (got[base + 3 * 3600]["n_events"],
+            got[base + 3 * 3600]["trailing_sum"]) == (12, 12)
+    assert (got[base + 4 * 3600]["n_events"],
+            got[base + 4 * 3600]["trailing_sum"]) == (2, 20)

@@ -279,6 +279,25 @@ def test_tokenizer_fertility_hand(spark):
     assert fr["fertility_ppm"] == 5_000_000
 
 
+def test_tokenizer_fertility_empty_bucket_is_zero_not_null(spark):
+    """A bucket whose docs are all empty/whitespace has sum(sub)=0 (and
+    split('') still yields one empty ws token is irrelevant — the guard is
+    on the denominators): the ppm columns must come back 0, not NULL, to
+    keep the all-integer/non-null contract."""
+    from linkgraph.pipeline.textstats import tokenizer_fertility
+
+    docs = spark.createDataFrame(
+        [(0, "xx", ""), (1, "xx", "   "), (2, "en", "a b")],
+        "doc_id long, lang string, text string",
+    )
+    rows = {r["bucket"]: r for r in tokenizer_fertility(docs).collect()}
+    xx = rows["xx"]
+    assert xx["sub_tokens"] == 0
+    assert xx["fertility_ppm"] == 0
+    assert xx["chars_per_sub_ppm"] == 0
+    assert rows["en"]["fertility_ppm"] == 1_000_000
+
+
 def test_hashed_features_deterministic_and_counts(spark):
     from linkgraph.pipeline.textstats import hashed_features
 
