@@ -2923,6 +2923,106 @@ def q_emb_ivf_topk(spark, sf_dir):
     return _ann_recall_gate(emb, queries_df, approx, k=5, bound=0.30)
 
 
+def _flow_graph(spark, sf_dir, nations: int = 5):
+    """Directed graph with genuine web-like macro-structure (the trade
+    graph is bipartite, so its bow-tie is degenerate): even orders give
+    customer -> supplier edges, odd orders supplier -> customer — cycles
+    appear wherever a customer+supplier pair spans both parities, giving
+    a real largest SCC with IN/OUT/tendril periphery.  Scoped to the
+    first ``nations`` nation keys on BOTH sides: the engine's frontier
+    BFS doesn't need the cut, but the DuckDB oracle's transitive closure
+    is quadratic in the giant SCC (585s unscoped at sf0.01 vs sub-second
+    scoped) — and every 3rd order only, which sparsifies the dense TPC-H
+    co-occurrence enough that IN/OUT rival the SCC instead of collapsing
+    into it (unscoped: 1578 of 1600 nodes land in the SCC)."""
+    from linkgraph.graph import LinkGraph
+
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey") < nations
+    ).select(F.col("c_custkey").alias("o_custkey"))
+    supp = _t(spark, sf_dir, "supplier").filter(
+        F.col("s_nationkey") < nations
+    ).select(F.col("s_suppkey").alias("l_suppkey"))
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 3 == 0)
+        .join(F.broadcast(cust), "o_custkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").join(F.broadcast(supp), "l_suppkey")
+    ev = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        F.col("o_custkey").cast("string").alias("c"),
+        (F.lit(1_000_000) + F.col("l_suppkey")).cast("string").alias("s"),
+        (F.unix_timestamp("o_orderdate") * 1000).alias("time"),
+        (F.col("o_orderkey") % 2 == 0).alias("fwd"),
+    )
+    edges = ev.select(
+        F.when(F.col("fwd"), F.col("c")).otherwise(F.col("s")).alias("src"),
+        F.when(F.col("fwd"), F.col("s")).otherwise(F.col("c")).alias("dst"),
+        "time",
+    )
+    return LinkGraph(edges)
+
+
+def q_trade_flow_bowtie(spark, sf_dir):
+    """Broder bow-tie decomposition (WWW 2000) of the directed flow
+    graph — 8 rows (cls, n_nodes): SCC / IN / OUT / TUBE / TENDRIL_IN /
+    TENDRIL_OUT / OTHER / DISCONNECTED.  Engine: one Fleischer fw-bw SCC
+    run + five frontier reach-from-set BFS fixpoints (slim id frontiers,
+    nothing |V|^2); oracle: recursive-CTE transitive closure + set
+    algebra (closure is oracle-only — it would never scale, the BFS
+    does).  The macro-structure readout of the original web-graph paper,
+    composed from the reference's scc/in/out-component trio
+    (scc.rs, in_components.rs, out_components.rs)."""
+    from linkgraph.algorithms import bowtie_decomposition
+
+    return bowtie_decomposition(_flow_graph(spark, sf_dir))
+
+
+def q_docs_paragraph_dedup(spark, sf_dir):
+    """Corpus-wide keep-first paragraph dedup (8-word segments joined by
+    blank lines — the synthetic corpus has no newline structure, same
+    convention as docs_line_dedup): every repeated paragraph keeps its
+    first (doc_id, pos) occurrence, later copies are dropped; per-doc
+    counts + digest of the cleaned text (pipeline.dedup.paragraph_dedup).
+    Only 16-byte keys shuffle; text never rides a join."""
+    from linkgraph.pipeline.dedup import _doc_units, paragraph_dedup
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").alias("_t")
+    )
+    docs2 = docs.select(
+        "doc_id", F.array_join(_doc_units("_t", 8), "\n\n").alias("text")
+    )
+    return paragraph_dedup(docs2)
+
+
+def q_emb_pq_codes(spark, sf_dir):
+    """Product-quantization code assignment (Jegou et al., PAMI 2011):
+    64-dim vectors -> 4 subspaces x 16-codeword deterministic codebooks,
+    nearest codeword per subspace by round-6 Euclidean (lowest code on
+    ties) — the memory-compression side of the ANN stack (4 bytes/vector
+    vs 256).  Codebook is broadcast (64 rows); corpus rides the plan
+    once (pipeline.simsearch.pq_codes)."""
+    from linkgraph.pipeline.simsearch import pq_codes
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pq_codes(emb, m=4, codebook_size=16)
+
+
+def q_events_attribution(spark, sf_dir):
+    """Last-touch attribution — the canonical backward as-of join: each
+    purchase event attributed to the same user's most recent click within
+    1 hour (ties -> highest click id); unattributed -> -1 sentinels.
+    Equi-join on user + range predicate + top-1 window — one shuffle per
+    side, horizon-bounded state (pipeline.analytics.last_touch_attribution)."""
+    from linkgraph.pipeline.analytics import last_touch_attribution
+
+    ev = _t(spark, sf_dir, "events")
+    return last_touch_attribution(
+        ev, trigger="purchase", touch="click", horizon_ms=3_600_000
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the strongest-oracle coverage lands inside the driver's
     per-round sample (the r02 harness recorded the FIRST 50 of 64 entries):
@@ -2983,7 +3083,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_pack_sequences": q_docs_pack_sequences,
         "docs_domain_mix": q_docs_domain_mix,
         # positions 47-50: new in round 5 (oracle-bearing)
-        # (filled as round-5 operators land)
+        "trade_flow_bowtie": q_trade_flow_bowtie,
+        "docs_paragraph_dedup": q_docs_paragraph_dedup,
+        "emb_pq_codes": q_emb_pq_codes,
+        "events_attribution": q_events_attribution,
         # r01-r03 overflow, driver-green r04
         "trade_monthly_rolling": q_trade_monthly_rolling,
         "trade_two_hop": q_trade_two_hop,
@@ -8383,6 +8486,211 @@ SELECT domain, n_docs, n_tokens,
        round((n_tokens / tt) * 1000000, 0)::BIGINT AS token_share_ppm,
        round(((1.0 / nd) / (n_tokens / tt)) * 1000000, 0)::BIGINT AS weight_ppm
 FROM per, tot
+"""
+
+    # bow-tie: transitive closure is fine for the ORACLE (sf0.01 only);
+    # the engine runs frontier BFS instead — the closure never scales
+    sqls["trade_flow_bowtie"] = """
+WITH RECURSIVE fl_raw AS (
+  SELECT DISTINCT
+    CASE WHEN o_orderkey % 2 = 0 THEN o_custkey
+         ELSE 1000000 + l_suppkey END AS src,
+    CASE WHEN o_orderkey % 2 = 0 THEN 1000000 + l_suppkey
+         ELSE o_custkey END AS dst
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey AND c_nationkey < 5
+  JOIN lineitem ON o_orderkey = l_orderkey AND o_orderkey % 3 = 0
+  JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey < 5
+),
+fe AS (SELECT src, dst FROM fl_raw WHERE src <> dst),
+nodes AS (
+  SELECT DISTINCT id
+  FROM (SELECT src AS id FROM fe UNION ALL SELECT dst FROM fe)
+),
+reach(a, b) AS MATERIALIZED (
+  SELECT src, dst FROM fe
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN fe e ON e.src = r.b
+),
+mutual AS (
+  SELECT r1.a, r1.b FROM reach r1
+  JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a
+),
+lab AS MATERIALIZED (
+  SELECT n.id AS node, least(n.id, coalesce(m.lab, n.id)) AS scc
+  FROM nodes n
+  LEFT JOIN (SELECT a, min(b) AS lab FROM mutual GROUP BY a) m ON m.a = n.id
+),
+big AS (
+  SELECT scc FROM lab GROUP BY scc
+  ORDER BY count(*) DESC, min(node) ASC LIMIT 1
+),
+core AS MATERIALIZED (SELECT node AS id FROM lab WHERE scc = (SELECT scc FROM big)),
+fwd AS MATERIALIZED (
+  SELECT DISTINCT r.b AS id FROM reach r JOIN core c ON c.id = r.a
+  UNION SELECT id FROM core
+),
+bwd AS MATERIALIZED (
+  SELECT DISTINCT r.a AS id FROM reach r JOIN core c ON c.id = r.b
+  UNION SELECT id FROM core
+),
+ue AS (SELECT src, dst FROM fe UNION SELECT dst, src FROM fe),
+ureach(a, b) AS MATERIALIZED (
+  SELECT src, dst FROM ue
+  UNION
+  SELECT r.a, e.dst FROM ureach r JOIN ue e ON e.src = r.b
+),
+weak AS MATERIALIZED (
+  SELECT DISTINCT r.b AS id FROM ureach r JOIN core c ON c.id = r.a
+  UNION SELECT id FROM core
+),
+outs AS MATERIALIZED (
+  SELECT f.id FROM fwd f LEFT JOIN core c ON c.id = f.id WHERE c.id IS NULL
+),
+ins AS MATERIALIZED (
+  SELECT b.id FROM bwd b LEFT JOIN core c ON c.id = b.id WHERE c.id IS NULL
+),
+disc AS (
+  SELECT n.id FROM nodes n LEFT JOIN weak w ON w.id = n.id WHERE w.id IS NULL
+),
+t AS MATERIALIZED (
+  SELECT w.id FROM weak w
+  LEFT JOIN core c ON c.id = w.id
+  LEFT JOIN ins i ON i.id = w.id
+  LEFT JOIN outs o ON o.id = w.id
+  WHERE c.id IS NULL AND i.id IS NULL AND o.id IS NULL
+),
+fin AS MATERIALIZED (
+  SELECT DISTINCT t.id FROM t
+  JOIN reach r ON r.b = t.id JOIN ins i ON i.id = r.a
+),
+tout AS MATERIALIZED (
+  SELECT DISTINCT t.id FROM t
+  JOIN reach r ON r.a = t.id JOIN outs o ON o.id = r.b
+),
+tube AS (SELECT f.id FROM fin f JOIN tout o ON o.id = f.id),
+ti AS (
+  SELECT f.id FROM fin f LEFT JOIN tout o ON o.id = f.id WHERE o.id IS NULL
+),
+tto AS (
+  SELECT o.id FROM tout o LEFT JOIN fin f ON f.id = o.id WHERE f.id IS NULL
+),
+oth AS (
+  SELECT t.id FROM t
+  LEFT JOIN fin f ON f.id = t.id
+  LEFT JOIN tout o ON o.id = t.id
+  WHERE f.id IS NULL AND o.id IS NULL
+)
+SELECT * FROM (
+  SELECT 'SCC' AS cls, (SELECT count(*) FROM core)::BIGINT AS n_nodes
+  UNION ALL SELECT 'IN', (SELECT count(*) FROM ins)::BIGINT
+  UNION ALL SELECT 'OUT', (SELECT count(*) FROM outs)::BIGINT
+  UNION ALL SELECT 'TUBE', (SELECT count(*) FROM tube)::BIGINT
+  UNION ALL SELECT 'TENDRIL_IN', (SELECT count(*) FROM ti)::BIGINT
+  UNION ALL SELECT 'TENDRIL_OUT', (SELECT count(*) FROM tto)::BIGINT
+  UNION ALL SELECT 'OTHER', (SELECT count(*) FROM oth)::BIGINT
+  UNION ALL SELECT 'DISCONNECTED', (SELECT count(*) FROM disc)::BIGINT
+)
+"""
+
+    # paragraph dedup: segments ARE the paragraphs (text2 = segments
+    # joined by blank lines, resplit is the identity on this corpus)
+    sqls["docs_paragraph_dedup"] = r"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(text, ' ') AS ws,
+         greatest((len(regexp_split_to_array(text, ' ')) + 7) // 8, 1)
+           AS n_paras
+  FROM documents
+),
+seg AS (
+  SELECT doc_id, i.i::INT AS pos,
+         array_to_string(ws[(i.i * 8 + 1):(i.i * 8 + 8)], ' ') AS para
+  FROM w, unnest(range(0, n_paras)) i(i)
+),
+keyed AS (
+  SELECT doc_id, pos, md5(trim(para)) AS key
+  FROM seg WHERE trim(para) <> ''
+),
+rk AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY key ORDER BY doc_id, pos) AS r
+  FROM keyed
+),
+rm AS (SELECT doc_id, pos FROM rk WHERE r > 1),
+rmc AS (SELECT doc_id, count(*) AS c FROM rm GROUP BY doc_id),
+keep AS (
+  SELECT s.doc_id, s.pos, s.para
+  FROM seg s LEFT JOIN rm ON rm.doc_id = s.doc_id AND rm.pos = s.pos
+  WHERE rm.pos IS NULL
+),
+agg AS (
+  SELECT doc_id,
+         coalesce(string_agg(para, chr(10) || chr(10) ORDER BY pos), '')
+           AS ct
+  FROM keep GROUP BY doc_id
+)
+SELECT w.doc_id, w.n_paras::BIGINT AS n_paras,
+       coalesce(rmc.c, 0)::BIGINT AS removed_paras,
+       length(coalesce(agg.ct, ''))::BIGINT AS clean_chars,
+       md5(coalesce(agg.ct, '')) AS clean_md5
+FROM w LEFT JOIN rmc ON rmc.doc_id = w.doc_id
+LEFT JOIN agg ON agg.doc_id = w.doc_id
+"""
+
+    sqls["emb_pq_codes"] = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cb AS (
+  SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INT AS code, v
+  FROM (SELECT * FROM e ORDER BY vec_id LIMIT 16)
+),
+subs AS (
+  SELECT e.vec_id, j.j::INT AS subspace,
+         e.v[(j.j * 16 + 1):(j.j * 16 + 16)] AS sv
+  FROM e, unnest(range(0, 4)) j(j)
+),
+cbs AS (
+  SELECT cb.code, j.j::INT AS subspace,
+         cb.v[(j.j * 16 + 1):(j.j * 16 + 16)] AS cv
+  FROM cb, unnest(range(0, 4)) j(j)
+),
+scored AS (
+  SELECT s.vec_id, s.subspace, c.code,
+         round(list_distance(s.sv, c.cv), 6) AS dist6
+  FROM subs s JOIN cbs c USING (subspace)
+),
+rk AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY vec_id, subspace ORDER BY dist6, code) AS r
+  FROM scored
+)
+SELECT vec_id, subspace, code::BIGINT AS code, dist6
+FROM rk WHERE r = 1
+"""
+
+    sqls["events_attribution"] = """
+WITH trig AS (
+  SELECT user_id AS "user", event_id AS trigger_id,
+         epoch_ms(ts) AS trigger_ms
+  FROM events WHERE event_type = 'purchase'
+),
+tch AS (
+  SELECT user_id, event_id AS touch_id, epoch_ms(ts) AS touch_ms
+  FROM events WHERE event_type = 'click'
+),
+cand AS (
+  SELECT t.trigger_id, c.touch_id, c.touch_ms, t.trigger_ms,
+         row_number() OVER (
+           PARTITION BY t.trigger_id
+           ORDER BY c.touch_ms DESC, c.touch_id DESC) AS rk
+  FROM trig t JOIN tch c ON c.user_id = t."user"
+   AND c.touch_ms <= t.trigger_ms
+   AND c.touch_ms >= t.trigger_ms - 3600000
+)
+SELECT t."user", t.trigger_id, t.trigger_ms,
+       coalesce(b.touch_id, -1)::BIGINT AS touch_id,
+       coalesce(t.trigger_ms - b.touch_ms, -1)::BIGINT AS gap_ms
+FROM trig t
+LEFT JOIN (SELECT * FROM cand WHERE rk = 1) b ON b.trigger_id = t.trigger_id
 """
 
     return sqls

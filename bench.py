@@ -227,6 +227,12 @@ def main() -> None:
         "trade_summary",
         "copurchase_edge_geometry",
         "copurchase_ck_curve",
+        # round 5: bow-tie macro-structure, paragraph dedup, PQ codes,
+        # last-touch as-of attribution
+        "trade_flow_bowtie",
+        "docs_paragraph_dedup",
+        "emb_pq_codes",
+        "events_attribution",
     ]
     # untimed warmup at the smallest scale factor: run every headline query
     # once over sf0.001 so whole-stage-codegen compilation, the parquet
@@ -249,37 +255,50 @@ def main() -> None:
     # in back-to-back windows); the minimum is the steady-state wall the
     # code actually achieves, which is what BASELINE comparison needs
     reps = int(os.environ.get("BENCH_REPS", "2"))
-    # wall-budget guard: the headline list has grown to ~65 queries, so an
-    # unbounded min-of-2 session could outlive the caller's patience in a
-    # bad host window.  Past the soft budget remaining queries run ONCE;
-    # past 1.25x they are skipped and RECORDED as such (no silent caps) —
-    # the headline PageRank metric below always runs.
+    # wall-budget guard + rep allocation (round-5 revision): the old
+    # in-order min-of-2 loop spent its second reps on whichever queries
+    # came FIRST, so the heavy tail (the queries most distorted by
+    # session debris — r04: trade_onion 81.4s in-session vs ~17s
+    # isolated) ran once, late, in the dirtiest session state.  Now:
+    # pass 1 times every query ONCE (guaranteed coverage); pass 2 spends
+    # the remaining budget on re-runs in DESCENDING pass-1 wall order —
+    # the heaviest walls are both the most polluted and the largest
+    # absolute errors, so they get their isolated second rep first.
+    # Past 1.25x budget in pass 1, remaining queries are skipped and
+    # RECORDED (no silent caps); the headline PageRank always runs.
     budget_s = float(os.environ.get("BENCH_BUDGET_S", "2400"))
     skipped: list[str] = []
-    single_rep: list[str] = []
     errors: dict[str, str] = {}
     for name in headline:
-        elapsed = time.monotonic() - t_session
-        if elapsed > 1.25 * budget_s:
+        if time.monotonic() - t_session > 1.25 * budget_s:
             skipped.append(name)
             continue
-        n_runs = reps if elapsed <= budget_s else 1
-        if n_runs < reps:
-            single_rep.append(name)
-        best = None
         try:
-            for _ in range(n_runs):
-                _isolate(spark)
-                t0 = time.monotonic()
-                _force(qs[name](spark, SF_DIR))
-                wall = time.monotonic() - t0
-                best = wall if best is None or wall < best else best
+            _isolate(spark)
+            t0 = time.monotonic()
+            _force(qs[name](spark, SF_DIR))
+            timings[name] = round(time.monotonic() - t0, 3)
         except Exception as e:  # record loudly, never kill the session —
             # one query's bad fixture (e.g. a seed that only exists at a
             # larger SF) must not cost the other ~130 measurements
             errors[name] = f"{type(e).__name__}: {e}"[:200]
             continue
-        timings[name] = round(best, 3)
+    single_rep = list(timings)
+    for _ in range(max(0, reps - 1)):
+        for name in sorted(timings, key=timings.get, reverse=True):
+            if time.monotonic() - t_session > budget_s:
+                break
+            try:
+                _isolate(spark)
+                t0 = time.monotonic()
+                _force(qs[name](spark, SF_DIR))
+                wall = round(time.monotonic() - t0, 3)
+            except Exception as e:
+                errors[name] = f"rep2 {type(e).__name__}: {e}"[:200]
+                continue
+            timings[name] = min(timings[name], wall)
+            if name in single_rep:
+                single_rep.remove(name)
     _isolate(spark)
 
     # --- headline metric: PageRank to L1 1e-9 on the trade graph ----------

@@ -49,6 +49,7 @@ from linkgraph.algorithms.community import (
     triangle_communities,
 )
 from linkgraph.algorithms.components import (
+    bowtie_decomposition,
     in_components,
     out_components,
     weakly_connected_components,

@@ -427,3 +427,132 @@ def _run_loop(loop, state, und, it, max_iter, use_broadcast, iters_out=None):
         if changed == 0:
             break
     return state
+
+
+def _reach_from_set(
+    seeds: DataFrame, edges: DataFrame, forward: bool, max_rounds: int = 256
+) -> DataFrame:
+    """All ids reachable from the seed SET (seeds included) following
+    directed ``(src_id, dst_id)`` edges forward or backward — frontier
+    BFS with a single any-seed label, so state is one slim id column
+    (NOT per-seed distances: reach-from-set needs |V| rows, not
+    |seeds|x|V|).  Converges when the frontier empties; loud guard."""
+    src, dst = ("src_id", "dst_id") if forward else ("dst_id", "src_id")
+    reached = seeds.select("id").distinct().localCheckpoint(eager=True)
+    frontier = reached
+    rounds = 0
+    while not frontier.isEmpty():
+        rounds += 1
+        if rounds > max_rounds:
+            raise RuntimeError(
+                f"_reach_from_set: not converged after {max_rounds} rounds"
+            )
+        nxt = (
+            frontier.join(edges, frontier.id == F.col(src))
+            .select(F.col(dst).alias("id"))
+            .distinct()
+            .join(reached, "id", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        reached = reached.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return reached
+
+
+def bowtie_decomposition(graph: LinkGraph, max_rounds: int = 256) -> DataFrame:
+    """Broder bow-tie decomposition of a directed graph (Broder et al.,
+    "Graph structure in the Web", WWW 2000) — ONE row per class:
+    ``(cls, n_nodes)`` over the eight standard classes:
+
+    - ``SCC``: the largest strongly connected component (ties broken by
+      the smallest member name, cast to long — engine-independent);
+    - ``IN``: nodes that reach the SCC but are not in it;
+    - ``OUT``: nodes the SCC reaches, not in it;
+    - ``TUBE``: reachable from IN and reaching OUT, bypassing the SCC;
+    - ``TENDRIL_IN``: reachable from IN only;
+    - ``TENDRIL_OUT``: reaching OUT only;
+    - ``OTHER``: in the SCC's weak component but none of the above;
+    - ``DISCONNECTED``: outside the SCC's weak component.
+
+    All eight rows are always emitted (0 when empty) so the schema and
+    cardinality are fixed.  Cost: one SCC run (Fleischer fw-bw coloring,
+    :func:`strongly_connected_components`) plus five reach-from-set
+    frontier BFS fixpoints over the slim ``(src_id, dst_id)`` edge
+    table — each round shuffles only the frontier id column, so the
+    decomposition scales exactly like WCC/SCC; nothing in the plan is
+    proportional to |V|^2 (the closure lives only in the DuckDB oracle).
+    The flagship web-graph structural readout for a repo-link graph:
+    mirrors the reference's SCC/in/out-component trio (scc.rs,
+    in_components.rs, out_components.rs) composed into the standard
+    macro-structure summary the reference never shipped.
+    """
+    spark = graph.spark
+    ids = graph.ids().select("id").persist()
+    edges = (
+        graph.edge_ids()
+        .filter(F.col("src_id") != F.col("dst_id"))
+        .persist()
+    )
+    edges.count()
+    scc = strongly_connected_components(graph)
+    largest = (
+        scc.groupBy("scc")
+        .agg(
+            F.count("*").alias("n"),
+            F.min(F.col("name").cast("long")).alias("min_name"),
+        )
+        .orderBy(F.desc("n"), F.asc("min_name"))
+        .limit(1)
+        .collect()[0]["scc"]
+    )
+    core = (
+        scc.filter(F.col("scc") == F.lit(largest))
+        .select("id")
+        .localCheckpoint(eager=True)
+    )
+    und = edges.unionByName(
+        edges.select(
+            F.col("dst_id").alias("src_id"), F.col("src_id").alias("dst_id")
+        )
+    ).localCheckpoint(eager=True)
+
+    fwd = _reach_from_set(core, edges, True, max_rounds)
+    bwd = _reach_from_set(core, edges, False, max_rounds)
+    weak = _reach_from_set(core, und, True, max_rounds)
+    out_ = fwd.join(core, "id", "left_anti").localCheckpoint(eager=True)
+    in_ = bwd.join(core, "id", "left_anti").localCheckpoint(eager=True)
+    disconnected = ids.join(weak, "id", "left_anti")
+    t = (
+        weak.join(core, "id", "left_anti")
+        .join(in_, "id", "left_anti")
+        .join(out_, "id", "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    if t.isEmpty():
+        # no tendril candidates — skip the two remaining BFS fixpoints
+        # (the common case on dense graphs where the weak component is
+        # exactly SCC + IN + OUT)
+        empty = t
+        from_in = to_out = empty
+    else:
+        from_in = t.join(_reach_from_set(in_, edges, True, max_rounds), "id")
+        to_out = t.join(_reach_from_set(out_, edges, False, max_rounds), "id")
+    tube = from_in.join(to_out, "id")
+    tendril_in = from_in.join(to_out, "id", "left_anti")
+    tendril_out = to_out.join(from_in, "id", "left_anti")
+    other = t.join(from_in, "id", "left_anti").join(to_out, "id", "left_anti")
+
+    classes = [
+        ("SCC", core),
+        ("IN", in_),
+        ("OUT", out_),
+        ("TUBE", tube),
+        ("TENDRIL_IN", tendril_in),
+        ("TENDRIL_OUT", tendril_out),
+        ("OTHER", other),
+        ("DISCONNECTED", disconnected),
+    ]
+    counts = [(cls, df.count()) for cls, df in classes]
+    edges.unpersist()
+    ids.unpersist()
+    return spark.createDataFrame(counts, "cls string, n_nodes long")

@@ -11,6 +11,7 @@ integer outputs with ppm conversions, and bit-identical SQL replays.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 
@@ -118,3 +119,73 @@ def retention_cohorts(
         )
         out = out.unionByName(got)
     return out
+
+
+def last_touch_attribution(
+    events: DataFrame,
+    trigger: str = "buy",
+    touch: str = "click",
+    horizon_ms: int = 3_600_000,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Last-touch attribution — the canonical AS-OF JOIN: for every
+    ``trigger`` event, the same user's most recent ``touch`` event at or
+    before it and within ``horizon_ms`` — ``(user, trigger_id,
+    trigger_ms, touch_id, gap_ms)``; unattributed triggers carry
+    ``touch_id = -1, gap_ms = -1`` (non-null integer contract).
+
+    Ties (several touches at the attributed millisecond) take the
+    highest touch event id — latest-wins, deterministic across engines.
+    Distinct from :func:`linkgraph.streaming.followup_events` (ALL pairs
+    inside the horizon, forward-looking): this is backward-looking and
+    picks exactly one touch per trigger.
+
+    Scale shape: the join is equi-keyed on the user id with a range
+    predicate on top, so it shuffles each side once by user and never
+    expands past (trigger x in-horizon-touch) pairs; the top-1 window
+    rides the same (user-clustered) exchange.  At 100 TB the horizon
+    bounds per-trigger candidates by the user's touch rate — there is no
+    unbounded history scan.
+    """
+    t_ms = F.unix_millis(F.col(ts_col).cast("timestamp"))
+    trig = events.filter(F.col("event_type") == trigger).select(
+        F.col(user_col).alias("user"),
+        F.col("event_id").alias("trigger_id"),
+        t_ms.alias("trigger_ms"),
+    )
+    tch = events.filter(F.col("event_type") == touch).select(
+        F.col(user_col).alias("user"),
+        F.col("event_id").alias("touch_id"),
+        t_ms.alias("touch_ms"),
+    )
+    cand = trig.join(
+        tch,
+        (trig.user == tch.user)
+        & (F.col("touch_ms") <= F.col("trigger_ms"))
+        & (F.col("touch_ms") >= F.col("trigger_ms") - F.lit(int(horizon_ms))),
+    ).select(
+        trig.user, "trigger_id", "trigger_ms", "touch_id", "touch_ms"
+    )
+    w = W.partitionBy("trigger_id").orderBy(
+        F.desc("touch_ms"), F.desc("touch_id")
+    )
+    best = (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "trigger_id",
+            "touch_id",
+            (F.col("trigger_ms") - F.col("touch_ms")).alias("gap_ms"),
+        )
+    )
+    return (
+        trig.join(best, "trigger_id", "left")
+        .select(
+            "user",
+            "trigger_id",
+            "trigger_ms",
+            F.coalesce("touch_id", F.lit(-1)).cast("long").alias("touch_id"),
+            F.coalesce("gap_ms", F.lit(-1)).cast("long").alias("gap_ms"),
+        )
+    )

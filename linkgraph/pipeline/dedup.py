@@ -738,3 +738,70 @@ def sorted_blocking_pairs(
             " - size(array_intersect(sh_a, sh_b))) END"
         ).alias("jaccard_ppm"),
     )
+
+
+def paragraph_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-wide keep-first paragraph dedup — the granularity between
+    :func:`line_dedup` (boilerplate lines, ALL copies dropped) and
+    whole-document dedup: every paragraph (blank-line-separated block)
+    keeps exactly its FIRST occurrence by ``(doc_id, position)`` and
+    every later copy is removed — the pass that strips quoted reposts
+    and mirrored sections without killing the whole document.
+
+    Returns ``(doc_id, n_paras, removed_paras, clean_chars, clean_md5)``
+    — counts plus a digest of the cleaned text (kept paragraphs joined
+    by a blank line, original order), same engine-exact readout contract
+    as :func:`line_dedup`.  Whitespace-only paragraphs are never counted
+    and never removed.
+
+    Scale shape: identical to line_dedup — only slim
+    ``(md5 key, doc_id, pos)`` rows ride the shuffle (one group-by on
+    the 16-byte key picks winners, one per-doc aggregate collects the
+    removed positions); the corpus text itself never shuffles, and the
+    rebuild is a map-only array filter.
+    """
+    d = docs.select("doc_id", F.col(text_col).alias("_text")).withColumn(
+        "_paras", F.split("_text", r"\n{2,}")
+    )
+    paras = d.select(
+        "doc_id", F.posexplode("_paras").alias("pos", "para")
+    )
+    keyed = paras.filter(F.trim("para") != "").select(
+        "doc_id", "pos", F.md5(F.trim("para")).alias("key")
+    )
+    # first occurrence by (doc_id, pos) wins; every other copy is removed
+    winners = keyed.groupBy("key").agg(
+        F.min(F.struct("doc_id", "pos")).alias("w")
+    )
+    removed = (
+        keyed.join(winners, "key")
+        .filter(
+            (F.col("doc_id") != F.col("w.doc_id"))
+            | (F.col("pos") != F.col("w.pos"))
+        )
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("pos")).alias("rm"))
+    )
+    rebuilt = (
+        d.join(removed, "doc_id", "left")
+        .withColumn("rm", F.coalesce("rm", F.array().cast("array<int>")))
+        .select(
+            "doc_id",
+            F.size("_paras").cast("long").alias("n_paras"),
+            F.size("rm").cast("long").alias("removed_paras"),
+            F.array_join(
+                F.filter(
+                    "_paras",
+                    lambda x, i: ~F.array_contains(F.col("rm"), i),
+                ),
+                "\n\n",
+            ).alias("_clean"),
+        )
+    )
+    return rebuilt.select(
+        "doc_id",
+        "n_paras",
+        "removed_paras",
+        F.length("_clean").cast("long").alias("clean_chars"),
+        F.md5("_clean").alias("clean_md5"),
+    )

@@ -897,3 +897,96 @@ def hard_negatives(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def _l2(a, b) -> Column:
+    """Euclidean distance between two double arrays (left-fold sum of
+    squared differences, then IEEE sqrt — same accumulation order DuckDB's
+    ``list_distance`` uses, so round-6 values replay across engines)."""
+    return F.sqrt(
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def pq_codes(
+    embeddings: DataFrame,
+    m: int = 4,
+    codebook_size: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization code assignment — ``(vec_id, subspace, code,
+    dist6)``: each vector is split into ``m`` contiguous subvectors and
+    every subvector is assigned the id of its nearest codeword (round-6
+    Euclidean, lowest code on ties) from that subspace's codebook.
+
+    PQ (Jégou et al., PAMI 2011) is the memory side of the ANN stack the
+    IVF queries cover: an ``m``-byte code replaces a ``dim``-float vector
+    (here 64 floats -> 4 codes, 64x), and asymmetric distance scans run
+    on codes alone.  The codebook is DETERMINISTIC — subvectors of the
+    ``codebook_size`` lowest-id corpus vectors (codeword ``j`` = rank-j
+    id) — keeping the whole readout engine-exact; swapping in Lloyd-
+    refined centroids (:func:`train_ivf_centroids` per subspace) changes
+    only the codebook CTE, not the assignment plan.
+
+    Scale shape: the codebook is ``m x codebook_size`` rows — broadcast;
+    assignment is one map-side join + a per-(vector, subspace) top-1
+    window over ``codebook_size`` candidates.  Corpus rows ride the plan
+    exactly once; nothing is quadratic in the corpus.
+    """
+    dim_row = embeddings.select(F.size(vec_col).alias("d")).limit(1).first()
+    dim = int(dim_row["d"])
+    if dim % int(m) != 0:
+        raise ValueError(f"pq_codes: dim {dim} not divisible by m={m}")
+    sub_len = dim // int(m)
+    e = _as_double(
+        embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")),
+        "v",
+    )
+    subs = e.select(
+        "vec_id",
+        F.inline(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(int(m) - 1)),
+                lambda j: F.struct(
+                    j.cast("int").alias("subspace"),
+                    F.slice("v", j * sub_len + 1, sub_len).alias("sv"),
+                ),
+            )
+        ),
+    )
+    ranked_ids = (
+        e.orderBy("vec_id").limit(int(codebook_size)).orderBy("vec_id")
+    )
+    codebook = ranked_ids.select(
+        F.row_number().over(W.orderBy("vec_id")).alias("rk"), "v"
+    ).select(
+        (F.col("rk") - 1).cast("int").alias("code"),
+        F.inline(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(int(m) - 1)),
+                lambda j: F.struct(
+                    j.cast("int").alias("subspace"),
+                    F.slice("v", j * sub_len + 1, sub_len).alias("cv"),
+                ),
+            )
+        ),
+    )
+    scored = subs.join(F.broadcast(codebook), "subspace").select(
+        "vec_id",
+        "subspace",
+        "code",
+        F.round(_l2(F.col("sv"), F.col("cv")), 6).alias("dist6"),
+    )
+    w = W.partitionBy("vec_id", "subspace").orderBy(
+        F.asc("dist6"), F.asc("code")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "subspace", F.col("code").cast("long").alias("code"), "dist6")
+    )

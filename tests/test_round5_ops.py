@@ -1,0 +1,131 @@
+"""Hand-verified goldens for the round-5 operators: bow-tie decomposition,
+paragraph dedup, product-quantization codes, last-touch attribution."""
+
+import datetime as dt
+
+import pytest
+
+
+def test_bowtie_textbook(spark):
+    """The canonical Broder picture: every one of the eight classes is
+    exercised by construction."""
+    from linkgraph.algorithms import bowtie_decomposition
+    from linkgraph.graph import LinkGraph
+
+    ev = [
+        (0, "10", "11"), (1, "11", "10"),   # SCC {10,11}
+        (2, "1", "10"),                     # IN {1}
+        (3, "10", "20"),                    # OUT {20}
+        (4, "1", "30"), (5, "30", "20"),    # TUBE {30}
+        (6, "1", "40"),                     # TENDRIL_IN {40}
+        (7, "50", "20"),                    # TENDRIL_OUT {50}
+        (8, "60", "61"),                    # DISCONNECTED {60,61}
+    ]
+    g = LinkGraph.from_edge_list(spark, ev)
+    got = {r["cls"]: r["n_nodes"] for r in bowtie_decomposition(g).collect()}
+    assert got == {
+        "SCC": 2, "IN": 1, "OUT": 1, "TUBE": 1, "TENDRIL_IN": 1,
+        "TENDRIL_OUT": 1, "OTHER": 0, "DISCONNECTED": 2,
+    }
+
+
+def test_bowtie_largest_scc_tiebreak(spark):
+    """Two SCCs of equal size: the one with the smaller member name (cast
+    to long) must be chosen — engine-independent determinism."""
+    from linkgraph.algorithms import bowtie_decomposition
+    from linkgraph.graph import LinkGraph
+
+    ev = [
+        (0, "5", "6"), (1, "6", "5"),      # SCC A {5,6}
+        (2, "8", "9"), (3, "9", "8"),      # SCC B {8,9}
+        (4, "6", "8"),                     # A -> B: B becomes OUT-side
+    ]
+    g = LinkGraph.from_edge_list(spark, ev)
+    got = {r["cls"]: r["n_nodes"] for r in bowtie_decomposition(g).collect()}
+    # A (min name 5) is the core; B is fully reachable from it -> OUT
+    assert got["SCC"] == 2 and got["OUT"] == 2 and got["IN"] == 0
+
+
+def test_paragraph_dedup_keep_first(spark):
+    from linkgraph.pipeline.dedup import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta\n\nshared para"),
+            (1, "shared para\n\ngamma"),       # later copy -> removed
+            (2, "shared para"),                # later copy -> removed
+            (3, "   \n\nunique"),              # whitespace para never counted
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in paragraph_dedup(docs).collect()}
+    assert (rows[0]["n_paras"], rows[0]["removed_paras"]) == (2, 0)
+    assert (rows[1]["n_paras"], rows[1]["removed_paras"]) == (2, 1)
+    assert (rows[2]["n_paras"], rows[2]["removed_paras"]) == (1, 1)
+    assert rows[2]["clean_chars"] == 0
+    # whitespace-only paragraph survives and still joins with \n\n
+    assert (rows[3]["n_paras"], rows[3]["removed_paras"]) == (2, 0)
+    import hashlib
+
+    assert rows[1]["clean_md5"] == hashlib.md5(b"gamma").hexdigest()
+    assert rows[0]["clean_md5"] == hashlib.md5(
+        b"alpha beta\n\nshared para"
+    ).hexdigest()
+
+
+def test_pq_codes_hand(spark):
+    """4-dim vectors, m=2, codebook of 2: assignments computable by eye."""
+    from linkgraph.pipeline.simsearch import pq_codes
+
+    emb = spark.createDataFrame(
+        [
+            (0, [0.0, 0.0, 10.0, 10.0], 0),   # codeword 0
+            (1, [5.0, 5.0, 0.0, 0.0], 0),     # codeword 1
+            (2, [0.1, 0.1, 0.2, 0.3], 0),     # sub0 -> cw0, sub1 -> cw1
+            (3, [4.0, 4.0, 9.0, 9.0], 0),     # sub0 -> cw1, sub1 -> cw0
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    got = {
+        (r["vec_id"], r["subspace"]): r["code"]
+        for r in pq_codes(emb, m=2, codebook_size=2).collect()
+    }
+    assert got[(2, 0)] == 0 and got[(2, 1)] == 1
+    assert got[(3, 0)] == 1 and got[(3, 1)] == 0
+    # codebook members quantize to themselves at distance 0
+    assert got[(0, 0)] == 0 and got[(1, 1)] == 1
+
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_codes(emb, m=3)
+
+
+def test_last_touch_attribution_hand(spark):
+    from linkgraph.pipeline.analytics import last_touch_attribution
+
+    T = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    rows = [
+        # u1: clicks at :00 and :30 (two at :30 -> highest id wins),
+        # buy at :40 -> attributed to click id 3
+        (1, T(0), 1, "click", 0.0, "{}"),
+        (2, T(30), 1, "click", 0.0, "{}"),
+        (3, T(30), 1, "click", 0.0, "{}"),
+        (4, T(40), 1, "buy", 1.0, "{}"),
+        # u2: click 90 min before buy -> outside 1h horizon -> -1
+        (5, T(0), 2, "click", 0.0, "{}"),
+        (6, dt.datetime(2024, 1, 1, 1, 30), 2, "buy", 1.0, "{}"),
+        # u3: buy with no click at all
+        (7, T(10), 3, "buy", 1.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    got = {
+        r["trigger_id"]: (r["touch_id"], r["gap_ms"])
+        for r in last_touch_attribution(
+            ev, trigger="buy", touch="click", horizon_ms=3_600_000
+        ).collect()
+    }
+    assert got[4] == (3, 10 * 60 * 1000)
+    assert got[6] == (-1, -1)
+    assert got[7] == (-1, -1)
