@@ -96,6 +96,12 @@ AUDITED = [
     "copurchase_local_bridges",
     "trade_vertex_cover",
     "trade_degree_gini",
+    # round 5: paragraph dedup, PQ codes, as-of attribution (the bow-tie
+    # decomposition is driver-looped — SCC + five BFS fixpoints; per-round
+    # plan shape documented in components.bowtie_decomposition)
+    "docs_paragraph_dedup",
+    "emb_pq_codes",
+    "events_attribution",
 ]
 
 
