@@ -1,0 +1,196 @@
+#!/usr/bin/env python
+"""Round-5 scale-tier evidence runs (results merged into BENCH.md).
+
+Per VERDICT r04 task #7: a 10x tier for the three newest shuffle-heavy
+pipeline operators, each in its own JVM so walls are clean:
+
+- ``--clusters``: ``near_dup_clusters`` (minhash pairs -> distributed WCC
+  -> keep-first) at sf0.1 (5k docs) and the deterministic 50k-doc sf1
+  corpus from tools/r4_scale_bench._sf1_docs.
+- ``--semdedup``: ``semantic_dedup`` at the 5k-vector sf0.1 embeddings
+  tier and a 50k-vector 10x tier (deterministic perturbed replicas —
+  replica r shifts coordinate r%dim by 0.001*(r+1), so replicas are NEAR
+  the original without being bit-identical).
+- ``--novelty``: ``novelty_stats`` (corpus-order first-seen 8-grams) at
+  sf0.1 and sf1.
+
+All inputs are synthesised deterministically in-process (no external
+data).  Usage: python tools/r5_scale_bench.py --clusters|--semdedup|--novelty
+(each prints a WORKER_RESULT json line; the bare flag runs both tiers in
+one JVM sequentially — the tiers are independent jobs, min-of-1 each,
+launched back-to-back so the 10x ratio is same-window).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+DOCS_SRC = os.environ.get("DOCS_SRC", "/root/testdata/sf0.1/documents.parquet")
+EMB_SRC = os.environ.get("EMB_SRC", "/root/testdata/sf0.1/embeddings.parquet")
+EMB_REPS = int(os.environ.get("EMB_REPS", 10))
+
+
+def _spark(name):
+    from linkgraph.session import get_spark
+
+    return get_spark(
+        app_name=name, cores=16, shuffle_partitions=32, driver_memory="24g"
+    )
+
+
+def _sf1_embeddings(spark):
+    """10x embeddings: replica 0 is the original; replica r>0 shifts
+    coordinate (r % dim) by 0.001*(r+1) — near the original (semantic-dup
+    bait) but never bit-identical, all deterministic."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(EMB_SRC)
+    reps = emb.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(EMB_REPS - 1))).alias("rep")
+    )
+    d = F.size("embedding")
+    shifted = F.transform(
+        F.col("embedding"),
+        lambda x, i: F.when(
+            i == F.pmod(F.col("rep"), d),
+            x + F.lit(0.001) * (F.col("rep") + 1),
+        ).otherwise(x),
+    )
+    return reps.select(
+        (F.col("vec_id") + F.col("rep") * F.lit(10_000_000)).alias("vec_id"),
+        F.when(F.col("rep") == 0, F.col("embedding"))
+        .otherwise(shifted)
+        .alias("embedding"),
+        "label",
+    )
+
+
+def clusters_worker() -> None:
+    from pyspark.sql import functions as F
+
+    from linkgraph.pipeline.dedup import minhash_lsh_pairs, near_dup_clusters
+    from tools.r4_scale_bench import _sf1_docs
+
+    spark = _spark("clusters-sf1")
+    out = {}
+    for tier, docs in (
+        ("sf0.1", spark.read.parquet(DOCS_SRC)),
+        ("sf1", _sf1_docs(spark)),
+    ):
+        docs = docs.persist()
+        n = docs.count()
+        t0 = time.monotonic()
+        pairs = minhash_lsh_pairs(
+            docs, n=5, num_hashes=32, bands=8, threshold=0.4
+        )
+        cl = near_dup_clusters(docs, pairs).persist()
+        n_docs = cl.count()
+        n_drop = cl.filter(~F.col("keep")).count()
+        wall = time.monotonic() - t0
+        out[tier] = {
+            "n_docs": n,
+            "clustered_rows": n_docs,
+            "dropped_dups": n_drop,
+            "wall_s": round(wall, 1),
+        }
+        cl.unpersist()
+        docs.unpersist()
+    out["wall_ratio_10x"] = round(
+        out["sf1"]["wall_s"] / max(out["sf0.1"]["wall_s"], 0.1), 2
+    )
+    print("WORKER_RESULT " + json.dumps({"dedup_clusters": out}))
+
+
+def semdedup_worker() -> None:
+    from pyspark.sql import functions as F
+
+    from linkgraph.pipeline.simsearch import semantic_dedup
+
+    spark = _spark("semdedup-sf1")
+    out = {}
+    for tier, emb in (
+        ("sf0.1", spark.read.parquet(EMB_SRC)),
+        ("sf1", _sf1_embeddings(spark)),
+    ):
+        emb = emb.persist()
+        n = emb.count()
+        t0 = time.monotonic()
+        sd = semantic_dedup(
+            emb, k_clusters=max(10, int(n**0.5 / 2)), threshold=0.9,
+            iters=2, seed=42,
+        ).persist()
+        rows = sd.count()
+        dropped = sd.filter(~F.col("keep")).count()
+        wall = time.monotonic() - t0
+        out[tier] = {
+            "n_vectors": n,
+            "rows": rows,
+            "dropped_dups": dropped,
+            "wall_s": round(wall, 1),
+        }
+        sd.unpersist()
+        emb.unpersist()
+    out["wall_ratio_10x"] = round(
+        out["sf1"]["wall_s"] / max(out["sf0.1"]["wall_s"], 0.1), 2
+    )
+    print("WORKER_RESULT " + json.dumps({"semantic_dedup": out}))
+
+
+def novelty_worker() -> None:
+    from pyspark.sql import functions as F
+
+    from linkgraph.pipeline.textstats import novelty_stats
+    from tools.r4_scale_bench import _sf1_docs
+
+    spark = _spark("novelty-sf1")
+    out = {}
+    for tier, docs in (
+        ("sf0.1", spark.read.parquet(DOCS_SRC)),
+        ("sf1", _sf1_docs(spark)),
+    ):
+        docs = docs.persist()
+        n = docs.count()
+        t0 = time.monotonic()
+        nv = novelty_stats(docs, n=8).persist()
+        rows = nv.count()
+        zero = nv.filter(F.col("novelty_ppm") == 0).count()
+        wall = time.monotonic() - t0
+        out[tier] = {
+            "n_docs": n,
+            "rows": rows,
+            "zero_novelty_docs": zero,
+            "wall_s": round(wall, 1),
+        }
+        nv.unpersist()
+        docs.unpersist()
+    out["wall_ratio_10x"] = round(
+        out["sf1"]["wall_s"] / max(out["sf0.1"]["wall_s"], 0.1), 2
+    )
+    print("WORKER_RESULT " + json.dumps({"novelty": out}))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--clusters", action="store_true")
+    ap.add_argument("--semdedup", action="store_true")
+    ap.add_argument("--novelty", action="store_true")
+    args = ap.parse_args()
+    if args.clusters:
+        clusters_worker()
+    elif args.semdedup:
+        semdedup_worker()
+    elif args.novelty:
+        novelty_worker()
+    else:
+        ap.error("pick one of --clusters / --semdedup / --novelty")
+
+
+if __name__ == "__main__":
+    main()
