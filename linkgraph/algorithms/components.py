@@ -430,14 +430,19 @@ def _run_loop(loop, state, und, it, max_iter, use_broadcast, iters_out=None):
 
 
 def _reach_from_set(
-    seeds: DataFrame, edges: DataFrame, forward: bool, max_rounds: int = 256
+    seeds: DataFrame, probe_edges: DataFrame, max_rounds: int = 256
 ) -> DataFrame:
     """All ids reachable from the seed SET (seeds included) following
-    directed ``(src_id, dst_id)`` edges forward or backward — frontier
-    BFS with a single any-seed label, so state is one slim id column
-    (NOT per-seed distances: reach-from-set needs |V| rows, not
-    |seeds|x|V|).  Converges when the frontier empties; loud guard."""
-    src, dst = ("src_id", "dst_id") if forward else ("dst_id", "src_id")
+    ``probe_edges`` rows ``(u, v)`` from u to v — frontier BFS with a
+    single any-seed label, so state is one slim id column (NOT per-seed
+    distances: reach-from-set needs |V| rows, not |seeds|x|V|).
+
+    ``probe_edges`` must arrive hash-partitioned on ``u`` (the caller
+    partitions once per direction and reuses it across all fixpoints and
+    rounds): the per-round join then exchanges only the frontier id
+    column to meet the edges' existing distribution — the edge table
+    never re-shuffles, the same one-exchange-per-round discipline as the
+    WCC/SCC superstep loops.  Converges when the frontier empties."""
     reached = seeds.select("id").distinct().localCheckpoint(eager=True)
     frontier = reached
     rounds = 0
@@ -448,8 +453,8 @@ def _reach_from_set(
                 f"_reach_from_set: not converged after {max_rounds} rounds"
             )
         nxt = (
-            frontier.join(edges, frontier.id == F.col(src))
-            .select(F.col(dst).alias("id"))
+            frontier.join(probe_edges, frontier.id == F.col("u"))
+            .select(F.col("v").alias("id"))
             .distinct()
             .join(reached, "id", "left_anti")
             .localCheckpoint(eager=True)
@@ -477,23 +482,37 @@ def bowtie_decomposition(graph: LinkGraph, max_rounds: int = 256) -> DataFrame:
     All eight rows are always emitted (0 when empty) so the schema and
     cardinality are fixed.  Cost: one SCC run (Fleischer fw-bw coloring,
     :func:`strongly_connected_components`) plus five reach-from-set
-    frontier BFS fixpoints over the slim ``(src_id, dst_id)`` edge
-    table — each round shuffles only the frontier id column, so the
-    decomposition scales exactly like WCC/SCC; nothing in the plan is
-    proportional to |V|^2 (the closure lives only in the DuckDB oracle).
+    frontier BFS fixpoints.  The slim edge table is hash-partitioned
+    ONCE per probe direction (forward / backward / undirected) and
+    reused across every fixpoint and round, so each round exchanges only
+    the frontier id column — the decomposition scales exactly like
+    WCC/SCC; nothing in the plan is proportional to |V|^2 (the closure
+    lives only in the DuckDB oracle).
     The flagship web-graph structural readout for a repo-link graph:
     mirrors the reference's SCC/in/out-component trio (scc.rs,
     in_components.rs, out_components.rs) composed into the standard
     macro-structure summary the reference never shipped.
     """
+    from linkgraph.superstep import pick_partitions
+
     spark = graph.spark
     ids = graph.ids().select("id").persist()
-    edges = (
-        graph.edge_ids()
-        .filter(F.col("src_id") != F.col("dst_id"))
+    edges = graph.edge_ids().filter(
+        F.col("src_id") != F.col("dst_id")
+    ).persist()
+    P = pick_partitions(spark, edges.count())
+    fwd_e = (
+        edges.select(F.col("src_id").alias("u"), F.col("dst_id").alias("v"))
+        .repartition(P, "u")
         .persist()
     )
-    edges.count()
+    bwd_e = (
+        edges.select(F.col("dst_id").alias("u"), F.col("src_id").alias("v"))
+        .repartition(P, "u")
+        .persist()
+    )
+    und_e = fwd_e.unionByName(bwd_e).repartition(P, "u").persist()
+    edges.unpersist()
     scc = strongly_connected_components(graph)
     largest = (
         scc.groupBy("scc")
@@ -510,15 +529,9 @@ def bowtie_decomposition(graph: LinkGraph, max_rounds: int = 256) -> DataFrame:
         .select("id")
         .localCheckpoint(eager=True)
     )
-    und = edges.unionByName(
-        edges.select(
-            F.col("dst_id").alias("src_id"), F.col("src_id").alias("dst_id")
-        )
-    ).localCheckpoint(eager=True)
-
-    fwd = _reach_from_set(core, edges, True, max_rounds)
-    bwd = _reach_from_set(core, edges, False, max_rounds)
-    weak = _reach_from_set(core, und, True, max_rounds)
+    fwd = _reach_from_set(core, fwd_e, max_rounds)
+    bwd = _reach_from_set(core, bwd_e, max_rounds)
+    weak = _reach_from_set(core, und_e, max_rounds)
     out_ = fwd.join(core, "id", "left_anti").localCheckpoint(eager=True)
     in_ = bwd.join(core, "id", "left_anti").localCheckpoint(eager=True)
     disconnected = ids.join(weak, "id", "left_anti")
@@ -535,8 +548,8 @@ def bowtie_decomposition(graph: LinkGraph, max_rounds: int = 256) -> DataFrame:
         empty = t
         from_in = to_out = empty
     else:
-        from_in = t.join(_reach_from_set(in_, edges, True, max_rounds), "id")
-        to_out = t.join(_reach_from_set(out_, edges, False, max_rounds), "id")
+        from_in = t.join(_reach_from_set(in_, fwd_e, max_rounds), "id")
+        to_out = t.join(_reach_from_set(out_, bwd_e, max_rounds), "id")
     tube = from_in.join(to_out, "id")
     tendril_in = from_in.join(to_out, "id", "left_anti")
     tendril_out = to_out.join(from_in, "id", "left_anti")
@@ -553,6 +566,7 @@ def bowtie_decomposition(graph: LinkGraph, max_rounds: int = 256) -> DataFrame:
         ("DISCONNECTED", disconnected),
     ]
     counts = [(cls, df.count()) for cls, df in classes]
-    edges.unpersist()
+    for e in (fwd_e, bwd_e, und_e):
+        e.unpersist()
     ids.unpersist()
     return spark.createDataFrame(counts, "cls string, n_nodes long")
