@@ -66,3 +66,27 @@ def test_ann_recall_gate_raises_on_impossible_floor(spark):
     approx = ivf_topk(emb, qs, k=5, nprobe=4)
     with pytest.raises(RuntimeError, match="below the 1.01 floor"):
         entry._ann_recall_gate(emb, qs, approx, k=5, bound=1.01)
+
+
+def test_driver_contract_consistency():
+    """Structural invariants of the driver contract: every oracle key has
+    a query, exactly the five documented non-SQL queries lack oracles, and
+    the critical evidence-gap block leads the 50-query sample window.
+    (Representation drift like the r03/r04 HUGEINT hash-reds is caught by
+    tools/compare_oracles.py's text-canonical comparator, not here.)"""
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    assert set(oracles) <= set(qs), sorted(set(oracles) - set(qs))
+    no_oracle = sorted(set(qs) - set(oracles))
+    assert no_oracle == [
+        "emb_ivf_topk", "emb_lsh_topk", "trade_louvain",
+        "transition_lpa_sync", "transition_motifs",
+    ]
+    order = list(qs)
+    window = set(order[:50])
+    # the two re-attestations and the four round-5 queries must be sampled
+    for name in [
+        "docs_pack_sequences", "docs_domain_mix", "trade_flow_bowtie",
+        "docs_paragraph_dedup", "emb_pq_codes", "events_attribution",
+    ]:
+        assert name in window, f"{name} fell out of the driver window"

@@ -169,3 +169,43 @@ def test_coreness_stage_reuses_adjacency_partitioning(spark):
         finally:
             und.unpersist()
             state.unpersist()
+
+
+def test_bowtie_bfs_round_reuses_edge_partitioning(spark):
+    """The bow-tie reach-from-set BFS round must not re-shuffle the
+    pre-partitioned probe-edge table: the only per-round exchanges allowed
+    are on the slim frontier/reached side (frontier exchange to meet the
+    edges' distribution + the distinct).  Built through the production
+    join shape (_reach_from_set's round body) against a cached,
+    hash(u, P)-partitioned edge table, so a refactor that drops the
+    partition reuse fails here rather than as a 10x wall at scale."""
+    from linkgraph.superstep import iteration_conf
+
+    P = 4
+    with iteration_conf(spark, shuffle_partitions=P):
+        probe = (
+            spark.range(1000)
+            .select(
+                (F.col("id") % 97).alias("u"),
+                (F.col("id") % 89).alias("v"),
+            )
+            .repartition(P, "u")
+            .persist()
+        )
+        probe.count()
+        frontier = spark.range(5).select(F.col("id"))
+        # the exact per-round plan from components._reach_from_set
+        nxt = (
+            frontier.join(probe, frontier.id == F.col("u"))
+            .select(F.col("v").alias("id"))
+            .distinct()
+        )
+        plan = _formatted_plan(nxt)
+        try:
+            cached = _n_exchanges(_formatted_plan(probe))
+            # frontier-side exchange + distinct exchange; NEVER a third
+            # (which would be the probe table re-shuffling)
+            assert _n_exchanges(plan) - cached <= 2, plan
+            assert "InMemoryTableScan" in plan, plan
+        finally:
+            probe.unpersist()
