@@ -3009,6 +3009,39 @@ def q_emb_pq_codes(spark, sf_dir):
     return pq_codes(emb, m=4, codebook_size=16)
 
 
+def q_copurchase_temporal_closure(spark, sf_dir):
+    """Kossinets-Watts temporal triadic closure over timed co-purchase
+    pairs (every 4th order; pair first-contact = earliest common order
+    date): of all open two-paths, how many ever close, and how many
+    close at-or-after both legs existed (causal order) — one row of
+    integer counts + floor-ppm rates (triangles.temporal_closure_rate).
+    Wedge join is Sigma-deg^2 — same cost class and subsample knob as
+    the square/K4 counters."""
+    from linkgraph.algorithms.triangles import temporal_closure_rate
+    from linkgraph.graph import LinkGraph
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 4 == 0)
+    op = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_partkey").alias("p"),
+        (F.unix_timestamp("o_orderdate") * 1000).alias("t"),
+    ).distinct()
+    a = op.select("ok", F.col("p").alias("pa"), "t")
+    b = op.select("ok", F.col("p").alias("pb"))
+    ev = (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .select(
+            F.col("pa").cast("string").alias("src"),
+            F.col("pb").cast("string").alias("dst"),
+            "t",
+        )
+        .withColumnRenamed("t", "time")
+    )
+    return temporal_closure_rate(LinkGraph(ev))
+
+
 def q_events_attribution(spark, sf_dir):
     """Last-touch attribution — the canonical backward as-of join: each
     purchase event attributed to the same user's most recent click within
@@ -3087,6 +3120,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_paragraph_dedup": q_docs_paragraph_dedup,
         "emb_pq_codes": q_emb_pq_codes,
         "events_attribution": q_events_attribution,
+        # round 5 (cont.), position 51: first of the next-round rotation
+        "copurchase_temporal_closure": q_copurchase_temporal_closure,
         # r01-r03 overflow, driver-green r04
         "trade_monthly_rolling": q_trade_monthly_rolling,
         "trade_two_hop": q_trade_two_hop,
@@ -8665,6 +8700,38 @@ rk AS (
 )
 SELECT vec_id, subspace, code::BIGINT AS code, dist6
 FROM rk WHERE r = 1
+"""
+
+    sqls["copurchase_temporal_closure"] = """
+WITH op AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p, epoch_ms(o_orderdate) AS t
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  WHERE l_orderkey % 4 = 0
+),
+pe AS MATERIALIZED (
+  SELECT a.p AS lo, b.p AS hi, min(a.t) AS t
+  FROM op a JOIN op b ON a.ok = b.ok AND a.p < b.p
+  GROUP BY 1, 2
+),
+und AS MATERIALIZED (
+  SELECT lo AS id, hi AS nbr, t FROM pe
+  UNION ALL SELECT hi, lo, t FROM pe
+),
+w AS (
+  SELECT l.nbr AS lo, r.nbr AS hi, greatest(l.t, r.t) AS wt
+  FROM und l JOIN und r ON l.id = r.id AND l.nbr < r.nbr
+),
+j AS (
+  SELECT w.wt, pe.t AS t_ac
+  FROM w LEFT JOIN pe ON pe.lo = w.lo AND pe.hi = w.hi
+)
+SELECT count(*)::BIGINT AS n_wedges,
+       count(t_ac)::BIGINT AS closed_ever,
+       sum(CASE WHEN t_ac >= wt THEN 1 ELSE 0 END)::BIGINT AS closed_after,
+       ((count(t_ac) * 1000000) // count(*))::BIGINT AS ever_ppm,
+       ((sum(CASE WHEN t_ac >= wt THEN 1 ELSE 0 END) * 1000000)
+        // count(*))::BIGINT AS closure_ppm
+FROM j
 """
 
     sqls["events_attribution"] = """

@@ -233,6 +233,7 @@ def main() -> None:
         "docs_paragraph_dedup",
         "emb_pq_codes",
         "events_attribution",
+        "copurchase_temporal_closure",
     ]
     # BENCH_HEADLINE_LIMIT=k truncates the headline list — a smoke knob so
     # the two-pass rep allocation below can be exercised end-to-end in

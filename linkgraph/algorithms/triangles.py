@@ -496,3 +496,70 @@ def edge_geometry(graph: LinkGraph) -> DataFrame:
             ).cast("long").alias("overlap_ppm"),
         )
     )
+
+
+def temporal_closure_rate(graph: LinkGraph) -> DataFrame:
+    """Temporal triadic closure rate (Kossinets & Watts, Science 2006) —
+    ONE row ``(n_wedges, closed_ever, closed_after, ever_ppm,
+    closure_ppm)``.
+
+    Per-pair FIRST-CONTACT times are derived from the event table
+    (min event time over the canonical undirected pair); a *wedge* is an
+    ordered pair of first-contact edges (a–b, b–c), ``a < c`` by id, with
+    wedge time ``max(t_ab, t_bc)`` — the moment both legs exist.  The
+    wedge is ``closed_ever`` if the a–c edge exists at all, and
+    ``closed_after`` if its first contact is **at or after** the wedge
+    time — i.e. genuinely triadic closure (the tie formed after the
+    two-path), not a pre-existing edge later joined by a two-path.  The
+    reference counts static triangles (triangle_count.rs) and temporal
+    motifs with a δ window (three_node_motifs.rs); this is the
+    closure-RATE readout between them — "of all open two-paths, how many
+    ever close, and how many close in causal order".
+
+    Plan: one min-aggregate for first contacts, one self-join on the
+    wedge center (Σ deg² rows — same cost class as the square/K4
+    counters, and the same subsample knob applies), one left join back
+    to the first-contact edges, one global aggregate.  Integer ppm via
+    floor division; bit-exact across engines.
+    """
+    ft = (
+        graph.edges_t.select(
+            F.least(F.col("src"), F.col("dst")).alias("lo"),
+            F.greatest(F.col("src"), F.col("dst")).alias("hi"),
+            F.col("time").cast("long").alias("t"),
+        )
+        .filter(F.col("lo") != F.col("hi"))
+        .groupBy("lo", "hi")
+        .agg(F.min("t").alias("t"))
+    )
+    und = ft.select(
+        F.col("lo").alias("id"), F.col("hi").alias("nbr"), "t"
+    ).unionByName(
+        ft.select(F.col("hi").alias("id"), F.col("lo").alias("nbr"), "t")
+    )
+    l = und.select("id", F.col("nbr").alias("a"), F.col("t").alias("t1"))
+    r = und.select("id", F.col("nbr").alias("c"), F.col("t").alias("t2"))
+    wedges = (
+        l.join(r, "id")
+        .filter(F.col("a") < F.col("c"))
+        .select(
+            F.col("a").alias("lo"),
+            F.col("c").alias("hi"),
+            F.greatest("t1", "t2").alias("wt"),
+        )
+    )
+    joined = wedges.join(
+        ft.select("lo", "hi", F.col("t").alias("t_ac")), ["lo", "hi"], "left"
+    )
+    return joined.agg(
+        F.count("*").alias("n_wedges"),
+        F.count("t_ac").alias("closed_ever"),
+        F.sum(
+            F.when(F.col("t_ac") >= F.col("wt"), 1).otherwise(0)
+        ).cast("long").alias("closed_after"),
+        F.expr("(count(t_ac) * 1000000) div count(*)").alias("ever_ppm"),
+        F.expr(
+            "(sum(CASE WHEN t_ac >= wt THEN 1 ELSE 0 END) * 1000000)"
+            " div count(*)"
+        ).alias("closure_ppm"),
+    )

@@ -129,3 +129,23 @@ def test_last_touch_attribution_hand(spark):
     assert got[4] == (3, 10 * 60 * 1000)
     assert got[6] == (-1, -1)
     assert got[7] == (-1, -1)
+
+
+def test_temporal_closure_rate_hand(spark):
+    """Triangle with causal ordering: only the wedge whose closing edge
+    arrives at-or-after both legs counts as closed_after."""
+    from linkgraph.algorithms.triangles import temporal_closure_rate
+    from linkgraph.graph import LinkGraph
+
+    # a-b@1, b-c@5, a-c@10: wedges (a,c) via b [wt=5, closes@10 -> after],
+    # (b,c) via a [wt=10, edge@5 -> ever only], (a,b) via c [wt=10,
+    # edge@1 -> ever only]; d-e@3 contributes no wedge
+    ev = [(1, "a", "b"), (5, "b", "c"), (10, "a", "c"), (3, "d", "e")]
+    r = temporal_closure_rate(LinkGraph.from_edge_list(spark, ev)).collect()[0]
+    assert (r["n_wedges"], r["closed_ever"], r["closed_after"]) == (3, 3, 1)
+    assert (r["ever_ppm"], r["closure_ppm"]) == (1_000_000, 333_333)
+    # open wedge: a-b@1, b-c@5, no a-c edge
+    ev2 = [(1, "a", "b"), (5, "b", "c")]
+    r2 = temporal_closure_rate(LinkGraph.from_edge_list(spark, ev2)).collect()[0]
+    assert (r2["n_wedges"], r2["closed_ever"], r2["closed_after"]) == (1, 0, 0)
+    assert r2["closure_ppm"] == 0
