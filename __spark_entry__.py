@@ -3009,6 +3009,17 @@ def q_emb_pq_codes(spark, sf_dir):
     return pq_codes(emb, m=4, codebook_size=16)
 
 
+def q_trade_rich_core(spark, sf_dir):
+    """Ma-Mondragon rich-core split of the trade graph — per node:
+    BOTH-degree, sigma (links to higher-ranked nodes), and the in_core
+    flag from the sigma-peak boundary.  NO global rank window: sigma and
+    in_core are pairwise predicates, the boundary is a 1-row argmax
+    (metrics.rich_core)."""
+    from linkgraph.algorithms.metrics import rich_core
+
+    return rich_core(_trade_graph(spark, sf_dir))
+
+
 def q_copurchase_temporal_closure(spark, sf_dir):
     """Kossinets-Watts temporal triadic closure over timed co-purchase
     pairs (every 4th order; pair first-contact = earliest common order
@@ -3120,8 +3131,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_paragraph_dedup": q_docs_paragraph_dedup,
         "emb_pq_codes": q_emb_pq_codes,
         "events_attribution": q_events_attribution,
-        # round 5 (cont.), position 51: first of the next-round rotation
+        # round 5 (cont.), positions 51+: first of the next-round rotation
         "copurchase_temporal_closure": q_copurchase_temporal_closure,
+        "trade_rich_core": q_trade_rich_core,
         # r01-r03 overflow, driver-green r04
         "trade_monthly_rolling": q_trade_monthly_rolling,
         "trade_two_hop": q_trade_two_hop,
@@ -8700,6 +8712,35 @@ rk AS (
 )
 SELECT vec_id, subspace, code::BIGINT AS code, dist6
 FROM rk WHERE r = 1
+"""
+
+    sqls["trade_rich_core"] = f"""
+WITH {_TRADE_ED}, {_TRADE_NODES}, {_TRADE_UND},
+deg AS MATERIALIZED (SELECT id, count(*) AS d FROM trade_und GROUP BY id),
+sig AS (
+  SELECT u.id,
+         sum(CASE WHEN dv.d > du.d OR (dv.d = du.d AND u.nbr < u.id)
+                  THEN 1 ELSE 0 END) AS s
+  FROM trade_und u
+  JOIN deg du ON du.id = u.id
+  JOIN deg dv ON dv.id = u.nbr
+  GROUP BY u.id
+),
+all_n AS MATERIALIZED (
+  SELECT n.id AS node, coalesce(d.d, 0) AS degree, coalesce(s.s, 0) AS sigma
+  FROM trade_nodes n
+  LEFT JOIN deg d ON d.id = n.id
+  LEFT JOIN sig s ON s.id = n.id
+),
+b AS MATERIALIZED (
+  SELECT node, degree FROM all_n
+  ORDER BY sigma DESC, degree DESC, node ASC LIMIT 1
+)
+SELECT node, degree::BIGINT AS degree, sigma::BIGINT AS sigma,
+       (degree > (SELECT degree FROM b)
+        OR (degree = (SELECT degree FROM b)
+            AND node <= (SELECT node FROM b))) AS in_core
+FROM all_n
 """
 
     sqls["copurchase_temporal_closure"] = """

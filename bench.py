@@ -234,6 +234,7 @@ def main() -> None:
         "emb_pq_codes",
         "events_attribution",
         "copurchase_temporal_closure",
+        "trade_rich_core",
     ]
     # BENCH_HEADLINE_LIMIT=k truncates the headline list — a smoke knob so
     # the two-pass rep allocation below can be exercised end-to-end in

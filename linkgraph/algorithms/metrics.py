@@ -803,3 +803,62 @@ def clustering_degree_curve(graph: LinkGraph) -> DataFrame:
         F.count("*").alias("n_nodes"),
         F.expr("sum(c_ppm) div count(*)").alias("mean_c_ppm"),
     )
+
+
+def rich_core(graph: LinkGraph) -> DataFrame:
+    """Rich-core detection (Ma & Mondragon, "Rich-cores in networks",
+    PLoS ONE 2015) — ``(node, degree, sigma, in_core)``: nodes are ranked
+    by BOTH-degree (ties by node name as long, ascending), ``sigma`` is
+    each node's number of links to HIGHER-ranKED nodes, and the core
+    boundary is the rank where sigma peaks — every node ranked at or
+    above the peak is ``in_core``.  The parameter-free core/periphery
+    split that complements :func:`rich_club` (which gives the phi(k)
+    curve but no boundary).
+
+    Scale shape: NO global rank window (a single-partition sort killer at
+    20M nodes).  The rank ORDER is only ever used through pairwise
+    comparisons — sigma is a per-edge predicate sum
+    (``deg_v > deg_u OR (deg_v = deg_u AND v < u)``) over the undirected
+    adjacency, and the boundary is one argmax row collected to the
+    driver, after which ``in_core`` is the same pairwise predicate
+    against the broadcast boundary node.  One degree aggregate + one
+    adjacency join + one 1-row argmax.
+    """
+    names = graph.ids().select(
+        "id", F.col("name").cast("long").alias("node")
+    )
+    deg = graph.degrees().select("id", "degree").join(names, "id")
+    und = graph.undirected_edge_ids()
+    du = deg.select(
+        F.col("id"), F.col("node").alias("u_node"), F.col("degree").alias("u_deg")
+    )
+    dv = deg.select(
+        F.col("id").alias("nbr_id"),
+        F.col("node").alias("v_node"),
+        F.col("degree").alias("v_deg"),
+    )
+    above = (F.col("v_deg") > F.col("u_deg")) | (
+        (F.col("v_deg") == F.col("u_deg"))
+        & (F.col("v_node") < F.col("u_node"))
+    )
+    sig = (
+        und.join(du, "id")
+        .join(dv, "nbr_id")
+        .groupBy("id")
+        .agg(F.sum(F.when(above, 1).otherwise(0)).alias("sigma"))
+    )
+    rows = deg.join(sig, "id", "left").select(
+        "node",
+        F.col("degree").cast("long").alias("degree"),
+        F.coalesce("sigma", F.lit(0)).cast("long").alias("sigma"),
+    )
+    b = (
+        rows.orderBy(F.desc("sigma"), F.desc("degree"), F.asc("node"))
+        .limit(1)
+        .collect()[0]
+    )
+    in_core = (F.col("degree") > F.lit(b["degree"])) | (
+        (F.col("degree") == F.lit(b["degree"]))
+        & (F.col("node") <= F.lit(b["node"]))
+    )
+    return rows.select("node", "degree", "sigma", in_core.alias("in_core"))

@@ -149,3 +149,21 @@ def test_temporal_closure_rate_hand(spark):
     r2 = temporal_closure_rate(LinkGraph.from_edge_list(spark, ev2)).collect()[0]
     assert (r2["n_wedges"], r2["closed_ever"], r2["closed_after"]) == (1, 0, 0)
     assert r2["closure_ppm"] == 0
+
+
+def test_rich_core_hand(spark):
+    """Star-plus-chain: sigma peaks at node 5 (rank 3), so the core is
+    {1, 4, 5} and the degree-1 leaves are periphery."""
+    from linkgraph.algorithms.metrics import rich_core
+    from linkgraph.graph import LinkGraph
+
+    ev = [(0, "1", "2"), (1, "1", "3"), (2, "1", "4"), (3, "1", "5"),
+          (4, "4", "5")]
+    out = {
+        r["node"]: (r["degree"], r["sigma"], r["in_core"])
+        for r in rich_core(LinkGraph.from_edge_list(spark, ev)).collect()
+    }
+    assert out == {
+        1: (4, 0, True), 4: (2, 1, True), 5: (2, 2, True),
+        2: (1, 1, False), 3: (1, 1, False),
+    }
