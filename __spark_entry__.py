@@ -3009,6 +3009,18 @@ def q_emb_pq_codes(spark, sf_dir):
     return pq_codes(emb, m=4, codebook_size=16)
 
 
+def q_trade_percolation(spark, sf_dir):
+    """Random bond-percolation profile of the trade graph at 25/50/75%
+    edge retention (quenched md5 keep rule): surviving-edge count,
+    touched nodes, giant weak component, and giant_ppm over the original
+    node count — the random-removal twin of trade_attack_robustness
+    (metrics.percolation_profile).  One WCC fixpoint per level over the
+    surviving edges only."""
+    from linkgraph.algorithms.metrics import percolation_profile
+
+    return percolation_profile(_trade_graph(spark, sf_dir))
+
+
 def q_trade_rich_core(spark, sf_dir):
     """Ma-Mondragon rich-core split of the trade graph — per node:
     BOTH-degree, sigma (links to higher-ranked nodes), and the in_core
@@ -3134,6 +3146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 5 (cont.), positions 51+: first of the next-round rotation
         "copurchase_temporal_closure": q_copurchase_temporal_closure,
         "trade_rich_core": q_trade_rich_core,
+        "trade_percolation": q_trade_percolation,
         # r01-r03 overflow, driver-green r04
         "trade_monthly_rolling": q_trade_monthly_rolling,
         "trade_two_hop": q_trade_two_hop,
@@ -8712,6 +8725,61 @@ rk AS (
 )
 SELECT vec_id, subspace, code::BIGINT AS code, dist6
 FROM rk WHERE r = 1
+"""
+
+    # percolation: one recursive WCC closure per retention level on the
+    # SURVIVING edges (closure is oracle-only; the engine runs the WCC
+    # superstep loop); quenched md5 keep rule replayed verbatim
+    sqls["trade_percolation"] = f"""
+WITH RECURSIVE {_TRADE_ED}, {_TRADE_NODES},
+keyed AS MATERIALIZED (
+  SELECT src, dst,
+         ('0x' || substr(md5('perc:' || src::VARCHAR || ':' || dst::VARCHAR),
+                         1, 15))::BIGINT % 100 AS hv
+  FROM trade_ed
+),
+k25 AS MATERIALIZED (SELECT src, dst FROM keyed WHERE hv < 25),
+k50 AS MATERIALIZED (SELECT src, dst FROM keyed WHERE hv < 50),
+k75 AS MATERIALIZED (SELECT src, dst FROM keyed WHERE hv < 75),
+u25 AS MATERIALIZED (SELECT src AS id, dst AS nbr FROM k25 UNION SELECT dst, src FROM k25),
+u50 AS MATERIALIZED (SELECT src AS id, dst AS nbr FROM k50 UNION SELECT dst, src FROM k50),
+u75 AS MATERIALIZED (SELECT src AS id, dst AS nbr FROM k75 UNION SELECT dst, src FROM k75),
+r25(node, lab) AS (
+  SELECT DISTINCT id, id FROM u25
+  UNION SELECT u.id, r.lab FROM r25 r JOIN u25 u ON u.nbr = r.node
+),
+r50(node, lab) AS (
+  SELECT DISTINCT id, id FROM u50
+  UNION SELECT u.id, r.lab FROM r50 r JOIN u50 u ON u.nbr = r.node
+),
+r75(node, lab) AS (
+  SELECT DISTINCT id, id FROM u75
+  UNION SELECT u.id, r.lab FROM r75 r JOIN u75 u ON u.nbr = r.node
+),
+c25 AS (SELECT node, min(lab) AS c FROM r25 GROUP BY node),
+c50 AS (SELECT node, min(lab) AS c FROM r50 GROUP BY node),
+c75 AS (SELECT node, min(lab) AS c FROM r75 GROUP BY node),
+n_tot AS (SELECT count(*) AS n FROM trade_nodes),
+lvl AS (
+  SELECT 25 AS p_pct, (SELECT count(*) FROM k25) AS n_edges_kept,
+         (SELECT count(*) FROM c25) AS n_nodes_touched,
+         (SELECT coalesce(max(sz), 0) FROM
+           (SELECT count(*) AS sz FROM c25 GROUP BY c)) AS giant_size
+  UNION ALL
+  SELECT 50, (SELECT count(*) FROM k50), (SELECT count(*) FROM c50),
+         (SELECT coalesce(max(sz), 0) FROM
+           (SELECT count(*) AS sz FROM c50 GROUP BY c))
+  UNION ALL
+  SELECT 75, (SELECT count(*) FROM k75), (SELECT count(*) FROM c75),
+         (SELECT coalesce(max(sz), 0) FROM
+           (SELECT count(*) AS sz FROM c75 GROUP BY c))
+)
+SELECT p_pct::BIGINT AS p_pct, n_edges_kept::BIGINT AS n_edges_kept,
+       n_nodes_touched::BIGINT AS n_nodes_touched,
+       giant_size::BIGINT AS giant_size,
+       ((giant_size * 1000000) // greatest((SELECT n FROM n_tot), 1))::BIGINT
+         AS giant_ppm
+FROM lvl
 """
 
     sqls["trade_rich_core"] = f"""

@@ -235,6 +235,7 @@ def main() -> None:
         "events_attribution",
         "copurchase_temporal_closure",
         "trade_rich_core",
+        "trade_percolation",
     ]
     # BENCH_HEADLINE_LIMIT=k truncates the headline list — a smoke knob so
     # the two-pass rep allocation below can be exercised end-to-end in

@@ -862,3 +862,67 @@ def rich_core(graph: LinkGraph) -> DataFrame:
         & (F.col("node") <= F.lit(b["node"]))
     )
     return rows.select("node", "degree", "sigma", in_core.alias("in_core"))
+
+
+def percolation_profile(
+    graph: LinkGraph, ps: tuple = (25, 50, 75), salt: str = "perc"
+) -> DataFrame:
+    """Random bond-percolation profile — one row per retention level p:
+    ``(p_pct, n_edges_kept, n_nodes_touched, giant_size, giant_ppm)``
+    where each simple directed edge survives iff its quenched 60-bit md5
+    (``salt:src:dst``) mod 100 is below ``p_pct``, and ``giant_ppm`` is
+    the largest weak component over the ORIGINAL node count in floor ppm.
+
+    The random-removal twin of :func:`attack_robustness` (which removes
+    top-degree nodes): together they give the Albert–Jeong–Barabási
+    error-vs-attack readout — scale-free graphs keep their giant
+    component under random edge loss but shatter under targeted hub
+    removal.  The keep rule is a pure function of the edge key, so the
+    profile is stable under growth and repartitioning (same quenched-md5
+    convention as ``hash_split``).
+
+    Cost: one WCC fixpoint per retention level over the SURVIVING edges
+    only (|ps| is a small query constant); the keep filter is map-side.
+    """
+    from linkgraph.algorithms.components import weakly_connected_components
+    from linkgraph.pipeline.sampling import hash_key
+
+    spark = graph.spark
+    edges = graph.edges().select("src", "dst")
+    hv = hash_key(
+        F.concat(F.col("src"), F.lit(":"), F.col("dst")), salt
+    ) % 100
+    n_total = graph.ids().count()
+    rows = []
+    for p in ps:
+        kept = edges.filter(hv < int(p)).persist()
+        n_kept = kept.count()
+        if n_kept == 0:
+            rows.append((int(p), 0, 0, 0, 0))
+            kept.unpersist()
+            continue
+        sub = LinkGraph(kept.withColumn("time", F.lit(0).cast("long")))
+        comp = weakly_connected_components(sub).persist()
+        n_touched = comp.count()
+        giant = (
+            comp.groupBy("component")
+            .count()
+            .agg(F.max("count"))
+            .first()[0]
+        )
+        rows.append(
+            (
+                int(p),
+                n_kept,
+                n_touched,
+                int(giant),
+                int(giant) * 1_000_000 // max(n_total, 1),
+            )
+        )
+        comp.unpersist()
+        kept.unpersist()
+    return spark.createDataFrame(
+        rows,
+        "p_pct long, n_edges_kept long, n_nodes_touched long, "
+        "giant_size long, giant_ppm long",
+    )

@@ -167,3 +167,30 @@ def test_rich_core_hand(spark):
         1: (4, 0, True), 4: (2, 1, True), 5: (2, 2, True),
         2: (1, 1, False), 3: (1, 1, False),
     }
+
+
+def test_percolation_profile_hand(spark):
+    """Monotonicity + endpoint invariants on a small graph: kept edges,
+    touched nodes, and giant size are non-decreasing in p, and p=100
+    recovers the full graph exactly."""
+    from linkgraph.algorithms.metrics import percolation_profile
+    from linkgraph.graph import LinkGraph
+
+    ev = [(0, str(a), str(b)) for a, b in
+          [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 1), (7, 8)]]
+    g = LinkGraph.from_edge_list(spark, ev)
+    rows = {r["p_pct"]: r for r in
+            percolation_profile(g, ps=(25, 50, 75, 100)).collect()}
+    ks = sorted(rows)
+    for a, b in zip(ks, ks[1:]):
+        assert rows[a]["n_edges_kept"] <= rows[b]["n_edges_kept"]
+        assert rows[a]["giant_size"] <= rows[b]["giant_size"]
+    full = rows[100]
+    assert full["n_edges_kept"] == 7
+    assert full["n_nodes_touched"] == 8
+    assert full["giant_size"] == 6          # the 6-cycle
+    assert full["giant_ppm"] == 6 * 1_000_000 // 8
+    # determinism: same quenched hash -> identical profile on re-run
+    again = {r["p_pct"]: r["n_edges_kept"] for r in
+             percolation_profile(g, ps=(25, 50, 75, 100)).collect()}
+    assert again == {p: rows[p]["n_edges_kept"] for p in rows}
