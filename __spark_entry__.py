@@ -3009,6 +3009,16 @@ def q_emb_pq_codes(spark, sf_dir):
     return pq_codes(emb, m=4, codebook_size=16)
 
 
+def q_docs_zorder(spark, sf_dir):
+    """Z-order (Morton) layout keys over (text length, lang-hash) — the
+    multi-dimensional file-clustering primitive (Delta/Iceberg OPTIMIZE
+    ZORDER) as a plain integer expression; map-only, fuses into the scan
+    (pipeline.packing.zorder_keys)."""
+    from linkgraph.pipeline.packing import zorder_keys
+
+    return zorder_keys(_t(spark, sf_dir, "documents"))
+
+
 def q_trade_percolation(spark, sf_dir):
     """Random bond-percolation profile of the trade graph at 25/50/75%
     edge retention (quenched md5 keep rule): surviving-edge count,
@@ -3147,6 +3157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchase_temporal_closure": q_copurchase_temporal_closure,
         "trade_rich_core": q_trade_rich_core,
         "trade_percolation": q_trade_percolation,
+        "docs_zorder": q_docs_zorder,
         # r01-r03 overflow, driver-green r04
         "trade_monthly_rolling": q_trade_monthly_rolling,
         "trade_two_hop": q_trade_two_hop,
@@ -8725,6 +8736,47 @@ rk AS (
 )
 SELECT vec_id, subspace, code::BIGINT AS code, dist6
 FROM rk WHERE r = 1
+"""
+
+    # z-order: the same magic-mask spread sequence in SQL integer ops
+    sqls["docs_zorder"] = """
+WITH base AS (
+  SELECT doc_id,
+         least(length(text), 65535)::BIGINT AS d_len,
+         (('0x' || substr(md5('zorder:' || lang), 1, 15))::BIGINT % 65536)
+           AS d_cat
+  FROM documents
+),
+s AS (
+  SELECT doc_id, d_len, d_cat,
+         (d_len & 65535) AS a0, (d_cat & 65535) AS b0
+  FROM base
+),
+sp AS (
+  SELECT doc_id, d_len, d_cat,
+         ((a0 | (a0 << 8)) & 16711935) AS a1,
+         ((b0 | (b0 << 8)) & 16711935) AS b1
+  FROM s
+),
+sp2 AS (
+  SELECT doc_id, d_len, d_cat,
+         ((a1 | (a1 << 4)) & 252645135) AS a2,
+         ((b1 | (b1 << 4)) & 252645135) AS b2
+  FROM sp
+),
+sp3 AS (
+  SELECT doc_id, d_len, d_cat,
+         ((a2 | (a2 << 2)) & 858993459) AS a3,
+         ((b2 | (b2 << 2)) & 858993459) AS b3
+  FROM sp2
+),
+sp4 AS (
+  SELECT doc_id, d_len, d_cat,
+         ((a3 | (a3 << 1)) & 1431655765) AS a4,
+         ((b3 | (b3 << 1)) & 1431655765) AS b4
+  FROM sp3
+)
+SELECT doc_id, d_len, d_cat, (a4 | (b4 << 1))::BIGINT AS zkey FROM sp4
 """
 
     # percolation: one recursive WCC closure per retention level on the

@@ -236,6 +236,7 @@ def main() -> None:
         "copurchase_temporal_closure",
         "trade_rich_core",
         "trade_percolation",
+        "docs_zorder",
     ]
     # BENCH_HEADLINE_LIMIT=k truncates the headline list — a smoke knob so
     # the two-pass rep allocation below can be exercised end-to-end in

@@ -331,3 +331,48 @@ def cdc_chunks(
         .cast("long")
         .alias("chunk_hash"),
     )
+
+
+def _spread16(x):
+    """Spread the low 16 bits of ``x`` to the even bit positions of a
+    32-bit lane (the standard Morton magic-mask sequence) — pure integer
+    column arithmetic, identical in Spark and DuckDB."""
+    x = x.bitwiseOR(F.shiftleft(x, 8)).bitwiseAND(F.lit(0x00FF00FF))
+    x = x.bitwiseOR(F.shiftleft(x, 4)).bitwiseAND(F.lit(0x0F0F0F0F))
+    x = x.bitwiseOR(F.shiftleft(x, 2)).bitwiseAND(F.lit(0x33333333))
+    x = x.bitwiseOR(F.shiftleft(x, 1)).bitwiseAND(F.lit(0x55555555))
+    return x
+
+
+def zorder_key(d1, d2):
+    """32-bit Z-order (Morton) key interleaving two 16-bit dimensions —
+    ``d2``'s bits land in the odd positions.  The standard
+    multi-dimensional clustering key for file layout: sorting (or
+    range-partitioning) a 100 TB table by this key co-locates rows that
+    are close in BOTH dimensions, so min/max zone maps prune scans on
+    either predicate — what Delta/Iceberg OPTIMIZE ZORDER does, here as
+    a plain deterministic column expression.
+    """
+    a = d1.cast("long").bitwiseAND(F.lit(0xFFFF))
+    b = d2.cast("long").bitwiseAND(F.lit(0xFFFF))
+    return _spread16(a).bitwiseOR(F.shiftleft(_spread16(b), 1)).cast("long")
+
+
+def zorder_keys(
+    docs: DataFrame, text_col: str = "text", by: str = "lang"
+) -> DataFrame:
+    """Per-document Z-order layout keys — ``(doc_id, d_len, d_cat,
+    zkey)``: dimension 1 is the text length clamped to 16 bits,
+    dimension 2 the category's quenched 60-bit md5 folded to 16 bits.
+    Map-only (fuses into the scan, no shuffle); writing the corpus
+    sorted by ``zkey`` gives zone-map pruning on BOTH length and
+    category predicates at 100 TB.
+    """
+    d1 = F.least(F.length(F.col(text_col)), F.lit(0xFFFF))
+    d2 = hash_key(F.col(by), "zorder") % 65536
+    return docs.select(
+        "doc_id",
+        d1.cast("long").alias("d_len"),
+        d2.cast("long").alias("d_cat"),
+        zorder_key(d1, d2).alias("zkey"),
+    )

@@ -178,3 +178,29 @@ def test_cdc_chunks_guard(spark):
     df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
     with pytest.raises(ValueError):
         cdc_chunks(df, target_tokens=1)
+
+
+def test_zorder_key_hand(spark):
+    """Morton interleave verified against a pure-Python bit interleave,
+    plus the locality property the layout depends on: nearby (d1, d2)
+    points share long zkey prefixes."""
+    from pyspark.sql import functions as F
+
+    from linkgraph.pipeline.packing import zorder_key
+
+    def py_morton(a, b):
+        z = 0
+        for i in range(16):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    pts = [(0, 0), (1, 0), (0, 1), (65535, 65535), (12345, 54321), (7, 200)]
+    df = spark.createDataFrame(pts, "a long, b long").select(
+        "a", "b", zorder_key(F.col("a"), F.col("b")).alias("z")
+    )
+    got = {(r["a"], r["b"]): r["z"] for r in df.collect()}
+    for a, b in pts:
+        assert got[(a, b)] == py_morton(a, b), (a, b)
+    # interleave bounds: 16+16 bits -> 32-bit key
+    assert got[(65535, 65535)] == (1 << 32) - 1
