@@ -3009,6 +3009,18 @@ def q_emb_pq_codes(spark, sf_dir):
     return pq_codes(emb, m=4, codebook_size=16)
 
 
+def q_events_changepoint(spark, sf_dir):
+    """Exact-integer CUSUM changepoint over hourly event counts — per
+    hour: count, T*C_t - t*X (the mean-shift CUSUM scaled by the bucket
+    count so it stays integer), and the argmax-|S| changepoint flag.
+    The rate-change localiser next to events_stream_anomaly's per-hour
+    outlier flags (pipeline.analytics.cusum_changepoint); the global
+    window runs over BUCKETS (bounded by elapsed time), never events."""
+    from linkgraph.pipeline.analytics import cusum_changepoint
+
+    return cusum_changepoint(_t(spark, sf_dir, "events"))
+
+
 def q_docs_zorder(spark, sf_dir):
     """Z-order (Morton) layout keys over (text length, lang-hash) — the
     multi-dimensional file-clustering primitive (Delta/Iceberg OPTIMIZE
@@ -3158,6 +3170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trade_rich_core": q_trade_rich_core,
         "trade_percolation": q_trade_percolation,
         "docs_zorder": q_docs_zorder,
+        "events_changepoint": q_events_changepoint,
         # r01-r03 overflow, driver-green r04
         "trade_monthly_rolling": q_trade_monthly_rolling,
         "trade_two_hop": q_trade_two_hop,
@@ -8736,6 +8749,31 @@ rk AS (
 )
 SELECT vec_id, subspace, code::BIGINT AS code, dist6
 FROM rk WHERE r = 1
+"""
+
+    sqls["events_changepoint"] = """
+WITH per AS (
+  SELECT (epoch_ms(ts) // 3600000) AS b, count(*) AS n_events
+  FROM events GROUP BY 1
+),
+tot AS (SELECT count(*) AS t_cnt, sum(n_events) AS x FROM per),
+cur AS (
+  SELECT row_number() OVER (ORDER BY b) AS idx,
+         (b * 3600000) // 1000 AS ws,
+         n_events,
+         ((SELECT t_cnt FROM tot)
+           * sum(n_events) OVER (ORDER BY b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          - row_number() OVER (ORDER BY b) * (SELECT x FROM tot))::BIGINT
+           AS cusum_scaled
+  FROM per
+),
+peak AS (
+  SELECT idx FROM cur ORDER BY abs(cusum_scaled) DESC, idx ASC LIMIT 1
+)
+SELECT idx::BIGINT AS idx, ws::BIGINT AS ws, n_events::BIGINT AS n_events,
+       cusum_scaled, (idx = (SELECT idx FROM peak)) AS is_changepoint
+FROM cur
 """
 
     # z-order: the same magic-mask spread sequence in SQL integer ops

@@ -237,6 +237,7 @@ def main() -> None:
         "trade_rich_core",
         "trade_percolation",
         "docs_zorder",
+        "events_changepoint",
     ]
     # BENCH_HEADLINE_LIMIT=k truncates the headline list — a smoke knob so
     # the two-pass rep allocation below can be exercised end-to-end in

@@ -189,3 +189,58 @@ def last_touch_attribution(
             F.coalesce("gap_ms", F.lit(-1)).cast("long").alias("gap_ms"),
         )
     )
+
+
+def cusum_changepoint(
+    events: DataFrame,
+    bucket_ms: int = 3_600_000,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Exact-integer CUSUM changepoint localisation over time buckets —
+    per bucket: ``(idx, ws, n_events, cusum_scaled, is_changepoint)``.
+
+    The mean-shift CUSUM statistic ``S_t = sum_{i<=t}(x_i - mean)`` is
+    rational; multiplying through by the bucket count ``T`` keeps it an
+    exact integer: ``cusum_scaled = T*C_t - t*X`` where ``C_t`` is the
+    cumulative event count through bucket ``t`` (1-based), ``X`` the
+    grand total.  The changepoint estimate is the bucket maximising
+    ``|cusum_scaled|`` (ties -> earliest bucket) — where the series
+    deviates most from uniform accumulation, i.e. the classic "when did
+    the rate change" localiser next to rate_anomalies' "which hour is
+    anomalous".
+
+    The cumulative window is global over BUCKETS, not events — bounded
+    by elapsed time (one row per hour), not data volume, so the
+    single-partition window is a few thousand rows even at 100 TB of
+    events; the per-bucket counts underneath are a map-side-combined
+    hash aggregate.
+    """
+    t = F.unix_millis(F.col(ts_col).cast("timestamp"))
+    per = (
+        events.select((t / F.lit(int(bucket_ms))).cast("long").alias("b"))
+        .groupBy("b")
+        .agg(F.count("*").alias("n_events"))
+    )
+    w = W.orderBy("b").rowsBetween(W.unboundedPreceding, 0)
+    tot = per.agg(
+        F.count("*").alias("T"), F.sum("n_events").alias("X")
+    ).first()
+    T, X = int(tot["T"]), int(tot["X"])
+    cur = (
+        per.withColumn("idx", F.row_number().over(W.orderBy("b")))
+        .withColumn("c", F.sum("n_events").over(w))
+        .select(
+            "idx",
+            F.expr(f"(b * {int(bucket_ms)}L) div 1000L").alias("ws"),
+            "n_events",
+            (F.lit(T) * F.col("c") - F.col("idx") * F.lit(X))
+            .cast("long")
+            .alias("cusum_scaled"),
+        )
+    )
+    peak = (
+        cur.orderBy(F.desc(F.abs(F.col("cusum_scaled"))), F.asc("idx"))
+        .limit(1)
+        .collect()[0]["idx"]
+    )
+    return cur.withColumn("is_changepoint", F.col("idx") == F.lit(int(peak)))

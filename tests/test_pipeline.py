@@ -496,3 +496,27 @@ def test_sorted_blocking_pairs_hand(spark):
     assert pairs[(1, 2)]["jaccard_ppm"] > 900_000
     assert pairs[(2, 3)]["jaccard_ppm"] < pairs[(1, 2)]["jaccard_ppm"]
     assert all(r["pos_gap"] == 1 for r in rows)
+
+
+def test_cusum_changepoint_hand(spark):
+    """Flat rate 2/hour for 3 hours then 6/hour for 3 hours: the scaled
+    CUSUM magnitude peaks exactly at the last pre-shift bucket."""
+    import datetime as dt
+
+    from linkgraph.pipeline.analytics import cusum_changepoint
+
+    rows, eid = [], 0
+    for h, n in [(0, 2), (1, 2), (2, 2), (3, 6), (4, 6), (5, 6)]:
+        for i in range(n):
+            rows.append((eid, dt.datetime(2024, 1, 1, h, i), 1, "x", 0.0, "{}"))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    out = {r["idx"]: r for r in cusum_changepoint(ev).collect()}
+    # T=6, X=24; C = [2,4,6,12,18,24]; S_t = 6*C_t - t*24
+    want_s = {1: -12, 2: -24, 3: -36, 4: -24, 5: -12, 6: 0}
+    assert {i: out[i]["cusum_scaled"] for i in out} == want_s
+    flags = [i for i in out if out[i]["is_changepoint"]]
+    assert flags == [3]  # last bucket before the rate shift
