@@ -3009,6 +3009,19 @@ def q_emb_pq_codes(spark, sf_dir):
     return pq_codes(emb, m=4, codebook_size=16)
 
 
+def q_emb_matryoshka(spark, sf_dir):
+    """Matryoshka prefix-dimension retrieval evaluation: top-5 by cosine
+    over the first 8/16/32 coordinates scored against the full-64-dim
+    exact top-5 — the go/no-go readout for prefix-ANN cost cuts
+    (pipeline.simsearch.matryoshka_recall).  Prefix slices happen in the
+    scan projection, so each pass genuinely ships dim/64 of the bytes."""
+    from linkgraph.pipeline.simsearch import matryoshka_recall
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0)
+    return matryoshka_recall(emb, queries_df, dims=(8, 16, 32), k=5)
+
+
 def q_events_changepoint(spark, sf_dir):
     """Exact-integer CUSUM changepoint over hourly event counts — per
     hour: count, T*C_t - t*X (the mean-shift CUSUM scaled by the bucket
@@ -3171,6 +3184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trade_percolation": q_trade_percolation,
         "docs_zorder": q_docs_zorder,
         "events_changepoint": q_events_changepoint,
+        "emb_matryoshka": q_emb_matryoshka,
         # r01-r03 overflow, driver-green r04
         "trade_monthly_rolling": q_trade_monthly_rolling,
         "trade_two_hop": q_trade_two_hop,
@@ -8750,6 +8764,55 @@ rk AS (
 SELECT vec_id, subspace, code::BIGINT AS code, dist6
 FROM rk WHERE r = 1
 """
+
+    def _mat_stanza(d: int) -> str:
+        return f"""
+p{d} AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         row_number() OVER (PARTITION BY q.vec_id
+           ORDER BY round(list_cosine_similarity(q.v[1:{d}], c.v[1:{d}]), 6)
+                    DESC, c.vec_id) AS rk
+  FROM mq q CROSS JOIN me c WHERE q.vec_id <> c.vec_id
+),
+h{d} AS (
+  SELECT count(*) AS h
+  FROM (SELECT query_id, cand_id FROM p{d} WHERE rk <= 5) a
+  JOIN fp USING (query_id, cand_id)
+)"""
+
+    sqls["emb_matryoshka"] = (
+        """
+WITH me AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+mq AS MATERIALIZED (SELECT vec_id, v FROM me WHERE vec_id % 50 = 0),
+fs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         row_number() OVER (PARTITION BY q.vec_id
+           ORDER BY round(list_cosine_similarity(q.v, c.v), 6)
+                    DESC, c.vec_id) AS rk
+  FROM mq q CROSS JOIN me c WHERE q.vec_id <> c.vec_id
+),
+fp AS MATERIALIZED (SELECT query_id, cand_id FROM fs WHERE rk <= 5),
+nq AS (SELECT count(*) AS n FROM mq),"""
+        + ",".join(_mat_stanza(d) for d in (8, 16, 32))
+        + """
+SELECT * FROM (
+  SELECT 8::BIGINT AS dim, (SELECT n FROM nq)::BIGINT AS n_queries,
+         (SELECT h FROM h8)::BIGINT AS hits,
+         ((SELECT h FROM h8) * 1000000
+           // greatest((SELECT n FROM nq) * 5, 1))::BIGINT AS recall_ppm
+  UNION ALL
+  SELECT 16, (SELECT n FROM nq), (SELECT h FROM h16),
+         ((SELECT h FROM h16) * 1000000
+           // greatest((SELECT n FROM nq) * 5, 1))
+  UNION ALL
+  SELECT 32, (SELECT n FROM nq), (SELECT h FROM h32),
+         ((SELECT h FROM h32) * 1000000
+           // greatest((SELECT n FROM nq) * 5, 1))
+)
+"""
+    )
 
     sqls["events_changepoint"] = """
 WITH per AS (

@@ -238,6 +238,7 @@ def main() -> None:
         "trade_percolation",
         "docs_zorder",
         "events_changepoint",
+        "emb_matryoshka",
     ]
     # BENCH_HEADLINE_LIMIT=k truncates the headline list — a smoke knob so
     # the two-pass rep allocation below can be exercised end-to-end in

@@ -990,3 +990,55 @@ def pq_codes(
         .filter(F.col("rk") == 1)
         .select("vec_id", "subspace", F.col("code").cast("long").alias("code"), "dist6")
     )
+
+
+def matryoshka_recall(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    dims: tuple = (8, 16, 32),
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka prefix-dimension retrieval evaluation (Kusupati et al.,
+    NeurIPS 2022) — one row per prefix length: ``(dim, n_queries,
+    hits, recall_ppm)``: top-``k`` by cosine over the first ``dim``
+    coordinates, scored against the full-dimension exact top-``k``.
+
+    The go/no-go readout for the standard embedding-cost lever: if an
+    8- or 16-prefix already recovers most full-dim neighbours, ANN scans
+    can run on the prefix (dim/64 of the bytes and FLOPs) and re-rank the
+    shortlist at full width.  Each prefix evaluation is a
+    :func:`cosine_topk` over SLICED columns — the slice happens in the
+    scan projection, so the prefix pass genuinely reads/ships fewer
+    bytes; the final readout is one join + one aggregate per dim
+    (|dims| is a small query constant).
+    """
+    spark = embeddings.sparkSession
+    full = cosine_topk(embeddings, queries, k=k, id_col=id_col, vec_col=vec_col)
+    full_pairs = full.select("query_id", "cand_id").persist()
+    n_q = queries.count()
+    denom = max(n_q * k, 1)
+    rows = []
+    for d in dims:
+        pref_e = embeddings.select(
+            F.col(id_col), F.slice(vec_col, 1, int(d)).alias(vec_col)
+        )
+        pref_q = queries.select(
+            F.col(id_col), F.slice(vec_col, 1, int(d)).alias(vec_col)
+        )
+        approx = cosine_topk(
+            pref_e, pref_q, k=k, id_col=id_col, vec_col=vec_col
+        )
+        hits = (
+            approx.select("query_id", "cand_id")
+            .join(full_pairs, ["query_id", "cand_id"])
+            .count()
+        )
+        rows.append(
+            (int(d), int(n_q), int(hits), hits * 1_000_000 // denom)
+        )
+    full_pairs.unpersist()
+    return spark.createDataFrame(
+        rows, "dim long, n_queries long, hits long, recall_ppm long"
+    )

@@ -520,3 +520,17 @@ def test_cusum_changepoint_hand(spark):
     assert {i: out[i]["cusum_scaled"] for i in out} == want_s
     flags = [i for i in out if out[i]["is_changepoint"]]
     assert flags == [3]  # last bucket before the rate shift
+
+
+def test_matryoshka_recall_hand(spark, vecs):
+    """Full-dim prefix must give perfect recall; a 1-dim prefix on
+    16-dim clustered vectors must not (sanity that the metric moves)."""
+    from linkgraph.pipeline.simsearch import matryoshka_recall
+
+    q = vecs.filter(F.col("vec_id") < 6)
+    out = {r["dim"]: r for r in
+           matryoshka_recall(vecs, q, dims=(1, 16), k=3).collect()}
+    assert out[16]["recall_ppm"] == 1_000_000      # identity prefix
+    assert out[16]["hits"] == 6 * 3
+    assert out[1]["recall_ppm"] < 1_000_000        # 1 dim loses neighbours
+    assert out[1]["n_queries"] == 6
