@@ -3009,6 +3009,18 @@ def q_emb_pq_codes(spark, sf_dir):
     return pq_codes(emb, m=4, codebook_size=16)
 
 
+def q_events_stream_changepoint(spark, sf_dir):
+    """Streaming per-type CUSUM changepoint: watermarked hourly counts run
+    as a real availableNow streaming query (complete mode), then the
+    exact-integer scaled CUSUM + per-type argmax-|S| flag as one window
+    pass over the emitted table (streaming.stream_changepoint) — no
+    per-type driver loop, one exchange on event_type."""
+    from linkgraph.streaming import read_event_stream, stream_changepoint
+
+    stream = read_event_stream(spark, _stream_input(sf_dir, "events"))
+    return stream_changepoint(spark, stream, _stream_ck())
+
+
 def q_emb_matryoshka(spark, sf_dir):
     """Matryoshka prefix-dimension retrieval evaluation: top-5 by cosine
     over the first 8/16/32 coordinates scored against the full-64-dim
@@ -3185,6 +3197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_zorder": q_docs_zorder,
         "events_changepoint": q_events_changepoint,
         "emb_matryoshka": q_emb_matryoshka,
+        "events_stream_changepoint": q_events_stream_changepoint,
         # r01-r03 overflow, driver-green r04
         "trade_monthly_rolling": q_trade_monthly_rolling,
         "trade_two_hop": q_trade_two_hop,
@@ -8763,6 +8776,35 @@ rk AS (
 )
 SELECT vec_id, subspace, code::BIGINT AS code, dist6
 FROM rk WHERE r = 1
+"""
+
+    sqls["events_stream_changepoint"] = """
+WITH per AS (
+  SELECT (epoch_ms(ts) // 3600000) * 3600 AS ws, event_type,
+         count(*) AS n_events
+  FROM events GROUP BY 1, 2
+),
+cur AS (
+  SELECT event_type,
+         row_number() OVER (PARTITION BY event_type ORDER BY ws) AS idx,
+         ws, n_events,
+         (count(*) OVER (PARTITION BY event_type)
+           * sum(n_events) OVER (PARTITION BY event_type ORDER BY ws
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          - row_number() OVER (PARTITION BY event_type ORDER BY ws)
+            * sum(n_events) OVER (PARTITION BY event_type))::BIGINT
+           AS cusum_scaled
+  FROM per
+),
+pk AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+             ORDER BY abs(cusum_scaled) DESC, idx ASC) AS pkr
+  FROM cur
+)
+SELECT event_type, idx::BIGINT AS idx, ws::BIGINT AS ws,
+       n_events::BIGINT AS n_events, cusum_scaled,
+       (pkr = 1) AS is_changepoint
+FROM pk
 """
 
     def _mat_stanza(d: int) -> str:

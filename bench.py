@@ -239,6 +239,7 @@ def main() -> None:
         "docs_zorder",
         "events_changepoint",
         "emb_matryoshka",
+        "events_stream_changepoint",
     ]
     # BENCH_HEADLINE_LIMIT=k truncates the headline list — a smoke knob so
     # the two-pass rep allocation below can be exercised end-to-end in

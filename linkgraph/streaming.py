@@ -462,3 +462,66 @@ def rate_anomalies(
             >= F.lit(threshold_ppm)
         ).alias("is_anomaly"),
     )
+
+
+def stream_changepoint(
+    spark: SparkSession,
+    stream: DataFrame,
+    checkpoint: str,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming CUSUM changepoint localisation per event type —
+    ``(event_type, idx, ws, n_events, cusum_scaled, is_changepoint)``.
+
+    Same two-stage split as :func:`rate_anomalies`: the STATEFUL stage
+    (watermarked tumbling hourly counts) runs as a real availableNow
+    streaming query in complete mode; the CUSUM pass is a batch window
+    scan over the emitted count table, because the statistic re-reads
+    the whole per-type series (``T``, the grand total, and the running
+    sum all shift with every closed hour) and is not incrementally
+    updatable inside the live aggregation.
+
+    The statistic is the exact-integer scaled mean-shift CUSUM
+    (``T*C_t - t*X`` — see ``pipeline.analytics.cusum_changepoint``),
+    computed per event type entirely with window aggregates: no
+    per-type driver loop, one exchange on ``event_type``.  The peak row
+    (argmax |S|, ties -> earliest hour) carries ``is_changepoint``.
+    """
+    from pyspark.sql import Window
+
+    counts = run_available_now(
+        hourly_event_counts(stream, watermark=watermark).select(
+            "ws", "event_type", "n_events"
+        ),
+        checkpoint,
+        output_mode="complete",
+    )
+    by_type = Window.partitionBy("event_type")
+    ordered = Window.partitionBy("event_type").orderBy("ws")
+    run = ordered.rowsBetween(Window.unboundedPreceding, 0)
+    cur = (
+        counts.withColumn("idx", F.row_number().over(ordered))
+        .withColumn("t_cnt", F.count("*").over(by_type))
+        .withColumn("x", F.sum("n_events").over(by_type))
+        .withColumn("c", F.sum("n_events").over(run))
+        .withColumn(
+            "cusum_scaled",
+            (F.col("t_cnt") * F.col("c") - F.col("idx") * F.col("x")).cast(
+                "long"
+            ),
+        )
+    )
+    peak = Window.partitionBy("event_type").orderBy(
+        F.desc(F.abs(F.col("cusum_scaled"))), F.asc("idx")
+    )
+    return (
+        cur.withColumn("pk", F.row_number().over(peak))
+        .select(
+            "event_type",
+            F.col("idx").cast("long").alias("idx"),
+            F.col("ws").cast("long").alias("ws"),
+            F.col("n_events").cast("long").alias("n_events"),
+            "cusum_scaled",
+            (F.col("pk") == 1).alias("is_changepoint"),
+        )
+    )

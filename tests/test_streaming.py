@@ -338,3 +338,40 @@ def test_rate_anomalies_multibatch_complete_mode(spark, tmp_path):
             got[base + 3 * 3600]["trailing_sum"]) == (12, 12)
     assert (got[base + 4 * 3600]["n_events"],
             got[base + 4 * 3600]["trailing_sum"]) == (2, 20)
+
+
+def test_stream_changepoint_per_type(spark, tmp_path):
+    """clicks: 2/hour for 3 hours then 6/hour for 3 -> peak at hour 3;
+    buys flat -> cusum identically 0 (peak defaults to idx 1).  Forced
+    multi-batch (maxFilesPerTrigger=1) so complete-mode dedup is also on
+    the line."""
+    from linkgraph.streaming import stream_changepoint
+
+    rows, eid = [], 0
+    for h, n in [(0, 2), (1, 2), (2, 2), (3, 6), (4, 6), (5, 6)]:
+        for i in range(n):
+            rows.append((eid, _ts(h, i), 1, "click", 1.0, "{}")); eid += 1
+    for h in range(6):
+        rows.append((eid, _ts(h, 30), 2, "buy", 1.0, "{}")); eid += 1
+    p = str(tmp_path / "cp_in")
+    _write_events(spark, p, rows[:8])
+    _write_events(spark, p, rows[8:])
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(p)
+    )
+    out = stream_changepoint(spark, stream, str(tmp_path / "ck_cp")).collect()
+    keys = [(r["event_type"], r["ws"]) for r in out]
+    assert len(keys) == len(set(keys)), "duplicate rows from complete mode"
+    clicks = {r["idx"]: r for r in out if r["event_type"] == "click"}
+    assert {i: clicks[i]["cusum_scaled"] for i in clicks} == {
+        1: -12, 2: -24, 3: -36, 4: -24, 5: -12, 6: 0
+    }
+    assert [i for i in clicks if clicks[i]["is_changepoint"]] == [3]
+    buys = {r["idx"]: r for r in out if r["event_type"] == "buy"}
+    assert all(r["cusum_scaled"] == 0 for r in buys.values())
+    assert [i for i in buys if buys[i]["is_changepoint"]] == [1]
