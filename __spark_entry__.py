@@ -3009,6 +3009,20 @@ def q_emb_pq_codes(spark, sf_dir):
     return pq_codes(emb, m=4, codebook_size=16)
 
 
+def q_docs_minhash_calibration(spark, sf_dir):
+    """MinHash estimator calibration per estimated-Jaccard decile:
+    candidate-pair counts plus mean estimated vs mean EXACT shingle
+    Jaccard in floor ppm (pipeline.dedup.minhash_calibration) — the
+    measured-bias readout a dedup threshold should be picked from.
+    The exact pass is semi-joined down to candidate docs first."""
+    from linkgraph.pipeline.dedup import minhash_calibration
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_calibration(
+        docs, n=5, num_hashes=32, bands=8, threshold=0.4
+    )
+
+
 def q_events_stream_changepoint(spark, sf_dir):
     """Streaming per-type CUSUM changepoint: watermarked hourly counts run
     as a real availableNow streaming query (complete mode), then the
@@ -3198,6 +3212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_changepoint": q_events_changepoint,
         "emb_matryoshka": q_emb_matryoshka,
         "events_stream_changepoint": q_events_stream_changepoint,
+        "docs_minhash_calibration": q_docs_minhash_calibration,
         # r01-r03 overflow, driver-green r04
         "trade_monthly_rolling": q_trade_monthly_rolling,
         "trade_two_hop": q_trade_two_hop,
@@ -8776,6 +8791,44 @@ rk AS (
 )
 SELECT vec_id, subspace, code::BIGINT AS code, dist6
 FROM rk WHERE r = 1
+"""
+
+    # calibration: the minhash oracle rides inside as a nested subquery
+    # (its own WITH is legal in a derived table); the exact-Jaccard side
+    # restates the same 5-char shingle universe restricted to candidate
+    # docs — est_ppm = k*31250 is always an exact integer (no .5 rounding)
+    sqls["docs_minhash_calibration"] = f"""
+WITH cand AS MATERIALIZED (
+  SELECT doc_a, doc_b, round(est_jaccard * 1000000)::BIGINT AS est_ppm
+  FROM ({sqls["docs_minhash_lsh"]}) q
+),
+csh AS MATERIALIZED (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, greatest(len(text) - 4, 1) + 1),
+           i -> substr(text, i::INT, 5)))) AS s
+  FROM documents
+  WHERE doc_id IN (SELECT doc_a FROM cand UNION SELECT doc_b FROM cand)
+),
+sizes AS MATERIALIZED (SELECT doc_id, count(*) AS sz FROM csh GROUP BY doc_id),
+inter AS MATERIALIZED (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM csh a JOIN csh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+ex AS (
+  SELECT c.est_ppm,
+         ((coalesce(i.i, 0) * 1000000)
+           // (sa.sz + sb.sz - coalesce(i.i, 0))) AS exact_ppm
+  FROM cand c
+  LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+  JOIN sizes sa ON sa.doc_id = c.doc_a
+  JOIN sizes sb ON sb.doc_id = c.doc_b
+)
+SELECT (est_ppm // 100000)::BIGINT AS est_bucket,
+       count(*)::BIGINT AS n_pairs,
+       (sum(est_ppm) // count(*))::BIGINT AS mean_est_ppm,
+       (sum(exact_ppm) // count(*))::BIGINT AS mean_exact_ppm
+FROM ex GROUP BY 1
 """
 
     sqls["events_stream_changepoint"] = """

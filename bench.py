@@ -240,6 +240,7 @@ def main() -> None:
         "events_changepoint",
         "emb_matryoshka",
         "events_stream_changepoint",
+        "docs_minhash_calibration",
     ]
     # BENCH_HEADLINE_LIMIT=k truncates the headline list — a smoke knob so
     # the two-pass rep allocation below can be exercised end-to-end in

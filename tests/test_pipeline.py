@@ -534,3 +534,26 @@ def test_matryoshka_recall_hand(spark, vecs):
     assert out[16]["hits"] == 6 * 3
     assert out[1]["recall_ppm"] < 1_000_000        # 1 dim loses neighbours
     assert out[1]["n_queries"] == 6
+
+
+def test_minhash_calibration_measures_real_bias(spark, docs):
+    """The audit's whole point: the top decile (est 1.0) mixes identical
+    docs with signature-saturated near-dups, so its mean EXACT Jaccard
+    sits measurably below 1.0 — and high-estimate buckets must still be
+    genuinely similar (mean_exact well above the 0.3 threshold band)."""
+    from linkgraph.pipeline.dedup import minhash_calibration
+
+    out = {r["est_bucket"]: r for r in
+           minhash_calibration(docs, n=3, threshold=0.3).collect()}
+    assert out, "no candidate pairs on the near-dup fixture"
+    top = out[max(out)]
+    assert top["mean_est_ppm"] == 1_000_000
+    # saturation bias is visible but bounded: these are true near-dups
+    assert 700_000 <= top["mean_exact_ppm"] <= 1_000_000
+    assert top["mean_exact_ppm"] < 1_000_000  # the bias the audit exists for
+    # every decile's mean exact stays within a broad calibration band of
+    # its mean estimate (32-hash sd ~90k ppm + saturation skew)
+    for b, r in out.items():
+        assert abs(r["mean_est_ppm"] - r["mean_exact_ppm"]) <= 300_000, (
+            b, r["mean_est_ppm"], r["mean_exact_ppm"],
+        )
