@@ -3009,6 +3009,16 @@ def q_emb_pq_codes(spark, sf_dir):
     return pq_codes(emb, m=4, codebook_size=16)
 
 
+def q_docs_langid_confusion(spark, sf_dir):
+    """Language-ID confusion matrix vs the corpus's true lang labels —
+    per (true, pred) cell: doc count and floor-ppm share of the true
+    class (pipeline.textstats.langid_confusion).  The classifier-quality
+    gate to read before a language filter drops terabytes."""
+    from linkgraph.pipeline.textstats import langid_confusion
+
+    return langid_confusion(_t(spark, sf_dir, "documents"))
+
+
 def q_docs_minhash_calibration(spark, sf_dir):
     """MinHash estimator calibration per estimated-Jaccard decile:
     candidate-pair counts plus mean estimated vs mean EXACT shingle
@@ -3213,6 +3223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_matryoshka": q_emb_matryoshka,
         "events_stream_changepoint": q_events_stream_changepoint,
         "docs_minhash_calibration": q_docs_minhash_calibration,
+        "docs_langid_confusion": q_docs_langid_confusion,
         # r01-r03 overflow, driver-green r04
         "trade_monthly_rolling": q_trade_monthly_rolling,
         "trade_two_hop": q_trade_two_hop,
@@ -8791,6 +8802,22 @@ rk AS (
 )
 SELECT vec_id, subspace, code::BIGINT AS code, dist6
 FROM rk WHERE r = 1
+"""
+
+    # confusion matrix: the langid oracle rides inside as a nested subquery
+    sqls["docs_langid_confusion"] = f"""
+WITH preds AS MATERIALIZED (
+  SELECT doc_id, pred_lang FROM ({sqls["docs_langid"]}) q
+),
+cells AS MATERIALIZED (
+  SELECT d.lang AS true_lang, p.pred_lang, count(*) AS n_docs
+  FROM documents d JOIN preds p ON p.doc_id = d.doc_id
+  GROUP BY 1, 2
+),
+tot AS (SELECT true_lang, sum(n_docs) AS cls_n FROM cells GROUP BY 1)
+SELECT c.true_lang, c.pred_lang, c.n_docs::BIGINT AS n_docs,
+       ((c.n_docs * 1000000) // t.cls_n)::BIGINT AS row_share_ppm
+FROM cells c JOIN tot t ON t.true_lang = c.true_lang
 """
 
     # calibration: the minhash oracle rides inside as a nested subquery

@@ -241,6 +241,7 @@ def main() -> None:
         "emb_matryoshka",
         "events_stream_changepoint",
         "docs_minhash_calibration",
+        "docs_langid_confusion",
     ]
     # BENCH_HEADLINE_LIMIT=k truncates the headline list — a smoke knob so
     # the two-pass rep allocation below can be exercised end-to-end in

@@ -660,3 +660,31 @@ def hashed_features(
         .groupBy("doc_id", "bucket")
         .agg(F.count("*").alias("count"))
     )
+
+
+def langid_confusion(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Language-ID evaluation against the corpus's ``lang`` labels —
+    ``(true_lang, pred_lang, n_docs, row_share_ppm)``: the confusion
+    matrix of :func:`language_id` with each cell's share of its TRUE
+    class in floor ppm (rows of a class sum to ≤ 1e6; the remainder is
+    flooring).
+
+    The quality gate for the classifier itself: before a language filter
+    drops terabytes, this one-aggregate readout shows per-class recall
+    (the diagonal) and exactly where the mass leaks.  One prediction
+    pass + one two-column hash aggregate + a broadcast per-class total.
+    """
+    preds = language_id(docs, text_col=text_col).select("doc_id", "pred_lang")
+    joined = docs.select("doc_id", F.col("lang").alias("true_lang")).join(
+        preds, "doc_id"
+    )
+    cells = joined.groupBy("true_lang", "pred_lang").agg(
+        F.count("*").alias("n_docs")
+    )
+    totals = cells.groupBy("true_lang").agg(F.sum("n_docs").alias("cls_n"))
+    return cells.join(F.broadcast(totals), "true_lang").select(
+        "true_lang",
+        "pred_lang",
+        "n_docs",
+        F.expr("(n_docs * 1000000) div cls_n").alias("row_share_ppm"),
+    )

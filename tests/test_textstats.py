@@ -315,3 +315,29 @@ def test_hashed_features_deterministic_and_counts(spark):
     # no-bigram variant: 3 occurrences
     uni = hashed_features(docs, n_buckets=8, bigrams=False).collect()
     assert sum(r["count"] for r in uni if r["doc_id"] == 0) == 3
+
+
+def test_langid_confusion_hand(spark):
+    """Two clean English docs, one clean French, one ambiguous doc that
+    the heuristic mislabels — cells and row shares computable by eye."""
+    from linkgraph.pipeline.textstats import langid_confusion
+
+    docs = spark.createDataFrame(
+        [
+            (0, "en", "the cat and the dog is in that house"),
+            (1, "en", "it was the best of times and the worst"),
+            (2, "fr", "le chat est dans la maison et les jardins"),
+            (3, "fr", "word salad without stopwords whatsoever"),  # -> 'de'? ties -> min code
+        ],
+        "doc_id long, lang string, text string",
+    )
+    out = {(r["true_lang"], r["pred_lang"]): r for r in
+           langid_confusion(docs).collect()}
+    assert out[("en", "en")]["n_docs"] == 2
+    assert out[("en", "en")]["row_share_ppm"] == 1_000_000
+    assert out[("fr", "fr")]["n_docs"] == 1
+    assert out[("fr", "fr")]["row_share_ppm"] == 500_000
+    # doc 3 has zero stopword hits in every language: tie -> 'de'
+    assert out[("fr", "de")]["n_docs"] == 1
+    total = sum(r["n_docs"] for r in out.values())
+    assert total == 4
